@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory tuned for the graft engine.
+  *
+  * The same conf set is intended for cluster deployment: AQE re-plans
+  * undersized shuffles and skewed joins at runtime (LSH buckets and
+  * dedup keys are the usual offenders), shuffle partitions are sized to
+  * the executor core count rather than Spark's default 200.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / benches. */
+  def local(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(appName).master(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Test-table access. All graft operators are plain DataFrame
+  * transforms; these helpers only standardize the parquet layout used
+  * by the driver's test data.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) which the vectorized parquet
+      // reader rejects; read nanos as long and floor to microseconds
+      // (identical to how µs-native engines ingest ns timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case _ => raw
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.dedup.ExactDedup
+import graft.operators.text.{LanguageId, QualityScorer, TextLengthFilter}
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry maps to. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: a multi-operator curation pipeline on the documents table
+    * (quality scoring → language id → length filter → exact dedup),
+    * the graft equivalent of the reference's staged YAML pipeline.
+    * Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val scored = LanguageId()(QualityScorer()(docs))
+    val filtered = TextLengthFilter(minLength = 20)(scored)
+    ExactDedup()(filtered)
+      .select("doc_id", "lang", "lang_pred", "q_score", "q_n_words")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TextQueries.queries ++ AnalyticsQueries.queries
+
+  /** DuckDB-runnable oracle SQL per query key (same column names). */
+  def oracleSql: Map[String, String] =
+    TextQueries.oracles ++ AnalyticsQueries.oracles
 }

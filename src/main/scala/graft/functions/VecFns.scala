@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` embedding columns.
+  *
+  * Built on higher-order functions (`zip_with` / `aggregate`) which fold
+  * sequentially inside codegen — deterministic summation order, no UDF.
+  * Elements are cast to double before arithmetic so results are engine-
+  * portable (float32 values are exactly representable as doubles).
+  */
+object VecFns {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm2(a) * norm2(b)
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
+
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** L2-normalize a vector (zero vector maps to itself). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm2(a)
+    when(n === 0.0, d(a)).otherwise(transform(d(a), x => x / n))
+  }
+
+  /** Random-hyperplane LSH signature: the sign pattern of `a · h_i` for
+    * `nbits` deterministic pseudo-random hyperplanes derived from `seed`.
+    * Collisions preserve cosine similarity (Charikar 2002 SimHash for
+    * vectors). Returns a compact bit-string usable as an equi-join key —
+    * the scale path for ANN: bucket join instead of cross join.
+    */
+  def hyperplaneSignature(a: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.map { p =>
+      val plane = array(p.map(lit(_)).toIndexedSeq: _*)
+      when(dot(a, plane) >= 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits.toIndexedSeq: _*)
+  }
+}

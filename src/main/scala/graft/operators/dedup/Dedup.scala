@@ -1,0 +1,240 @@
+package graft.operators.dedup
+
+import graft.functions.TextFns._
+import graft.functions.VecFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keep-first deduplication on an arbitrary key column.
+  *
+  * Spark-native replacement for the reference's sharded DedupBackend
+  * actors (framework/backend.py): the shuffle's hash partitioning IS the
+  * bucketing, so there is no driver-side state and no bucket-count knob
+  * to size. Scale shape (SURVEY §5): winners are computed from a narrow
+  * (key, id) projection with map-side partial aggregation; the wide
+  * payload (text / image bytes) is shuffled only once, by the semi join,
+  * which AQE can skew-split.
+  */
+object KeepFirst {
+  def apply(df: DataFrame, key: Column, idCol: String,
+      keyCol: String = "__dedup_key"): DataFrame = {
+    val keyed = df.withColumn(keyCol, key)
+    val winners = keyed.select(col(keyCol), col(idCol))
+      .groupBy(keyCol).agg(min(idCol).as(idCol))
+    keyed.join(winners, Seq(keyCol, idCol), "left_semi").drop(keyCol)
+  }
+}
+
+/** Exact content dedup — reference operators/dedup/text_exact_dedup.py.
+  * Normalized text → md5 (engine-portable) or xxhash64 (fast path);
+  * optional FineWeb-style URL+content key. */
+case class ExactDedup(
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    includeUrl: Boolean = false,
+    urlCol: String = "url",
+    useXxHash: Boolean = false) {
+
+  def key: Column =
+    if (includeUrl) urlContentHash(col(urlCol), col(textCol))
+    else if (useXxHash) contentHashXx(col(textCol)).cast("string")
+    else contentHashMd5(col(textCol))
+
+  /** Surviving rows (first id per content hash). */
+  def apply(df: DataFrame): DataFrame = KeepFirst(df, key, idCol)
+
+  /** Group view: one row per distinct content with survivor + dup count. */
+  def groups(df: DataFrame): DataFrame =
+    df.select(key.as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+}
+
+/** MinHash + LSH near-duplicate detection (Broder '97 / RefinedWeb §G.3
+  * fuzzy dedup; the reference lists MinHashDeduplicator as its planned
+  * near-dup operator).
+  *
+  * Word-shingle → `numHashes` min-hashes (keyed md5, lexicographic min —
+  * portable across engines) → `bands` band digests → candidate pairs via
+  * equi-join on (band, digest). Never a cross join: candidate generation
+  * is a hash-partitioned self-join, and `maxBucketSize` caps pathological
+  * buckets (boilerplate shingles) to bound skew at 100 TB.
+  */
+case class MinHashLSH(
+    numHashes: Int = 12,
+    bands: Int = 4,
+    shingleSize: Int = 3,
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    maxBucketSize: Int = 1000) {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  private val rowsPerBand = numHashes / bands
+
+  /** MinHash signature as array<string>; null entries iff the document
+    * has fewer than `shingleSize` words. */
+  def signature(text: Column): Column = {
+    val sh = wordShingles(text, shingleSize)
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => md5(concat(s, lit(":" + i)))))): _*)
+  }
+
+  /** One digest per band: md5 over the band's signature slice. */
+  def bandDigests(sig: Column): Column =
+    array((0 until bands).map(b =>
+      md5(concat(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)),
+        lit(":" + b)))): _*)
+
+  /** (id, band, bucket) bucket assignments for documents with ≥ shingleSize
+    * words. */
+  def buckets(df: DataFrame): DataFrame = {
+    val sig = df.select(col(idCol), signature(col(textCol)).as("sig"))
+      .filter(col("sig").getItem(0).isNotNull)
+    sig.select(col(idCol),
+      posexplode(bandDigests(col("sig"))).as(Seq("band", "bucket")))
+  }
+
+  /** Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 band
+    * bucket. */
+  def candidatePairs(df: DataFrame): DataFrame = {
+    val b = buckets(df)
+    val capped = b.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val l = capped.as("a")
+    val r = capped.as("b")
+    l.join(r,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Greedy keep-first: drop any document bucketed with a smaller id.
+    * (Greedy, not connected components — matches keep-first stream
+    * semantics of the reference's dedup backend.) */
+  def apply(df: DataFrame): DataFrame = {
+    val dups = candidatePairs(df).select(col("id_b").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+}
+
+/** SimHash (Charikar 2002) n-bit signature as a pure Column expression:
+  * per-token md5-derived value, per-bit majority vote over tokens.
+  * Exact-signature buckets give near-dup candidates; at scale extend
+  * with 1-bit-flip probe tables.
+  */
+case class SimHash(
+    nbits: Int = 16,
+    textCol: String = "text",
+    idCol: String = "doc_id") {
+  require(nbits % 4 == 0 && nbits <= 48, "nbits must be multiple of 4, <= 48")
+
+  /** Integer token value from the first nbits/4 hex chars of md5. */
+  private def tokenVal(t: Column): Column =
+    conv(substring(md5(t), 1, nbits / 4), 16, 10).cast("long")
+
+  /** n-bit simhash of the normalized text; null for blank text. */
+  def signature(text: Column): Column = {
+    val toks = wsTokens(normalizeText(text))
+    // bit contributions: +1 / -1 per token per bit, folded into an
+    // accumulator array — a single sequential aggregate, codegen-friendly
+    val contrib = (t: Column) => {
+      val v = tokenVal(t).cast("double")
+      transform(sequence(lit(0), lit(nbits - 1)),
+        j => pmod(floor(v / pow(lit(2.0), j)).cast("long"), lit(2L)) * 2 - 1)
+    }
+    val counts = aggregate(toks,
+      array_repeat(lit(0L), nbits),
+      (acc, t) => zip_with(acc, contrib(t), (a, c) => a + c))
+    val sig = aggregate(
+      zip_with(counts, sequence(lit(0), lit(nbits - 1)),
+        (s, j) => when(s > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    when(length(trim(text)) === 0, lit(null).cast("long")).otherwise(sig)
+  }
+
+  /** Keep-first on exact simhash match. */
+  def apply(df: DataFrame): DataFrame =
+    KeepFirst(df, signature(col(textCol)), idCol)
+
+  def groups(df: DataFrame): DataFrame =
+    df.select(signature(col(textCol)).as("simhash"), col(idCol))
+      .groupBy("simhash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+}
+
+/** N-gram Jaccard similarity pairs: distinct-shingle explode →
+  * shingle equi-join → |A∩B| / (|A|+|B|−|A∩B|). The join on shingle
+  * hash-partitions; no cross join. */
+case class NgramJaccard(
+    n: Int = 3,
+    threshold: Double = 0.5,
+    textCol: String = "text",
+    idCol: String = "doc_id") {
+
+  /** (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold (6 dp). */
+  def pairs(df: DataFrame): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def apply(df: DataFrame): DataFrame = {
+    val dups = pairs(df).select(col("id_b").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+}
+
+/** Embedding cosine near-duplicate pairs. `exactPairs` is the O(n²)
+  * reference semantics (usable on blocked subsets); `lshPairs` is the
+  * scale path — random-hyperplane bucket join, then exact rerank within
+  * buckets only. */
+case class EmbeddingNearDup(
+    threshold: Double = 0.95,
+    dim: Int = 64,
+    planeBits: Int = 8,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  def exactPairs(df: DataFrame): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  def lshPairs(df: DataFrame): DataFrame = {
+    val sig = df.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), dim, planeBits).as("bucket"))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+
+  def apply(df: DataFrame): DataFrame = {
+    val dups = lshPairs(df).select(col("id_b").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+}

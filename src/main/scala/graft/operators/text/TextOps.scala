@@ -1,0 +1,163 @@
+package graft.operators.text
+
+import graft.functions.TextFns._
+import graft.functions.UrlFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text length filter — reference operators/filters/text_length_filter.py.
+  * Honors a precomputed length column when present in the schema; the
+  * range predicate is a plain scan filter, so Catalyst pushes it into the
+  * parquet reader.
+  */
+case class TextLengthFilter(
+    minLength: Int = 0,
+    maxLength: Option[Int] = None,
+    textCol: String = "text",
+    textLengthCol: String = "text_length") {
+
+  def lengthOf(df: DataFrame): Column =
+    if (df.columns.contains(textLengthCol)) col(textLengthCol).cast("long")
+    else coalesce(length(col(textCol)).cast("long"), lit(0L))
+
+  def predicate(df: DataFrame): Column = {
+    val len = lengthOf(df)
+    maxLength.fold(len >= minLength)(mx => len >= minLength && len <= mx)
+  }
+
+  def apply(df: DataFrame): DataFrame = df.filter(predicate(df))
+}
+
+/** URL filter — reference operators/filters/url_filter.py (RefinedWeb
+  * §G.1). Three-part: domain blocklist (w/ subdomains), word-severity
+  * score ≥ threshold, curated-source exclusion. Records without a URL
+  * are kept, matching the reference.
+  *
+  * Small config-supplied sets inline as codegen'd boolean chains; for
+  * web-scale blocklists use [[UrlFilter.withBlocklistTable]].
+  */
+case class UrlFilter(
+    urlCol: String = "url",
+    blocklistDomains: Seq[String] = Nil,
+    wordWeights: Map[String, Double] = defaultWordWeights,
+    scoreThreshold: Double = 0.5,
+    excludeQualitySources: Boolean = false,
+    qualitySourceDomains: Seq[String] = defaultQualitySources) {
+
+  def predicate: Column = {
+    val url = col(urlCol)
+    val domain = extractDomain(url)
+    val blocked = domainInSet(domain, blocklistDomains)
+    val scored = urlScore(url, wordWeights) >= scoreThreshold
+    val quality =
+      if (excludeQualitySources) domainInSet(domain, qualitySourceDomains)
+      else lit(false)
+    url.isNull || length(url) === 0 || !(blocked || scored || quality)
+  }
+
+  def apply(df: DataFrame): DataFrame = df.filter(predicate)
+}
+
+object UrlFilter {
+  /** Scale path for multi-million-entry blocklists: explode the URL's
+    * domain-suffix chain (a.b.c → [a.b.c, b.c, c]) and left-anti join
+    * against a blocklist table (broadcast when it fits). */
+  def withBlocklistTable(df: DataFrame, blocklist: DataFrame,
+      urlCol: String = "url", blockCol: String = "domain"): DataFrame = {
+    val domain = extractDomain(col(urlCol))
+    val parts = split(domain, "\\.")
+    val suffixes = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+    val exploded = df.withColumn("__sfx", explode(suffixes))
+    val blocked = exploded
+      .join(broadcast(blocklist.select(col(blockCol).as("__sfx"))), Seq("__sfx"), "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*).distinct()
+    df.except(blocked)
+  }
+}
+
+/** Composite text-quality scorer (FineWeb/Dolma-style rule signals):
+  * char/word counts, punctuation & stopword & alpha ratios, mean word
+  * length, and a [0,1] composite. All codegen'd column math. */
+case class QualityScorer(textCol: String = "text") {
+  def apply(df: DataFrame): DataFrame = {
+    val t = col(textCol)
+    // composite computed from the UNrounded signals: rounded components
+    // would put the weighted sum on a 0.25e-6 grid, exactly on round()'s
+    // half boundary where engines disagree
+    val score =
+      least(wsTokenCount(t).cast("double") / 100.0, lit(1.0)) * 0.25 +
+        (lit(1.0) - least(punctRatio(t) * 4.0, lit(1.0))) * 0.25 +
+        least(stopwordRatio(t) * 5.0, lit(1.0)) * 0.25 +
+        alphaRatio(t) * 0.25
+    df.withColumn("q_n_chars", length(t).cast("long"))
+      .withColumn("q_n_words", wsTokenCount(t).cast("long"))
+      .withColumn("q_punct_ratio", round(punctRatio(t), 6))
+      .withColumn("q_stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("q_alpha_ratio", round(alphaRatio(t), 6))
+      .withColumn("q_mean_word_len", round(meanWordLength(t), 6))
+      .withColumn("q_score", round(score, 4))
+  }
+}
+
+/** N-gram-heuristic language identification: per-language stopword hit
+  * counts over whitespace tokens, argmax with deterministic tiebreak
+  * (priority order below), "und" when nothing matches. The planned
+  * `LanguageFilter` in the reference uses fastText; this is the
+  * dependency-free heuristic equivalent with identical plumbing. */
+case class LanguageId(textCol: String = "text") {
+  import LanguageId.profiles
+
+  def scores(t: Column): Seq[(String, Column)] = {
+    val toks = wsTokens(lower(t))
+    profiles.map { case (lang, stops) =>
+      lang -> size(filter(toks, w => w.isInCollection(stops)))
+    }
+  }
+
+  /** Predicted language code column. */
+  def language(t: Column): Column = {
+    val sc = scores(t)
+    val best = greatest(sc.map(_._2): _*)
+    // first language (in priority order) achieving the max score
+    sc.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("lang_pred", language(col(textCol)))
+}
+
+object LanguageId {
+  /** Priority-ordered (code, stopword set). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "es", "de", "que", "y", "un", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "une", "dans", "que", "pour", "du"))
+}
+
+/** Token counting (whitespace + BPE-ish regex) — columns only. */
+case class TokenCounter(textCol: String = "text") {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("n_ws_tokens", wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol)).cast("long"))
+}
+
+/** Document fingerprinting: minimum md5 over all sliding char k-grams of
+  * the normalized text (winnowing with a whole-document window — a
+  * content-defined fingerprint robust to local edits), plus the exact
+  * content hash. */
+case class Fingerprinter(k: Int = 8, textCol: String = "text") {
+  def fingerprint(t: Column): Column = {
+    val s = normalizeText(t)
+    when(length(s) < k, md5(s)).otherwise(
+      array_min(transform(sequence(lit(1), length(s) - (k - 1)),
+        i => md5(s.substr(i, lit(k))))))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("content_hash", contentHashMd5(col(textCol)))
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics surface: TPC-H-style relational queries + event analytics.
+  * These exercise the query-engine half of the capability set — grouped
+  * aggregation, multi-way joins (broadcast where the dim is small),
+  * window functions, sessionization, JSON extraction.
+  *
+  * All double aggregates are rounded identically on both sides; top-k is
+  * always tie-broken on a key column (SURVEY §6).
+  */
+object AnalyticsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      // customer is the small side at any scale factor → broadcast
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .filter(col("revenue") > 0)
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val region = broadcast(Tables.load(s, dir, "region"))
+      val nation = broadcast(Tables.load(s, dir, "nation"))
+      val supp = broadcast(Tables.load(s, dir, "supplier"))
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nation, supp("s_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .filter(cust("c_nationkey") === supp("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "window_running_total" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_suppkey") <= 3)
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          round(sum(col("l_quantity")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_qty"),
+          round(avg(col("l_extendedprice")).over(
+            w.rowsBetween(-4, Window.currentRow)), 4).as("ma5_price"))
+    }),
+
+    "topk_customers" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val byCust = ord.groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+      byCust.join(broadcast(cust), byCust("o_custkey") === cust("c_custkey"))
+        .select(col("o_custkey").as("custkey"), col("c_name"),
+          col("total_spend"), col("n_orders"))
+        .orderBy(col("total_spend").desc, col("custkey").asc)
+        .limit(20)
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gapMin = 30L * 60L
+      val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMin * 1000000L, 1L)
+            .otherwise(0L))
+      val sess = withGap.withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"),
+          min("event_id").as("first_event"))
+    }),
+
+    "events_tumbling_agg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total_value"),
+          round(avg("value"), 4).as("avg_value"))
+    }),
+
+    "events_json_extract" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), min("event_id").as("min_event"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, revenue FROM (
+        |  SELECT l.l_orderkey, o.o_orderdate,
+        |    round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |    AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |  GROUP BY 1, 2) t
+        |WHERE revenue > 0
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE c.c_nationkey = s.s_nationkey
+        |GROUP BY n.n_name""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+        |  round(avg(l_extendedprice) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5_price
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin,
+
+    "topk_customers" ->
+      """SELECT o_custkey AS custkey, c_name, total_spend, n_orders FROM (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey) t
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spend DESC, custkey ASC LIMIT 20""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value,
+        |  min(event_id) AS first_event
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "events_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n,
+        |  min(event_id) AS min_event
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

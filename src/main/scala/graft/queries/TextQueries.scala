@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.UrlFns._
+import graft.operators.dedup._
+import graft.operators.text._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-operator correctness queries over the `documents` table, each
+  * paired with a DuckDB oracle that re-derives the same values in ANSI
+  * SQL. Oracle fragments are generated from the same config constants as
+  * the Spark side so the two can't drift.
+  */
+object TextQueries {
+
+  /** Deterministic URL synthesized from document fields (both engines
+    * build the identical string; replace() is non-regex in both). */
+  private def urlCol: Column =
+    concat(lit("https://"), col("source"), lit(".example.com/"),
+      replace(substring(col("text"), 1, 40), lit(" "), lit("-")))
+
+  private val urlSql =
+    "'https://' || source || '.example.com/' || replace(substr(text, 1, 40), ' ', '-')"
+
+  /** Word weights chosen to actually occur in the synthetic corpus. */
+  private val scoreWeights: Map[String, Double] =
+    Map("slow" -> 0.9, "batch" -> 0.5, "fast" -> 0.4, "crack" -> 0.5)
+  private val scoreThreshold = 0.5
+
+  private val blockedDomains = Seq("src1.example.com", "src3.example.com")
+
+  private def domainSql(u: String) =
+    s"lower(regexp_extract($u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]+)', 1))"
+
+  private def domainInSetSql(d: String, domains: Seq[String]): String =
+    domains.map(x => s"($d = '$x' OR $d LIKE '%.$x')").mkString("(", " OR ", ")")
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val wsToksSql = "string_split_regex(trim(text), '\\s+')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextLengthFilter(100, Some(2000))(docs)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    }),
+
+    "token_count" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TokenCounter()(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+    }),
+
+    "quality_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      QualityScorer()(docs).select("doc_id", "q_n_chars", "q_n_words",
+        "q_punct_ratio", "q_stopword_ratio", "q_alpha_ratio",
+        "q_mean_word_len", "q_score")
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      LanguageId()(docs).select("doc_id", "lang_pred")
+    }),
+
+    "fingerprint" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Fingerprinter(8)(docs).select("doc_id", "fingerprint", "content_hash")
+    }),
+
+    "html_extract" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><style>b{color:red}</style></head><body><h1>Title &amp; Co</h1><p>"),
+        col("text"), lit("</p><script>var x=1;</script></body></html>"))
+      docs.select(col("doc_id"), htmlExtractText(html).as("extracted"))
+    }),
+
+    "url_filter_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("url", urlCol)
+      docs.select(col("doc_id"),
+        round(urlScore(col("url"), scoreWeights), 6).as("url_score"),
+        (urlScore(col("url"), scoreWeights) < scoreThreshold).as("keep"))
+    }),
+
+    "url_filter_blocklist" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("url", urlCol)
+      val f = UrlFilter(blocklistDomains = blockedDomains,
+        wordWeights = Map.empty + ("zzzznope" -> 1.0))
+      docs.select(col("doc_id"), extractDomain(col("url")).as("domain"),
+        f.predicate.as("keep"))
+    }),
+
+    "url_filter_quality_sources" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("url",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("https://en.wikipedia.org/wiki/"), col("doc_id")))
+          .otherwise(urlCol))
+      docs.select(col("doc_id"),
+        domainInSet(extractDomain(col("url")), defaultQualitySources).as("is_quality"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ExactDedup().groups(docs)
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      NgramJaccard(3, 0.2).pairs(docs)
+    })
+  )
+
+  private def urlScoreSql(u: String): String = {
+    val occ = scoreWeights.map { case (w, wt) =>
+      val o = s"CAST((length($u) - length(replace($u, '$w', ''))) / ${w.length} AS INT)"
+      (w, wt, o)
+    }.toSeq
+    val maxW = occ.map { case (_, wt, o) => s"CASE WHEN $o > 0 THEN $wt ELSE 0.0 END" }
+      .mkString("greatest(", ", ", ")")
+    val total = occ.map { case (_, wt, o) => s"CAST($o AS DOUBLE) * $wt" }.mkString(" + ")
+    s"(CASE WHEN ($total) = 0.0 THEN 0.0 ELSE least(0.8 * $maxW + least(($total) / 3.0, 0.2), 1.0) END)"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "text_length_filter" ->
+      """SELECT doc_id, length(text) AS text_len FROM documents
+        |WHERE length(text) BETWEEN 100 AND 2000""".stripMargin,
+
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($wsToksSql) END AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "quality_score" -> {
+      val stops = defaultStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, length(text) AS q_n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($wsToksSql) END AS q_n_words,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_raw,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter($wsToksSql, t -> t IN ($stops))) AS DOUBLE) / len($wsToksSql) END AS stop_raw,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_raw,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |      CAST(list_aggregate(list_transform($wsToksSql, t -> length(t)), 'sum') AS DOUBLE) / len($wsToksSql) END AS mwl_raw
+         |  FROM documents)
+         |SELECT doc_id, q_n_chars, q_n_words,
+         |  round(punct_raw, 6) AS q_punct_ratio,
+         |  round(stop_raw, 6) AS q_stopword_ratio,
+         |  round(alpha_raw, 6) AS q_alpha_ratio,
+         |  round(mwl_raw, 6) AS q_mean_word_len,
+         |  round(least(CAST(q_n_words AS DOUBLE) / 100.0, 1.0) * 0.25
+         |    + (1.0 - least(punct_raw * 4.0, 1.0)) * 0.25
+         |    + least(stop_raw * 5.0, 1.0) * 0.25
+         |    + alpha_raw * 0.25, 4) AS q_score
+         |FROM base""".stripMargin
+    },
+
+    "lang_id" -> {
+      val scores = LanguageId.profiles.map { case (lang, stops) =>
+        val set = stops.map(w => s"'$w'").mkString(", ")
+        lang -> s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN ($set)))"
+      }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, text, $best AS best FROM documents)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM scored""".stripMargin
+    },
+
+    "fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length($normSql) < 8 THEN md5($normSql)
+         |       ELSE list_min(list_transform(range(1, length($normSql) - 6),
+         |              i -> md5(substr($normSql, CAST(i AS INT), 8)))) END AS fingerprint,
+         |  md5($normSql) AS content_hash
+         |FROM documents""".stripMargin,
+
+    "html_extract" -> {
+      val html = "'<html><head><style>b{color:red}</style></head><body><h1>Title &amp; Co</h1><p>' || text || '</p><script>var x=1;</script></body></html>'"
+      s"""SELECT doc_id, trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace($html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+         |        '<style[^>]*>.*?</style>', ' ', 'gis'),
+         |      '<!--.*?-->', ' ', 'gs'),
+         |    '<[^>]+>', ' ', 'gs'),
+         |  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+         |  '&quot;', '"'), '&#39;', ''''),
+         |  '\\s+', ' ', 'g')) AS extracted
+         |FROM documents""".stripMargin
+    },
+
+    "url_filter_score" -> {
+      s"""WITH u AS (SELECT doc_id, lower($urlSql) AS url FROM documents)
+         |SELECT doc_id, round(${urlScoreSql("url")}, 6) AS url_score,
+         |  ${urlScoreSql("url")} < $scoreThreshold AS keep
+         |FROM u""".stripMargin
+    },
+
+    "url_filter_blocklist" -> {
+      val d = "domain"
+      s"""WITH u AS (SELECT doc_id, ${domainSql(urlSql)} AS domain FROM documents)
+         |SELECT doc_id, domain,
+         |  NOT ${domainInSetSql(d, blockedDomains)} AS keep
+         |FROM u""".stripMargin
+    },
+
+    "url_filter_quality_sources" -> {
+      val u = s"CASE WHEN doc_id % 7 = 0 THEN 'https://en.wikipedia.org/wiki/' || doc_id ELSE $urlSql END"
+      s"""WITH q AS (SELECT doc_id, ${domainSql(u)} AS domain FROM documents)
+         |SELECT doc_id, ${domainInSetSql("domain", defaultQualitySources)} AS is_quality
+         |FROM q""".stripMargin
+    },
+
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
+         |  count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($normSql, ' ')) - 1, 1)),
+         |    i -> string_split($normSql, ' ')[CAST(i AS INT)] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 1] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 2]))) AS sh
+         |  FROM documents WHERE len(string_split($normSql, ' ')) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+         |           JOIN sizes sb ON inter.id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2""".stripMargin
+  )
+}
