@@ -24,9 +24,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TextQueries.queries ++ AnalyticsQueries.queries
+    TextQueries.queries ++ AnalyticsQueries.queries ++
+      DedupQueries.queries ++ VectorQueries.queries ++ ImageQueries.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
-    TextQueries.oracles ++ AnalyticsQueries.oracles
+    TextQueries.oracles ++ AnalyticsQueries.oracles ++
+      DedupQueries.oracles ++ VectorQueries.oracles ++ ImageQueries.oracles
 }

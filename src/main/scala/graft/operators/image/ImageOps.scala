@@ -1,0 +1,178 @@
+package graft.operators.image
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column operators.
+  *
+  * The image/audio codecs the reference uses (PIL, imagehash, torch —
+  * reference operators/refiners) are not present in this
+  * environment, so the *decode* kernels here are deterministic stubs
+  * (md5-derived), clearly marked below. Everything around them — binary
+  * column handling, output schema, filter semantics, keep-first dedup,
+  * partitioning behavior — is the real production shape: swap
+  * [[StubKernels]] for a real decoder (an Arrow-batched `mapPartitions`
+  * / Pandas-UDF slot) and the operators are unchanged.
+  */
+object StubKernels {
+  /** 24-bit uniform U[0,1) derived from md5(bytes || tag) — the stand-in
+    * for any model-based scalar score (aesthetic, AIGC, degradations). */
+  def u01(bytes: Column, tag: String): Column =
+    conv(substring(md5(concat(bytes, lit(tag))), 1, 6), 16, 10)
+      .cast("double") / 16777216.0
+
+  /** Stub dimension decode: deterministic pseudo-dimensions from the
+    * content hash. REAL decoders replace exactly this expression. */
+  def dim(bytes: Column, tag: String, max: Int): Column =
+    (conv(substring(md5(concat(bytes, lit(tag))), 1, 6), 16, 10)
+      .cast("long") % max + 1).cast("int")
+}
+
+/** Image format sniffing from magic bytes — this kernel is REAL (no
+  * codec needed): JPEG/PNG/GIF/BMP/WEBP/TIFF prefixes, else UNKNOWN.
+  * reference: operators/refiners/image_metadata.py (PIL `img.format`). */
+object ImageFormat {
+  def sniff(bytes: Column): Column = {
+    val h8 = upper(hex(substring(bytes, 1, 8)))
+    when(h8.startsWith("FFD8FF"), "JPEG")
+      .when(h8.startsWith("89504E47"), "PNG")
+      .when(h8.startsWith("47494638"), "GIF")
+      .when(h8.startsWith("424D"), "BMP")
+      .when(h8.startsWith("52494646"), "WEBP")
+      .when(h8.startsWith("49492A00") || h8.startsWith("4D4D002A"), "TIFF")
+      .otherwise("UNKNOWN")
+  }
+}
+
+/** reference: operators/refiners/image_metadata.py — width, height,
+  * file size, format. */
+case class ImageMetadata(imageCol: String = "image") {
+  def apply(df: DataFrame): DataFrame = {
+    val b = col(imageCol)
+    df.withColumn("image_file_size_bytes", octet_length(b).cast("long"))
+      .withColumn("image_format", ImageFormat.sniff(b))
+      .withColumn("image_width", StubKernels.dim(b, ":w", 4096))
+      .withColumn("image_height", StubKernels.dim(b, ":h", 4096))
+  }
+}
+
+/** reference: operators/refiners/image_technical_quality.py —
+  * compression-artifact score + information entropy.
+  *
+  * Entropy here is REAL Shannon entropy over the byte-value histogram
+  * (the reference computes it over pixel channels post-decode; without a
+  * codec the byte stream is the honest equivalent). Computed with
+  * explode + two-level aggregation — both aggregations get map-side
+  * partial combine; at 100 TB prefer the single-pass histogram
+  * `Expression` (TODO noted in SURVEY §7).
+  */
+case class ImageTechnicalQuality(imageCol: String = "image",
+    idCol: String = "doc_id") {
+
+  def entropy(df: DataFrame): DataFrame = {
+    val chars = df.select(col(idCol),
+        explode(split(col(imageCol).cast("string"), "")).as("c"))
+      .filter(col("c") =!= "") // Java split(-1) may emit a trailing ""
+    val counts = chars.groupBy(idCol, "c").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(idCol).agg(sum("n").as("total"))
+    counts.join(totals, idCol)
+      .withColumn("p", col("n").cast("double") / col("total").cast("double"))
+      .groupBy(idCol)
+      .agg(round(-sum(col("p") * log2(col("p"))), 6).as("image_information_entropy"))
+  }
+
+  /** Artifact score: stub blockiness blended with the REAL
+    * compression-ratio term (file bytes / expected raw size), mirroring
+    * image_technical_quality.py:175 `_detect_compression_artifacts`. */
+  def artifactScore(bytes: Column, w: Column, h: Column): Column = {
+    val ratio = octet_length(bytes).cast("double") /
+      (w.cast("double") * h.cast("double") * 3.0)
+    val compressionScore = lit(1.0) - least(ratio * 2.0, lit(1.0))
+    val blockiness = StubKernels.u01(bytes, ":block")
+    round(least(greatest(blockiness * 0.6 + compressionScore * 0.4, lit(0.0)), lit(1.0)), 6)
+  }
+
+  def apply(df: DataFrame): DataFrame = {
+    val withMeta =
+      if (df.columns.contains("image_width")) df else ImageMetadata(imageCol)(df)
+    withMeta
+      .withColumn("image_compression_artifacts",
+        artifactScore(col(imageCol), col("image_width"), col("image_height")))
+      .join(entropy(df), idCol)
+  }
+}
+
+/** reference: operators/filters/image_quality_filter.py — conjunction
+  * over refined metrics. */
+case class ImageQualityFilter(
+    minWidth: Int = 256,
+    minHeight: Int = 256,
+    maxCompressionArtifacts: Double = 0.8,
+    minInformationEntropy: Double = 3.0) {
+
+  def predicate: Column =
+    col("image_width") >= minWidth &&
+      col("image_height") >= minHeight &&
+      col("image_compression_artifacts") <= maxCompressionArtifacts &&
+      col("image_information_entropy") >= minInformationEntropy
+
+  def apply(df: DataFrame): DataFrame = df.filter(predicate)
+}
+
+/** reference: operators/dedup/image_phash_dedup.py — perceptual-hash
+  * keep-first dedup. The DCT phash needs a decoder; the stub key is a
+  * 60-bit content hash with identical dedup semantics. */
+case class ImagePhashDedup(imageCol: String = "image", idCol: String = "doc_id") {
+  def phash(bytes: Column): Column =
+    conv(substring(md5(bytes), 1, 15), 16, 10).cast("long")
+
+  def apply(df: DataFrame): DataFrame =
+    graft.operators.dedup.KeepFirst(df, phash(col(imageCol)), idCol)
+
+  def groups(df: DataFrame): DataFrame =
+    df.select(phash(col(imageCol)).as("phash"), col(idCol))
+      .groupBy("phash").agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+}
+
+/** reference: operators/refiners/image_visual_degradations.py — model
+  * scores (color cast / blur / watermark / noise / overall). Stub model. */
+case class VisualDegradations(imageCol: String = "image") {
+  def apply(df: DataFrame): DataFrame = {
+    val b = col(imageCol)
+    df.withColumn("img_vd_color_cast", round(StubKernels.u01(b, ":cc"), 6))
+      .withColumn("img_vd_blurriness", round(StubKernels.u01(b, ":blur"), 6))
+      .withColumn("img_vd_watermark", round(StubKernels.u01(b, ":wm"), 6))
+      .withColumn("img_vd_noise", round(StubKernels.u01(b, ":noise"), 6))
+      .withColumn("img_vd_overall_quality",
+        round(lit(1.0) - (StubKernels.u01(b, ":blur") + StubKernels.u01(b, ":noise")) / 2.0, 6))
+  }
+}
+
+/** reference: operators/refiners/image_aesthetic_quality.py +
+  * image_aigc_detector.py — scalar model scores + threshold flag. */
+case class AestheticAigc(imageCol: String = "image", aigcThreshold: Double = 0.5) {
+  def apply(df: DataFrame): DataFrame = {
+    val b = col(imageCol)
+    df.withColumn("aesthetic_score", round(StubKernels.u01(b, ":aes") * 10.0, 6))
+      .withColumn("aigc_score", round(StubKernels.u01(b, ":aigc"), 6))
+      .withColumn("is_aigc", StubKernels.u01(b, ":aigc") > aigcThreshold)
+  }
+}
+
+/** reference: operators/refiners/image_clip_embedding.py — embedding
+  * column refiner. Stub model: 8-dim md5-chunk vector, L2-normalized;
+  * the real model slots into an Arrow-batched mapPartitions with the
+  * same (binary in, array<double> out) contract. */
+case class ClipEmbeddingStub(imageCol: String = "image", dim: Int = 8) {
+  require(dim <= 8, "md5 provides 8 16-bit chunks")
+
+  def embedding(bytes: Column): Column = {
+    val h = md5(bytes)
+    val raw = array((0 until dim).map(i =>
+      conv(substring(h, 4 * i + 1, 4), 16, 10).cast("double") / 65536.0): _*)
+    graft.functions.VecFns.l2Normalize(raw)
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("clip_embedding", embedding(col(imageCol)))
+}

@@ -1,0 +1,169 @@
+package graft.operators.vector
+
+import graft.functions.VecFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic pseudo-random hyperplanes derived from md5 — every
+  * coefficient is a dyadic rational (24-bit int / 2^24 − 0.5), so any
+  * engine that evaluates the same formula reproduces the plane bits
+  * exactly. Used for engine-portable LSH signatures. */
+object DeterministicPlanes {
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** coefficient for (plane i, dim d) in [-0.5, 0.5). */
+  def coeff(i: Int, d: Int): Double =
+    java.lang.Long.parseLong(md5Hex(s"${i}_$d").substring(0, 6), 16) / 16777216.0 - 0.5
+
+  def plane(i: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => coeff(i, d))
+}
+
+/** Brute-force cosine top-k: the exactness baseline for similarity
+  * search. Queries side is broadcast (it is the small side by
+  * construction); ranking is deterministic — similarity rounded before
+  * ranking, ties broken by corpus id. */
+case class BruteForceKnn(
+    k: Int = 5,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  def topK(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
+}
+
+/** Random-hyperplane LSH bucketing (Charikar 2002): sign bits of the
+  * dot product with `nbits` deterministic planes. Bucket key is an
+  * equi-join key — ANN candidate generation is a hash-partitioned join,
+  * never a cross join (SURVEY §5). */
+case class LshAnn(
+    dim: Int = 64,
+    nbits: Int = 8,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  def signature(v: Column): Column = {
+    val bits = (0 until nbits).map { i =>
+      val p = array(DeterministicPlanes.plane(i, dim).map(lit(_)).toIndexedSeq: _*)
+      when(dot(v, p) >= 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  def withBuckets(df: DataFrame): DataFrame =
+    df.withColumn("bucket", signature(col(vecCol)))
+
+  /** Per-query top-k restricted to the query's bucket, exact rerank
+    * inside. */
+  def topK(df: DataFrame, k: Int, queryPred: Column): DataFrame = {
+    val b = withBuckets(df)
+    val q = b.filter(queryPred).select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), col("bucket"))
+    val c = b.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    c.join(q, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
+}
+
+/** IVF-style ANN and k-means assignment. The centroid table is always
+  * broadcast (k ≪ n); assignment is an argmin over the broadcast side
+  * with deterministic tiebreak, so no shuffle of the corpus at all.
+  * Training path: [[KMeansOps.train]] (MLlib Lloyd's) or
+  * [[KMeansOps.lloydStep]] (pure DataFrame iteration). */
+case class IvfIndex(
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  /** Nearest-centroid assignment: (idCol, centroid_id, dist). */
+  def assign(df: DataFrame, centroids: DataFrame,
+      cidCol: String = "centroid_id", cvecCol: String = "cvec"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("dist").asc, col(cidCol).asc)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .withColumn("dist", round(l2Dist(col(vecCol), col(cvecCol)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(cidCol), col("dist"))
+  }
+
+  /** Probe the `nprobe` nearest cells for each query, exact rerank
+    * within those cells only. */
+  def topK(df: DataFrame, centroids: DataFrame, k: Int, nprobe: Int,
+      queryPred: Column): DataFrame = {
+    val cellsOf = { (in: DataFrame, n: Int) =>
+      val w = Window.partitionBy("__id").orderBy(col("dist").asc, col("centroid_id").asc)
+      in.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("dist", round(l2Dist(col("__v"), col("cvec")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n)
+        .select(col("__id"), col("centroid_id"))
+    }
+    val corpusCells = cellsOf(df, 1)
+      .select(col("__id").as("cid"), col("centroid_id"))
+    val queryCells = cellsOf(df.filter(queryPred), nprobe)
+      .select(col("__id").as("qid"), col("centroid_id"))
+    val corpus = df.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val queries = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    queryCells.join(corpusCells, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid")).select("qid", "cid").distinct()
+      .join(broadcast(queries), Seq("qid")).join(corpus, Seq("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
+}
+
+/** K-means: MLlib train path + a pure-DataFrame Lloyd iteration for
+  * environments where the model must stay a DataFrame (reference:
+  * models/kmeans). */
+object KMeansOps {
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.functions.array_to_vector
+  import org.apache.spark.sql.SparkSession
+
+  /** Train MLlib k-means on an array<float> column; returns centroids
+    * as (centroid_id, cvec array<double>). */
+  def train(df: DataFrame, k: Int, seed: Long = 42L,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(array_to_vector(
+      transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("centroid_id", "cvec")
+  }
+
+  /** One Lloyd step expressed as DataFrame ops: assign + recompute
+    * means. Demonstrates the scale shape (posexplode + groupBy —
+    * map-side combine on (cluster, dim)). */
+  def lloydStep(df: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
+    assigned.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos").agg(avg("x").as("m"))
+      .groupBy("centroid_id").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pairs"))
+      .select(col("centroid_id"), transform(col("pairs"), p => p.getField("m")).as("cvec"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.dedup.{MinHashLSH, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup dedup queries whose oracles are generated from the same
+  * operator parameters (numHashes/bands/shingle size), so Spark and
+  * DuckDB compute the identical md5-keyed signatures. */
+object DedupQueries {
+
+  private val mh = MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3)
+  private val sh = SimHash(nbits = 16)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      mh.candidatePairs(docs)
+    }),
+
+    "dedup_minhash_buckets" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      mh.buckets(docs)
+        .groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      sh.groups(docs)
+    })
+  )
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Shared CTE: minhash signatures per doc (docs with ≥ shingleSize
+    * words). */
+  private def mhSigSql: String = {
+    val sigCols = (0 until mh.numHashes).map(i =>
+      s"list_min(list_transform(sh, s -> md5(s || ':$i'))) AS sig_$i").mkString(",\n    ")
+    s"""shing AS (
+       |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
+       |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]) AS sh
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shing)""".stripMargin
+  }
+
+  /** Band digests from the signature CTE, matching
+    * MinHashLSH.bandDigests (md5 over comma-joined slice + ":band"). */
+  private def bandsSql: String = {
+    val rows = mh.numHashes / mh.bands
+    val bandSelects = (0 until mh.bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"sig_$i").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols || ':$b') AS bucket FROM sigs"
+    }
+    bandSelects.mkString("buckets AS (\n", "\n  UNION ALL\n", ")")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH $mhSigSql,
+         |$bandsSql
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_minhash_buckets" ->
+      s"""WITH $mhSigSql,
+         |$bandsSql
+         |SELECT CAST(band AS INT) AS band, bucket, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc
+         |FROM buckets GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |vals AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS v FROM toks),
+         |bits AS (
+         |  SELECT doc_id, j, sum(CASE WHEN (v >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM vals, range(0, 16) r(j) GROUP BY doc_id, j),
+         |sig AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT simhash, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM sig GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.image._
+import graft.operators.ml.QualityClassifier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column correctness queries. The binary "image"
+  * column is derived in-query from documents.text (cast to binary) — an
+  * honest stand-in given this environment ships no image codecs; the
+  * operators' plumbing (binary columns, schema, dedup, filters) is what
+  * these verify. Stub kernels are md5-derived, so DuckDB re-derives the
+  * identical values.
+  */
+object ImageQueries {
+
+  private def withImage(df: DataFrame): DataFrame =
+    df.withColumn("image", col("text").cast("binary"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "image_metadata" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      ImageMetadata()(docs).select("doc_id", "image_file_size_bytes",
+        "image_format", "image_width", "image_height")
+    }),
+
+    "image_entropy" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      ImageTechnicalQuality().entropy(docs)
+    }),
+
+    "image_quality_filter" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      val refined = ImageTechnicalQuality()(docs)
+      refined.select(col("doc_id"), col("image_width"), col("image_height"),
+        col("image_compression_artifacts"), col("image_information_entropy"),
+        ImageQualityFilter(minWidth = 1024, minHeight = 1024,
+          maxCompressionArtifacts = 0.8, minInformationEntropy = 3.0)
+          .predicate.as("keep"))
+    }),
+
+    "dedup_phash" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      ImagePhashDedup().groups(docs)
+    }),
+
+    "visual_degradations" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      VisualDegradations()(docs).select("doc_id", "img_vd_color_cast",
+        "img_vd_blurriness", "img_vd_watermark", "img_vd_noise",
+        "img_vd_overall_quality")
+    }),
+
+    "aesthetic_aigc" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      AestheticAigc()(docs).select("doc_id", "aesthetic_score", "aigc_score", "is_aigc")
+    }),
+
+    "clip_embedding_stub" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      ClipEmbeddingStub()(docs)
+        .select(col("doc_id"), posexplode(col("clip_embedding")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("pos"), round(col("v"), 6).as("v"))
+    }),
+
+    "quality_classifier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      QualityClassifier()(docs).select("doc_id", "clf_score", "clf_label")
+    })
+  )
+
+  /** `CAST(('0x' || substr(md5(text || tag), 1, n)) AS BIGINT)` */
+  private def hexInt(expr: String, n: Int): String =
+    s"CAST(('0x' || substr(md5($expr), 1, $n)) AS BIGINT)"
+
+  private def u01(tag: String): String =
+    s"(CAST(${hexInt(s"text || '$tag'", 6)} AS DOUBLE) / 16777216.0)"
+
+  def oracles: Map[String, String] = Map(
+    "image_metadata" ->
+      s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS image_file_size_bytes,
+         |  'UNKNOWN' AS image_format,
+         |  CAST(${hexInt("text || ':w'", 6)} % 4096 + 1 AS INT) AS image_width,
+         |  CAST(${hexInt("text || ':h'", 6)} % 4096 + 1 AS INT) AS image_height
+         |FROM documents""".stripMargin,
+
+    "image_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+        |counts AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1)
+        |SELECT counts.doc_id,
+        |  round(-sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)), 6)
+        |    AS image_information_entropy
+        |FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+        |GROUP BY counts.doc_id""".stripMargin,
+
+    "image_quality_filter" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id, text,
+         |    CAST(${hexInt("text || ':w'", 6)} % 4096 + 1 AS INT) AS image_width,
+         |    CAST(${hexInt("text || ':h'", 6)} % 4096 + 1 AS INT) AS image_height
+         |  FROM documents),
+         |chars AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |counts AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
+         |ent AS (
+         |  SELECT counts.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)), 6) AS e
+         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id GROUP BY counts.doc_id),
+         |art AS (
+         |  SELECT doc_id, image_width, image_height,
+         |    round(least(greatest(
+         |      ${u01(":block")} * 0.6 +
+         |      (1.0 - least(CAST(strlen(text) AS DOUBLE) /
+         |        (CAST(image_width AS DOUBLE) * image_height * 3.0) * 2.0, 1.0)) * 0.4,
+         |      0.0), 1.0), 6) AS a
+         |  FROM meta)
+         |SELECT art.doc_id, image_width, image_height,
+         |  a AS image_compression_artifacts, e AS image_information_entropy,
+         |  (image_width >= 1024 AND image_height >= 1024 AND a <= 0.8 AND e >= 3.0) AS keep
+         |FROM art JOIN ent ON art.doc_id = ent.doc_id""".stripMargin,
+
+    "dedup_phash" ->
+      s"""SELECT ${hexInt("text", 15)} AS phash, min(doc_id) AS keep_id,
+         |  count(*) AS dup_count
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "visual_degradations" ->
+      s"""SELECT doc_id,
+         |  round(${u01(":cc")}, 6) AS img_vd_color_cast,
+         |  round(${u01(":blur")}, 6) AS img_vd_blurriness,
+         |  round(${u01(":wm")}, 6) AS img_vd_watermark,
+         |  round(${u01(":noise")}, 6) AS img_vd_noise,
+         |  round(1.0 - (${u01(":blur")} + ${u01(":noise")}) / 2.0, 6) AS img_vd_overall_quality
+         |FROM documents""".stripMargin,
+
+    "aesthetic_aigc" ->
+      s"""SELECT doc_id,
+         |  round(${u01(":aes")} * 10.0, 6) AS aesthetic_score,
+         |  round(${u01(":aigc")}, 6) AS aigc_score,
+         |  ${u01(":aigc")} > 0.5 AS is_aigc
+         |FROM documents""".stripMargin,
+
+    "clip_embedding_stub" -> {
+      val comps = (0 until 8).map(i =>
+        s"CAST(${hexInt("text", 4).replace("1, 4", s"${4 * i + 1}, 4")} AS DOUBLE) / 65536.0")
+      val sumSq = comps.map(c => s"($c) * ($c)").mkString(" + ")
+      val arr = comps.mkString("[", ", ", "]")
+      s"""WITH raw AS (
+         |  SELECT doc_id, $arr AS v, sqrt($sumSq) AS nrm FROM documents)
+         |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  round(CASE WHEN nrm = 0 THEN v[CAST(i AS INT)]
+         |             ELSE v[CAST(i AS INT)] / nrm END, 6) AS v
+         |FROM raw, range(1, 9) r(i)""".stripMargin
+    },
+
+    "quality_classifier" -> {
+      val stops = graft.functions.TextFns.defaultStopwords
+        .map(w => s"'$w'").mkString(", ")
+      val toks = "string_split_regex(trim(text), '\\s+')"
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toks) END AS DOUBLE) / 100.0, 1.0) AS f1,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter($toks, t -> t IN ($stops))) AS DOUBLE) / len($toks) END AS f2,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS f3,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS f4,
+         |    least((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |      CAST(list_aggregate(list_transform($toks, t -> length(t)), 'sum') AS DOUBLE) / len($toks) END) / 10.0, 1.0) AS f5
+         |  FROM documents),
+         |z AS (SELECT doc_id,
+         |  f1 * 2.0 + f2 * 3.0 + f3 * -4.0 + f4 * 1.5 + f5 * 0.5 + -2.0 AS z FROM f)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS clf_score,
+         |  1.0 / (1.0 + exp(-z)) > 0.5 AS clf_label
+         |FROM z""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.dedup.EmbeddingNearDup
+import graft.operators.vector._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search / vector correctness queries over `embeddings`.
+  * LSH planes are md5-derived dyadic rationals (DeterministicPlanes) so
+  * the oracle rebuilds bit-identical planes in SQL. */
+object VectorQueries {
+
+  private val dim = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      BruteForceKnn(k = 5).topK(emb.filter(col("vec_id") < 16), emb)
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      LshAnn(dim, nbits = 8).topK(emb, k = 3, col("vec_id") < 16)
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      IvfIndex().topK(emb, centroids, k = 3, nprobe = 2, col("vec_id") < 8)
+    }),
+
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      IvfIndex().assign(emb, centroids)
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
+      EmbeddingNearDup(threshold = 0.35).exactPairs(emb)
+    })
+  )
+
+  /** DuckDB literal for plane i (same dyadic rationals as the Scala
+    * side). */
+  private def planeSql(i: Int): String =
+    DeterministicPlanes.plane(i, dim)
+      .map(v => f"$v%.17g").mkString("[", ", ", "]::DOUBLE[]")
+
+  private val cosSql =
+    "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)"
+
+  def oracles: Map[String, String] = Map(
+    "knn_bruteforce" ->
+      s"""WITH sims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cosSql AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 16 AND q.vec_id != c.vec_id),
+         |r AS (SELECT qid, cid, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
+         |  FROM sims)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "ann_lsh" -> {
+      val sig = (0 until 8).map(i =>
+        s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(i)}) >= 0.0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $sig AS bucket FROM embeddings),
+         |joined AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cosSql AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 16 AND q.vec_id != c.vec_id),
+         |r AS (SELECT qid, cid, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
+         |  FROM joined)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin
+    },
+
+    "ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |corpus_cells AS (
+         |  SELECT cid, centroid_id FROM (
+         |    SELECT v.vec_id AS cid, cent.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+         |        cent.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent) t WHERE rn = 1),
+         |query_cells AS (
+         |  SELECT qid, centroid_id FROM (
+         |    SELECT v.vec_id AS qid, cent.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+         |        cent.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent WHERE v.vec_id < 8) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.cid FROM query_cells q
+         |  JOIN corpus_cells c ON q.centroid_id = c.centroid_id
+         |  WHERE q.qid != c.cid),
+         |scored AS (
+         |  SELECT cand.qid, cand.cid, $cosSql AS cos
+         |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |            JOIN embeddings c ON cand.cid = c.vec_id),
+         |r AS (SELECT qid, cid, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "kmeans_assign" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, cent.centroid_id,
+        |    round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) AS dist,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+        |      cent.centroid_id ASC) AS rn
+        |  FROM embeddings v, cent)
+        |SELECT vec_id, centroid_id, dist FROM d WHERE rn = 1""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosSql AS cos
+         |FROM embeddings q, embeddings c
+         |WHERE q.vec_id < 300 AND c.vec_id < 300 AND q.vec_id < c.vec_id
+         |  AND $cosSql >= 0.35""".stripMargin
+  )
+}
