@@ -25,10 +25,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextQueries.queries ++ AnalyticsQueries.queries ++
-      DedupQueries.queries ++ VectorQueries.queries ++ ImageQueries.queries
+      DedupQueries.queries ++ VectorQueries.queries ++ ImageQueries.queries ++
+      PipelineQueries.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     TextQueries.oracles ++ AnalyticsQueries.oracles ++
-      DedupQueries.oracles ++ VectorQueries.oracles ++ ImageQueries.oracles
+      DedupQueries.oracles ++ VectorQueries.oracles ++ ImageQueries.oracles ++
+      PipelineQueries.oracles
 }

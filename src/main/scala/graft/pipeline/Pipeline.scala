@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Config-driven staged pipeline — the Spark-native re-expression of
+  * the reference's framework (framework/executor.py + operator.py:
+  * Filter / Refiner / Deduplicator stages defined in YAML, executed by
+  * Ray actor pools with a metrics funnel).
+  *
+  * Here a pipeline is a *lazy* composition of DataFrame transforms:
+  * Catalyst fuses all stages into one physical plan (filters collapse
+  * into the scan, refiner columns stay in whole-stage codegen), so
+  * "stages" cost nothing at runtime — the opposite of the reference's
+  * materialized per-stage batches. Funnel observability comes from
+  * `Dataset.observe`, which counts rows in-flight without extra jobs.
+  */
+sealed trait PipelineOp { def name: String }
+
+/** Boolean keep-predicate over the current schema (reference Filter). */
+case class FilterOp(name: String, predicate: DataFrame => Column) extends PipelineOp
+
+/** Adds/rewrites columns (reference Refiner). */
+case class RefineOp(name: String, refine: DataFrame => DataFrame) extends PipelineOp
+
+/** Keep-first dedup on a derived key (reference Deduplicator). */
+case class DedupOp(name: String, key: DataFrame => Column, idCol: String) extends PipelineOp
+
+case class Pipeline(ops: Seq[PipelineOp]) {
+
+  /** Apply all ops; purely lazy, no instrumentation. */
+  def apply(df: DataFrame): DataFrame = ops.foldLeft(df) {
+    case (d, FilterOp(_, p)) => d.filter(p(d))
+    case (d, RefineOp(_, f)) => f(d)
+    case (d, DedupOp(_, k, id)) => graft.operators.dedup.KeepFirst(d, k(d), id)
+  }
+
+  /** Apply with an `observe` row-counter after the input and after every
+    * op. Returns the result plus the Observation handles; read them with
+    * [[funnelReport]] after running any action on the result. */
+  def observed(df: DataFrame): (DataFrame, Seq[(String, Observation)]) = {
+    val obsIn = new Observation()
+    var obs = Vector("input" -> obsIn)
+    var cur = df.observe(obsIn, count(lit(1)).as("n"))
+    ops.foreach { op =>
+      cur = (op match {
+        case FilterOp(_, p) => cur.filter(p(cur))
+        case RefineOp(_, f) => f(cur)
+        case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
+      })
+      val o = new Observation()
+      obs :+= op.name -> o
+      cur = cur.observe(o, count(lit(1)).as("n"))
+    }
+    (cur, obs)
+  }
+
+  /** (step, n_rows) after an action has materialized the observed
+    * DataFrame. */
+  def funnelReport(obs: Seq[(String, Observation)]): Seq[(String, Long)] =
+    obs.map { case (name, o) => name -> o.get("n").asInstanceOf[Long] }
+
+  /** Single-pass funnel for filter/dedup-only pipelines: one scan, one
+    * aggregate — the 100 TB-friendly way to audit pass-rates without
+    * running the pipeline N times. Refiners are applied (they may feed
+    * later predicates) but do not add funnel steps of their own beyond a
+    * pass-through count. */
+  def funnelCounts(df: DataFrame): DataFrame = {
+    // build cumulative predicates against the fully-refined frame
+    val refined = ops.foldLeft(df) {
+      case (d, RefineOp(_, f)) => f(d)
+      case (d, _) => d
+    }
+    var cum: Column = lit(true)
+    var aggs = Vector[(String, Column)]("input" -> count(lit(1)))
+    var dedupKeys = Vector.empty[Column]
+    ops.foreach {
+      case FilterOp(n, p) =>
+        cum = cum && p(refined)
+        aggs :+= n -> sum(when(cum, 1L).otherwise(0L))
+      case RefineOp(n, _) =>
+        aggs :+= n -> sum(when(cum, 1L).otherwise(0L))
+      case DedupOp(n, k, _) =>
+        val key = k(refined)
+        aggs :+= n -> countDistinct(when(cum, key))
+    }
+    val row = refined.agg(aggs.head._2.as("c0"),
+      aggs.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"c${i + 1}") }: _*)
+    val steps = aggs.map(_._1).zipWithIndex.map { case (n, i) =>
+      struct(lit(i).as("step_idx"), lit(n).as("step"), col(s"c$i").cast("long").as("n_rows"))
+    }
+    row.select(explode(array(steps: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_rows"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data loaders — Spark-native counterparts of the reference's
+  * loaders (huggingface_loader.py / commoncrawl_loader.py). In a
+  * zero-egress environment these read local files; on a cluster the
+  * same calls read s3a/gs/hdfs URIs. Sharding, predicate pushdown and
+  * checkpointed resumption are Spark's file-source machinery rather
+  * than hand-built loader workers.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSONL with optional explicit schema (always prefer explicit —
+    * schema inference is a full extra pass at 100 TB). */
+  def jsonl(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).csv(path)
+
+  /** WARC reader — the CommonCrawl path (reference
+    * loaders/commoncrawl_loader.py + Rust html extraction). Splits a
+    * WARC file on record boundaries using the text source's custom
+    * record delimiter (runs distributed, one split per HDFS block),
+    * parses WARC headers, and keeps response records.
+    *
+    * Output: (warc_type, target_uri, content) — feed `content` to
+    * [[graft.functions.TextFns.htmlExtractText]] for the RefinedWeb
+    * text-extraction step.
+    */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
+    val rec = col("value")
+    val header = substring_index(rec, "\r\n\r\n", 1)
+    def h(name: String) =
+      regexp_extract(header, "(?m)^" + name + ":\\s*(.*?)\\r?$", 1)
+    df.select(
+        when(h("WARC-Type") === "", lit("warcinfo")).otherwise(h("WARC-Type")).as("warc_type"),
+        h("WARC-Target-URI").as("target_uri"),
+        expr("substring(value, instr(value, '\r\n\r\n') + 4)").as("content"))
+      .filter(col("warc_type").isNotNull)
+  }
+
+  /** WARC → extracted page text, RefinedWeb-style. */
+  def warcText(spark: SparkSession, path: String): DataFrame =
+    warc(spark, path)
+      .filter(col("warc_type") === "response" && length(col("content")) > 0)
+      .select(col("target_uri").as("url"),
+        TextFns.htmlExtractText(col("content")).as("text"))
+}
+
+/** Sinks — reference writers/parquet_writer.py + iceberg_writer.py. */
+object Sinks {
+
+  /** Parquet sink with the scale knobs that matter: partition columns
+    * (partition pruning for downstream readers), sort-within-partitions
+    * (run-length/dictionary-friendly pages + min-max pruning), and
+    * bounded file sizes. */
+  def parquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L,
+      compression: String = "zstd"): Unit = {
+    val sorted =
+      if (sortWithin.nonEmpty) df.sortWithinPartitions(sortWithin.map(col): _*) else df
+    val w = sorted.write.mode("overwrite")
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Table-format sink. The Iceberg runtime jar is intentionally absent
+    * here (zero-egress build); with `iceberg-spark-runtime` on the
+    * classpath this becomes `df.writeTo(table).append()` against a
+    * configured catalog. This fallback writes the same Hive-style
+    * partitioned layout plus a minimal manifest so downstream jobs can
+    * discover partitions — swap in Iceberg by configuration, not code
+    * change. */
+  def table(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    parquet(df, s"$path/data", partitionBy)
+    val manifest =
+      s"""{"table":"$path","format":"parquet","partition_by":[${partitionBy.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifest.json").toAbsolutePath, manifest)
+  }
+}

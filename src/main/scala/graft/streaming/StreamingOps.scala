@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface: the same event analytics as the batch
+  * queries (C5–C7), expressed as incremental plans. The reference has
+  * no streaming engine — its loaders stream batches into actor pools;
+  * here `readStream` + watermarked stateful aggregation is the native
+  * equivalent with exactly-once sinks.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * state eviction — the streaming twin of `events_tumbling_agg`. */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with mapGroupsWithState — the streaming
+    * twin of `events_sessionize` (30-min inactivity gap). Emits one row
+    * per closed session. */
+  case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  case class SessionOut(user_id: Long, n_events: Long, duration_us: Long, value: Double)
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    events.selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+            cur match {
+              case Some(s) if ts - s.last > gapUs =>
+                closed += SessionOut(uid, s.n, s.last - s.start, s.value)
+                cur = Some(SessionState(ts, ts, 1, v))
+              case Some(s) =>
+                cur = Some(s.copy(last = ts, n = s.n + 1, value = s.value + v))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1, v))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }.toDF()
+  }
+
+  /** File-source stream over a parquet directory (the ingestion shape
+    * for continuous curation: new files appear, pipeline transforms
+    * incrementally). */
+  def parquetStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

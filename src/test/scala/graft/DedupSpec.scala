@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.dedup._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the  QUICK brown fox jumps over the lazy dog again and again"), // exact dup of 1 after normalize
+    (3L, "The quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("ExactDedup keeps first occurrence per normalized hash") {
+    val kept = ExactDedup()(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = ExactDedup().groups(docs).collect()
+    val dupGroup = groups.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("MinHashLSH finds near-duplicate pair, skips short docs") {
+    val pairs = MinHashLSH(numHashes = 12, bands = 6, shingleSize = 3)
+      .candidatePairs(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalize → all bands match
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val deduped = MinHashLSH(numHashes = 12, bands = 6)(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(deduped.contains(1L) && !deduped.contains(2L) && deduped.contains(5L))
+  }
+
+  test("SimHash: identical docs share signature; signature is stable") {
+    val sh = SimHash(nbits = 16)
+    val sigs = docs.select($"doc_id", sh.signature($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
+    // 16-bit signatures may also absorb the near-dup doc 3; the group
+    // keeping doc 1 must contain at least the exact dup (doc 2)
+    val groups = sh.groups(docs).collect()
+    assert(groups.find(_.getAs[Long]("keep_id") == 1L)
+      .exists(_.getAs[Long]("dup_count") >= 2L))
+  }
+
+  test("NgramJaccard scores overlap correctly") {
+    val pairs = NgramJaccard(3, 0.5).pairs(docs)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(p12._3 == 1.0) // identical shingle sets after normalization
+    assert(pairs.find(p => p._1 == 1L && p._2 == 3L).exists(p => p._3 > 0.5 && p._3 < 1.0))
+  }
+
+  test("EmbeddingNearDup lshPairs ≡ exactPairs on colliding vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = EmbeddingNearDup(threshold = 0.99, dim = 4, planeBits = 2)
+    val exact = nd.exactPairs(vecs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = nd.lshPairs(vecs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

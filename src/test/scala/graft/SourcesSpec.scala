@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WARC reader splits records, parses headers, extracts text") {
+    val dir = Files.createTempDirectory("graft_warc")
+    val body = "<html><body><p>Hello CommonCrawl &amp; friends</p></body></html>"
+    val warc =
+      "WARC/1.0\r\n" +
+        "WARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n" +
+        "WARC/1.0\r\n" +
+        s"WARC-Type: response\r\nWARC-Target-URI: http://a.example/\r\nContent-Length: ${body.length}\r\n\r\n$body\r\n\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Type: request\r\nWARC-Target-URI: http://a.example/\r\nContent-Length: 0\r\n\r\n"
+    Files.writeString(dir.resolve("f.warc"), warc)
+    val recs = Sources.warc(spark, dir.toString + "/f.warc")
+    val types = recs.select("warc_type").as[String].collect().toSet
+    assert(types == Set("warcinfo", "response", "request"))
+    val text = Sources.warcText(spark, dir.toString + "/f.warc")
+      .select("url", "text").as[(String, String)].collect().toSeq
+    assert(text == Seq(("http://a.example/", "Hello CommonCrawl & friends")))
+  }
+
+  test("parquet sink writes partitioned + sorted layout; roundtrips") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/t"
+    val df = Seq((1L, "a", 3.0), (2L, "b", 1.0), (3L, "a", 2.0))
+      .toDF("id", "part", "v")
+    Sinks.parquet(df, dir, partitionBy = Seq("part"), sortWithin = Seq("v"))
+    assert(new java.io.File(dir + "/part=a").exists())
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "part", "v"))
+  }
+
+  test("table sink writes data + manifest") {
+    val dir = Files.createTempDirectory("graft_tbl").toString + "/tbl"
+    Sinks.table(Seq((1L, "x")).toDF("id", "k"), dir, partitionBy = Seq("k"))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "manifest.json")))
+    assert(spark.read.parquet(dir + "/data").count() == 1)
+  }
+
+  test("jsonl + csv loaders") {
+    val dir = Files.createTempDirectory("graft_src")
+    Files.writeString(dir.resolve("d.jsonl"), "{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n")
+    assert(Sources.jsonl(spark, dir.toString + "/d.jsonl").count() == 2)
+    Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")
+    assert(Sources.csv(spark, dir.toString + "/d.csv").count() == 2)
+  }
+}

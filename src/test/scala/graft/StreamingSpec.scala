@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  test("tumblingAgg aggregates a memory stream incrementally") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.tumblingAgg(events, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 01:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions on gap") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val sess = StreamingOps.sessionize(events, gapMinutes = 30)
+    val q = sess.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (7L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+        (7L, Timestamp.valueOf("2024-01-01 02:00:00"), 5.0)) // gap > 30min closes first session
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .select("user_id", "n_events", "value").as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}

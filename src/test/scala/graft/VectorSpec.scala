@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.VecFns
+import graft.operators.vector._
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / cosine / l2 on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val (d, c, l) = df.select(VecFns.dot($"a", $"b"),
+      round(VecFns.cosine($"a", $"b"), 6), VecFns.l2Dist($"a", $"b"))
+      .as[(Double, Double, Double)].head()
+    assert(d == 11.0)
+    assert(c == 0.98387)
+    assert(math.abs(l - math.sqrt(8.0)) < 1e-12)
+  }
+
+  test("l2Normalize produces unit vectors; zero vector unchanged") {
+    val df = Seq(Array(3.0f, 4.0f), Array(0.0f, 0.0f)).toDF("v")
+    val out = df.select(VecFns.l2Normalize($"v")).as[Seq[Double]].collect()
+    assert(out(0) == Seq(0.6, 0.8))
+    assert(out(1) == Seq(0.0, 0.0))
+  }
+
+  test("BruteForceKnn ranks by cosine with deterministic tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val top = BruteForceKnn(k = 2).topK(vecs.filter($"vec_id" === 0), vecs)
+      .orderBy("rn").select("cid").as[Long].collect().toSeq
+    assert(top == Seq(3L, 1L))
+  }
+
+  test("LshAnn buckets are reproducible and topK ⊆ same-bucket") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat))).toDF("vec_id", "embedding")
+    val ann = LshAnn(dim = 8, nbits = 4)
+    val b1 = ann.withBuckets(vecs).select("vec_id", "bucket").as[(Long, String)].collect().toMap
+    val b2 = ann.withBuckets(vecs).select("vec_id", "bucket").as[(Long, String)].collect().toMap
+    assert(b1 == b2)
+    val top = ann.topK(vecs, k = 3, $"vec_id" < 2).collect()
+    top.foreach(r => assert(b1(r.getAs[Long]("qid")) == b1(r.getAs[Long]("cid"))))
+  }
+
+  test("IvfIndex.assign picks nearest centroid") {
+    val vecs = Seq((10L, Array(0.1f, 0.0f)), (11L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(0.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val got = IvfIndex().assign(vecs, cents)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(got == Map(10L -> 0, 11L -> 1))
+  }
+
+  test("KMeansOps.train + lloydStep run and keep k centroids") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat))).toDF("vec_id", "embedding")
+    val cents = KMeansOps.train(vecs, k = 4)
+    assert(cents.count() == 4)
+    val next = KMeansOps.lloydStep(vecs, cents)
+    assert(next.count() <= 4 && next.count() > 0)
+    assert(next.select($"cvec").as[Seq[Double]].head().size == 4)
+  }
+}
