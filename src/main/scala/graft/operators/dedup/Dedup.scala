@@ -70,44 +70,77 @@ case class MinHashLSH(
   require(numHashes % bands == 0, "bands must divide numHashes")
   private val rowsPerBand = numHashes / bands
 
-  /** MinHash signature as array<string>; null entries iff the document
-    * has fewer than `shingleSize` words. */
-  def signature(text: Column): Column = {
-    val sh = wordShingles(text, shingleSize)
+  /** One strong base hash per shingle (28-bit md5 prefix — portable
+    * hex), then `numHashes` affine permutations mod the Mersenne prime
+    * 2^31−1. This is the classic a·x+b minwise family: 12× cheaper than
+    * hashing every shingle 12 times, and the products stay < 2^62 so
+    * 64-bit arithmetic is exact in any engine. */
+  val prime: Long = 2147483647L
+  def coefA(i: Int): Long =
+    java.lang.Long.parseLong(
+      graft.operators.vector.DeterministicPlanes.md5Hex(s"mh_a$i").substring(0, 7), 16) | 1L
+  def coefB(i: Int): Long =
+    java.lang.Long.parseLong(
+      graft.operators.vector.DeterministicPlanes.md5Hex(s"mh_b$i").substring(0, 7), 16)
+
+  private def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature (array<long>) from a materialized shingle-array
+    * column; null entries iff the array is empty. */
+  def signatureFromShingles(sh: Column): Column = {
+    val base = transform(sh, s => baseHash(s))
     array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => md5(concat(s, lit(":" + i)))))): _*)
+      array_min(transform(base, x => (x * coefA(i) + coefB(i)) % prime))): _*)
   }
 
-  /** One digest per band: md5 over the band's signature slice. */
+  def signature(text: Column): Column =
+    signatureFromShingles(wordShingles(text, shingleSize))
+
+  /** One digest per band: md5 over the band's comma-joined slice. */
   def bandDigests(sig: Column): Column =
     array((0 until bands).map(b =>
       md5(concat(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)),
         lit(":" + b)))): _*)
 
   /** (id, band, bucket) bucket assignments for documents with ≥ shingleSize
-    * words. */
+    * words.
+    *
+    * Scale shape: shingles are EXPLODED so the per-shingle md5 runs as a
+    * codegen'd scalar expression (Spark's higher-order-function lambdas
+    * are interpreted — hashing inside `transform` is several times
+    * slower), then the 12 min-aggregates reduce with map-side partial
+    * combine. The wide doc payload never enters the shuffle — only
+    * (id, shingle-hash) pairs. */
   def buckets(df: DataFrame): DataFrame = {
-    val sig = df.select(col(idCol), signature(col(textCol)).as("sig"))
-      .filter(col("sig").getItem(0).isNotNull)
-    sig.select(col(idCol),
-      posexplode(bandDigests(col("sig"))).as(Seq("band", "bucket")))
+    val exploded = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col(idCol), baseHash(col("__sh")).as("__x"))
+    val sigs = exploded.groupBy(idCol).agg(
+      min((col("__x") * coefA(0) + coefB(0)) % prime).as("sig_0"),
+      (1 until numHashes).map(i =>
+        min((col("__x") * coefA(i) + coefB(i)) % prime).as(s"sig_$i")): _*)
+    val digests = array((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      md5(concat(concat_ws(",", cols: _*), lit(":" + b)))
+    }: _*)
+    sigs.select(col(idCol), posexplode(digests).as(Seq("band", "bucket")))
   }
 
   /** Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 band
-    * bucket. */
+    * bucket. Pairs are generated inside each bucket from a sorted
+    * collect_list — one pass over the bucket table (no self-join
+    * recomputation of the signature pipeline), and `maxBucketSize`
+    * drops degenerate buckets to bound the quadratic blowup per bucket. */
   def candidatePairs(df: DataFrame): DataFrame = {
-    val b = buckets(df)
-    val capped = b.withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
-    val l = capped.as("a")
-    val r = capped.as("b")
-    l.join(r,
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val grouped = buckets(df).groupBy("band", "bucket")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
+      i => transform(slice(col("ids"), i + 1, size(col("ids")) - i),
+        x => struct(element_at(col("ids"), i).as("id_a"), x.as("id_b")))))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -174,8 +207,52 @@ case class NgramJaccard(
     textCol: String = "text",
     idCol: String = "doc_id") {
 
-  /** (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold (6 dp). */
-  def pairs(df: DataFrame): DataFrame = {
+  /** (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold (6 dp).
+    *
+    * Candidate generation uses the lossless PPJoin prefix filter: under
+    * a global (lexicographic) shingle order, any pair with J ≥ t must
+    * collide within each side's first ⌊(1−t)·|s|⌋+1 shingles — so only
+    * the prefixes are exploded and equi-joined, then candidates are
+    * verified exactly with one `array_intersect`. Same result set as the
+    * naive shingle join at a fraction of the join volume; the join stays
+    * hash-partitioned on the shingle (no cross join, AQE handles hot
+    * shingles). */
+  def pairs(df: DataFrame): DataFrame =
+    if (threshold >= 0.5) prefixFilteredPairs(df) else countJoinPairs(df)
+
+  /** High-threshold path: only each doc's first ⌊(1−t)·|s|⌋+1 shingles
+    * (global lexicographic order) are exploded and joined — any pair
+    * with J ≥ t must collide inside those prefixes — then candidates
+    * are verified exactly with one `array_intersect`. */
+  def prefixFilteredPairs(df: DataFrame): DataFrame = {
+    val shArr = df.select(col(idCol),
+        array_sort(array_distinct(wordShingles(col(textCol), n))).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+    val plen = (floor(size(col("sharr")) * (1.0 - threshold)) + 1).cast("int")
+    val prefix = shArr.select(col(idCol), explode(slice(col("sharr"), lit(1), plen)).as("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(shArr.select(col(idCol).as("id_a"), col("sharr").as("sa")), "id_a")
+      .join(shArr.select(col(idCol).as("id_b"), col("sharr").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Low-threshold path: the prefix barely prunes below t=0.5, so count
+    * intersections directly from the shingle equi-join (map-side
+    * combined groupBy) — narrow (id, id) rows instead of full arrays.
+    * NB: all-pairs Jaccard at low thresholds is inherently quadratic in
+    * colliding docs; at 100 TB generate candidates with [[MinHashLSH]]
+    * and verify those instead. */
+  def countJoinPairs(df: DataFrame): DataFrame = {
     val sh = df.select(col(idCol),
         explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))

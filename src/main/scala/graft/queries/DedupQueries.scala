@@ -37,19 +37,25 @@ object DedupQueries {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   /** Shared CTE: minhash signatures per doc (docs with ≥ shingleSize
-    * words). */
+    * words). Base hash = 28-bit md5 prefix; permutations a·x+b mod
+    * 2^31−1 with the same coefficients as the Scala side. */
   private def mhSigSql: String = {
     val sigCols = (0 until mh.numHashes).map(i =>
-      s"list_min(list_transform(sh, s -> md5(s || ':$i'))) AS sig_$i").mkString(",\n    ")
+      s"list_min(list_transform(base, x -> (x * ${mh.coefA(i)} + ${mh.coefB(i)}) % ${mh.prime})) AS sig_$i")
+      .mkString(",\n    ")
     s"""shing AS (
        |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]) AS sh
        |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents)
        |  WHERE len(ws) >= 3),
+       |based AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS base
+       |  FROM shing),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM shing)""".stripMargin
+       |  FROM based)""".stripMargin
   }
 
   /** Band digests from the signature CTE, matching
@@ -57,7 +63,8 @@ object DedupQueries {
   private def bandsSql: String = {
     val rows = mh.numHashes / mh.bands
     val bandSelects = (0 until mh.bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => s"sig_$i").mkString(" || ',' || ")
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols || ':$b') AS bucket FROM sigs"
     }
     bandSelects.mkString("buckets AS (\n", "\n  UNION ALL\n", ")")
