@@ -14,7 +14,14 @@ object VecFns {
 
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot product (graft.plans.DotProduct) — identical
+    * sequential summation order to the higher-order-function fold, so
+    * results are bit-for-bit the same, just compiled. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotNative(a, b)
+
+  /** The HOF formulation, kept for reference/fallback. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
@@ -25,8 +32,7 @@ object VecFns {
   }
 
   def l2Dist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.plans.VectorExpressions.l2SquaredNative(a, b))
 
   /** L2-normalize a vector (zero vector maps to itself). */
   def l2Normalize(a: Column): Column = {
