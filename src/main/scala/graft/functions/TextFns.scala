@@ -105,7 +105,11 @@ object TextFns {
     * whole-stage codegen, no UDF.
     */
   def htmlExtractText(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    // two passes without backreferences: \1-style patterns force the
+    // regex engine into backtracking mode (and RE2-based engines reject
+    // them outright)
+    val noScript0 = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noScript = regexp_replace(noScript0, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTag = regexp_replace(noComment, "(?s)<[^>]+>", " ")
     val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",

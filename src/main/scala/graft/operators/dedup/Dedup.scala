@@ -192,8 +192,26 @@ case class SimHash(
   def apply(df: DataFrame): DataFrame =
     KeepFirst(df, signature(col(textCol)), idCol)
 
+  /** Per-doc signatures via the scale shape: exploded tokens → codegen'd
+    * md5 + bit tests → nbits summed aggregates with map-side combine
+    * (same values as [[signature]], which stays interpreted per row).
+    * Blank documents are excluded (signature() yields null for them). */
+  def signatures(df: DataFrame): DataFrame = {
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(wsTokens(normalizeText(col(textCol)))).as("__t"))
+    val v = conv(substring(md5(col("__t")), 1, nbits / 4), 16, 10).cast("long")
+    val aggCols = (0 until nbits).map(j =>
+      sum(shiftright(col("__v"), j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+    val sums = toks.select(col(idCol), v.as("__v"))
+      .groupBy(idCol).agg(aggCols.head, aggCols.tail: _*)
+    sums.select(col(idCol),
+      (0 until nbits).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
   def groups(df: DataFrame): DataFrame =
-    df.select(signature(col(textCol)).as("simhash"), col(idCol))
+    signatures(df)
       .groupBy("simhash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 }
