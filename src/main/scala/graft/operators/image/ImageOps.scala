@@ -69,17 +69,13 @@ case class ImageMetadata(imageCol: String = "image") {
 case class ImageTechnicalQuality(imageCol: String = "image",
     idCol: String = "doc_id") {
 
-  def entropy(df: DataFrame): DataFrame = {
-    val chars = df.select(col(idCol),
-        explode(split(col(imageCol).cast("string"), "")).as("c"))
-      .filter(col("c") =!= "") // Java split(-1) may emit a trailing ""
-    val counts = chars.groupBy(idCol, "c").agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(idCol).agg(sum("n").as("total"))
-    counts.join(totals, idCol)
-      .withColumn("p", col("n").cast("double") / col("total").cast("double"))
-      .groupBy(idCol)
-      .agg(round(-sum(col("p") * log2(col("p"))), 6).as("image_information_entropy"))
-  }
+  /** Byte-histogram Shannon entropy as a map-only projection (native
+    * [[graft.plans.ByteEntropy]] expression — no shuffle; the composed
+    * explode/groupBy formulation shuffles the byte stream twice). */
+  def entropy(df: DataFrame): DataFrame =
+    df.select(col(idCol),
+      round(graft.plans.TextExpressions.byteEntropy(col(imageCol)), 6)
+        .as("image_information_entropy"))
 
   /** Artifact score: stub blockiness blended with the REAL
     * compression-ratio term (file bytes / expected raw size), mirroring
@@ -98,7 +94,8 @@ case class ImageTechnicalQuality(imageCol: String = "image",
     withMeta
       .withColumn("image_compression_artifacts",
         artifactScore(col(imageCol), col("image_width"), col("image_height")))
-      .join(entropy(df), idCol)
+      .withColumn("image_information_entropy",
+        round(graft.plans.TextExpressions.byteEntropy(col(imageCol)), 6))
   }
 }
 

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import graft.functions.TextFns
+import graft.operators.dedup._
+import graft.operators.image._
+import graft.operators.ml.QualityClassifier
+import graft.operators.text._
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
+
+/** YAML-config-driven pipeline construction — reference parity with
+  * framework/config.py + registry.py (the reference defines entire
+  * pipelines in YAML with `stages[].operators[].{name,params}`).
+  * Jackson's YAML dataformat ships with Spark, so the exact reference
+  * config shape parses here; stages flatten into one lazy Pipeline
+  * (Catalyst fuses them — stage boundaries are an orchestration concept
+  * the Spark engine doesn't need).
+  */
+object OperatorRegistry {
+
+  type Params = Map[String, Any]
+  private def str(p: Params, k: String, d: String): String =
+    p.get(k).map(_.toString).getOrElse(d)
+  private def int(p: Params, k: String, d: Int): Int =
+    p.get(k).map(_.toString.toInt).getOrElse(d)
+  private def dbl(p: Params, k: String, d: Double): Double =
+    p.get(k).map(_.toString.toDouble).getOrElse(d)
+  private def bool(p: Params, k: String, d: Boolean): Boolean =
+    p.get(k).map(_.toString.toBoolean).getOrElse(d)
+  private def strs(p: Params, k: String): Seq[String] = p.get(k) match {
+    case Some(l: Seq[_]) => l.map(_.toString)
+    case _ => Nil
+  }
+
+  /** Operator name → builder. Names match the reference registry where
+    * the operator exists there. */
+  val builders: Map[String, Params => PipelineOp] = Map(
+    "text_length_filter" -> (p => FilterOp("text_length_filter",
+      df => TextLengthFilter(int(p, "min_length", 0),
+        p.get("max_length").map(_.toString.toInt),
+        str(p, "text_field", "text")).predicate(df))),
+
+    "url_filter" -> (p => FilterOp("url_filter",
+      _ => UrlFilter(
+        urlCol = str(p, "url_field", "url"),
+        blocklistDomains = strs(p, "blocklist_domains"),
+        scoreThreshold = dbl(p, "score_threshold", 0.5),
+        excludeQualitySources = bool(p, "exclude_quality_sources", false)).predicate)),
+
+    "text_exact_deduplicator" -> (p => DedupOp("text_exact_deduplicator",
+      _ => ExactDedup(str(p, "text_field", "text"),
+        str(p, "id_field", "doc_id"),
+        includeUrl = bool(p, "include_url", false),
+        urlCol = str(p, "url_field", "url")).key,
+      str(p, "id_field", "doc_id"))),
+
+    "minhash_deduplicator" -> (p => RefineOp("minhash_deduplicator", df =>
+      MinHashLSH(int(p, "num_hashes", 12), int(p, "bands", 4),
+        int(p, "shingle_size", 3), str(p, "text_field", "text"),
+        str(p, "id_field", "doc_id"))(df))),
+
+    "simhash_deduplicator" -> (p => DedupOp("simhash_deduplicator",
+      df => SimHash(int(p, "nbits", 16), str(p, "text_field", "text"))
+        .signature(col(str(p, "text_field", "text"))),
+      str(p, "id_field", "doc_id"))),
+
+    "quality_scorer" -> (p => RefineOp("quality_scorer",
+      QualityScorer(str(p, "text_field", "text"))(_))),
+
+    "language_id" -> (p => RefineOp("language_id",
+      LanguageId(str(p, "text_field", "text"))(_))),
+
+    "token_counter" -> (p => RefineOp("token_counter",
+      TokenCounter(str(p, "text_field", "text"))(_))),
+
+    "fingerprinter" -> (p => RefineOp("fingerprinter",
+      Fingerprinter(int(p, "k", 8), str(p, "text_field", "text"))(_))),
+
+    "quality_classifier" -> (p => RefineOp("quality_classifier",
+      QualityClassifier(str(p, "text_field", "text"))(_))),
+
+    "image_metadata_refiner" -> (p => RefineOp("image_metadata_refiner",
+      ImageMetadata(str(p, "image_field", "image"))(_))),
+
+    "image_technical_quality_refiner" -> (p => RefineOp("image_technical_quality_refiner",
+      ImageTechnicalQuality(str(p, "image_field", "image"))(_))),
+
+    "image_quality_filter" -> (p => FilterOp("image_quality_filter",
+      _ => ImageQualityFilter(int(p, "min_width", 256), int(p, "min_height", 256),
+        dbl(p, "max_compression_artifacts", 0.8),
+        dbl(p, "min_information_entropy", 3.0)).predicate)),
+
+    "image_phash_deduplicator" -> (p => DedupOp("image_phash_deduplicator",
+      _ => ImagePhashDedup(str(p, "image_field", "image"))
+        .phash(col(str(p, "image_field", "image"))),
+      str(p, "id_field", "doc_id"))),
+
+    "image_visual_degradations_refiner" -> (p => RefineOp("image_visual_degradations_refiner",
+      VisualDegradations(str(p, "image_field", "image"))(_))),
+
+    "image_aesthetic_quality_refiner" -> (p => RefineOp("image_aesthetic_quality_refiner",
+      AestheticAigc(str(p, "image_field", "image"),
+        dbl(p, "aigc_threshold", 0.5))(_))),
+
+    "image_clip_embedding_refiner" -> (p => RefineOp("image_clip_embedding_refiner",
+      ClipEmbeddingStub(str(p, "image_field", "image"))(_)))
+  )
+
+  def build(name: String, params: Params): PipelineOp =
+    builders.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown operator: $name"))(params)
+}
+
+object PipelineConfig {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case x => x
+  }
+
+  /** Parse a reference-shaped YAML config
+    * (`stages: [{name, operators: [{name, params}]}]`, or a top-level
+    * `operators:` list) into a Pipeline. */
+  def parse(yaml: String): Pipeline = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val root = toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+    val opDefs: Seq[Map[String, Any]] = root.get("stages") match {
+      case Some(stages: Seq[_]) =>
+        stages.flatMap(s => s.asInstanceOf[Map[String, Any]]
+          .getOrElse("operators", Seq.empty).asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]))
+      case _ => root.getOrElse("operators", Seq.empty)
+        .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    }
+    Pipeline(opDefs.map { d =>
+      val name = d("name").toString
+      val params = d.getOrElse("params", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+      OperatorRegistry.build(name, params)
+    })
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.pipeline.PipelineConfig
+
+class ConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reference-shaped YAML config builds and runs a pipeline") {
+    val yaml =
+      """# RefinedWeb-style text stage (reference configs/example_commoncrawl.yaml shape)
+        |stages:
+        |  - name: content_filtering
+        |    operators:
+        |      - name: quality_scorer
+        |      - name: text_length_filter
+        |        params:
+        |          min_length: 10
+        |          max_length: 100000
+        |      - name: url_filter
+        |        params:
+        |          blocklist_domains: [evil.com]
+        |          score_threshold: 0.5
+        |      - name: text_exact_deduplicator
+        |        params:
+        |          include_url: false
+        |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    val docs = Seq(
+      (1L, "a good long document with many words inside it", "https://ok.org/x"),
+      (2L, "a good long document with many words inside it", "https://ok.org/y"), // dup
+      (3L, "short", "https://ok.org/z"),
+      (4L, "hosted on a blocked domain but otherwise fine text", "https://sub.evil.com/a")
+    ).toDF("doc_id", "text", "url")
+    val out = pipe(docs)
+    assert(out.columns.contains("q_score"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L))
+    val funnel = pipe.funnelCounts(docs)
+      .select("step", "n_rows").as[(String, Long)].collect().toMap
+    assert(funnel == Map("input" -> 4L, "quality_scorer" -> 4L,
+      "text_length_filter" -> 3L, "url_filter" -> 2L,
+      "text_exact_deduplicator" -> 1L))
+  }
+
+  test("image operator chain from config") {
+    val yaml =
+      """operators:
+        |  - name: image_metadata_refiner
+        |  - name: image_technical_quality_refiner
+        |  - name: image_quality_filter
+        |    params: {min_width: 0, min_height: 0, min_information_entropy: 0.0}
+        |  - name: image_phash_deduplicator
+        |""".stripMargin
+    val pipe = PipelineConfig.parse(yaml)
+    val df = Seq((1L, "some bytes!".getBytes("UTF-8")),
+      (2L, "some bytes!".getBytes("UTF-8"))).toDF("doc_id", "image")
+    val out = pipe(df)
+    assert(out.columns.contains("image_information_entropy"))
+    assert(out.count() == 1) // phash dedup removed the identical copy
+  }
+
+  test("unknown operator fails loudly") {
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse("operators:\n  - name: nope\n")
+    }
+  }
+}
