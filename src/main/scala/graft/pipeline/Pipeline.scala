@@ -60,6 +60,28 @@ case class Pipeline(ops: Seq[PipelineOp]) {
   def funnelReport(obs: Seq[(String, Observation)]): Seq[(String, Long)] =
     obs.map { case (name, o) => name -> o.get("n").asInstanceOf[Long] }
 
+  /** Human-readable funnel in the reference's report style
+    * (framework/metrics/reporter.py): per-op rows in → out + pass rate. */
+  def formatReport(funnel: Seq[(String, Long)], wallSeconds: Double = 0.0): String = {
+    val sb = new StringBuilder
+    sb.append("=" * 60).append('\n')
+    val input = funnel.headOption.map(_._2).getOrElse(0L)
+    val output = funnel.lastOption.map(_._2).getOrElse(0L)
+    val pct = if (input > 0) 100.0 * output / input else 0.0
+    sb.append(f"Input: $input%,d -> Output: $output%,d ($pct%.1f%% pass)%n")
+    if (wallSeconds > 0) {
+      sb.append(f"Total time: $wallSeconds%.2fs  Throughput: ${input / wallSeconds}%,.0f records/sec%n")
+    }
+    funnel.sliding(2).foreach {
+      case Seq((_, in), (op, out)) =>
+        val p = if (in > 0) 100.0 * out / in else 0.0
+        sb.append(f"  $op%-32s $out%,12d ($p%.1f%% pass)%n")
+      case _ =>
+    }
+    sb.append("=" * 60)
+    sb.toString
+  }
+
   /** Single-pass funnel for filter/dedup-only pipelines: one scan, one
     * aggregate — the 100 TB-friendly way to audit pass-rates without
     * running the pipeline N times. Refiners are applied (they may feed
