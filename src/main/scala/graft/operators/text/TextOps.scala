@@ -145,6 +145,72 @@ case class TokenCounter(textCol: String = "text") {
       .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol)).cast("long"))
 }
 
+/** Repetition signals (Gopher/Dolma rules; the reference lists
+  * `RepetitionFilter` as a planned operator): fraction of tokens that
+  * are repeats of an earlier token, and the share of the most frequent
+  * word bigram. Exploded-token aggregation — map-side combine, wide
+  * payload never shuffled. */
+case class RepetitionScorer(textCol: String = "text", idCol: String = "doc_id") {
+
+  def scores(df: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(wsTokens(normalizeText(col(textCol)))).as("t"))
+    val tokStats = toks.groupBy(idCol, "t").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_in_dup_groups"))
+    val bigrams = df.select(col(idCol),
+      explode(wordShingles(col(textCol), 2)).as("b"))
+    val biStats = bigrams.groupBy(idCol, "b").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
+    tokStats.join(biStats, Seq(idCol), "left")
+      .select(col(idCol),
+        round((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_word_frac"),
+        round(coalesce(col("top_bigram_n").cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Gopher-style keep: not dominated by repeats. */
+  def apply(df: DataFrame, maxDupWordFrac: Double = 0.5,
+      maxTopBigramFrac: Double = 0.2): DataFrame =
+    df.join(scores(df)
+        .filter(col("dup_word_frac") <= maxDupWordFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+        .select(idCol), Seq(idCol), "left_semi")
+}
+
+/** Corpus-LM perplexity scoring (the reference's planned
+  * `PerplexityFilter`, KenLM-style). A unigram model is estimated from
+  * the corpus itself (count/total) and joined back broadcast — the
+  * model table is tiny relative to the corpus, so scoring is a
+  * broadcast hash join + one aggregation, never a wide shuffle. */
+case class PerplexityScorer(textCol: String = "text", idCol: String = "doc_id") {
+
+  /** (token, logp) unigram model from the corpus. */
+  def model(df: DataFrame): DataFrame = {
+    val toks = df.select(explode(wsTokens(normalizeText(col(textCol)))).as("t"))
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("t"), log(col("n").cast("double") / col("total").cast("double")).as("logp"))
+  }
+
+  /** Per-doc perplexity exp(−mean log p(w)). */
+  def scores(df: DataFrame, lm: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(wsTokens(normalizeText(col(textCol)))).as("t"))
+    toks.join(broadcast(lm), Seq("t"))
+      .groupBy(idCol)
+      .agg(round(exp(-avg(col("logp"))), 4).as("perplexity"))
+  }
+
+  def apply(df: DataFrame, maxPerplexity: Double): DataFrame =
+    df.join(scores(df, model(df)).filter(col("perplexity") <= maxPerplexity)
+      .select(idCol), Seq(idCol), "left_semi")
+}
+
 /** Document fingerprinting: minimum md5 over all sliding char k-grams of
   * the normalized text (winnowing with a whole-document window — a
   * content-defined fingerprint robust to local edits), plus the exact

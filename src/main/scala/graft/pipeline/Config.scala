@@ -64,6 +64,14 @@ object OperatorRegistry {
         .signature(col(str(p, "text_field", "text"))),
       str(p, "id_field", "doc_id"))),
 
+    "repetition_filter" -> (p => RefineOp("repetition_filter", df =>
+      RepetitionScorer(str(p, "text_field", "text"), str(p, "id_field", "doc_id"))(
+        df, dbl(p, "max_dup_word_frac", 0.5), dbl(p, "max_top_bigram_frac", 0.2)))),
+
+    "perplexity_filter" -> (p => RefineOp("perplexity_filter", df =>
+      PerplexityScorer(str(p, "text_field", "text"), str(p, "id_field", "doc_id"))(
+        df, dbl(p, "max_perplexity", 1000.0)))),
+
     "quality_scorer" -> (p => RefineOp("quality_scorer",
       QualityScorer(str(p, "text_field", "text"))(_))),
 

@@ -109,6 +109,17 @@ object TextQueries {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       NgramJaccard(3, 0.2).pairs(docs)
+    }),
+
+    "repetition_scores" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      RepetitionScorer().scores(docs)
+    }),
+
+    "perplexity" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val p = PerplexityScorer()
+      p.scores(docs, p.model(docs))
     })
   )
 
@@ -225,6 +236,37 @@ object TextQueries {
       s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "repetition_scores" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),
+         |tok_stats AS (
+         |  SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct
+         |  FROM (SELECT doc_id, t, count(*) AS n FROM toks GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bigrams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS b
+         |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= 2),
+         |bi_stats AS (
+         |  SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_bigram_n
+         |  FROM (SELECT doc_id, b, count(*) AS n FROM bigrams GROUP BY 1, 2)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  round(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+         |  round(coalesce(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0), 6) AS top_bigram_frac
+         |FROM tok_stats t LEFT JOIN bi_stats b ON t.doc_id = b.doc_id""".stripMargin,
+
+    "perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),
+         |counts AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+         |total AS (SELECT sum(n) AS total FROM counts),
+         |lm AS (SELECT t, ln(CAST(n AS DOUBLE) / total) AS logp FROM counts, total)
+         |SELECT toks.doc_id, round(exp(-avg(logp)), 4) AS perplexity
+         |FROM toks JOIN lm ON toks.t = lm.t
+         |GROUP BY toks.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (
