@@ -1,0 +1,81 @@
+package graft.operators.image
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Batched model-inference slot — the Scala analog of the reference's
+  * GPU stages (image_clip_embedding.py: batch collect → model forward →
+  * emit), and of a PySpark `mapInPandas` Pandas-UDF.
+  *
+  * The plumbing is real and is what matters at scale: rows flow through
+  * `mapPartitions`, are grouped into fixed-size batches (GPU-friendly
+  * shape — one forward pass per batch, bounded device memory), and the
+  * kernel sees `Seq[Array[Byte]] => Seq[Array[Float]]`. Swap
+  * [[BatchInference.stubKernel]] for an ONNX/Torch JNI call (or run the
+  * same operator as a Pandas UDF on PySpark) without touching the
+  * operator. Partitioning guidance: `repartition(nGpus × k)` upstream so
+  * each device slot drains a similar row count.
+  */
+object BatchInference {
+
+  type Kernel = Seq[Array[Byte]] => Seq[Array[Float]]
+
+  /** Deterministic stub standing in for a model forward pass: 8-dim
+    * pseudo-embedding from the md5 of the payload (matches
+    * [[ClipEmbeddingStub]] semantics). */
+  val stubKernel: Kernel = { batch =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.map { bytes =>
+      val h = md.digest(bytes)
+      val raw = Array.tabulate(8) { i =>
+        val v = ((h(2 * i) & 0xff) << 8) | (h(2 * i + 1) & 0xff)
+        v.toFloat / 65536.0f
+      }
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      if (n == 0f) raw else raw.map(_ / n)
+    }
+  }
+
+  /** Run `kernel` over (id, payload) rows in batches of `batchSize`,
+    * producing (id, embedding). */
+  def embed(df: DataFrame, kernel: Kernel = stubKernel, batchSize: Int = 64,
+      idCol: String = "doc_id", imageCol: String = "image"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(imageCol)).as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val out = kernel(batch.map(_._2))
+        require(out.length == batch.length,
+          s"kernel returned ${out.length} results for ${batch.length} inputs")
+        batch.map(_._1).zip(out)
+      }
+    }.toDF(idCol, "embedding")
+  }
+}
+
+/** Frame/clip handling stubs for video binary columns — decode needs a
+  * codec; the sampling/layout plumbing (offsets, schema, one row per
+  * frame) is real. */
+object VideoOps {
+  import org.apache.spark.sql.Column
+
+  /** Deterministically sample `n` equally-spaced byte windows of
+    * `frameBytes` from the payload — the shape of frame sampling
+    * (replace the slice with a real decoder's frame fetch). Output:
+    * array<struct<frame_idx:int, frame:binary>>. */
+  def frameSample(video: Column, n: Int, frameBytes: Int = 256): Column = {
+    val len = octet_length(video)
+    transform(sequence(lit(0), lit(n - 1)), i => struct(
+      i.cast("int").as("frame_idx"),
+      substring(video,
+        (i * greatest((len - frameBytes) / math.max(n - 1, 1), lit(1)) + 1).cast("int"),
+        lit(frameBytes)).as("frame")))
+  }
+
+  /** Stub resize: real implementation decodes + scales; the stub keeps
+    * the contract (binary in, binary out, bounded size). */
+  def resizeStub(image: Column, maxBytes: Int): Column =
+    substring(image, 1, maxBytes)
+}

@@ -111,7 +111,15 @@ object OperatorRegistry {
         dbl(p, "aigc_threshold", 0.5))(_))),
 
     "image_clip_embedding_refiner" -> (p => RefineOp("image_clip_embedding_refiner",
-      ClipEmbeddingStub(str(p, "image_field", "image"))(_)))
+      ClipEmbeddingStub(str(p, "image_field", "image"))(_))),
+
+    "image_batch_embedding_refiner" -> (p => RefineOp("image_batch_embedding_refiner",
+      df => df.join(
+        BatchInference.embed(df,
+          batchSize = int(p, "batch_size", 64),
+          idCol = str(p, "id_field", "doc_id"),
+          imageCol = str(p, "image_field", "image")),
+        Seq(str(p, "id_field", "doc_id")))))
   )
 
   def build(name: String, params: Params): PipelineOp =

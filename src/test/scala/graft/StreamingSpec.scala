@@ -29,6 +29,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream drives a curation filter end-to-end") {
+    val sq = spark
+    import sq.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = s"$dir/in"
+    Seq((1L, "a sufficiently long document for the filter"), (2L, "no"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val stream = graft.streaming.StreamingOps.parquetStream(spark, in,
+      spark.read.parquet(in).schema)
+    val filtered = graft.operators.text.TextLengthFilter(minLength = 10)(stream)
+    val q = filtered.writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_test").select("doc_id").as[Long].collect().toSeq
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap") {
     val sq = spark
     import sq.implicits._
