@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
   * entry maps to. */
 object SparkEntry {
 
-  /** Flagship: a multi-operator curation pipeline on the documents table
-    * (quality scoring → language id → length filter → exact dedup),
-    * the graft equivalent of the reference's staged YAML pipeline.
-    * Driver smoke-checks rows > 0 on sf0.001. */
+  /** Flagship: the YAML-config-driven curation pipeline on the documents
+    * table — quality scoring → language id → length filter → exact
+    * dedup, exactly the reference's staged-config shape. Driver
+    * smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
+    val yaml =
+      """stages:
+        |  - name: curation
+        |    operators:
+        |      - name: quality_scorer
+        |      - name: language_id
+        |      - name: text_length_filter
+        |        params: {min_length: 20}
+        |      - name: text_exact_deduplicator
+        |""".stripMargin
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val scored = LanguageId()(QualityScorer()(docs))
-    val filtered = TextLengthFilter(minLength = 20)(scored)
-    ExactDedup()(filtered)
+    graft.pipeline.PipelineConfig.parse(yaml)(docs)
       .select("doc_id", "lang", "lang_pred", "q_score", "q_n_words")
   }
 
