@@ -82,21 +82,24 @@ object TextFns {
   }
 
   /** Word n-gram shingles of the normalized text (empty array when the
-    * document has fewer than n words). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = wsTokens(normalizeText(c))
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+    * document has fewer than n words). The token array is let-bound
+    * ([[Cols.bind]]) so the normalize+split tree runs once per row, not
+    * once per shingle inside the transform lambda. */
+  def wordShingles(c: Column, n: Int): Column =
+    Cols.bind(wsTokens(normalizeText(c))) { toks =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
-  /** Character n-gram shingles. */
-  def charShingles(c: Column, n: Int): Column = {
-    val s = normalizeText(c)
-    when(length(s) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
-        i => s.substr(i, lit(n))))
-  }
+  /** Character n-gram shingles (normalized text let-bound, one regex
+    * pass per row). */
+  def charShingles(c: Column, n: Int): Column =
+    Cols.bind(normalizeText(c)) { s =>
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+    }
 
   /** HTML → readable text: drop script/style subtrees, strip tags,
     * decode the common entities, collapse whitespace.

@@ -34,11 +34,14 @@ object VecFns {
   def l2Dist(a: Column, b: Column): Column =
     sqrt(graft.plans.VectorExpressions.l2SquaredNative(a, b))
 
-  /** L2-normalize a vector (zero vector maps to itself). */
-  def l2Normalize(a: Column): Column = {
-    val n = norm2(a)
-    when(n === 0.0, d(a)).otherwise(transform(d(a), x => x / n))
-  }
+  /** L2-normalize a vector (zero vector maps to itself). The norm is
+    * let-bound ([[Cols.bind]]) — referencing `norm2(a)` directly inside
+    * the transform lambda would recompute the full dot product per
+    * element, O(dim²) per row. */
+  def l2Normalize(a: Column): Column =
+    Cols.bind(norm2(a)) { n =>
+      when(n === 0.0, d(a)).otherwise(transform(d(a), x => x / n))
+    }
 
   /** Random-hyperplane LSH signature: the sign pattern of `a · h_i` for
     * `nbits` deterministic pseudo-random hyperplanes derived from `seed`.
