@@ -16,9 +16,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the executor pool + codegen paths so the first measured query
-    // doesn't absorb session startup
+    // Warm the JVM paths every query shares — parquet scan setup, codegen,
+    // shuffle, broadcast, window, higher-order-function interpreter — on a
+    // 25-row table, so the first queries measured don't absorb one-time
+    // JIT cost. No query results are precomputed.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    nation.selectExpr("n_nationkey", "n_regionkey", "md5(n_name) AS h",
+        "transform(sequence(1, 8), i -> i * n_nationkey) AS arr")
+      .withColumn("x", explode(col("arr")))
+      .groupBy("h").agg(sum("x").as("sx"), min("n_regionkey").as("rk"))
+      .join(broadcast(nation), col("rk") === col("n_regionkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+      .selectExpr("count(distinct h)", "max(rn)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

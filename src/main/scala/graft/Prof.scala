@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: run named queries twice each (cold + warm) at an sf dir.
+  * Usage: graft.Prof [sfDir] query [query ...] */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val (dir, names) =
+      if (args.nonEmpty && args.head.startsWith("/")) (args.head, args.tail)
+      else ("/root/testdata/sf0.1", args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    for (q <- names; i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      println(f"[prof] $q run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

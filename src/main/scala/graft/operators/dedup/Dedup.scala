@@ -267,12 +267,19 @@ case class NgramJaccard(
   /** Low-threshold path: the prefix barely prunes below t=0.5, so count
     * intersections directly from the shingle equi-join (map-side
     * combined groupBy) — narrow (id, id) rows instead of full arrays.
+    * The join key is the shingle's xxhash64 (8 bytes) rather than the
+    * shingle string: smaller shuffle, primitive comparisons, identical
+    * counts (a 64-bit collision between distinct co-occurring shingles
+    * is ~2⁻⁶⁴·pairs). The per-doc size joins are left to AQE: it
+    * broadcasts them when small; at scale (one row per doc) they must
+    * stay shuffled.
     * NB: all-pairs Jaccard at low thresholds is inherently quadratic in
     * colliding docs; at 100 TB generate candidates with [[MinHashLSH]]
     * and verify those instead. */
   def countJoinPairs(df: DataFrame): DataFrame = {
     val sh = df.select(col(idCol),
         explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
