@@ -216,14 +216,45 @@ case class PerplexityScorer(textCol: String = "text", idCol: String = "doc_id") 
   * content-defined fingerprint robust to local edits), plus the exact
   * content hash. */
 case class Fingerprinter(k: Int = 8, textCol: String = "text") {
-  def fingerprint(t: Column): Column = {
-    val s = normalizeText(t)
-    when(length(s) < k, md5(s)).otherwise(
-      array_min(transform(sequence(lit(1), length(s) - (k - 1)),
-        i => md5(s.substr(i, lit(k))))))
-  }
+  def fingerprint(t: Column): Column =
+    graft.functions.Cols.bind(normalizeText(t)) { s =>
+      when(length(s) < k, md5(s)).otherwise(
+        array_min(transform(sequence(lit(1), length(s) - (k - 1)),
+          i => md5(s.substr(i, lit(k))))))
+    }
 
   def apply(df: DataFrame): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
       .withColumn("content_hash", contentHashMd5(col(textCol)))
+}
+
+/** PII redaction: masks emails, phone numbers, SSN-shaped ids and IPv4
+  * addresses with typed placeholder tokens, and counts each kind
+  * (pre-redaction) for filtering/reporting. A standard curation step for
+  * web-scale training data; a pure `regexp_replace`/`regexp_count`
+  * chain, so it stays inside whole-stage codegen. Patterns avoid
+  * backreferences and lookarounds — portable to RE2-based engines. */
+case class PiiRedactor(textCol: String = "text") {
+  import PiiRedactor._
+
+  def redact(t: Column): Column = {
+    val e = regexp_replace(t, emailPat, "<EMAIL>")
+    val p = regexp_replace(e, phonePat, "<PHONE>")
+    val s = regexp_replace(p, ssnPat, "<SSN>")
+    regexp_replace(s, ipPat, "<IP>")
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailPat)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phonePat)))
+      .withColumn("n_ssns", regexp_count(col(textCol), lit(ssnPat)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ipPat)))
+      .withColumn(textCol, redact(col(textCol)))
+}
+
+object PiiRedactor {
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ssnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.join.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-shape coverage beyond the basic equi-joins: as-of (temporal),
+  * range (point-in-interval), semi, anti, outer-distribution, rollup.
+  * The as-of and range joins are the operators Spark lacks natively —
+  * see graft.operators.join.TemporalJoins for the scalable shapes. */
+object JoinQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // each click picks up the user's most recent purchase at-or-before it
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("p_value"))
+      AsOfJoin(Seq("user_id"), "ts")(clicks, purchases, Seq("p_value"))
+    }),
+
+    // clicks within 10 minutes after each error, same user — bucketized
+    // interval join, never a nested-loop
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + 600000000L)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("pt"))
+      RangeJoin(Seq("user_id"), 600000000L)(clicks, "pt", errors, "t0", "t1")
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_clicks"), min("click_id").as("first_click"))
+    }),
+
+    "q4_priority_semi" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // customers with no orders in 1995 (anti join; the date filter keeps
+    // the predicate selective so the anti join actually removes rows)
+    "q22_no_orders_anti" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum("c_acctbal"), 2).as("acctbal_sum"))
+    }),
+
+    // TPC-H Q13 shape: per-customer order count (0 for order-less
+    // customers via left outer), then the count distribution
+    "q13_order_counts" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    "events_rollup" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+      ev.rollup("event_type", "day")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "events_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS t0
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'click')
+        |SELECT error_id, count(*) AS n_clicks, min(click_id) AS first_click
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.pt >= e.t0 AND c.pt <= e.t0 + 600000000
+        |GROUP BY 1""".stripMargin,
+
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q22_no_orders_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1""".stripMargin,
+
+    "events_rollup" ->
+      """SELECT event_type, day, CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+        |GROUP BY ROLLUP(event_type, day)""".stripMargin
+  )
+}

@@ -52,6 +52,23 @@ object TextQueries {
       TokenCounter()(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
     }),
 
+    // synthesize PII-bearing text (both engines build the identical
+    // string), then redact + count — proves the masking actually fires
+    "pii_redact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(
+          lit("user"), col("doc_id"), lit("@example.com ph 555-123-4567 ip 10.0.0."),
+          col("doc_id") % 256,
+          when(col("doc_id") % 3 === 0, lit(" ssn 987-65-4321")).otherwise(lit("")),
+          lit(" "), substring(col("text"), 1, 60)))
+      PiiRedactor()(docs)
+        .select(col("doc_id"), col("text").as("redacted"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ssns").cast("long").as("n_ssns"),
+          col("n_ips").cast("long").as("n_ips"))
+    }),
+
     "quality_score" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       QualityScorer()(docs).select("doc_id", "q_n_chars", "q_n_words",
@@ -236,6 +253,29 @@ object TextQueries {
       s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "pii_redact" -> {
+      val e = PiiRedactor.emailPat
+      val p = PiiRedactor.phonePat
+      val n = PiiRedactor.ssnPat
+      val i = PiiRedactor.ipPat
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    'user' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-123-4567 ip 10.0.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' ssn 987-65-4321' ELSE '' END ||
+         |    ' ' || substr(text, 1, 60) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'),
+         |    '$n', '<SSN>', 'g'), '$i', '<IP>', 'g') AS redacted,
+         |  len(regexp_extract_all(text, '$e')) AS n_emails,
+         |  len(regexp_extract_all(text, '$p')) AS n_phones,
+         |  len(regexp_extract_all(text, '$n')) AS n_ssns,
+         |  len(regexp_extract_all(text, '$i')) AS n_ips
+         |FROM t""".stripMargin
+    },
 
     "repetition_scores" ->
       s"""WITH toks AS (
