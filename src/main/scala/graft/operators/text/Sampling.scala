@@ -1,0 +1,37 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * Training-data pipelines need repeatable sampling: the same document
+  * must land in the same split on every run, on any cluster layout, with
+  * no RNG state. Keying a 28-bit md5 prefix (engine-portable hex) by id
+  * gives a uniform bucket in [0, buckets); sampling and train/val/test
+  * splits are then pure filters — map-only, no shuffle, pushdown-safe.
+  * Salting with `seed` decorrelates independent samples over the same
+  * corpus.
+  */
+case class HashSampler(idCol: String = "doc_id", buckets: Int = 100,
+    seed: String = "graft") {
+  require(buckets > 0, "buckets must be positive")
+
+  /** Uniform deterministic bucket in [0, buckets). */
+  def bucket: Column =
+    pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+      1, 7), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Keep ~keepBuckets/buckets of the rows (deterministic). */
+  def sample(df: DataFrame, keepBuckets: Int): DataFrame =
+    df.filter(bucket < keepBuckets)
+
+  /** Assign train/val/test labels by bucket range: [0, trainBuckets) →
+    * train, [trainBuckets, trainBuckets+valBuckets) → val, rest → test. */
+  def split(df: DataFrame, trainBuckets: Int, valBuckets: Int,
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(bucket < trainBuckets, "train")
+        .when(bucket < trainBuckets + valBuckets, "val")
+        .otherwise("test"))
+}

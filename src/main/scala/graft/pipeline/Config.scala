@@ -75,6 +75,14 @@ object OperatorRegistry {
     "quality_scorer" -> (p => RefineOp("quality_scorer",
       QualityScorer(str(p, "text_field", "text"))(_))),
 
+    "pii_redactor" -> (p => RefineOp("pii_redactor",
+      PiiRedactor(str(p, "text_field", "text"))(_))),
+
+    "hash_sampler" -> (p => FilterOp("hash_sampler",
+      _ => HashSampler(str(p, "id_field", "doc_id"),
+        int(p, "buckets", 100), str(p, "seed", "graft"))
+        .bucket < int(p, "keep_buckets", 10))),
+
     "language_id" -> (p => RefineOp("language_id",
       LanguageId(str(p, "text_field", "text"))(_))),
 

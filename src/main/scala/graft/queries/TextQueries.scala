@@ -52,6 +52,14 @@ object TextQueries {
       TokenCounter()(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
     }),
 
+    // deterministic hash split: same doc → same split on any run/cluster
+    "hash_sample_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hs = HashSampler()
+      hs.split(docs, trainBuckets = 80, valBuckets = 10)
+        .select(col("doc_id"), hs.bucket.as("bucket"), col("split"))
+    }),
+
     // synthesize PII-bearing text (both engines build the identical
     // string), then redact + count — proves the masking actually fires
     "pii_redact" -> ((s, dir) => {
@@ -253,6 +261,16 @@ object TextQueries {
       s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "hash_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

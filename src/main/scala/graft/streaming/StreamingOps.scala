@@ -63,4 +63,17 @@ object StreamingOps {
   def parquetStream(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming exact dedup — the incremental twin of ExactDedup: keep
+    * the first document per normalized-content hash, with watermark-
+    * bounded state so the dedup map does not grow forever (the streaming
+    * analogue of the reference's sharded DedupBackend actors; state here
+    * lives in the HDFS-backed state store, partitioned by the shuffle).
+    * `tsCol` is the event-time column the watermark applies to. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", graft.functions.TextFns.contentHashMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

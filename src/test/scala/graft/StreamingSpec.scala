@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first document per content hash") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val deduped = StreamingOps.dedupStream(docs, watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "same   Text here"),
+        (2L, Timestamp.valueOf("2024-01-01 00:01:00"), "same text HERE"), // dup after normalize
+        (3L, Timestamp.valueOf("2024-01-01 00:02:00"), "different text"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_test").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap") {
     val sq = spark
     import sq.implicits._
