@@ -47,6 +47,38 @@ object UrlFns {
       .otherwise(least(maxW * 0.8 + least(total / 3.0, lit(0.2)), lit(1.0)))
   }
 
+  private val schemeHostPat = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+  /** Tracking params stripped by [[canonicalizeUrl]]. */
+  val trackingParamPat = "&(utm_[A-Za-z0-9]+|ref|fbclid|gclid)=[^&#]*"
+
+  /** URL canonicalization for dedup keys / crawl frontier normalization:
+    * drop the fragment, lowercase scheme+host, drop default ports,
+    * strip tracking query params (utm_*, ref, fbclid, gclid), drop a
+    * trailing slash. Pure regexp/replace chain — codegen'd, and every
+    * pattern is RE2-portable (no backreferences, no group refs in
+    * replacements, since replacement syntax differs across engines). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase "scheme://host[:port]" only (the path stays cased)
+    val lowered = concat(
+      lower(regexp_extract(noFrag, schemeHostPat, 0)),
+      regexp_replace(noFrag, schemeHostPat, ""))
+    // default ports, in each of the three follow-contexts
+    val noPort = regexp_replace(
+      replace(replace(replace(replace(lowered,
+        lit(":443/"), lit("/")), lit(":80/"), lit("/")),
+        lit(":443?"), lit("?")), lit(":80?"), lit("?")),
+      ":(80|443)$", "")
+    // unify separators ('?' is unique in a well-formed URL), strip
+    // tracking params, then restore '?' before the first survivor
+    val unified = regexp_replace(noPort, "\\?", "&")
+    val stripped = regexp_replace(unified, trackingParamPat, "")
+    val base = regexp_extract(stripped, "^[^&]*", 0)
+    val rest = regexp_replace(stripped, "^[^&]*&?", "")
+    val rejoined = when(rest === "", base).otherwise(concat(base, lit("?"), rest))
+    regexp_replace(rejoined, "/$", "")
+  }
+
   /** Default word weights from url_filter.py:24 DEFAULT_WORD_WEIGHTS. */
   val defaultWordWeights: Map[String, Double] = Map(
     "porn" -> 1.0, "xxx" -> 1.0, "sex" -> 0.8, "adult" -> 0.6,

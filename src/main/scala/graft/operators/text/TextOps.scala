@@ -258,3 +258,54 @@ object PiiRedactor {
   val ssnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 }
+
+/** Within-document line dedup (RefinedWeb-style boilerplate removal):
+  * drop repeated lines, keeping the first occurrence in order. Spark's
+  * `array_distinct` preserves first-occurrence order, so this is a
+  * map-only projection — no shuffle, no state. */
+case class LineDeduper(textCol: String = "text", sep: String = "\n") {
+  def dedupLines(t: Column): Column =
+    array_join(array_distinct(split(t, java.util.regex.Pattern.quote(sep))), sep)
+
+  def apply(df: DataFrame): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_unique_lines", size(array_distinct(lines)).cast("long"))
+      .withColumn(textCol, dedupLines(col(textCol)))
+  }
+}
+
+/** Benchmark decontamination: flag/remove corpus documents sharing any
+  * word n-gram with a benchmark set (the standard guard against eval
+  * leakage into training data, cf. GPT-3 §C / PaLM dedup appendices).
+  *
+  * Scale shape: benchmark shingles are DISTINCT (small — benchmarks are
+  * a few thousand docs) so Spark broadcasts the join; corpus shingles
+  * stream map-side through the broadcast hash join and only hit doc_ids
+  * reach the distinct. The corpus payload never shuffles — flagging is a
+  * semi/anti join back on the id. */
+case class Decontaminator(n: Int = 5, textCol: String = "text",
+    idCol: String = "doc_id") {
+  import graft.functions.TextFns.wordShingles
+
+  private def shingles(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.select(cols :+ explode(wordShingles(col(textCol), n)).as("__sh"): _*)
+
+  /** doc_ids of corpus documents sharing ≥1 n-gram with the benchmark. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bsh = shingles(benchmark, Seq.empty).distinct()
+    shingles(corpus, Seq(col(idCol))).join(broadcast(bsh), "__sh")
+      .select(idCol).distinct()
+  }
+
+  /** corpus + `is_contaminated` flag. */
+  def flag(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, benchmark).withColumn("is_contaminated", lit(true)),
+      Seq(idCol), "left_outer")
+      .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(false)))
+
+  /** corpus with contaminated documents removed (anti join). */
+  def apply(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark), Seq(idCol), "left_anti")
+}

@@ -78,6 +78,9 @@ object OperatorRegistry {
     "pii_redactor" -> (p => RefineOp("pii_redactor",
       PiiRedactor(str(p, "text_field", "text"))(_))),
 
+    "line_deduper" -> (p => RefineOp("line_deduper",
+      LineDeduper(str(p, "text_field", "text"))(_))),
+
     "hash_sampler" -> (p => FilterOp("hash_sampler",
       _ => HashSampler(str(p, "id_field", "doc_id"),
         int(p, "buckets", 100), str(p, "seed", "graft"))

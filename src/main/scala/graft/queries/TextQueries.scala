@@ -52,6 +52,35 @@ object TextQueries {
       TokenCounter()(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
     }),
 
+    // canonicalize a deterministically-messy URL (fragment, default
+    // port, tracking params, mixed case)
+    "url_canonicalize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val messy = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/Docs/"), col("doc_id"),
+        lit("/?utm_source=feed&ref=rss&q="), col("doc_id") % 7,
+        lit("&utm_campaign=x#sec"), col("doc_id") % 3)
+      docs.select(col("doc_id"), canonicalizeUrl(messy).as("canonical"))
+    }),
+
+    // within-doc line dedup (words→lines so the synthetic corpus has
+    // genuine repeats); keeps first occurrence in order
+    "line_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", regexp_replace(col("text"), " ", "\n"))
+      LineDeduper()(docs)
+        .select(col("doc_id"), col("text").as("deduped"),
+          col("n_lines"), col("n_unique_lines"))
+    }),
+
+    // flag corpus docs sharing any 5-gram with the benchmark subset
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      Decontaminator(n = 5).flag(docs, bench)
+        .select("doc_id", "is_contaminated")
+    }),
+
     // deterministic hash split: same doc → same split on any run/cluster
     "hash_sample_split" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -261,6 +290,57 @@ object TextQueries {
       s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "url_canonicalize" -> {
+      val sh = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' ||
+         |    CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref=rss&q=' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x#sec' ||
+         |    CAST(doc_id % 3 AS VARCHAR) AS u
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '', 'g') AS u FROM t),
+         |s2 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '$sh', 0)) || regexp_replace(u, '$sh', '', 'g') AS u
+         |  FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(
+         |  replace(replace(replace(replace(u, ':443/', '/'), ':80/', '/'),
+         |    ':443?', '?'), ':80?', '?'), ':(80|443)$$', '', 'g') AS u FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\\?', '&', 'g'),
+         |  '${graft.functions.UrlFns.trackingParamPat}', '', 'g') AS u FROM s3),
+         |s5 AS (SELECT doc_id, regexp_extract(u, '^[^&]*', 0) AS base,
+         |  regexp_replace(u, '^[^&]*&?', '', 'g') AS rest FROM s4)
+         |SELECT doc_id, regexp_replace(
+         |  CASE WHEN rest = '' THEN base ELSE base || '?' || rest END,
+         |  '/$$', '', 'g') AS canonical
+         |FROM s5""".stripMargin
+    },
+
+    "line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |  i -> {'i': i, 'l': ws[CAST(i AS INT)]})) AS u FROM t),
+        |firsts AS (SELECT doc_id, u.l AS l, min(u.i) AS mi FROM idx GROUP BY doc_id, u.l),
+        |agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY mi) AS deduped,
+        |  count(*) AS n_unique_lines FROM firsts GROUP BY doc_id)
+        |SELECT t.doc_id, agg.deduped, CAST(len(t.ws) AS BIGINT) AS n_lines,
+        |  CAST(agg.n_unique_lines AS BIGINT) AS n_unique_lines
+        |FROM t JOIN agg USING (doc_id)""".stripMargin,
+
+    "decontaminate" -> {
+      val n = 5
+      val sh5 = (0 until n).map(j => s"ws[CAST(i AS INT) + $j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+         |    i -> $sh5)) AS sh
+         |  FROM w WHERE len(ws) >= $n),
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (sh))
+         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
 
     "hash_sample_split" ->
       """WITH b AS (

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.UrlFns
+import graft.operators.text.{Decontaminator, LineDeduper}
+import org.apache.spark.sql.functions._
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(UrlFns.canonicalizeUrl($"u")).as[String].head()
+
+  test("url canonicalization: fragment, case, ports, tracking params, trailing slash") {
+    assert(canon("HTTPS://Ex.COM/Path/#frag") === "https://ex.com/Path")
+    assert(canon("http://ex.com:80/a?utm_source=x&q=1") === "http://ex.com/a?q=1")
+    assert(canon("https://ex.com:443") === "https://ex.com")
+    assert(canon("https://ex.com/a?utm_a=1&utm_b=2") === "https://ex.com/a")
+    assert(canon("https://ex.com/a?q=1&ref=rss&z=2") === "https://ex.com/a?q=1&z=2")
+    assert(canon("https://ex.com:8080/a") === "https://ex.com:8080/a") // non-default port kept
+  }
+
+  test("line deduper keeps first occurrence in order, counts lines") {
+    val out = LineDeduper()(Seq((1L, "b\na\nb\nc\na")).toDF("doc_id", "text"))
+      .select("text", "n_lines", "n_unique_lines").as[(String, Long, Long)].head()
+    assert(out === (("b\na\nc", 5L, 3L)))
+  }
+
+  test("decontaminator flags and removes docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "totally different words here now ok")).toDF("doc_id", "text")
+    val bench = Seq((90L, "xx beta gamma delta epsilon yy"),
+      (91L, "unrelated benchmark prompt text entirely")).toDF("doc_id", "text")
+    val d = Decontaminator(n = 4)
+    val flags = d.flag(corpus, bench).select("doc_id", "is_contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
+    assert(d(corpus, bench).select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+}
