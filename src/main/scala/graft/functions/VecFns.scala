@@ -26,7 +26,13 @@ object VecFns {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Fused native cosine (graft.plans.CosineSimilarity): one array pass
+    * instead of three, bit-identical to the composed form. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineNative(a, b)
+
+  /** The composed formulation, kept for reference/spec cross-checks. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val den = norm2(a) * norm2(b)
     when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
   }

@@ -58,6 +58,9 @@ object GraftExtensions {
     f("graft_l2sq",
       "graft_l2sq(a, b) - codegen'd squared L2 distance of two numeric arrays", 2,
       args => L2SquaredDistance(args(0), args(1))),
+    f("graft_cosine",
+      "graft_cosine(a, b) - fused single-pass cosine similarity of two numeric arrays", 2,
+      args => CosineSimilarity(args(0), args(1))),
     f("graft_byte_entropy",
       "graft_byte_entropy(bin) - Shannon entropy (bits) of a binary column's byte histogram", 1,
       args => ByteEntropy(args(0))))

@@ -140,6 +140,75 @@ case class L2SquaredDistance(left: Expression, right: Expression)
   override def prettyName: String = "l2_squared_distance"
 }
 
+/** Cosine similarity fused into ONE primitive loop (dot and both squared
+  * norms accumulate together — the composed form walks each array three
+  * times). Each accumulator sums in the same sequential order as the
+  * separate-pass formulation, so results are bit-for-bit identical to
+  * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))`; 0.0 when either norm is
+  * zero. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val la = elemIsFloat(left)
+    val rb = elemIsFloat(right)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rb) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val getB = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val den = ctx.freshName("den")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$getA($i);
+         |  double $y = (double) $b.$getB($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : ($dot / $den);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_similarity"
+}
+
 object VectorExpressions {
   /** Column API for the native dot product. */
   def dotNative(a: Column, b: Column): Column =
@@ -148,5 +217,9 @@ object VectorExpressions {
 
   def l2SquaredNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(L2SquaredDistance(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  def cosineNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 }

@@ -66,6 +66,30 @@ object AnalyticsQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q6 shape: scan-only predicate aggregate — everything pushes
+    // to the parquet scan
+    "q6_forecast_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // correlated-subquery shape: orders priced above 1.2x their
+    // customer's average (decorrelated to a window — no re-scan)
+    "above_avg_orders" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+      ord.withColumn("cust_avg", avg("o_totalprice").over(w))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.2)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_above"),
+          round(max("o_totalprice"), 2).as("max_price"))
+    }),
+
     "window_running_total" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem").filter(col("l_suppkey") <= 3)
       val w = Window.partitionBy("l_suppkey")
@@ -164,6 +188,25 @@ object AnalyticsQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE c.c_nationkey = s.s_nationkey
         |GROUP BY n.n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "above_avg_orders" ->
+      """SELECT o_custkey, count(*) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders) t
+        |WHERE o_totalprice > cust_avg * 1.2
+        |GROUP BY 1""".stripMargin,
 
     "window_running_total" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -17,6 +17,17 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(l - math.sqrt(8.0)) < 1e-12)
   }
 
+  test("fused native cosine is bit-identical to the composed form") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .limit(500)
+      .select(VecFns.cosine(col("x.embedding"), col("y.embedding")).as("fused"),
+        VecFns.cosineComposed(col("x.embedding"), col("y.embedding")).as("composed"))
+    assert(pairs.filter(col("fused") =!= col("composed")).count() == 0)
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(z.select(VecFns.cosine($"a", $"b")).as[Double].head() == 0.0)
+  }
+
   test("l2Normalize produces unit vectors; zero vector unchanged") {
     val df = Seq(Array(3.0f, 4.0f), Array(0.0f, 0.0f)).toDF("v")
     val out = df.select(VecFns.l2Normalize($"v")).as[Seq[Double]].collect()
