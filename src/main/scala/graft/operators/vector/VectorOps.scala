@@ -89,16 +89,32 @@ case class IvfIndex(
     idCol: String = "vec_id",
     vecCol: String = "embedding") {
 
-  /** Nearest-centroid assignment: (idCol, centroid_id, dist). */
+  /** Nearest-centroid assignment: (idCol, centroid_id, dist).
+    *
+    * Truly map-only: the centroid table collapses to ONE broadcast row
+    * holding an array<struct(cid,cvec)>, and each corpus row folds an
+    * argmin over it — no per-centroid row expansion, no window, zero
+    * shuffle of the corpus. Distances are rounded to 6 dp before
+    * comparison with a smaller-cid tiebreak, so the result is identical
+    * to ranking by (dist, cid). */
   def assign(df: DataFrame, centroids: DataFrame,
       cidCol: String = "centroid_id", cvecCol: String = "cvec"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("dist").asc, col(cidCol).asc)
+    val cents = centroids.agg(array_sort(collect_list(
+      struct(col(cidCol).as("cid"), col(cvecCol).as("cvec")))).as("__cents"))
+    def bestOf(c: Column): Column = struct(
+      round(l2Dist(col(vecCol), c.getField("cvec")), 6).as("dist"),
+      c.getField("cid").as("cid"))
+    val folded = aggregate(
+      slice(col("__cents"), lit(2), greatest(size(col("__cents")) - 1, lit(0))),
+      bestOf(element_at(col("__cents"), 1)),
+      (acc, c) => graft.functions.Cols.bind(bestOf(c)) { cand =>
+        // struct comparison = lexicographic (dist, cid): min of the two
+        when(cand < acc, cand).otherwise(acc)
+      })
     df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
-      .withColumn("dist", round(l2Dist(col(vecCol), col(cvecCol)), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(cidCol), col("dist"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), folded.getField("cid").as(cidCol),
+        folded.getField("dist").as("dist"))
   }
 
   /** Probe the `nprobe` nearest cells for each query, exact rerank
@@ -114,8 +130,10 @@ case class IvfIndex(
         .filter(col("rn") <= n)
         .select(col("__id"), col("centroid_id"))
     }
-    val corpusCells = cellsOf(df, 1)
-      .select(col("__id").as("cid"), col("centroid_id"))
+    // corpus side (the big one) assigns map-only via [[assign]]; the
+    // window path below only ranks the small query side
+    val corpusCells = assign(df, centroids)
+      .select(col(idCol).as("cid"), col("centroid_id"))
     val queryCells = cellsOf(df.filter(queryPred), nprobe)
       .select(col("__id").as("qid"), col("centroid_id"))
     val corpus = df.select(col(idCol).as("cid"), col(vecCol).as("cv"))
