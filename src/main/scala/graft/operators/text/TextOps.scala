@@ -308,4 +308,26 @@ case class Decontaminator(n: Int = 5, textCol: String = "text",
   /** corpus with contaminated documents removed (anti join). */
   def apply(corpus: DataFrame, benchmark: DataFrame): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark), Seq(idCol), "left_anti")
+
+  /** 100 TB path: when even the distinct benchmark shingle table is too
+    * wide to broadcast-join against every corpus shingle cheaply, build
+    * a Bloom filter over the benchmark shingles once and pre-filter
+    * corpus shingles map-side; only the ~fpp false-positive survivors
+    * reach the exact verification join, so the shuffle carries a
+    * fraction of the corpus. Results are identical to
+    * [[contaminatedIds]] — the Bloom filter only prunes true negatives,
+    * and survivors are verified exactly. */
+  def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
+      expectedShingles: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val bsh = shingles(benchmark, Seq.empty).distinct()
+    val bloom = bsh.stat.bloomFilter("__sh", expectedShingles, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = org.apache.spark.sql.functions.udf(
+      (s: String) => s != null && bloomB.value.mightContain(s))
+    shingles(corpus, Seq(col(idCol)))
+      .filter(mightContain(col("__sh")))           // map-side prune
+      .join(broadcast(bsh), "__sh")                // exact verify
+      .select(idCol).distinct()
+  }
 }

@@ -66,6 +66,12 @@ object AnalyticsQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // one-scan table profile (data-quality summary) of documents
+    "table_profile" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TableProfiler().profile(docs)
+    }),
+
     // TPC-H Q6 shape: scan-only predicate aggregate — everything pushes
     // to the parquet scan
     "q6_forecast_revenue" -> ((s, dir) => {
@@ -188,6 +194,19 @@ object AnalyticsQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE c.c_nationkey = s.s_nationkey
         |GROUP BY n.n_name""".stripMargin,
+
+    "table_profile" -> {
+      val cols = Seq("doc_id" -> true, "text" -> false, "lang" -> false,
+        "source" -> false, "n_chars" -> true)
+      cols.map { case (c, num) =>
+        val mn = if (num) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"round(CAST(max($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct, $mn AS min_val, $mx AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

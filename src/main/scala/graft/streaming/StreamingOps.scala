@@ -64,6 +64,25 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Stream-stream interval join: clicks enriched with the same user's
+    * purchase within the trailing `intervalMinutes` — both sides
+    * watermarked so the join state is bounded (Spark requires the
+    * equality key + time bound to prune state). The streaming twin of
+    * the batch range join. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      intervalMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $intervalMinutes MINUTES"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_value")
+  }
+
   /** Streaming exact dedup — the incremental twin of ExactDedup: keep
     * the first document per normalized-content hash, with watermark-
     * bounded state so the dedup map does not grow forever (the streaming

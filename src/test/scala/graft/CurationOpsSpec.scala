@@ -25,6 +25,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(out === (("b\na\nc", 5L, 3L)))
   }
 
+  test("bloom-filtered decontamination matches the exact path") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val d = Decontaminator(n = 5)
+    val exact = d.contaminatedIds(docs, bench).as[Long].collect().toSet
+    val bloom = d.contaminatedIdsBloom(docs, bench, expectedShingles = 100000L)
+      .as[Long].collect().toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("decontaminator flags and removes docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

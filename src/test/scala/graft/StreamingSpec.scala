@@ -48,6 +48,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts", "value")
+    val pdf = purchases.toDF().toDF("user_id", "event_id", "ts", "value")
+    val joined = StreamingOps.clickPurchaseJoin(cdf, pdf, intervalMinutes = 10)
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, Timestamp.valueOf("2024-01-01 00:00:00"), 0.0))
+      purchases.addData(
+        (1L, 200L, Timestamp.valueOf("2024-01-01 00:05:00"), 9.99),  // in window
+        (1L, 201L, Timestamp.valueOf("2024-01-01 00:20:00"), 5.0))   // outside window
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test")
+        .select("click_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((100L, 200L, 9.99)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first document per content hash") {
     val sq = spark
     import sq.implicits._
