@@ -5,6 +5,7 @@ import graft.operators.dedup._
 import graft.operators.image._
 import graft.operators.ml.QualityClassifier
 import graft.operators.text._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import scala.jdk.CollectionConverters._
 
@@ -150,12 +151,17 @@ object PipelineConfig {
   }
 
   /** Parse a reference-shaped YAML config
-    * (`stages: [{name, operators: [{name, params}]}]`, or a top-level
-    * `operators:` list) into a Pipeline. */
+    * (`stages: [{name, operators: [{name, params, enabled}]}]`, or a
+    * top-level `operators:` list) into a Pipeline. Operators with
+    * `enabled: false` are skipped (config.py OperatorConfig.enabled). */
   def parse(yaml: String): Pipeline = {
     val mapper = new ObjectMapper(new YAMLFactory())
     val root = toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Any]]))
       .asInstanceOf[Map[String, Any]]
+    parsePipeline(root)
+  }
+
+  private def parsePipeline(root: Map[String, Any]): Pipeline = {
     val opDefs: Seq[Map[String, Any]] = root.get("stages") match {
       case Some(stages: Seq[_]) =>
         stages.flatMap(s => s.asInstanceOf[Map[String, Any]]
@@ -164,11 +170,85 @@ object PipelineConfig {
       case _ => root.getOrElse("operators", Seq.empty)
         .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
     }
-    Pipeline(opDefs.map { d =>
-      val name = d("name").toString
-      val params = d.getOrElse("params", Map.empty[String, Any])
-        .asInstanceOf[Map[String, Any]]
-      OperatorRegistry.build(name, params)
-    })
+    Pipeline(opDefs
+      .filter(_.getOrElse("enabled", true) == true)
+      .map { d =>
+        val name = d("name").toString
+        val params = d.getOrElse("params", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+        OperatorRegistry.build(name, params)
+      })
+  }
+
+  /** Parse a full job config — `data_loader:` + `stages:` +
+    * `data_writer:` (config.py PipelineConfig shape). Loader/writer
+    * `type` names follow the reference registry where one exists. */
+  def parseJob(yaml: String): PipelineJob = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val root = toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+    val pipeline = parsePipeline(root)
+
+    def section(k: String): Option[(String, Map[String, Any])] =
+      root.get(k).map { s =>
+        val m = s.asInstanceOf[Map[String, Any]]
+        (m.getOrElse("type", "").toString,
+          m.getOrElse("params", Map.empty[String, Any]).asInstanceOf[Map[String, Any]])
+      }
+
+    val loader: Option[SparkSession => DataFrame] = section("data_loader").map {
+      case (tpe, p) =>
+        val path = p.getOrElse("path", "").toString
+        tpe match {
+          case "ParquetLoader" | "HuggingFaceLoader" =>
+            s => graft.sources.Sources.parquet(s, path)
+          case "JsonlLoader" => s => graft.sources.Sources.jsonl(s, path)
+          case "CsvLoader" => s => graft.sources.Sources.csv(s, path)
+          case "OrcLoader" => s => graft.sources.Sources.orc(s, path)
+          case "WarcLoader" | "CommonCrawlLoader" =>
+            s => graft.sources.Sources.warcText(s, path)
+          case other => throw new IllegalArgumentException(s"unknown loader: $other")
+        }
+    }
+
+    val writer: Option[DataFrame => Unit] = section("data_writer").map {
+      case (tpe, p) =>
+        val path = p.getOrElse("path", "").toString
+        val partitionBy = p.get("partition_by") match {
+          case Some(l: Seq[_]) => l.map(_.toString)
+          case _ => Nil
+        }
+        tpe match {
+          case "ParquetDataWriter" =>
+            df => graft.sources.Sinks.parquet(df, path, partitionBy)
+          case "IcebergDataWriter" | "TableDataWriter" =>
+            df => graft.sources.Sinks.table(df, path, partitionBy)
+          case other => throw new IllegalArgumentException(s"unknown writer: $other")
+        }
+    }
+    PipelineJob(loader, pipeline, writer)
+  }
+}
+
+/** A fully config-driven job: load → staged operators → write. The
+  * whole job stays ONE lazy Spark plan until the write action, so
+  * Catalyst fuses loader projections, filters and refiners across
+  * "stages" (the reference pays an actor-pool hop per stage). */
+case class PipelineJob(
+    loader: Option[SparkSession => DataFrame],
+    pipeline: Pipeline,
+    writer: Option[DataFrame => Unit]) {
+
+  /** Apply to an explicit input (ignores the configured loader). */
+  def transform(df: DataFrame): DataFrame = pipeline(df)
+
+  /** Run end-to-end: read from the configured loader, transform, write
+    * if a writer is configured; returns the transformed frame. */
+  def run(spark: SparkSession): DataFrame = {
+    val in = loader.getOrElse(throw new IllegalArgumentException(
+      "job config has no data_loader"))(spark)
+    val out = pipeline(in)
+    writer.foreach(_(out))
+    out
   }
 }

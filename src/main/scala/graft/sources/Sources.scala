@@ -27,6 +27,9 @@ object Sources {
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).csv(path)
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** WARC reader — the CommonCrawl path (reference
     * loaders/commoncrawl_loader.py + Rust html extraction). Splits a
     * WARC file on record boundaries using the text source's custom

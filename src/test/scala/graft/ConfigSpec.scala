@@ -41,6 +41,36 @@ class ConfigSpec extends SparkSpec {
       "text_exact_deduplicator" -> 1L))
   }
 
+  test("full job config: data_loader -> stages -> data_writer, end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_job").toString
+    Seq(
+      (1L, "a sufficiently long document to survive the length filter"),
+      (2L, "a sufficiently long document to survive the length filter"), // dup
+      (3L, "nope"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader:
+         |  type: ParquetLoader
+         |  params: {path: $dir/in}
+         |stages:
+         |  - name: curate
+         |    operators:
+         |      - name: text_length_filter
+         |        params: {min_length: 10}
+         |      - name: token_counter
+         |        enabled: false
+         |      - name: text_exact_deduplicator
+         |data_writer:
+         |  type: ParquetDataWriter
+         |  params: {path: $dir/out}
+         |""".stripMargin
+    val job = PipelineConfig.parseJob(yaml)
+    val out = job.run(spark)
+    assert(!out.columns.contains("n_ws_tokens")) // disabled op skipped
+    val written = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(written == Set(1L))
+  }
+
   test("image operator chain from config") {
     val yaml =
       """operators:

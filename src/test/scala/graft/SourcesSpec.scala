@@ -51,4 +51,12 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")
     assert(Sources.csv(spark, dir.toString + "/d.csv").count() == 2)
   }
+
+  test("orc roundtrip") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").write.orc(dir)
+    assert(Sources.orc(spark, dir).count() == 2)
+  }
 }
