@@ -81,6 +81,37 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Globally range-sorted layout: `repartitionByRange` + sort-within
+    * gives non-overlapping per-file min/max on `sortBy`, so downstream
+    * range predicates prune to O(1) files (the poor man's Z-order for a
+    * single sort dimension — the standard layout for time-series and
+    * id-ranged tables). */
+  def parquetSorted(df: DataFrame, path: String, sortBy: Seq[String],
+      numFiles: Int = 0, compression: String = "zstd"): Unit = {
+    require(sortBy.nonEmpty, "sortBy must be non-empty")
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, sortBy.map(col): _*)
+      else df.repartitionByRange(sortBy.map(col): _*)
+    ranged.sortWithinPartitions(sortBy.map(col): _*)
+      .write.mode("overwrite").option("compression", compression).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet dir into ~`targetFileMB`
+    * files (AQE-style sizing from the actual on-disk bytes). The
+    * standard maintenance pass after streaming/incremental writes; a
+    * plain coalesce — no shuffle. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Table-format sink. The Iceberg runtime jar is intentionally absent
     * here (zero-egress build); with `iceberg-spark-runtime` on the
     * classpath this becomes `df.writeTo(table).append()` against a

@@ -52,6 +52,31 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.csv(spark, dir.toString + "/d.csv").count() == 2)
   }
 
+  test("parquetSorted writes non-overlapping ranges; compact merges small files") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val df = (1L to 1000L).toDF("id")
+    Sinks.parquetSorted(df.repartition(8), s"$dir/sorted", Seq("id"), numFiles = 4)
+    val files = new java.io.File(s"$dir/sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // non-overlapping: each file's ids form a contiguous range
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath).as[Long].collect()
+      (ids.min, ids.max, ids.length)
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Array(a, b) => a._2 < b._1; case _ => true })
+    assert(ranges.map(_._3).sum == 1000)
+
+    df.repartition(10).write.parquet(s"$dir/frag")
+    Sinks.compact(spark, s"$dir/frag", targetFileMB = 256)
+    val after = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    assert(spark.read.parquet(s"$dir/frag").count() == 1000)
+  }
+
   test("orc roundtrip") {
     val sq = spark
     import sq.implicits._
