@@ -144,12 +144,20 @@ case class L2SquaredDistance(left: Expression, right: Expression)
   * norms accumulate together — the composed form walks each array three
   * times). Each accumulator sums in the same sequential order as the
   * separate-pass formulation, so results are bit-for-bit identical to
-  * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))`; 0.0 when either norm is
-  * zero. */
-case class CosineSimilarity(left: Expression, right: Expression)
+  * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))`.
+  *
+  * `guardZero = true` (the graft API default) returns 0.0 when either
+  * norm is zero; `false` returns SQL NULL on a zero denominator, which
+  * is exactly legacy-mode division's divide-by-zero behavior — the
+  * [[FuseCosine]] optimizer rule uses that variant so its rewrite is
+  * bit-exact on every input. */
+case class CosineSimilarity(left: Expression, right: Expression,
+    guardZero: Boolean = true)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = !guardZero || super.nullable
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -173,7 +181,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val den = math.sqrt(na) * math.sqrt(nb)
-    if (den == 0.0) 0.0 else dot / den
+    if (den == 0.0) { if (guardZero) 0.0 else null } else dot / den
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -197,7 +205,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($den == 0.0) ? 0.0 : ($dot / $den);
+         |if ($den == 0.0) {
+         |  ${if (guardZero) s"${ev.value} = 0.0;" else s"${ev.isNull} = true;"}
+         |} else {
+         |  ${ev.value} = $dot / $den;
+         |}
        """.stripMargin
     })
   }
