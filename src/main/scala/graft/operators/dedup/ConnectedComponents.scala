@@ -1,0 +1,59 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate candidate graph by
+  * min-label propagation: every node ends up labeled with the smallest
+  * id reachable from it, so "keep one doc per component" dedup is a
+  * `component === id` filter afterwards.
+  *
+  * Greedy keep-first (drop any doc bucketed with a smaller id) removes
+  * too much when similarity is non-transitive; components are the
+  * standard fix (the MinHash pipelines in RefinedWeb/SlimPajama cluster
+  * candidates before choosing survivors).
+  *
+  * Scale shape: each iteration is one join + one map-side-combined
+  * groupBy over the (node, label) table — no driver-side graph, state
+  * bounded by the node count, O(graph diameter) iterations (near-dup
+  * graphs are shallow: components are cliques-ish, 2–4 iterations).
+  * The convergence check is an aggregate (sum of label changes), the
+  * only driver-visible value per iteration.
+  */
+object ConnectedComponents {
+
+  /** @param edges (srcCol, dstCol) undirected candidate pairs
+    * @param nodes one row per node id (isolated nodes keep their own id)
+    * @return (id, component) — component = min reachable node id */
+  def apply(edges: DataFrame, nodes: DataFrame, idCol: String = "doc_id",
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    var labels = nodes.select(col(idCol).as("u"), col(idCol).as("lbl"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node takes the min of its own label and its neighbors'
+      val viaNeighbors = sym.join(labels.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("lbl"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("u").agg(min("lbl").as("lbl"))
+        .localCheckpoint(eager = true) // truncate the growing lineage
+      val changed = labels.as("a")
+        .join(next.as("b"), col("a.u") === col("b.u"))
+        .filter(col("a.lbl") =!= col("b.lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("u").as(idCol), col("lbl").as("component"))
+  }
+
+  /** One survivor per component (the component's min id). */
+  def survivors(df: DataFrame, edges: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val comp = apply(edges, df.select(idCol), idCol)
+    df.join(comp.filter(col(idCol) === col("component")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+}

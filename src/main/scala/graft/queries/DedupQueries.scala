@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.dedup.{MinHashLSH, SimHash}
+import graft.operators.dedup.{ConnectedComponents, MinHashLSH, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,13 @@ object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
       sh.groups(docs)
+    }),
+
+    // near-dup clustering: connected components over the MinHash
+    // candidate graph (min-label propagation; oracle = recursive CTE)
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ConnectedComponents(mh.candidatePairs(docs), docs.select("doc_id"))
     })
   )
 
@@ -84,6 +91,21 @@ object DedupQueries {
          |SELECT CAST(band AS INT) AS band, bucket, count(*) AS n_docs,
          |  min(doc_id) AS min_doc
          |FROM buckets GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (
