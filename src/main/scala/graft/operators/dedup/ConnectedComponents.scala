@@ -28,11 +28,20 @@ object ConnectedComponents {
   def apply(edges: DataFrame, nodes: DataFrame, idCol: String = "doc_id",
       srcCol: String = "id_a", dstCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    // materialize the candidate edges once — the upstream pipeline
+    // (MinHash signatures etc.) must not recompute on every iteration.
+    // localCheckpoint stores on executor disks; swap for a reliable
+    // checkpoint dir if executor loss matters mid-job.
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint(eager = true)
     var labels = nodes.select(col(idCol).as("u"), col(idCol).as("lbl"))
     var iter = 0
     var converged = false
+    // labels only ever decrease, so the total label sum is strictly
+    // monotone until the fixpoint — equality of consecutive sums IS the
+    // convergence test (one aggregate per iteration, no compare join)
+    var prevSum: java.math.BigDecimal = null
     while (iter < maxIter && !converged) {
       // each node takes the min of its own label and its neighbors'
       val viaNeighbors = sym.join(labels.withColumnRenamed("u", "v"), "v")
@@ -40,11 +49,10 @@ object ConnectedComponents {
       val next = labels.union(viaNeighbors)
         .groupBy("u").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = true) // truncate the growing lineage
-      val changed = labels.as("a")
-        .join(next.as("b"), col("a.u") === col("b.u"))
-        .filter(col("a.lbl") =!= col("b.lbl")).count()
+      val s = next.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       iter += 1
     }
     labels.select(col("u").as(idCol), col("lbl").as("component"))
