@@ -214,6 +214,26 @@ case class SimHash(
     signatures(df)
       .groupBy("simhash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Hamming-distance ≤ 1 candidate pairs via 1-bit-flip probe tables —
+    * the scale path past exact-signature buckets. One side explodes to
+    * its signature plus all `nbits` single-bit flips (nbits+1 probe
+    * rows), the other keeps exact signatures; an equi-join on the probe
+    * catches every pair within hamming 1 without any pairwise scan. At
+    * hamming radius r the same trick explodes C(nbits, ≤r) probes —
+    * still an equi-join, never O(n²). */
+  def candidatePairs(df: DataFrame): DataFrame = {
+    val sigs = signatures(df)
+    val probes = sigs.select(col(idCol), explode(concat(
+      array(col("simhash")),
+      transform(sequence(lit(0), lit(nbits - 1)),
+        j => col("simhash").bitwiseXOR(pow(lit(2.0), j).cast("long"))))).as("probe"))
+    probes.as("a")
+      .join(sigs.as("b"), col("a.probe") === col("b.simhash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
 }
 
 /** N-gram Jaccard similarity pairs: distinct-shingle explode →

@@ -33,6 +33,14 @@ object DedupQueries {
       sh.groups(docs)
     }),
 
+    // hamming<=1 simhash pairs via 1-bit-flip probe join (equi-join,
+    // no pairwise scan); oracle verifies with brute-force bit_count
+    "dedup_simhash_probes" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      sh.candidatePairs(docs)
+    }),
+
     // near-dup clustering: connected components over the MinHash
     // candidate graph (min-label propagation; oracle = recursive CTE)
     "dedup_components" -> ((s, dir) => {
@@ -108,18 +116,29 @@ object DedupQueries {
          |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |vals AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS v FROM toks),
-         |bits AS (
-         |  SELECT doc_id, j, sum(CASE WHEN (v >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM vals, range(0, 16) r(j) GROUP BY doc_id, j),
-         |sig AS (
-         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
+      s"""WITH $shSigSql
          |SELECT simhash, min(doc_id) AS keep_id, count(*) AS dup_count
-         |FROM sig GROUP BY 1""".stripMargin
+         |FROM sig GROUP BY 1""".stripMargin,
+
+    "dedup_simhash_probes" ->
+      s"""WITH $shSigSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
   )
+
+  /** Shared CTE chain ending in `sig(doc_id, simhash)` — the 16-bit
+    * simhash signatures, same values as SimHash.signatures. */
+  private def shSigSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |vals AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS v FROM toks),
+       |bits AS (
+       |  SELECT doc_id, j, sum(CASE WHEN (v >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM vals, range(0, 16) r(j) GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 }
