@@ -259,6 +259,48 @@ object PiiRedactor {
   val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 }
 
+/** TF-IDF scoring over whitespace tokens of normalized text.
+  *
+  * Scale shape: term frequencies come from one exploded-token groupBy
+  * (map-side combined); document frequencies from a distinct-token
+  * groupBy; the idf table is one row per distinct term (vocabulary ≪
+  * corpus) and joins back hash-partitioned on the term. idf =
+  * ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), rounded for engine
+  * portability. */
+case class TfIdf(textCol: String = "text", idCol: String = "doc_id") {
+  import graft.functions.TextFns.{normalizeText, wsTokens}
+
+  private def toks(df: DataFrame) =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(wsTokens(normalizeText(col(textCol)))).as("term"))
+
+  /** (term, df, idf) over the corpus. */
+  def idf(df: DataFrame): DataFrame = {
+    val n = df.filter(length(trim(col(textCol))) > 0).count()
+    toks(df).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        round(log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0, 6))
+  }
+
+  /** (id, term, tf, tfidf) — tf = raw in-doc count. */
+  def scores(df: DataFrame): DataFrame = {
+    val tf = toks(df).groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    tf.join(idf(df), "term")
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Top-k terms per document by tfidf (ties → lexicographic term). */
+  def topTerms(df: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scores(df).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rn"))
+  }
+}
+
 /** Within-document line dedup (RefinedWeb-style boilerplate removal):
   * drop repeated lines, keeping the first occurrence in order. Spark's
   * `array_distinct` preserves first-occurrence order, so this is a

@@ -52,6 +52,19 @@ object TextQueries {
       TokenCounter()(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
     }),
 
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TfIdf().topTerms(docs, k = 3)
+    }),
+
+    "top_bigrams" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(explode(wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // canonicalize a deterministically-messy URL (fragment, default
     // port, tracking params, mixed case)
     "url_canonicalize" -> ((s, dir) => {
@@ -290,6 +303,33 @@ object TextQueries {
       s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "tfidf_top_terms" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $normSql AS norm FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+         |n AS (SELECT count(*) AS c FROM d),
+         |idf AS (SELECT term, round(ln((c + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+         |  FROM dfreq, n),
+         |s AS (SELECT doc_id, term, round(tf * idf, 6) AS tfidf
+         |  FROM tf JOIN idf USING (term)),
+         |r AS (SELECT doc_id, term, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rn
+         |  FROM s)
+         |SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "top_bigrams" ->
+      s"""WITH bi AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bigram
+         |  FROM (SELECT string_split($normSql, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= 2)
+         |SELECT bigram, count(*) AS n FROM bi GROUP BY 1
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "url_canonicalize" -> {
       val sh = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
