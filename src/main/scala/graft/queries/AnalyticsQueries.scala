@@ -66,6 +66,15 @@ object AnalyticsQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // fixed-width histogram of order totals (profiling family): one
+    // map-only bucket projection + map-combined groupBy
+    "value_histogram" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val width = 25000.0
+      ord.select((floor(col("o_totalprice") / width) * width).as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
+    }),
+
     // one-scan table profile (data-quality summary) of documents
     "table_profile" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -194,6 +203,11 @@ object AnalyticsQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE c.c_nationkey = s.s_nationkey
         |GROUP BY n.n_name""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT floor(o_totalprice / 25000.0) * 25000.0 AS bucket_lo,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "table_profile" -> {
       val cols = Seq("doc_id" -> true, "text" -> false, "lang" -> false,
