@@ -18,17 +18,30 @@ object AnalyticsQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // Sums run in decimal so the 2-dp rounding cannot flip with
+      // summation order (double sums are order-dependent and these
+      // groups span ~1/4 of lineitem each). The source data is 2-dp, so
+      // the narrow per-row casts are lossless — no rounding-mode
+      // concerns — and the product precisions stay within 38 digits in
+      // any engine. Averages = exact decimal sum → double ÷ count
+      // (decimal AVG result types differ across engines).
+      val price = col("l_extendedprice").cast("decimal(15,4)")
+      val qty = col("l_quantity").cast("decimal(15,4)")
+      val disc = col("l_discount").cast("decimal(9,4)")
+      val discF = (lit(1.0) - col("l_discount")).cast("decimal(9,4)")
+      val taxF = (lit(1.0) + col("l_tax")).cast("decimal(9,4)")
+      val n = count(lit(1))
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          round(sum(qty), 2).cast("double").as("sum_qty"),
+          round(sum(price), 2).cast("double").as("sum_base_price"),
+          round(sum(price * discF), 2).cast("double").as("sum_disc_price"),
+          round(sum(price * discF * taxF), 2).cast("double").as("sum_charge"),
+          round(sum(qty).cast("double") / n, 4).as("avg_qty"),
+          round(sum(price).cast("double") / n, 4).as("avg_price"),
+          round(sum(disc).cast("double") / n, 4).as("avg_disc"),
+          n.as("count_order"))
     }),
 
     "q3_shipping_priority" -> ((s, dir) => {
@@ -62,7 +75,10 @@ object AnalyticsQueries {
         .join(region, nation("n_regionkey") === region("r_regionkey"))
         .filter(cust("c_nationkey") === supp("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        // exact decimal sum — order-proof 2-dp rounding (see q1)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(15,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(9,4)")), 2)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -89,7 +105,9 @@ object AnalyticsQueries {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(15,4)") *
+            col("l_discount").cast("decimal(9,4)")), 2)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -166,13 +184,16 @@ object AnalyticsQueries {
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,4)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,4)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(9,4)) *
+        |    CAST(1.0 + l_tax AS DECIMAL(9,4))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -193,7 +214,8 @@ object AnalyticsQueries {
 
     "q5_local_supplier_volume" ->
       """SELECT n.n_name,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(15,4)) *
+        |    CAST(1.0 - l.l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem l
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -223,7 +245,8 @@ object AnalyticsQueries {
     },
 
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,4)) *
+        |    CAST(l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -39,6 +39,32 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_clicks"), min("click_id").as("first_click"))
     }),
 
+    // TPC-H Q7 shape: same dim table joined twice under different
+    // aliases (supplier nation x customer nation), both broadcast
+    "q7_nation_volume" -> ((s, dir) => {
+      val nation = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
+        .join(broadcast(nation.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
+        .filter(col("sn.n_name") < col("cn.n_name"))
+        .groupBy(col("sn.n_name").as("supp_nation"), col("cn.n_name").as("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        // decimal per-row casts + exact decimal sum: summation order can
+        // no longer flip the 2-dp rounding (double sums are
+        // order-dependent and this group is wide enough to hit it)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     "q4_priority_semi" -> ((s, dir) => {
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
@@ -101,6 +127,23 @@ object JoinQueries {
         |FROM e JOIN c ON e.user_id = c.user_id
         |  AND c.pt >= e.t0 AND c.pt <= e.t0 + 600000000
         |GROUP BY 1""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND sn.n_name < cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q4_priority_semi" ->
       """SELECT o_orderpriority, count(*) AS n_orders
