@@ -284,19 +284,56 @@ case class NgramJaccard(
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Low-threshold path: the prefix barely prunes below t=0.5, so count
-    * intersections directly from the shingle equi-join (map-side
-    * combined groupBy) — narrow (id, id) rows instead of full arrays.
+  /** Low-threshold path: exact-duplicate documents are collapsed into
+    * content-hash classes FIRST (identical text ⇒ identical shingle set
+    * ⇒ class-level jaccard), the count-join runs over one representative
+    * per class, and class pairs expand back to doc pairs at the end
+    * (inter-class: rep jaccard; intra-class: 1.0). Duplicate-heavy
+    * corpora are the rule at web scale — without the collapse, k exact
+    * copies turn every colliding pair into k² joined rows; with it the
+    * quadratic part is confined to the output itself.
+    * NB: all-pairs jaccard at low thresholds is still inherently
+    * quadratic in genuinely-distinct colliding docs; at 100 TB generate
+    * candidates with [[MinHashLSH]] and verify those instead. */
+  def countJoinPairs(df: DataFrame): DataFrame = {
+    import graft.functions.TextFns.contentHashMd5
+    val keyed = df.select(col(idCol), contentHashMd5(col(textCol)).as("__k"))
+    val reps = keyed.groupBy("__k").agg(min(idCol).as("__rep"))
+    val members = keyed.join(reps, "__k")
+    val repDocs = df.join(reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+
+    val repPairs = rawCountJoinPairs(repDocs)
+    val inter = repPairs
+      .join(members.select(col("__rep").as("id_a"), col(idCol).as("__xa")), "id_a")
+      .join(members.select(col("__rep").as("id_b"), col(idCol).as("__xb")), "id_b")
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"), col("jaccard"))
+
+    // intra-class pairs: jaccard is exactly 1.0; classes whose docs have
+    // no shingles (< n words) produce no pairs, as in the direct form
+    val withShingles = repDocs
+      .filter(size(array_distinct(wordShingles(col(textCol), n))) > 0)
+      .select(col(idCol).as("__rep"))
+    val intra = members.join(withShingles, "__rep")
+      .groupBy("__k").agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val intraPairs = intra.select(explode(flatten(
+        transform(sequence(lit(1), size(col("ids")) - 1),
+          i => transform(slice(col("ids"), i + 1, size(col("ids")) - i),
+            x => struct(element_at(col("ids"), i).as("id_a"), x.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+
+    inter.union(intraPairs)
+  }
+
+  /** The direct count-join over the given docs (no duplicate collapse).
     * The join key is the shingle's xxhash64 (8 bytes) rather than the
     * shingle string: smaller shuffle, primitive comparisons, identical
     * counts (a 64-bit collision between distinct co-occurring shingles
     * is ~2⁻⁶⁴·pairs). The per-doc size joins are left to AQE: it
     * broadcasts them when small; at scale (one row per doc) they must
-    * stay shuffled.
-    * NB: all-pairs Jaccard at low thresholds is inherently quadratic in
-    * colliding docs; at 100 TB generate candidates with [[MinHashLSH]]
-    * and verify those instead. */
-  def countJoinPairs(df: DataFrame): DataFrame = {
+    * stay shuffled. */
+  def rawCountJoinPairs(df: DataFrame): DataFrame = {
     val sh = df.select(col(idCol),
         explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .select(col(idCol), xxhash64(col("sh")).as("sh"))
