@@ -65,6 +65,24 @@ object JoinQueries {
           .cast("double").as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q14 shape: conditional aggregation over a fact-dim join
+    // (promo revenue share); decimal sums → order-proof ratio
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val part = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+      val disc = col("l_extendedprice").cast("decimal(15,4)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(9,4)")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(25,8)")))
+              .cast("double") /
+            sum(disc).cast("double"), 4).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q4_priority_semi" -> ((s, dir) => {
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
@@ -144,6 +162,18 @@ object JoinQueries {
         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND sn.n_name < cn.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1.0 - l_discount AS DECIMAL(9,4))
+        |      ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1.0 - l_discount AS DECIMAL(9,4))) AS DOUBLE),
+        |  4) AS promo_share,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "q4_priority_semi" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -71,6 +71,24 @@ class ConfigSpec extends SparkSpec {
     assert(written == Set(1L))
   }
 
+  test("CLI main runs a YAML job file and writes output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    Seq((1L, "a long enough document that survives filtering easily"), (2L, "x"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader: {type: ParquetLoader, params: {path: $dir/in}}
+         |operators:
+         |  - name: text_length_filter
+         |    params: {min_length: 10}
+         |data_writer: {type: ParquetDataWriter, params: {path: $dir/out}}
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/job.yaml"), yaml)
+    // exercise the job path Main wraps (Main.main would stop the shared session)
+    val job = graft.pipeline.PipelineConfig.parseJob(yaml)
+    job.run(spark)
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+  }
+
   test("image operator chain from config") {
     val yaml =
       """operators:
