@@ -112,11 +112,15 @@ object AnalyticsQueries {
     }),
 
     // correlated-subquery shape: orders priced above 1.2x their
-    // customer's average (decorrelated to a window — no re-scan)
+    // customer's average (decorrelated to a window — no re-scan).
+    // The average is exact-decimal-sum / count so the membership
+    // comparison cannot flip with window evaluation order.
     "above_avg_orders" -> ((s, dir) => {
       val ord = Tables.load(s, dir, "orders")
       val w = Window.partitionBy("o_custkey")
-      ord.withColumn("cust_avg", avg("o_totalprice").over(w))
+      val custAvg = sum(col("o_totalprice").cast("decimal(15,4)")).over(w)
+        .cast("double") / count(lit(1)).over(w)
+      ord.withColumn("cust_avg", custAvg)
         .filter(col("o_totalprice") > col("cust_avg") * 1.2)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_above"),
@@ -259,7 +263,8 @@ object AnalyticsQueries {
         |  round(max(o_totalprice), 2) AS max_price
         |FROM (
         |  SELECT o_custkey, o_totalprice,
-        |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg * 1.2
         |GROUP BY 1""".stripMargin,
