@@ -1,0 +1,51 @@
+package graft
+
+/** Plan regression tests: the SURVEY §5 scale properties, asserted on
+  * the real physical plans at sf0.001. If a refactor reintroduces a
+  * nested loop, drops a broadcast, or blocks pushdown, these fail. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to the parquet scan, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("l_partkey")) // untouched columns pruned from the scan
+  }
+
+  test("q5: every dimension joins as broadcast, no sort-merge") {
+    val p = plan("q5_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("top-k windows run with group-limit pushdown") {
+    assert(plan("knn_bruteforce").contains("WindowGroupLimit"))
+    assert(plan("tfidf_top_terms").contains("WindowGroupLimit"))
+  }
+
+  test("map-only operators have zero exchanges") {
+    for (q <- Seq("image_entropy", "hash_sample_split", "pii_redact",
+        "line_dedup", "url_canonicalize", "token_count"))
+      assert(!plan(q).contains("Exchange"), s"$q should be map-only")
+  }
+
+  test("no nested-loop or cartesian joins anywhere in the registry") {
+    // allowed nested loops, each deliberate:
+    // - kmeans_assign / ann_ivf: 1-row broadcast attach of the centroid
+    //   array (not a pairwise scan)
+    // - knn_bruteforce / dedup_embedding: the EXACTNESS BASELINES — all
+    //   pairs by definition, run on broadcast-small / capped subsets;
+    //   the scale paths are ann_lsh / ann_ivf / EmbeddingNearDup.lshPairs
+    // - perplexity: 1-row broadcast attach of the corpus token total
+    val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
+      "dedup_embedding", "perplexity")
+    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
+}
