@@ -46,9 +46,12 @@ object ConnectedComponents {
       // each node takes the min of its own label and its neighbors'
       val viaNeighbors = sym.join(labels.withColumnRenamed("u", "v"), "v")
         .select(col("u"), col("lbl"))
+      // lazy checkpoint: the convergence aggregate below materializes it,
+      // so each iteration is ONE job (checkpoint + sum together) while
+      // still truncating the growing lineage for the next round
       val next = labels.union(viaNeighbors)
         .groupBy("u").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = true) // truncate the growing lineage
+        .localCheckpoint(eager = false)
       val s = next.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
       labels = next
       converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
