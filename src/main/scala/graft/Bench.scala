@@ -33,6 +33,9 @@ object Bench {
         Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
       .selectExpr("count(distinct h)", "max(rn)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // collect the previous query's garbage before timing, so one
+      // query's allocation debt doesn't land in the next one's wall time
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
