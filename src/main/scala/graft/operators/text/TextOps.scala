@@ -259,6 +259,74 @@ object PiiRedactor {
   val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 }
 
+/** Training-sequence packing (GPT-style concatenate-then-cut): documents
+  * are laid out end-to-end in doc-id order and cut into fixed-token-
+  * budget sequences; each doc learns which sequence it starts in and at
+  * what offset.
+  *
+  * A bare global window (`orderBy` with no `partitionBy`) would pull
+  * the whole table into ONE partition — the classic cumulative-sum
+  * trap. The scalable shape is the two-phase scan: range-partition by
+  * id, per-partition running sums (parallel windows), then add each
+  * partition's prefix offset — a table of #partitions rows, the only
+  * driver-visible data. The result is independent of where the range
+  * boundaries land, so sampling nondeterminism in the partitioner
+  * cannot change the output. */
+case class SequencePacker(budget: Int = 2048,
+    textCol: String = "text", idCol: String = "doc_id") {
+  import graft.functions.TextFns.wsTokenCount
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .select(col(idCol), wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = parted.withColumn("__cum_local", sum("n_tokens").over(wp))
+      .localCheckpoint(eager = false) // totals + final pass read it once each
+    // prefix offsets: one row per partition — tiny, safe to collect
+    val totals = local.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = totals.scanLeft(0L)(_ + _._2).dropRight(1)
+    val offsets = totals.map(_._1).zip(prefix).toMap
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    local.withColumn("cum_tokens", col("__cum_local") + offsetCol)
+      .withColumn("seq_id", floor((col("cum_tokens") - col("n_tokens")) / budget))
+      .withColumn("seq_offset", (col("cum_tokens") - col("n_tokens")) % budget)
+      .select(idCol, "n_tokens", "cum_tokens", "seq_id", "seq_offset")
+  }
+}
+
+/** Long-document chunking: split into `maxTokens`-token windows with
+  * `overlap` tokens of context carried between consecutive chunks (the
+  * standard RAG/long-context preprocessing step). Pure explode of a
+  * per-row offset sequence — map-only, no shuffle. */
+case class DocumentChunker(maxTokens: Int = 64, overlap: Int = 8,
+    textCol: String = "text", idCol: String = "doc_id") {
+  require(overlap < maxTokens, "overlap must be < maxTokens")
+  import graft.functions.TextFns.{normalizeText, wsTokens}
+
+  def apply(df: DataFrame): DataFrame = {
+    val stride = maxTokens - overlap
+    df.select(col(idCol), wsTokens(normalizeText(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("__toks")) - maxTokens).cast("double") / stride), lit(0))
+            .cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_id") * stride, lit(maxTokens))
+          .cast("long").as("chunk_tokens"))
+  }
+}
+
 /** TF-IDF scoring over whitespace tokens of normalized text.
   *
   * Scale shape: term frequencies come from one exploded-token groupBy

@@ -52,6 +52,19 @@ object TextQueries {
       TokenCounter()(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
     }),
 
+    // GPT-style sequence packing: concatenate in doc_id order, cut at a
+    // fixed token budget
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      SequencePacker(budget = 2048)(docs)
+    }),
+
+    // long-doc chunking with overlap (RAG/long-context preprocessing)
+    "chunk_documents" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DocumentChunker(maxTokens = 64, overlap = 8)(docs)
+    }),
+
     "tfidf_top_terms" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       TfIdf().topTerms(docs, k = 3)
@@ -303,6 +316,35 @@ object TextQueries {
       s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($wsToksSql) END AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM n)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+         |  (cum_tokens - n_tokens) % 2048 AS seq_offset
+         |FROM c""".stripMargin,
+
+    "chunk_documents" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |c AS (
+         |  SELECT doc_id, ws, unnest(range(0,
+         |    GREATEST(CAST(ceil((len(ws) - 64) / 56.0) AS BIGINT), 0) + 1)) AS chunk_id
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  array_to_string(list_slice(ws, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ') AS chunk_text,
+         |  CAST(LEAST(len(ws) - chunk_id * 56, 64) AS BIGINT) AS chunk_tokens
+         |FROM c""".stripMargin,
 
     "tfidf_top_terms" ->
       s"""WITH d AS (

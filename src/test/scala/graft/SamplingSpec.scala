@@ -28,6 +28,33 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("sequence packer: global cumsum correct across partitions, no single-partition window") {
+    val docs = (1L to 200L).map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val packed = graft.operators.text.SequencePacker(budget = 10)(docs.repartition(8))
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    for (r <- packed) {
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("seq_id") == cum / 10, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("seq_offset") == cum % 10)
+      cum += n
+      assert(r.getAs[Long]("cum_tokens") == cum)
+    }
+  }
+
+  test("document chunker: overlap windows cover every token") {
+    val docs = Seq((1L, (1 to 150).map("t" + _).mkString(" ")), (2L, "short doc"))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.text.DocumentChunker(maxTokens = 64, overlap = 8)(docs)
+      .as[(Long, Int, String, Long)].collect().groupBy(_._1)
+    assert(chunks(2L).length == 1 && chunks(2L).head._3 == "short doc")
+    val c1 = chunks(1L).sortBy(_._2)
+    assert(c1.length == 3) // 150 tokens, stride 56: chunks at 0,56,112
+    assert(c1(0)._3.startsWith("t1 ") && c1(1)._3.startsWith("t57 ") && c1(2)._3.startsWith("t113 "))
+    assert(c1(2)._4 == 38) // 150 - 112
+  }
+
   test("pii redactor masks and counts each kind") {
     val df = Seq((1L, "mail me at a.b@x.io or 555-123-4567; ssn 123-45-6789 host 192.168.0.1"))
       .toDF("doc_id", "text")
