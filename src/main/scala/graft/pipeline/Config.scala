@@ -118,6 +118,15 @@ object OperatorRegistry {
     "image_visual_degradations_refiner" -> (p => RefineOp("image_visual_degradations_refiner",
       VisualDegradations(str(p, "image_field", "image"))(_))),
 
+    // real-codec variants (JDK javax.imageio; for columns holding actual
+    // PNG/JPEG/BMP bytes rather than the synthetic stand-ins)
+    "image_real_metadata_refiner" -> (p => RefineOp("image_real_metadata_refiner",
+      ImageKernels.withRealMetadata(_, str(p, "image_field", "image")))),
+
+    "image_real_phash_deduplicator" -> (p => DedupOp("image_real_phash_deduplicator",
+      _ => ImageKernels.realPhash(col(str(p, "image_field", "image"))),
+      str(p, "id_field", "doc_id"))),
+
     "image_aesthetic_quality_refiner" -> (p => RefineOp("image_aesthetic_quality_refiner",
       AestheticAigc(str(p, "image_field", "image"),
         dbl(p, "aigc_threshold", 0.5))(_))),
