@@ -1,0 +1,91 @@
+package graft.operators.image
+
+import javax.sound.sampled.AudioSystem
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** REAL audio kernels on the JDK's built-in WAV/AIFF/AU support
+  * (javax.sound.sampled — zero external dependency), completing the
+  * multimodal binary-column triad next to [[ImageKernels]] and
+  * [[VideoOps]]. Same execution shape: per-record JVM kernels over a
+  * binary column, where decode cost dominates the UDF bridge. */
+object AudioKernels extends Serializable {
+
+  /** (sample_rate_hz, channels, bits_per_sample, n_frames) from the
+    * container header. */
+  def info(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          Some((f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, in.getFrameLength))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** Duration in seconds from the header. */
+  def durationSec(bytes: Array[Byte]): Option[Double] =
+    info(bytes).collect { case (rate, _, _, frames) if rate > 0 && frames >= 0 =>
+      frames.toDouble / rate
+    }
+
+  /** RMS amplitude of the decoded PCM samples, normalized to [0,1] —
+    * the basic audio-quality / silence-detection feature. Supports the
+    * 8/16-bit PCM the JDK decodes. */
+  def rms(bytes: Array[Byte]): Option[Double] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val data = in.readAllBytes()
+          val bits = f.getSampleSizeInBits
+          if (bits != 8 && bits != 16) None
+          else {
+            var sumSq = 0.0
+            var n = 0
+            if (bits == 8) {
+              var i = 0
+              while (i < data.length) {
+                val v = (data(i) & 0xff) - 128
+                sumSq += (v / 128.0) * (v / 128.0); n += 1; i += 1
+              }
+            } else {
+              val le = !f.isBigEndian
+              var i = 0
+              while (i + 1 < data.length) {
+                val v =
+                  if (le) ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  else ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                sumSq += (v / 32768.0) * (v / 32768.0); n += 1; i += 2
+              }
+            }
+            if (n == 0) None else Some(math.sqrt(sumSq / n))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  // ---- Column API ----
+  private val infoUdf = udf((b: Array[Byte]) => info(b))
+  private val durUdf = udf((b: Array[Byte]) => durationSec(b))
+  private val rmsUdf = udf((b: Array[Byte]) => rms(b))
+
+  def audioInfo(audio: Column): Column = infoUdf(audio)
+  def audioDuration(audio: Column): Column = durUdf(audio)
+  def audioRms(audio: Column): Column = rmsUdf(audio)
+
+  /** Metadata refiner: sample_rate, channels, bits, n_frames, duration_s,
+    * rms — null fields for undecodable bytes. */
+  def withAudioMetadata(df: DataFrame, audioCol: String = "audio"): DataFrame =
+    df.withColumn("__a", audioInfo(col(audioCol)))
+      .withColumn("sample_rate", col("__a._1"))
+      .withColumn("channels", col("__a._2"))
+      .withColumn("bits_per_sample", col("__a._3"))
+      .withColumn("n_frames", col("__a._4"))
+      .drop("__a")
+      .withColumn("duration_s", audioDuration(col(audioCol)))
+      .withColumn("rms", audioRms(col(audioCol)))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.image.AudioKernels
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+class AudioKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory 16-bit mono PCM WAV of a sine at `amp` ∈ [0,1]. */
+  private def sineWav(seconds: Double, hz: Double, amp: Double,
+      rate: Float = 8000f): Array[Byte] = {
+    val n = (seconds * rate).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("wav header: rate/channels/bits/frames/duration") {
+    val wav = sineWav(0.5, 440, 0.8)
+    assert(AudioKernels.info(wav) === Some((8000, 1, 16, 4000L)))
+    assert(math.abs(AudioKernels.durationSec(wav).get - 0.5) < 1e-9)
+    assert(AudioKernels.info("not audio".getBytes) === None)
+  }
+
+  test("rms: sine ~ amp/sqrt(2), silence ~ 0") {
+    val loud = AudioKernels.rms(sineWav(0.25, 440, 0.8)).get
+    val quiet = AudioKernels.rms(sineWav(0.25, 440, 0.0)).get
+    assert(math.abs(loud - 0.8 / math.sqrt(2)) < 0.01)
+    assert(quiet < 1e-3)
+  }
+
+  test("audio metadata refiner runs distributed over a binary column") {
+    val df = Seq((1L, sineWav(0.25, 440, 0.5)), (2L, Array.emptyByteArray))
+      .toDF("doc_id", "audio")
+    val rows = AudioKernels.withAudioMetadata(df)
+      .select("doc_id", "sample_rate", "duration_s")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(rows(1L) === ((Some(8000), Some(0.25))))
+    assert(rows(2L) === ((None, None)))
+  }
+}
