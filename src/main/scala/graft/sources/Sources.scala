@@ -96,6 +96,64 @@ object Sinks {
       .write.mode("overwrite").option("compression", compression).parquet(path)
   }
 
+  /** Upsert (MERGE) into a plain parquet directory: rows in `updates`
+    * replace existing rows with the same key, everything else is kept —
+    * the poor man's Delta/Iceberg merge for environments without a
+    * table-format runtime. One anti join + union + atomic
+    * rewrite-and-swap; at scale, partition the table and merge only the
+    * touched partitions. */
+  def upsert(updates: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val spark = updates.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val merged =
+      if (!exists) updates
+      else spark.read.parquet(path)
+        .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(updates)
+    val tmp = path.stripSuffix("/") + "__upsert_tmp"
+    merged.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    if (exists) fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Z-value (Morton code) of up to three numeric columns, each mapped
+    * to `bitsPerDim` bits of its [lo, hi] range and bit-interleaved.
+    * `df.repartitionByRange(zvalue).sortWithinPartitions(zvalue)` gives
+    * the multi-dimensional clustering that makes BOTH dimensions' range
+    * predicates prune files (single-dim sorting only helps one). Pure
+    * integer Column arithmetic — codegen'd, no UDF. */
+  def zvalue(cols: Seq[(org.apache.spark.sql.Column, Double, Double)],
+      bitsPerDim: Int = 16): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size <= 3 && bitsPerDim * cols.size <= 62)
+    val nDims = cols.size
+    val quantized = cols.map { case (c, lo, hi) =>
+      val scaled = (c.cast("double") - lo) / (hi - lo) * ((1 << bitsPerDim) - 1)
+      least(greatest(round(scaled, 0).cast("long"), lit(0L)),
+        lit((1L << bitsPerDim) - 1))
+    }
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, bit) =>
+      quantized.zipWithIndex.foldLeft(acc) { case (a, (q, d)) =>
+        a.bitwiseOR(shiftleft(shiftright(q, bit).bitwiseAND(1), bit * nDims + d))
+      }
+    }
+  }
+
+  /** Write `df` z-ordered on the given (column, lo, hi) dims. */
+  def parquetZOrdered(df: DataFrame, path: String,
+      dims: Seq[(String, Double, Double)], numFiles: Int = 0,
+      compression: String = "zstd"): Unit = {
+    val z = zvalue(dims.map { case (n, lo, hi) => (col(n), lo, hi) })
+    val withZ = df.withColumn("__z", z)
+    val ranged =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions("__z").drop("__z")
+      .write.mode("overwrite").option("compression", compression).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet dir into ~`targetFileMB`
     * files (AQE-style sizing from the actual on-disk bytes). The
     * standard maintenance pass after streaming/incremental writes; a

@@ -77,6 +77,36 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/frag").count() == 1000)
   }
 
+  test("upsert replaces keyed rows and keeps the rest; creates when absent") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    Sinks.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, Seq("id"))
+    Sinks.upsert(Seq((2L, "B!"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B!"), (3L, "c")))
+  }
+
+  test("z-ordered layout clusters both dimensions") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_z").toString + "/t"
+    val df = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
+    Sinks.parquetZOrdered(df.repartition(8), dir,
+      Seq(("x", 0.0, 31.0), ("y", 0.0, 31.0)), numFiles = 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // each file's bounding box should cover ~1/4 of the plane, not a
+    // full-width stripe: with z-order both spans shrink
+    val spans = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath).as[(Int, Int)].collect()
+      val xs = rows.map(_._1); val ys = rows.map(_._2)
+      (xs.max - xs.min, ys.max - ys.min)
+    }
+    assert(spans.forall { case (sx, sy) => sx <= 20 && sy <= 20 },
+      spans.mkString(","))
+  }
+
   test("orc roundtrip") {
     val sq = spark
     import sq.implicits._
