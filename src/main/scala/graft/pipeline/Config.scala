@@ -99,6 +99,12 @@ object OperatorRegistry {
     "quality_classifier" -> (p => RefineOp("quality_classifier",
       QualityClassifier(str(p, "text_field", "text"))(_))),
 
+    // test-corpus helper: derives an opaque binary column from a string
+    // column (the synthetic tables ship no real image bytes)
+    "synthetic_image_column" -> (p => RefineOp("synthetic_image_column",
+      df => df.withColumn(str(p, "image_field", "image"),
+        col(str(p, "text_field", "text")).cast("binary")))),
+
     "image_metadata_refiner" -> (p => RefineOp("image_metadata_refiner",
       ImageMetadata(str(p, "image_field", "image"))(_))),
 
@@ -222,7 +228,8 @@ object PipelineConfig {
 
     val writer: Option[DataFrame => Unit] = section("data_writer").map {
       case (tpe, p) =>
-        val path = p.getOrElse("path", "").toString
+        // the reference's writer configs use `output_path`
+        val path = p.getOrElse("path", p.getOrElse("output_path", "")).toString
         val partitionBy = p.get("partition_by") match {
           case Some(l: Seq[_]) => l.map(_.toString)
           case _ => Nil

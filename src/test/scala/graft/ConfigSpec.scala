@@ -89,6 +89,18 @@ class ConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 1)
   }
 
+  test("every shipped example config parses, builds, and runs end to end") {
+    val dir = new java.io.File("configs")
+    val files = dir.listFiles().filter(_.getName.endsWith(".yaml"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val job = PipelineConfig.parseJob(
+        java.nio.file.Files.readString(f.toPath))
+      assert(job.loader.nonEmpty && job.writer.nonEmpty, f.getName)
+      assert(job.run(spark).count() >= 0, f.getName)
+    }
+  }
+
   test("image operator chain from config") {
     val yaml =
       """operators:
