@@ -34,4 +34,26 @@ case class HashSampler(idCol: String = "doc_id", buckets: Int = 100,
       when(bucket < trainBuckets, "train")
         .when(bucket < trainBuckets + valBuckets, "val")
         .otherwise("test"))
+
+  /** Stratified sampling: per-class keep fractions (in buckets out of
+    * `buckets`), e.g. Map("en" -> 50, "*" -> 10). Still a pure filter —
+    * the standard way to rebalance language/domain mixes. */
+  def sampleStratified(df: DataFrame, classCol: String,
+      keepBuckets: Map[String, Int], defaultKeep: Int = 0): DataFrame = {
+    val limit = keepBuckets.foldLeft(lit(defaultKeep)) { case (acc, (k, v)) =>
+      when(col(classCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < limit)
+  }
+
+  /** Deterministic k-per-group sample: rank group members by a salted
+    * md5 of the id (a fixed "random" order reproducible anywhere) and
+    * keep the first k — the distributed, rerun-stable stand-in for
+    * per-group reservoir sampling. */
+  def samplePerGroup(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
 }

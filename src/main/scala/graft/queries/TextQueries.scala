@@ -107,6 +107,20 @@ object TextQueries {
         .select("doc_id", "is_contaminated")
     }),
 
+    // stratified rebalance: 50% of en, 10% of everything else
+    "sample_stratified" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      HashSampler().sampleStratified(docs, "lang", Map("en" -> 50), defaultKeep = 10)
+        .select("doc_id", "lang")
+    }),
+
+    // deterministic 3-per-language sample (hash-ranked reservoir)
+    "sample_per_group" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      HashSampler().samplePerGroup(docs, "lang", k = 3)
+        .select("doc_id", "lang")
+    }),
+
     // deterministic hash split: same doc → same split on any run/cluster
     "hash_sample_split" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -423,6 +437,22 @@ object TextQueries {
          |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
     },
+
+    "sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 10 END""".stripMargin,
+
+    "sample_per_group" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 3""".stripMargin,
 
     "hash_sample_split" ->
       """WITH b AS (
