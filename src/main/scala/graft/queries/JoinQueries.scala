@@ -65,6 +65,42 @@ object JoinQueries {
           .cast("double").as("revenue"), count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20
+    "q10_returned_items" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val cust = Tables.load(s, dir, "customer")
+      val nation = broadcast(Tables.load(s, dir, "nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(15,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(9,4)")), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders (HAVING over a grouped fact,
+    // semi-joined back to the enriched rows)
+    "q18_large_orders" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val big = li.groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity").cast("decimal(15,4)")), 2)
+          .cast("double").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    }),
+
     // TPC-H Q14 shape: conditional aggregation over a fact-dim join
     // (promo revenue share); decimal sums → order-proof ratio
     "q14_promo_share" -> ((s, dir) => {
@@ -162,6 +198,32 @@ object JoinQueries {
         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND sn.n_name < cn.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(15,4)) *
+        |    CAST(1.0 - l.l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, t.total_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) > 150) t
+        |JOIN orders o ON o.o_orderkey = t.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     "q14_promo_share" ->
       """SELECT round(100.0 *
