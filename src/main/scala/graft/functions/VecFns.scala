@@ -49,19 +49,4 @@ object VecFns {
       when(n === 0.0, d(a)).otherwise(transform(d(a), x => x / n))
     }
 
-  /** Random-hyperplane LSH signature: the sign pattern of `a · h_i` for
-    * `nbits` deterministic pseudo-random hyperplanes derived from `seed`.
-    * Collisions preserve cosine similarity (Charikar 2002 SimHash for
-    * vectors). Returns a compact bit-string usable as an equi-join key —
-    * the scale path for ANN: bucket join instead of cross join.
-    */
-  def hyperplaneSignature(a: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.map { p =>
-      val plane = array(p.map(lit(_)).toIndexedSeq: _*)
-      when(dot(a, plane) >= 0.0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits.toIndexedSeq: _*)
-  }
 }

@@ -374,7 +374,8 @@ case class NgramJaccard(
 case class EmbeddingNearDup(
     threshold: Double = 0.95,
     dim: Int = 64,
-    planeBits: Int = 8,
+    bands: Int = 8,
+    bitsPerBand: Int = 4,
     idCol: String = "vec_id",
     vecCol: String = "embedding") {
 
@@ -387,17 +388,33 @@ case class EmbeddingNearDup(
       .select("id_a", "id_b", "cos")
   }
 
+  /** Scale path: banded random-hyperplane LSH (Charikar 2002 signs,
+    * MinHash-style band OR-ing for recall). `bands × bitsPerBand` sign
+    * bits from [[graft.operators.vector.DeterministicPlanes]] — the same
+    * md5-derived dyadic-rational planes as [[graft.operators.vector.LshAnn]],
+    * so a SQL oracle rebuilds the buckets bit-identically. Candidate
+    * generation is a hash-partitioned equi-join on (band, digest); pairs
+    * are DISTINCT'd while still narrow (two longs), and the wide vector
+    * payload is back-joined only for surviving candidates — at 100 TB
+    * the embedding column never rides through the banded explosion. */
   def lshPairs(df: DataFrame): DataFrame = {
-    val sig = df.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), dim, planeBits).as("bucket"))
-    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
-    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val sigExpr = graft.operators.vector
+      .LshAnn(dim, bands * bitsPerBand, idCol, vecCol).signature(col(vecCol))
+    val banded = df.select(col(idCol), sigExpr.as("sig"))
+      .select(col(idCol), posexplode(array((0 until bands).map(b =>
+        substring(col("sig"), b * bitsPerBand + 1, bitsPerBand)): _*)))
+      .toDF(idCol, "band", "digest")
+    val a = banded.select(col("band"), col("digest"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("digest"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "digest"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct()
   }
 
   def apply(df: DataFrame): DataFrame = {

@@ -41,8 +41,10 @@ object VectorQueries {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
+      // Scale path: LSH bucket join (no nested loop). exactPairs is the
+      // spec-only exactness baseline (DedupSpec).
       val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
-      EmbeddingNearDup(threshold = 0.35).exactPairs(emb)
+      EmbeddingNearDup(threshold = 0.35).lshPairs(emb)
     })
   )
 
@@ -125,10 +127,27 @@ object VectorQueries {
         |  FROM embeddings v, cent)
         |SELECT vec_id, centroid_id, dist FROM d WHERE rn = 1""".stripMargin,
 
-    "dedup_embedding" ->
-      s"""SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosSql AS cos
-         |FROM embeddings q, embeddings c
-         |WHERE q.vec_id < 300 AND c.vec_id < 300 AND q.vec_id < c.vec_id
-         |  AND $cosSql >= 0.35""".stripMargin
+    "dedup_embedding" -> {
+      // 8 bands × 4 sign bits = 32 deterministic planes; identical band
+      // slicing to EmbeddingNearDup.lshPairs.
+      val sig = (0 until 32).map(i =>
+        s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(i)}) >= 0.0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $sig AS sig
+         |  FROM embeddings WHERE vec_id < 300),
+         |banded AS (
+         |  SELECT vec_id, band, substring(sig, band * 4 + 1, 4) AS digest
+         |  FROM b, (SELECT unnest(range(8)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.digest = y.digest
+         |  WHERE x.vec_id < y.vec_id),
+         |p AS (
+         |  SELECT cand.id_a, cand.id_b, $cosSql AS cos
+         |  FROM cand JOIN b q ON cand.id_a = q.vec_id
+         |            JOIN b c ON cand.id_b = c.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin
+    }
   )
 }

@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
       (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
       (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val nd = EmbeddingNearDup(threshold = 0.99, dim = 4, planeBits = 2)
+    val nd = EmbeddingNearDup(threshold = 0.99, dim = 4, bands = 2, bitsPerBand = 2)
     val exact = nd.exactPairs(vecs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact == Set((1L, 2L)))
     val lsh = nd.lshPairs(vecs).select("id_a", "id_b").as[(Long, Long)].collect().toSet

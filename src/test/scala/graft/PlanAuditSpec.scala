@@ -26,6 +26,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("tfidf_top_terms").contains("WindowGroupLimit"))
   }
 
+  test("dedup_embedding candidates come from a bucket equi-join") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("digest")) // equi-join key is the (band, digest) LSH slice
+  }
+
   test("map-only operators have zero exchanges") {
     for (q <- Seq("image_entropy", "hash_sample_split", "pii_redact",
         "line_dedup", "url_canonicalize", "token_count"))
@@ -36,12 +42,11 @@ class PlanAuditSpec extends SparkSpec {
     // allowed nested loops, each deliberate:
     // - kmeans_assign / ann_ivf: 1-row broadcast attach of the centroid
     //   array (not a pairwise scan)
-    // - knn_bruteforce / dedup_embedding: the EXACTNESS BASELINES — all
-    //   pairs by definition, run on broadcast-small / capped subsets;
-    //   the scale paths are ann_lsh / ann_ivf / EmbeddingNearDup.lshPairs
+    // - knn_bruteforce: the EXACTNESS BASELINE — all pairs by
+    //   definition, query side broadcast; scale paths are ann_lsh/ann_ivf
     // - perplexity: 1-row broadcast attach of the corpus token total
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
-      "dedup_embedding", "perplexity")
+      "perplexity")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
