@@ -20,6 +20,34 @@ object BatchInference {
 
   type Kernel = Seq[Array[Byte]] => Seq[Array[Float]]
 
+  /** Model-score kernel: one double score vector per payload (double so
+    * downstream rounding matches a SQL oracle bit-for-bit). */
+  type ScoreKernel = Seq[Array[Byte]] => Seq[Array[Double]]
+
+  /** Run a score kernel over (id, payload) rows in batches, producing
+    * one named double column per head. Same batched mapPartitions shape
+    * as [[embed]] — this is the slot the trained
+    * [[graft.operators.ml.DegradationModel]] runs through. */
+  def score(df: DataFrame, kernel: ScoreKernel, heads: Seq[String],
+      batchSize: Int = 64, idCol: String = "doc_id",
+      imageCol: String = "image"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(imageCol)).as[(Long, Array[Byte])]
+    val scored = in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val out = kernel(batch.map(_._2))
+        require(out.length == batch.length,
+          s"kernel returned ${out.length} results for ${batch.length} inputs")
+        batch.map(_._1).zip(out)
+      }
+    }.toDF(idCol, "__scores")
+    heads.zipWithIndex.foldLeft(scored) { case (d, (name, i)) =>
+      d.withColumn(name, col("__scores")(i))
+    }.drop("__scores")
+  }
+
   /** Deterministic stub standing in for a model forward pass: 8-dim
     * pseudo-embedding from the md5 of the payload (matches
     * [[ClipEmbeddingStub]] semantics). */

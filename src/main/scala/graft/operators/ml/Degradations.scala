@@ -1,0 +1,246 @@
+package graft.operators.ml
+
+import java.awt.image.BufferedImage
+import graft.operators.image.BatchInference
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained visual-degradation scoring — the real-model replacement for
+  * the md5 stub in [[graft.operators.image.VisualDegradations]]
+  * (reference: operators/refiners/image_visual_degradations.py, a
+  * multi-head NN over decoded pixels; models/image_quality_assessment
+  * trains it).
+  *
+  * Zero-egress forbids downloading the reference checkpoint, so the
+  * model here is trained IN-REPO by [[DegradationTrainer]]: real BMP
+  * images are rendered in-memory (textured clean / box-blurred /
+  * salt-and-pepper-noised via java.awt), real histogram features are
+  * extracted, and MLlib LogisticRegression fits one head per
+  * degradation. The fitted coefficients are frozen below (provenance:
+  * `DegradationTrainer.main`, re-validated every build by
+  * DegradationModelSpec which requires ≥90% held-out accuracy), and
+  * inference runs through [[BatchInference.score]] — the same batched
+  * mapPartitions slot a GPU model would occupy.
+  */
+object DegradationFeatures {
+
+  val dim = 4
+
+  /** [shannon entropy (bits) of the 256-bin histogram, log1p(count),
+    * max-bin concentration, mean adjacent |Δvalue| / 255]. The gradient
+    * term is what separates blur (low) from noise (high) — entropy alone
+    * puts blur in a middle band no linear head can isolate. */
+  def assemble(hist: Array[Long], total: Long,
+      gradSum: Long, gradCount: Long): Array[Double] = {
+    if (total == 0L) return Array(0.0, 0.0, 0.0, 0.0)
+    var ent = 0.0
+    var maxBin = 0L
+    var i = 0
+    while (i < 256) {
+      val c = hist(i)
+      if (c > 0) {
+        val p = c.toDouble / total
+        ent -= p * (math.log(p) / math.log(2.0))
+      }
+      if (c > maxBin) maxBin = c
+      i += 1
+    }
+    val grad = if (gradCount == 0L) 0.0 else gradSum.toDouble / (gradCount * 255.0)
+    Array(ent, math.log1p(total.toDouble), maxBin.toDouble / total, grad)
+  }
+
+  /** Raw-byte features — the fallback for payloads no codec can decode
+    * (and the path a SQL oracle reproduces exactly): byte histogram plus
+    * consecutive-byte gradient. */
+  def fromBytes(bytes: Array[Byte]): Array[Double] = {
+    if (bytes == null || bytes.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
+    val hist = new Array[Long](256)
+    var gradSum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      hist(v) += 1
+      if (i > 0) gradSum += math.abs(v - (bytes(i - 1) & 0xff))
+      i += 1
+    }
+    assemble(hist, bytes.length.toLong, gradSum, (bytes.length - 1).toLong)
+  }
+
+  /** Decoded-pixel features (the real-image path, same Rec.601 luma as
+    * ImageKernels.pixelEntropy): luminance histogram + horizontal
+    * within-row luminance gradient. */
+  def fromImage(img: BufferedImage): Array[Double] = {
+    val hist = new Array[Long](256)
+    val w = img.getWidth
+    val h = img.getHeight
+    var gradSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = -1
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum) += 1
+        if (prev >= 0) gradSum += math.abs(lum - prev)
+        prev = lum
+        x += 1
+      }
+      y += 1
+    }
+    assemble(hist, w.toLong * h, gradSum, (w - 1).toLong * h)
+  }
+
+  /** Decode-preferring extraction: luminance histogram when the payload
+    * is a decodable image, raw-byte histogram otherwise. */
+  def fromAny(bytes: Array[Byte]): Array[Double] =
+    if (bytes == null || bytes.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
+    else {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img.map(fromImage).getOrElse(fromBytes(bytes))
+    }
+}
+
+/** One logistic head: σ(w·f + b). */
+case class LinearHead(name: String, weights: Array[Double], bias: Double) {
+  require(weights.length == DegradationFeatures.dim)
+  def score(f: Array[Double]): Double = {
+    var z = bias
+    var i = 0
+    while (i < weights.length) { z += weights(i) * f(i); i += 1 }
+    1.0 / (1.0 + math.exp(-z))
+  }
+}
+
+object DegradationModel {
+
+  /** Coefficients fitted by [[DegradationTrainer]] on 360 rendered
+    * images (MLlib LogisticRegression, regParam 0.01); frozen so the
+    * scoring query and its SQL oracle share exact literals.
+    * DegradationModelSpec refuses any build where these stop separating
+    * a freshly rendered corpus. */
+  val blur: LinearHead = LinearHead("blur",
+    Array(3.968314738099, 0.000000000000, 87.068250739264, -65.810381762838),
+    -24.345681871329)
+  val noise: LinearHead = LinearHead("noise",
+    Array(3.334949272463, 0.000000000000, -87.257819573567, 35.358368249793),
+    -19.221955574168)
+
+  val headNames: Seq[String] = Seq("vd_blur", "vd_noise", "vd_overall_quality")
+
+  /** Batched inference kernel: features → two trained heads + the
+    * composite quality score (1 − mean degradation). */
+  val kernel: BatchInference.ScoreKernel = { batch =>
+    batch.map { bytes =>
+      val f = DegradationFeatures.fromAny(bytes)
+      val b = blur.score(f)
+      val n = noise.score(f)
+      Array(b, n, 1.0 - (b + n) / 2.0)
+    }
+  }
+
+  /** Score a binary column through the batch-inference slot. */
+  def apply(df: DataFrame, idCol: String = "doc_id",
+      imageCol: String = "image"): DataFrame =
+    BatchInference.score(df, kernel, headNames, idCol = idCol, imageCol = imageCol)
+}
+
+/** In-repo training: renders a labeled corpus of real images and fits
+  * the logistic heads with MLlib. Deterministic end to end (seeded RNG,
+  * fixed raster ops), so the frozen coefficients are reproducible. */
+object DegradationTrainer {
+
+  import java.awt.image.{ConvolveOp, Kernel => AwtKernel}
+
+  val Clean = 0; val Blurred = 1; val Noisy = 2
+
+  /** Textured base image: gradient background + seeded random shapes.
+    * Texture matters — blur must have high-frequency content to remove. */
+  def renderClean(rnd: scala.util.Random, w: Int = 64, h: Int = 64): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    for (y <- 0 until h) {
+      g.setColor(new java.awt.Color(4 * y % 256, (255 - 2 * y) % 256, (64 + 3 * y) % 256))
+      g.drawLine(0, y, w, y)
+    }
+    for (_ <- 0 until 40) {
+      g.setColor(new java.awt.Color(rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val (x, y) = (rnd.nextInt(w), rnd.nextInt(h))
+      if (rnd.nextBoolean()) g.fillRect(x, y, 1 + rnd.nextInt(8), 1 + rnd.nextInt(8))
+      else g.drawLine(x, y, rnd.nextInt(w), rnd.nextInt(h))
+    }
+    g.dispose()
+    img
+  }
+
+  /** 5×5 box blur (ConvolveOp — deterministic raster math). */
+  def blurOf(img: BufferedImage): BufferedImage = {
+    val k = Array.fill(25)(1.0f / 25.0f)
+    val op = new ConvolveOp(new AwtKernel(5, 5, k), ConvolveOp.EDGE_NO_OP, null)
+    op.filter(img, null)
+  }
+
+  /** Salt-and-pepper: 30% of pixels replaced with random values. */
+  def noiseOf(img: BufferedImage, rnd: scala.util.Random): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = if (rnd.nextDouble() < 0.3) rnd.nextInt(0xffffff) else img.getRGB(x, y)
+      out.setRGB(x, y, p)
+    }
+    out
+  }
+
+  def toBmp(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** `n` images per class, labeled (bytes, class). */
+  def corpus(n: Int, seed: Long = 7L): Seq[(Array[Byte], Int)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).flatMap { _ =>
+      val base = renderClean(rnd)
+      Seq((toBmp(base), Clean), (toBmp(blurOf(base)), Blurred),
+        (toBmp(noiseOf(base, rnd)), Noisy))
+    }
+  }
+
+  /** Fit one head: positives = images of `positiveClass`, negatives =
+    * everything else. Returns the fitted LinearHead. */
+  def fitHead(spark: SparkSession, name: String,
+      data: Seq[(Array[Double], Int)], positiveClass: Int): LinearHead = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val rows = data.map { case (f, cls) =>
+      (Vectors.dense(f), if (cls == positiveClass) 1.0 else 0.0)
+    }
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val m = new LogisticRegression().setMaxIter(50).setRegParam(0.01).fit(df)
+    LinearHead(name, m.coefficients.toArray, m.intercept)
+  }
+
+  def train(spark: SparkSession, n: Int = 120, seed: Long = 7L):
+      (LinearHead, LinearHead) = {
+    val data = corpus(n, seed).map { case (b, c) =>
+      (DegradationFeatures.fromAny(b), c)
+    }
+    (fitHead(spark, "blur", data, Blurred), fitHead(spark, "noise", data, Noisy))
+  }
+
+  /** Prints fitted coefficients (source of the frozen literals above). */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("degradation-trainer")
+      .master("local[8]").config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false).getOrCreate()
+    val (b, n) = train(spark)
+    def fmt(h: LinearHead): String =
+      s"""LinearHead("${h.name}", Array(${h.weights.map(w => f"$w%.12f").mkString(", ")}), ${f"${h.bias}%.12f"})"""
+    println("FITTED " + fmt(b))
+    println("FITTED " + fmt(n))
+    spark.stop()
+  }
+}

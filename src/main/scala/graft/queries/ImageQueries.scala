@@ -67,6 +67,19 @@ object ImageQueries {
     "quality_classifier" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       QualityClassifier()(docs).select("doc_id", "clf_score", "clf_label")
+    }),
+
+    "visual_degradations_model" -> ((s, dir) => {
+      // TRAINED model (MLlib fit by DegradationTrainer, frozen weights)
+      // running through the BatchInference mapPartitions slot. Synthetic
+      // payloads are not decodable, so the kernel takes its raw-byte
+      // feature path — which the oracle reproduces exactly.
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      graft.operators.ml.DegradationModel(docs).select(
+        col("doc_id"),
+        round(col("vd_blur"), 6).as("vd_blur"),
+        round(col("vd_noise"), 6).as("vd_noise"),
+        round(col("vd_overall_quality"), 6).as("vd_overall_quality"))
     })
   )
 
@@ -157,6 +170,42 @@ object ImageQueries {
          |  round(CASE WHEN nrm = 0 THEN v[CAST(i AS INT)]
          |             ELSE v[CAST(i AS INT)] / nrm END, 6) AS v
          |FROM raw, range(1, 9) r(i)""".stripMargin
+    },
+
+    "visual_degradations_model" -> {
+      // Frozen DegradationModel literals (e0 forces DOUBLE, not DECIMAL).
+      // Features per doc over the raw payload: f0 entropy, f2 max-bin
+      // concentration, f3 mean adjacent |Δ| / 255 (f1 weight is 0).
+      val (bw0, bw2, bw3, bb) = ("3.968314738099e0", "87.068250739264e0",
+        "-65.810381762838e0", "-24.345681871329e0")
+      val (nw0, nw2, nw3, nb) = ("3.334949272463e0", "-87.257819573567e0",
+        "35.358368249793e0", "-19.221955574168e0")
+      s"""WITH chars AS (
+         |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |grad AS (
+         |  -- rows here are the len-1 adjacent diffs, so count(*) IS the
+         |  -- gradient denominator
+         |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
+         |  FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |        FROM chars)
+         |  WHERE pv IS NOT NULL GROUP BY doc_id),
+         |counts AS (SELECT doc_id, v, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
+         |feat AS (
+         |  SELECT counts.doc_id,
+         |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS ent,
+         |    CAST(max(n) AS DOUBLE) / max(total) AS mx
+         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+         |  GROUP BY counts.doc_id),
+         |z AS (
+         |  SELECT feat.doc_id,
+         |    1.0 / (1.0 + exp(-($bb + $bw0 * ent + $bw2 * mx + $bw3 * g))) AS b,
+         |    1.0 / (1.0 + exp(-($nb + $nw0 * ent + $nw2 * mx + $nw3 * g))) AS nn
+         |  FROM feat JOIN grad ON feat.doc_id = grad.doc_id)
+         |SELECT doc_id, round(b, 6) AS vd_blur, round(nn, 6) AS vd_noise,
+         |  round(1.0 - (b + nn) / 2.0, 6) AS vd_overall_quality
+         |FROM z""".stripMargin
     },
 
     "quality_classifier" -> {
