@@ -267,4 +267,16 @@ case class PipelineJob(
     writer.foreach(_(out))
     out
   }
+
+  /** Diagnostic run with per-operator metrics ([[Pipeline.profile]]):
+    * returns the result plus one [[StageMetrics]] per operator. The
+    * write (if configured) reuses the persisted final stage. */
+  def runProfiled(spark: SparkSession): (DataFrame, Seq[StageMetrics]) = {
+    val in = loader.getOrElse(throw new IllegalArgumentException(
+      "job config has no data_loader"))(spark)
+    val (out, metrics) = pipeline.profile(in)
+    writer.foreach(_(out))
+    out.unpersist()
+    (out, metrics)
+  }
 }

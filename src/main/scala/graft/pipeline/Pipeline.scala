@@ -26,6 +26,13 @@ case class RefineOp(name: String, refine: DataFrame => DataFrame) extends Pipeli
 /** Keep-first dedup on a derived key (reference Deduplicator). */
 case class DedupOp(name: String, key: DataFrame => Column, idCol: String) extends PipelineOp
 
+/** Per-operator runtime metrics (reference framework/metrics: each
+  * stage reports rows in/out, pass-rate, wall time and records/sec). */
+case class StageMetrics(op: String, rowsIn: Long, rowsOut: Long, wallSec: Double) {
+  def passRate: Double = if (rowsIn > 0) rowsOut.toDouble / rowsIn else 0.0
+  def recPerSec: Double = if (wallSec > 0) rowsIn / wallSec else 0.0
+}
+
 case class Pipeline(ops: Seq[PipelineOp]) {
 
   /** Apply all ops; purely lazy, no instrumentation. */
@@ -59,6 +66,55 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     * DataFrame. */
   def funnelReport(obs: Seq[(String, Observation)]): Seq[(String, Long)] =
     obs.map { case (name, o) => name -> o.get("n").asInstanceOf[Long] }
+
+  /** Diagnostic per-operator profiling: each stage is persisted and
+    * timed as its own materialization — the reference's execution model
+    * (one actor-pool batch per stage), reproduced so per-op wall time
+    * and rec/s are measurable. Production runs should use [[observed]]
+    * instead: Catalyst fuses the whole pipeline into one pass, so per-op
+    * wall time *does not exist* there — which is the optimization. Use
+    * profile() on a sample to find the slow operator, then run fused.
+    * The returned frame is left persisted; caller unpersists. */
+  def profile(df: DataFrame): (DataFrame, Seq[StageMetrics]) = {
+    import org.apache.spark.storage.StorageLevel
+    var cur = df.persist(StorageLevel.MEMORY_AND_DISK)
+    var rows = cur.count()
+    val metrics = ops.map { op =>
+      val next = (op match {
+        case FilterOp(_, p) => cur.filter(p(cur))
+        case RefineOp(_, f) => f(cur)
+        case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val outRows = next.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      cur.unpersist()
+      val m = StageMetrics(op.name, rows, outRows, wall)
+      cur = next
+      rows = outRows
+      m
+    }
+    (cur, metrics)
+  }
+
+  /** Reference-style stage summary with per-op wall time + rec/s
+    * (scripts/generate_metrics_report.py, README "Performance"). */
+  def formatStageReport(metrics: Seq[StageMetrics]): String = {
+    val sb = new StringBuilder
+    sb.append("=" * 72).append('\n')
+    val input = metrics.headOption.map(_.rowsIn).getOrElse(0L)
+    val output = metrics.lastOption.map(_.rowsOut).getOrElse(0L)
+    val wall = metrics.map(_.wallSec).sum
+    val pct = if (input > 0) 100.0 * output / input else 0.0
+    sb.append(f"Input: $input%,d -> Output: $output%,d ($pct%.1f%% pass)  ")
+    sb.append(f"Total: $wall%.2fs  ${if (wall > 0) input / wall else 0.0}%,.0f rec/s%n")
+    sb.append(f"  ${"operator"}%-28s ${"rows_out"}%12s ${"pass"}%7s ${"wall_s"}%8s ${"rec/s"}%12s%n")
+    metrics.foreach { m =>
+      sb.append(f"  ${m.op}%-28s ${m.rowsOut}%,12d ${m.passRate * 100}%6.1f%% ${m.wallSec}%8.3f ${m.recPerSec}%,12.0f%n")
+    }
+    sb.append("=" * 72)
+    sb.toString
+  }
 
   /** Human-readable funnel in the reference's report style
     * (framework/metrics/reporter.py): per-op rows in → out + pass rate. */

@@ -71,6 +71,37 @@ class ConfigSpec extends SparkSpec {
     assert(written == Set(1L))
   }
 
+  test("profiled run reports per-operator rows, pass-rate, wall time, rec/s") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    Seq(
+      (1L, "a sufficiently long document to survive the length filter"),
+      (2L, "a sufficiently long document to survive the length filter"), // dup
+      (3L, "nope"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader: {type: ParquetLoader, params: {path: $dir/in}}
+         |operators:
+         |  - name: quality_scorer
+         |  - name: text_length_filter
+         |    params: {min_length: 10}
+         |  - name: text_exact_deduplicator
+         |data_writer: {type: ParquetDataWriter, params: {path: $dir/out}}
+         |""".stripMargin
+    val job = PipelineConfig.parseJob(yaml)
+    val (_, metrics) = job.runProfiled(spark)
+    assert(metrics.map(_.op) ==
+      Seq("quality_scorer", "text_length_filter", "text_exact_deduplicator"))
+    assert(metrics.map(m => (m.rowsIn, m.rowsOut)) == Seq((3L, 3L), (3L, 2L), (2L, 1L)))
+    assert(metrics.forall(_.wallSec > 0.0))
+    assert(metrics.forall(_.recPerSec > 0.0))
+    assert(metrics(1).passRate == 2.0 / 3.0)
+    // the write still happened off the profiled final stage
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+    val report = job.pipeline.formatStageReport(metrics)
+    assert(report.contains("rec/s") && report.contains("text_length_filter"))
+    assert(report.contains("Input: 3 -> Output: 1"))
+  }
+
   test("CLI main runs a YAML job file and writes output") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
     Seq((1L, "a long enough document that survives filtering easily"), (2L, "x"))
