@@ -361,6 +361,30 @@ case class NgramJaccard(
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The 100 TB recipe (registered, not just prose): [[MinHashLSH]]
+    * band buckets generate the candidate pairs — linear in docs, never
+    * all-pairs — and each candidate is verified with ONE exact jaccard
+    * (`array_intersect` on the two shingle sets). Output ⊆ [[pairs]];
+    * equality holds whenever LSH recall covers every pair ≥ threshold
+    * (tune numHashes/bands per Broder's S-curve). `lsh.shingleSize`
+    * should equal `n` so candidates and verification see the same
+    * shingle space. */
+  def minhashVerifiedPairs(df: DataFrame, lsh: MinHashLSH): DataFrame = {
+    val cand = lsh.candidatePairs(df)
+    val shArr = df.select(col(idCol),
+        array_sort(array_distinct(wordShingles(col(textCol), n))).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+    cand
+      .join(shArr.select(col(idCol).as("id_a"), col("sharr").as("sa")), "id_a")
+      .join(shArr.select(col(idCol).as("id_b"), col("sharr").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def apply(df: DataFrame): DataFrame = {
     val dups = pairs(df).select(col("id_b").as(idCol)).distinct()
     df.join(dups, Seq(idCol), "left_anti")

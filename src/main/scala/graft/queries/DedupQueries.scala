@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.dedup.{ConnectedComponents, MinHashLSH, SimHash}
+import graft.operators.dedup.{ConnectedComponents, MinHashLSH, NgramJaccard, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,13 @@ object DedupQueries {
     "dedup_components" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       ConnectedComponents(mh.candidatePairs(docs), docs.select("doc_id"))
+    }),
+
+    // the 100 TB jaccard recipe: MinHash candidates -> exact verify
+    // (linear candidate generation, one array_intersect per candidate)
+    "dedup_minhash_verified" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      NgramJaccard(n = 3, threshold = 0.5).minhashVerifiedPairs(docs, mh)
     })
   )
 
@@ -114,6 +121,27 @@ object DedupQueries {
          |  UNION
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_verified" ->
+      s"""WITH $mhSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |shd AS (
+         |  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shing),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c JOIN shd a ON a.doc_id = c.id_a
+         |              JOIN shd b ON b.doc_id = c.id_b AND a.s = b.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+         |           JOIN sizes sb ON inter.id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $shSigSql

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => p._1 == 1L && p._2 == 3L).exists(p => p._3 > 0.5 && p._3 < 1.0))
   }
 
+  test("minhashVerifiedPairs == direct jaccard pairs at τ=0.5 (sf0.001)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val nj = NgramJaccard(3, 0.5)
+    val direct = nj.pairs(docs)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val recipe = nj.minhashVerifiedPairs(docs, MinHashLSH(12, 4, 3))
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(recipe == direct) // full recall on the test corpus at τ=0.5
+  }
+
   test("EmbeddingNearDup lshPairs ≡ exactPairs on colliding vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
