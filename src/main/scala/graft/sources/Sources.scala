@@ -31,10 +31,24 @@ object Sources {
     spark.read.orc(path)
 
   /** WARC reader — the CommonCrawl path (reference
-    * loaders/commoncrawl_loader.py + Rust html extraction). Splits a
-    * WARC file on record boundaries using the text source's custom
-    * record delimiter (runs distributed, one split per HDFS block),
-    * parses WARC headers, and keeps response records.
+    * loaders/commoncrawl_loader.py + Rust html extraction). Splits the
+    * stream on record boundaries using the text source's custom record
+    * delimiter, parses WARC headers, and keeps all records.
+    *
+    * Works on both plain `.warc` (splittable — one task per HDFS
+    * block) and real CommonCrawl `.warc.gz`: Hadoop's gzip codec
+    * decompresses multi-member files (one gzip member per record,
+    * concatenated) as one stream, so the same delimiter split applies.
+    * A `.gz` file is one task — CommonCrawl ships crawls as tens of
+    * thousands of ~1 GB files, so at scale parallelism comes from the
+    * file count, not intra-file splits.
+    *
+    * The delimiter consumes the `WARC/1.0` version line of records
+    * 2..n but not of the file's first record, so a leading version
+    * line is stripped explicitly before header parsing; the
+    * record-final CRLF CRLF (spec: part of the record frame, not the
+    * content) is stripped from the last record where no following
+    * delimiter consumed it.
     *
     * Output: (warc_type, target_uri, content) — feed `content` to
     * [[graft.functions.TextFns.htmlExtractText]] for the RefinedWeb
@@ -42,15 +56,17 @@ object Sources {
     */
   def warc(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
-    val rec = col("value")
+    val rec = when(col("value").startsWith("WARC/1.0\r\n"),
+      expr("substring(value, 11)")).otherwise(col("value"))
     val header = substring_index(rec, "\r\n\r\n", 1)
     def h(name: String) =
       regexp_extract(header, "(?m)^" + name + ":\\s*(.*?)\\r?$", 1)
+    val body = rec.substr(locate("\r\n\r\n", rec) + 4, length(rec))
     df.select(
-        when(h("WARC-Type") === "", lit("warcinfo")).otherwise(h("WARC-Type")).as("warc_type"),
+        h("WARC-Type").as("warc_type"),
         h("WARC-Target-URI").as("target_uri"),
-        expr("substring(value, instr(value, '\r\n\r\n') + 4)").as("content"))
-      .filter(col("warc_type").isNotNull)
+        regexp_replace(body, "\r\n\r\n$", "").as("content"))
+      .filter(col("warc_type") =!= "")
   }
 
   /** WARC → extracted page text, RefinedWeb-style. */
@@ -115,8 +131,63 @@ object Sinks {
         .unionByName(updates)
     val tmp = path.stripSuffix("/") + "__upsert_tmp"
     merged.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    if (exists) fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    swapIn(fs, path, tmp)
+  }
+
+  /** Crash-safe-ish directory swap: live → `__old`, tmp → live, drop
+    * `__old`. A crash between the renames leaves either the old table
+    * intact or both `__old` and the new live dir — never a window with
+    * no table at all (the delete-then-rename it replaces had one). */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      livePath: String, tmpPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(livePath)
+    val tmp = new Path(tmpPath)
+    val old = new Path(livePath.stripSuffix("/") + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) {
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"rename $live -> $old failed")
+    }
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"rename $tmp -> $live failed")
+    fs.delete(old, true)
+  }
+
+  /** Partition-scoped upsert for Hive-layout tables: only the
+    * partitions present in `updates` are read, merged and swapped —
+    * untouched partitions are never rewritten (the merge cost scales
+    * with the update's partitions, not the table; this is the shape
+    * Iceberg/Delta MERGE takes with partition predicates). The set of
+    * touched partition values is collected to the driver — by contract
+    * a small list (e.g. the day keys of an incremental load). */
+  def upsertPartitioned(updates: DataFrame, path: String,
+      keyCols: Seq[String], partitionCol: String): Unit = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val spark = updates.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      parquet(updates, path, Seq(partitionCol)); return
+    }
+    val touched = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val existing = spark.read.option("basePath", path).parquet(path)
+      .filter(col(partitionCol).cast("string").isin(touched: _*))
+      // partition-dir type inference may widen; align to the update side
+      .withColumn(partitionCol,
+        col(partitionCol).cast(updates.schema(partitionCol).dataType))
+    val merged = existing
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+    val tmp = path.stripSuffix("/") + "__upsert_tmp"
+    merged.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy(partitionCol).parquet(tmp)
+    touched.foreach { v =>
+      val dir = s"$partitionCol=$v"
+      swapIn(fs, s"${path.stripSuffix("/")}/$dir", s"$tmp/$dir")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Z-value (Morton code) of up to three numeric columns, each mapped
@@ -166,8 +237,7 @@ object Sinks {
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     spark.read.parquet(path).coalesce(nFiles)
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    swapIn(fs, path, tmp)
   }
 
   /** Table-format sink. The Iceberg runtime jar is intentionally absent
@@ -181,7 +251,11 @@ object Sinks {
     parquet(df, s"$path/data", partitionBy)
     val manifest =
       s"""{"table":"$path","format":"parquet","partition_by":[${partitionBy.map("\"" + _ + "\"").mkString(",")}]}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/manifest.json").toAbsolutePath, manifest)
+    // through the Hadoop FS like the data files, so s3a://*/hdfs://
+    // table paths work identically to local ones
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 }

@@ -26,6 +26,38 @@ class SourcesSpec extends SparkSpec {
     assert(text == Seq(("http://a.example/", "Hello CommonCrawl & friends")))
   }
 
+  test("gzipped WARC: multi-member .warc.gz (one member per record) parses fully") {
+    val dir = Files.createTempDirectory("graft_warcgz")
+    def rec(i: Int): String =
+      "WARC/1.0\r\n" +
+        s"WARC-Type: response\r\nWARC-Target-URI: http://ex.org/$i\r\n\r\n" +
+        s"<html><body>doc number $i</body></html>\r\n\r\n"
+    // real CommonCrawl layout: each record its own gzip member, concatenated
+    val out = new java.io.FileOutputStream(dir.resolve("f.warc.gz").toFile)
+    (0 until 5).foreach { i =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec(i).getBytes("UTF-8"))
+      gz.finish()
+    }
+    out.close()
+    val recs = Sources.warc(spark, dir.toString + "/f.warc.gz")
+    assert(recs.count() == 5)
+    val texts = Sources.warcText(spark, dir.toString + "/f.warc.gz")
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(texts == (0 until 5).map(i => s"http://ex.org/$i" -> s"doc number $i").toMap)
+  }
+
+  test("WARC content excludes the record-final CRLF CRLF frame") {
+    val dir = Files.createTempDirectory("graft_warc2")
+    val warc =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\nWARC-Target-URI: http://x/\r\n\r\nlast record, no trailing delim\r\n\r\n"
+    Files.writeString(dir.resolve("f.warc"), warc)
+    val content = Sources.warc(spark, dir.toString + "/f.warc")
+      .select("content").as[String].collect().head
+    assert(content == "last record, no trailing delim")
+  }
+
   test("parquet sink writes partitioned + sorted layout; roundtrips") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/t"
     val df = Seq((1L, "a", 3.0), (2L, "b", 1.0), (3L, "a", 2.0))
@@ -85,6 +117,31 @@ class SourcesSpec extends SparkSpec {
     Sinks.upsert(Seq((2L, "B!"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
     val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
     assert(got === Set((1L, "a"), (2L, "B!"), (3L, "c")))
+  }
+
+  test("upsertPartitioned rewrites only touched partitions") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_upsertp").toString + "/t"
+    Sinks.upsertPartitioned(
+      Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+        .toDF("id", "day", "v"), dir, Seq("id"), "day")
+    val p2Files = new java.io.File(s"$dir/day=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    // second load touches only p1
+    Sinks.upsertPartitioned(
+      Seq((2L, "p1", "B!"), (4L, "p1", "d")).toDF("id", "day", "v"),
+      dir, Seq("id"), "day")
+    val got = spark.read.parquet(dir).select("id", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "p1", "a"), (2L, "p1", "B!"), (4L, "p1", "d"), (3L, "p2", "c")))
+    // p2 data files untouched byte-for-byte (same files, same mtimes)
+    val p2After = new java.io.File(s"$dir/day=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(p2After == p2Files)
+    // no leftover temp/old dirs
+    assert(!new java.io.File(dir + "__upsert_tmp").exists())
+    assert(!new java.io.File(s"$dir/day=p1__old").exists())
   }
 
   test("z-ordered layout clusters both dimensions") {
