@@ -156,11 +156,14 @@ case class AestheticAigc(imageCol: String = "image", aigcThreshold: Double = 0.5
   }
 }
 
-/** reference: operators/refiners/image_clip_embedding.py — embedding
-  * column refiner. Stub model: 8-dim md5-chunk vector, L2-normalized;
-  * the real model slots into an Arrow-batched mapPartitions with the
-  * same (binary in, array<double> out) contract. */
-case class ClipEmbeddingStub(imageCol: String = "image", dim: Int = 8) {
+/** reference: operators/refiners/image_clip_embedding.py +
+  * image_siglip_embedding.py — embedding column refiners (the reference
+  * registers both; they differ only in model and output column). Stub
+  * model: 8-dim md5-chunk vector, L2-normalized; the real model slots
+  * into an Arrow-batched mapPartitions with the same (binary in,
+  * array<double> out) contract. */
+case class ClipEmbeddingStub(imageCol: String = "image", dim: Int = 8,
+    outputCol: String = "clip_embedding") {
   require(dim <= 8, "md5 provides 8 16-bit chunks")
 
   def embedding(bytes: Column): Column = {
@@ -171,5 +174,5 @@ case class ClipEmbeddingStub(imageCol: String = "image", dim: Int = 8) {
   }
 
   def apply(df: DataFrame): DataFrame =
-    df.withColumn("clip_embedding", embedding(col(imageCol)))
+    df.withColumn(outputCol, embedding(col(imageCol)))
 }

@@ -138,7 +138,26 @@ object OperatorRegistry {
         dbl(p, "aigc_threshold", 0.5))(_))),
 
     "image_clip_embedding_refiner" -> (p => RefineOp("image_clip_embedding_refiner",
-      ClipEmbeddingStub(str(p, "image_field", "image"))(_))),
+      ClipEmbeddingStub(str(p, "image_field", "image"),
+        outputCol = str(p, "output_field", "clip_embedding"))(_))),
+
+    // reference registers SigLIP as its own refiner
+    // (refiners/image_siglip_embedding.py); same contract, its own
+    // output column
+    "image_siglip_embedding_refiner" -> (p => RefineOp("image_siglip_embedding_refiner",
+      ClipEmbeddingStub(str(p, "image_field", "image"),
+        outputCol = str(p, "output_field", "siglip_embedding"))(_))),
+
+    // the TRAINED degradation model (operators/ml/Degradations.scala)
+    // through the BatchInference slot — the non-stub sibling of
+    // image_visual_degradations_refiner
+    "image_trained_degradations_refiner" -> (p => RefineOp(
+      "image_trained_degradations_refiner",
+      df => df.join(
+        graft.operators.ml.DegradationModel(df,
+          idCol = str(p, "id_field", "doc_id"),
+          imageCol = str(p, "image_field", "image")),
+        Seq(str(p, "id_field", "doc_id"))))),
 
     "image_batch_embedding_refiner" -> (p => RefineOp("image_batch_embedding_refiner",
       df => df.join(

@@ -132,6 +132,15 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("z_image parity config: siglip + trained degradations columns appear") {
+    val job = PipelineConfig.parseJob(
+      java.nio.file.Files.readString(java.nio.file.Path.of("configs/example_z_image.yaml")))
+    val out = job.run(spark)
+    assert(Seq("clip_embedding", "siglip_embedding", "vd_blur", "vd_noise",
+      "vd_overall_quality").forall(out.columns.contains))
+    assert(out.count() > 0)
+  }
+
   test("image operator chain from config") {
     val yaml =
       """operators:
