@@ -17,7 +17,8 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    for (q <- names; i <- 1 to 2) {
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROF_RUNS", "2").toInt
+    for (q <- names; i <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
       println(f"[prof] $q run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * same calls read s3a/gs/hdfs URIs. Sharding, predicate pushdown and
   * checkpointed resumption are Spark's file-source machinery rather
   * than hand-built loader workers.
+  *
+  * On HF-hub semantics specifically: the reference's streaming mode
+  * (huggingface_loader.py `streaming=true` with shard resumption) maps
+  * to reading the dataset's hosted parquet shards directly — Spark's
+  * file listing + task retry replaces the loader's own shard cursor;
+  * for continuous arrival use `spark.readStream.format("parquet")` on
+  * the same directory. There is no separate resumption protocol to
+  * re-implement.
   */
 object Sources {
 
