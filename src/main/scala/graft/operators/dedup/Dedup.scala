@@ -370,8 +370,17 @@ case class NgramJaccard(
     * should equal `n` so candidates and verification see the same
     * shingle space. */
   def minhashVerifiedPairs(df: DataFrame, lsh: MinHashLSH): DataFrame = {
-    val cand = lsh.candidatePairs(df)
-    val shArr = df.select(col(idCol),
+    // candidates are materialized once (they are narrow — two ids — and
+    // small next to the corpus); without this the candidate-generation
+    // subtree would be recomputed by both consumers below
+    val cand = lsh.candidatePairs(df).localCheckpoint()
+    // only docs that appear in a candidate pair need their shingle set
+    // materialized — at scale candidates ≪ corpus, so the semi join
+    // keeps the (regex-heavy) shingle build off the non-colliding bulk
+    val touched = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val shArr = df.join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol),
         array_sort(array_distinct(wordShingles(col(textCol), n))).as("sharr"))
       .filter(size(col("sharr")) > 0)
     cand
