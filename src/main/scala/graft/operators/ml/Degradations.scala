@@ -241,6 +241,87 @@ object DegradationTrainer {
       s"""LinearHead("${h.name}", Array(${h.weights.map(w => f"$w%.12f").mkString(", ")}), ${f"${h.bias}%.12f"})"""
     println("FITTED " + fmt(b))
     println("FITTED " + fmt(n))
+    println("FITTED " + fmt(AigcTrainer.train(spark)))
     spark.stop()
   }
+}
+
+/** Trained AIGC detector (reference:
+  * operators/refiners/image_aigc_detector.py + models/image_aigc_detector).
+  * Real detectors key on the *absence of the camera pipeline* in
+  * generated images — no sensor noise, no demosaic/compression residue.
+  * The in-repo training corpus reproduces exactly that contrast with
+  * honest labels: "natural" images are renders pushed through a camera
+  * -ish pipeline (per-pixel sensor jitter + lossy JPEG), "generated"
+  * images are the pristine procedural renders. One MLlib logistic head
+  * over the same histogram features as [[DegradationModel]]. */
+object AigcTrainer {
+
+  val Natural = 0; val Generated = 1
+
+  /** Deterministic JPEG encode at an explicit quality factor. */
+  def jpegBytes(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Mild per-pixel sensor jitter (±12 per channel on every pixel) —
+    * the luminance-gradient texture a camera leaves and a generator
+    * does not. */
+  def sensorNoise(img: BufferedImage, rnd: scala.util.Random): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    def jitter(v: Int): Int = math.min(255, math.max(0, v + rnd.nextInt(25) - 12))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      out.setRGB(x, y, (jitter((rgb >> 16) & 0xff) << 16) |
+        (jitter((rgb >> 8) & 0xff) << 8) | jitter(rgb & 0xff))
+    }
+    out
+  }
+
+  /** `n` images per class: (camera-pipeline render, Natural) and
+    * (pristine render, Generated). */
+  def corpus(n: Int, seed: Long = 11L): Seq[(Array[Byte], Int)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).flatMap { _ =>
+      val base = DegradationTrainer.renderClean(rnd)
+      Seq((jpegBytes(sensorNoise(base, rnd), 0.7f), Natural),
+        (jpegBytes(base, 0.95f), Generated))
+    }
+  }
+
+  def train(spark: SparkSession, n: Int = 120, seed: Long = 11L): LinearHead = {
+    val data = corpus(n, seed).map { case (b, c) =>
+      (DegradationFeatures.fromAny(b), c)
+    }
+    DegradationTrainer.fitHead(spark, "aigc", data, Generated)
+  }
+}
+
+object AigcModel {
+
+  /** Fitted by [[AigcTrainer]] (MLlib LogisticRegression, regParam
+    * 0.01); frozen so the scoring query and its SQL oracle share exact
+    * literals. AigcModelSpec re-validates ≥90% held-out accuracy. */
+  val head: LinearHead = LinearHead("aigc",
+    Array(-9.199317769838, 0.000000000000, 283.894886292268, -2.301330268906),
+    44.391805860583)
+
+  val headNames: Seq[String] = Seq("aigc_score")
+
+  val kernel: BatchInference.ScoreKernel = { batch =>
+    batch.map(bytes => Array(head.score(DegradationFeatures.fromAny(bytes))))
+  }
+
+  def apply(df: DataFrame, idCol: String = "doc_id",
+      imageCol: String = "image"): DataFrame =
+    BatchInference.score(df, kernel, headNames, idCol = idCol, imageCol = imageCol)
 }

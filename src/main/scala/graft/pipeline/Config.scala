@@ -137,6 +137,15 @@ object OperatorRegistry {
       AestheticAigc(str(p, "image_field", "image"),
         dbl(p, "aigc_threshold", 0.5))(_))),
 
+    // the TRAINED AIGC detector (AigcTrainer: camera-pipeline vs
+    // pristine renders) through the BatchInference slot
+    "image_aigc_detector_refiner" -> (p => RefineOp("image_aigc_detector_refiner",
+      df => df.join(
+        graft.operators.ml.AigcModel(df,
+          idCol = str(p, "id_field", "doc_id"),
+          imageCol = str(p, "image_field", "image")),
+        Seq(str(p, "id_field", "doc_id"))))),
+
     "image_clip_embedding_refiner" -> (p => RefineOp("image_clip_embedding_refiner",
       ClipEmbeddingStub(str(p, "image_field", "image"),
         outputCol = str(p, "output_field", "clip_embedding"))(_))),

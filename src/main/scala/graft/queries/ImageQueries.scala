@@ -80,6 +80,17 @@ object ImageQueries {
         round(col("vd_blur"), 6).as("vd_blur"),
         round(col("vd_noise"), 6).as("vd_noise"),
         round(col("vd_overall_quality"), 6).as("vd_overall_quality"))
+    }),
+
+    "aigc_model" -> ((s, dir) => {
+      // TRAINED AIGC head (AigcTrainer: camera-pipeline vs pristine
+      // renders) through the BatchInference slot; byte feature path on
+      // the synthetic corpus, reproduced exactly by the oracle.
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      graft.operators.ml.AigcModel(docs).select(
+        col("doc_id"),
+        round(col("aigc_score"), 6).as("aigc_score"),
+        (col("aigc_score") > 0.5).as("is_aigc"))
     })
   )
 
@@ -206,6 +217,33 @@ object ImageQueries {
          |SELECT doc_id, round(b, 6) AS vd_blur, round(nn, 6) AS vd_noise,
          |  round(1.0 - (b + nn) / 2.0, 6) AS vd_overall_quality
          |FROM z""".stripMargin
+    },
+
+    "aigc_model" -> {
+      // Frozen AigcModel literals (e0 forces DOUBLE, not DECIMAL).
+      val (w0, w2, w3, b) = ("-9.199317769838e0", "283.894886292268e0",
+        "-2.301330268906e0", "44.391805860583e0")
+      s"""WITH chars AS (
+         |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |grad AS (
+         |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
+         |  FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |        FROM chars)
+         |  WHERE pv IS NOT NULL GROUP BY doc_id),
+         |counts AS (SELECT doc_id, v, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
+         |feat AS (
+         |  SELECT counts.doc_id,
+         |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS ent,
+         |    CAST(max(n) AS DOUBLE) / max(total) AS mx
+         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+         |  GROUP BY counts.doc_id),
+         |z AS (
+         |  SELECT feat.doc_id,
+         |    1.0 / (1.0 + exp(-($b + $w0 * ent + $w2 * mx + $w3 * g))) AS sc
+         |  FROM feat JOIN grad ON feat.doc_id = grad.doc_id)
+         |SELECT doc_id, round(sc, 6) AS aigc_score, sc > 0.5 AS is_aigc FROM z""".stripMargin
     },
 
     "quality_classifier" -> {

@@ -40,6 +40,25 @@ class DegradationModelSpec extends SparkSpec {
     assert(acc(noise, DegradationTrainer.Noisy) >= 0.9)
   }
 
+  test("frozen AIGC head separates pristine renders from camera-pipeline images") {
+    val held = AigcTrainer.corpus(40, seed = 101L)
+    val hits = held.count { case (bytes, cls) =>
+      (AigcModel.head.score(DegradationFeatures.fromAny(bytes)) > 0.5) ==
+        (cls == AigcTrainer.Generated)
+    }
+    assert(hits.toDouble / held.size >= 0.9)
+  }
+
+  test("AIGC train path refits a separating head") {
+    val head = AigcTrainer.train(spark, n = 40, seed = 5L)
+    val held = AigcTrainer.corpus(40, seed = 101L)
+    val hits = held.count { case (bytes, cls) =>
+      (head.score(DegradationFeatures.fromAny(bytes)) > 0.5) ==
+        (cls == AigcTrainer.Generated)
+    }
+    assert(hits.toDouble / held.size >= 0.9)
+  }
+
   test("inference flows through the BatchInference batch slot") {
     val df = heldOut.zipWithIndex
       .map { case ((bytes, cls), i) => (i.toLong, bytes, cls) }
