@@ -96,3 +96,47 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 }
+
+/** Streaming twin of [[graft.pipeline.StageMetrics]]: per-micro-batch
+  * rows and rec/s collected from the engine's own progress events (no
+  * extra jobs), reference framework/metrics throughput reporting for
+  * the continuous path. Attach with `spark.streams.addListener`. */
+class StreamingMetricsListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  case class BatchMetrics(queryName: String, batchId: Long,
+      inputRows: Long, recPerSec: Double, batchMs: Long)
+
+  private val batchBuf =
+    new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
+
+  def batches: Seq[BatchMetrics] = {
+    import scala.jdk.CollectionConverters._
+    batchBuf.iterator().asScala.toSeq
+  }
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    batchBuf.add(BatchMetrics(
+      Option(p.name).getOrElse(p.id.toString), p.batchId,
+      p.numInputRows, p.processedRowsPerSecond, p.batchDuration))
+  }
+
+  /** Reference-style throughput summary over the recorded batches. */
+  def report: String = {
+    val bs = batches
+    val rows = bs.map(_.inputRows).sum
+    val ms = bs.map(_.batchMs).sum
+    val overall = if (ms > 0) rows * 1000.0 / ms else 0.0
+    val sb = new StringBuilder
+    sb.append(f"Batches: ${bs.size}  Rows: $rows%,d  ")
+    sb.append(f"Overall: $overall%,.0f rec/s%n")
+    bs.foreach { b =>
+      sb.append(f"  batch ${b.batchId}%3d ${b.inputRows}%,10d rows ${b.batchMs}%6d ms ${b.recPerSec}%,12.0f rec/s%n")
+    }
+    sb.toString
+  }
+}

@@ -92,6 +92,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingMetricsListener records per-batch rows and rec/s") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val listener = new graft.streaming.StreamingMetricsListener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.tumblingAgg(mem.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("metrics_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 00:30:00"), "click", 3.0))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.batches.map(_.inputRows).sum < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val bs = listener.batches
+      assert(bs.map(_.inputRows).sum == 3)
+      assert(bs.forall(_.batchMs >= 0))
+      assert(listener.report.contains("rec/s"))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("sessionize emits closed sessions on gap") {
     val sq = spark
     import sq.implicits._
