@@ -57,3 +57,38 @@ case class HashSampler(idCol: String = "doc_id", buckets: Int = 100,
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 }
+
+/** Domain-mixture sampling (The Pile / DoReMi-style data mixing): hit
+  * target per-source proportions within a document budget. Per-source
+  * rates come from one narrow groupBy over the actual counts
+  * (`rate_s = min(1, budget·p_s / n_s)`); the rate table (one row per
+  * source) broadcasts back and the sample itself is a deterministic
+  * hash filter — map-only over the corpus, rerun-stable on any cluster
+  * layout. Sources short of their target are taken whole: upsampling
+  * belongs at the training data-loader (epoch weights), not in the
+  * corpus sample. */
+case class MixtureSampler(idCol: String = "doc_id",
+    sourceCol: String = "source", seed: String = "graft") {
+
+  /** Uniform deterministic u ∈ [0, 1) per document (28-bit md5). */
+  def u01: Column =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+      1, 7), 16, 10).cast("double") / 268435456.0
+
+  /** (source, n_docs, rate) for the given target weights and budget. */
+  def rates(df: DataFrame, weights: Map[String, Double], budget: Long): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    df.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget.toDouble) * w / col("n_docs").cast("double")))
+  }
+
+  /** The mixed sample: keep each doc iff its hash falls under its
+    * source's rate. */
+  def sample(df: DataFrame, weights: Map[String, Double], budget: Long): DataFrame =
+    df.join(broadcast(rates(df, weights, budget).select(col(sourceCol), col("rate"))),
+        Seq(sourceCol))
+      .filter(u01 < col("rate"))
+}

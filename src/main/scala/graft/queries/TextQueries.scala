@@ -114,6 +114,16 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // domain-mixture sampling: target proportions within a doc budget,
+    // rates from actual counts, deterministic hash filter (map-only)
+    "mixture_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      MixtureSampler().sample(docs,
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          budget = 60)
+        .select("doc_id", "source")
+    }),
+
     // deterministic 3-per-language sample (hash-ranked reservoir)
     "sample_per_group" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -463,6 +473,17 @@ object TextQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "mixture_sample" ->
+      """WITH rates AS (
+        |  SELECT source, count(*) AS n,
+        |    least(1.0, 60.0 * (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+        |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END)
+        |      / CAST(count(*) AS DOUBLE)) AS rate
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456.0 < r.rate""".stripMargin,
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

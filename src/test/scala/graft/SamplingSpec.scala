@@ -28,6 +28,32 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("mixture sampler hits target proportions within budget; rates capped at 1") {
+    val sq = spark
+    import sq.implicits._
+    // 1000 docs in A, 100 in B, 10 in C
+    val docs = ((1 to 1000).map(i => (i.toLong, "A")) ++
+      (1001 to 1100).map(i => (i.toLong, "B")) ++
+      (1101 to 1110).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    val ms = graft.operators.text.MixtureSampler()
+    val weights = Map("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)
+    val rates = ms.rates(docs, weights, budget = 200)
+      .select($"source", $"rate").as[(String, Double)].collect().toMap
+    assert(rates("A") == 0.1)   // 200*0.5/1000
+    assert(rates("B") == 0.6)   // 200*0.3/100
+    assert(rates("C") == 1.0)   // 200*0.2/10 capped — short source taken whole
+    val got = ms.sample(docs, weights, budget = 200)
+    val bySource = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("C") == 10) // rate 1.0 keeps everything
+    assert(math.abs(bySource("A") - 100L) < 30) // hash noise around n*rate
+    assert(math.abs(bySource("B") - 60L) < 25)
+    // deterministic: same sample on rerun
+    val again = ms.sample(docs, weights, budget = 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("sequence packer: global cumsum correct across partitions, no single-partition window") {
     val docs = (1L to 200L).map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim))
       .toDF("doc_id", "text")
