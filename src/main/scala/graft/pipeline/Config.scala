@@ -270,7 +270,8 @@ object PipelineConfig {
           case other => throw new IllegalArgumentException(s"unknown writer: $other")
         }
     }
-    PipelineJob(loader, pipeline, writer)
+    PipelineJob(loader, pipeline, writer,
+      section("data_loader"), section("data_writer"))
   }
 }
 
@@ -281,7 +282,9 @@ object PipelineConfig {
 case class PipelineJob(
     loader: Option[SparkSession => DataFrame],
     pipeline: Pipeline,
-    writer: Option[DataFrame => Unit]) {
+    writer: Option[DataFrame => Unit],
+    loaderSpec: Option[(String, Map[String, Any])] = None,
+    writerSpec: Option[(String, Map[String, Any])] = None) {
 
   /** Apply to an explicit input (ignores the configured loader). */
   def transform(df: DataFrame): DataFrame = pipeline(df)
@@ -294,6 +297,47 @@ case class PipelineJob(
     val out = pipeline(in)
     writer.foreach(_(out))
     out
+  }
+
+  /** Run the same YAML job continuously: `readStream` over the
+    * configured loader path, the identical operator pipeline (filters
+    * and refiners are streaming-safe; keyed dedup should use
+    * [[graft.streaming.StreamingOps.dedupStream]] instead of the batch
+    * DedupOp), `writeStream` append to the configured writer path with
+    * a checkpoint — the reference's continuous-loader mode expressed as
+    * Structured Streaming. `availableNow = true` drains what exists and
+    * stops (backfill / test mode); false runs until terminated. */
+  def runStream(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      availableNow: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val (ltpe, lp) = loaderSpec.getOrElse(
+      throw new IllegalArgumentException("job config has no data_loader"))
+    val path = lp.getOrElse("path", "").toString
+    val in = ltpe match {
+      case "ParquetLoader" | "HuggingFaceLoader" =>
+        spark.readStream.schema(schema).parquet(path)
+      case "JsonlLoader" => spark.readStream.schema(schema).json(path)
+      case "CsvLoader" =>
+        spark.readStream.schema(schema).option("header", "true").csv(path)
+      case other =>
+        throw new IllegalArgumentException(s"streaming loader unsupported: $other")
+    }
+    val out = pipeline(in)
+    val (wtpe, wp) = writerSpec.getOrElse(
+      throw new IllegalArgumentException("job config has no data_writer"))
+    require(wtpe == "ParquetDataWriter",
+      s"streaming writer unsupported: $wtpe")
+    val outPath = wp.getOrElse("path", wp.getOrElse("output_path", "")).toString
+    val checkpoint = wp.getOrElse("checkpoint_path",
+      outPath.stripSuffix("/") + "__checkpoint").toString
+    val w = out.writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
   }
 
   /** Diagnostic run with per-operator metrics ([[Pipeline.profile]]):

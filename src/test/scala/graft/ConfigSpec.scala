@@ -132,6 +132,30 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("the same YAML job runs as a stream (availableNow backfill)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjob").toString
+    val in = Seq(
+      (1L, "a sufficiently long document that passes the length filter"),
+      (2L, "x"))
+      .toDF("doc_id", "text")
+    in.write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader: {type: ParquetLoader, params: {path: $dir/in}}
+         |operators:
+         |  - name: quality_scorer
+         |  - name: text_length_filter
+         |    params: {min_length: 10}
+         |data_writer: {type: ParquetDataWriter, params: {path: $dir/out}}
+         |""".stripMargin
+    val job = PipelineConfig.parseJob(yaml)
+    val q = job.runStream(spark, in.schema, availableNow = true)
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(out.columns.contains("q_score")) // refiner ran in the stream
+    assert(new java.io.File(s"$dir/out__checkpoint").exists())
+  }
+
   test("z_image parity config: siglip + trained degradations columns appear") {
     val job = PipelineConfig.parseJob(
       java.nio.file.Files.readString(java.nio.file.Path.of("configs/example_z_image.yaml")))
