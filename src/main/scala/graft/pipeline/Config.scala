@@ -87,6 +87,16 @@ object OperatorRegistry {
         int(p, "buckets", 100), str(p, "seed", "graft"))
         .bucket < int(p, "keep_buckets", 10))),
 
+    // domain mixing: params {weights: {src: prop, ...}, budget: N}
+    "mixture_sampler" -> (p => RefineOp("mixture_sampler",
+      df => MixtureSampler(str(p, "id_field", "doc_id"),
+        str(p, "source_field", "source"), str(p, "seed", "graft"))
+        .sample(df,
+          p.getOrElse("weights", Map.empty[String, Any])
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.toString.toDouble },
+          p.getOrElse("budget", "1000").toString.toLong))),
+
     "language_id" -> (p => RefineOp("language_id",
       LanguageId(str(p, "text_field", "text"))(_))),
 

@@ -32,6 +32,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("digest")) // equi-join key is the (band, digest) LSH slice
   }
 
+  test("mixture_sample broadcasts the per-source rate table") {
+    val p = plan("mixture_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("map-only operators have zero exchanges") {
     for (q <- Seq("image_entropy", "hash_sample_split", "pii_redact",
         "line_dedup", "url_canonicalize", "token_count"))
