@@ -157,16 +157,19 @@ object DegradationTrainer {
 
   val Clean = 0; val Blurred = 1; val Noisy = 2
 
-  /** Textured base image: gradient background + seeded random shapes.
-    * Texture matters — blur must have high-frequency content to remove. */
-  def renderClean(rnd: scala.util.Random, w: Int = 64, h: Int = 64): BufferedImage = {
+  /** Textured base image: gradient background + `shapes` seeded random
+    * shapes. Texture matters — blur must have high-frequency content to
+    * remove; the shape count is also the honest "visual richness" label
+    * the aesthetic trainer regresses on. */
+  def renderClean(rnd: scala.util.Random, w: Int = 64, h: Int = 64,
+      shapes: Int = 40): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     for (y <- 0 until h) {
       g.setColor(new java.awt.Color(4 * y % 256, (255 - 2 * y) % 256, (64 + 3 * y) % 256))
       g.drawLine(0, y, w, y)
     }
-    for (_ <- 0 until 40) {
+    for (_ <- 0 until shapes) {
       g.setColor(new java.awt.Color(rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
       val (x, y) = (rnd.nextInt(w), rnd.nextInt(h))
       if (rnd.nextBoolean()) g.fillRect(x, y, 1 + rnd.nextInt(8), 1 + rnd.nextInt(8))
@@ -242,6 +245,7 @@ object DegradationTrainer {
     println("FITTED " + fmt(b))
     println("FITTED " + fmt(n))
     println("FITTED " + fmt(AigcTrainer.train(spark)))
+    println("FITTED " + fmt(AestheticTrainer.train(spark)))
     spark.stop()
   }
 }
@@ -304,6 +308,70 @@ object AigcTrainer {
     }
     DegradationTrainer.fitHead(spark, "aigc", data, Generated)
   }
+}
+
+/** Trained aesthetic scorer (reference:
+  * operators/refiners/image_aesthetic_quality.py — a linear head over
+  * CLIP embeddings regressing human 1–10 ratings). Zero-egress leaves
+  * no human ratings, so the honest in-repo label is a *construction
+  * parameter*: images are rendered with a controlled visual-richness
+  * knob (shape count 2..62) and MLlib LinearRegression learns to
+  * recover it from the histogram features, scaled to the reference's
+  * 1–10 range. Same mechanics as the reference head (linear regression
+  * on features → scalar score); only the label source differs, and
+  * honestly so. */
+object AestheticTrainer {
+
+  /** (bytes, richness ∈ [0,1]) rendered corpus. */
+  def corpus(n: Int, seed: Long = 17L): Seq[(Array[Byte], Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val shapes = 2 + (i % 13) * 5 // 2..62, deterministic spread
+      (DegradationTrainer.toBmp(DegradationTrainer.renderClean(rnd, shapes = shapes)),
+        shapes / 62.0)
+    }
+  }
+
+  /** Fit richness ~ features with MLlib LinearRegression; returns the
+    * head whose `score` is the raw linear prediction (NOT a sigmoid —
+    * callers scale to 1..10). */
+  def train(spark: SparkSession, n: Int = 260, seed: Long = 17L): LinearHead = {
+    import org.apache.spark.ml.regression.LinearRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val rows = corpus(n, seed).map { case (b, label) =>
+      (Vectors.dense(DegradationFeatures.fromAny(b)), label)
+    }
+    val df = spark.createDataFrame(rows).toDF("features", "label")
+    val m = new LinearRegression().setMaxIter(50).setRegParam(0.01).fit(df)
+    LinearHead("aesthetic", m.coefficients.toArray, m.intercept)
+  }
+}
+
+object AestheticModel {
+
+  /** Fitted by [[AestheticTrainer]]; frozen for the SQL oracle.
+    * AigcModelSpec/DegradationModelSpec re-validate rank correlation. */
+  val head: LinearHead = LinearHead("aesthetic",
+    Array(0.890283633421, 0.000000000000, 3.300127956354, 1.558579626861),
+    -4.225720882871)
+
+  /** Raw linear prediction of richness, then scaled to the reference's
+    * 1–10 aesthetic range and clamped. */
+  def score(f: Array[Double]): Double = {
+    var z = head.bias
+    var i = 0
+    while (i < head.weights.length) { z += head.weights(i) * f(i); i += 1 }
+    math.min(10.0, math.max(1.0, 1.0 + 9.0 * z))
+  }
+
+  val kernel: BatchInference.ScoreKernel = { batch =>
+    batch.map(bytes => Array(score(DegradationFeatures.fromAny(bytes))))
+  }
+
+  def apply(df: DataFrame, idCol: String = "doc_id",
+      imageCol: String = "image"): DataFrame =
+    BatchInference.score(df, kernel, Seq("aesthetic_model_score"),
+      idCol = idCol, imageCol = imageCol)
 }
 
 object AigcModel {

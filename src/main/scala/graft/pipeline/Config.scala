@@ -147,6 +147,15 @@ object OperatorRegistry {
       AestheticAigc(str(p, "image_field", "image"),
         dbl(p, "aigc_threshold", 0.5))(_))),
 
+    // the TRAINED aesthetic regressor (AestheticTrainer) through the
+    // BatchInference slot
+    "image_trained_aesthetic_refiner" -> (p => RefineOp("image_trained_aesthetic_refiner",
+      df => df.join(
+        graft.operators.ml.AestheticModel(df,
+          idCol = str(p, "id_field", "doc_id"),
+          imageCol = str(p, "image_field", "image")),
+        Seq(str(p, "id_field", "doc_id"))))),
+
     // the TRAINED AIGC detector (AigcTrainer: camera-pipeline vs
     // pristine renders) through the BatchInference slot
     "image_aigc_detector_refiner" -> (p => RefineOp("image_aigc_detector_refiner",

@@ -82,6 +82,16 @@ object ImageQueries {
         round(col("vd_overall_quality"), 6).as("vd_overall_quality"))
     }),
 
+    "aesthetic_model" -> ((s, dir) => {
+      // TRAINED aesthetic regressor (AestheticTrainer: MLlib
+      // LinearRegression on a controlled visual-richness label),
+      // scaled to the reference's 1-10 range.
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      graft.operators.ml.AestheticModel(docs).select(
+        col("doc_id"),
+        round(col("aesthetic_model_score"), 6).as("aesthetic_model_score"))
+    }),
+
     "aigc_model" -> ((s, dir) => {
       // TRAINED AIGC head (AigcTrainer: camera-pipeline vs pristine
       // renders) through the BatchInference slot; byte feature path on
@@ -216,6 +226,34 @@ object ImageQueries {
          |  FROM feat JOIN grad ON feat.doc_id = grad.doc_id)
          |SELECT doc_id, round(b, 6) AS vd_blur, round(nn, 6) AS vd_noise,
          |  round(1.0 - (b + nn) / 2.0, 6) AS vd_overall_quality
+         |FROM z""".stripMargin
+    },
+
+    "aesthetic_model" -> {
+      // Frozen AestheticModel literals (e0 forces DOUBLE, not DECIMAL).
+      val (w0, w2, w3, b) = ("0.890283633421e0", "3.300127956354e0",
+        "1.558579626861e0", "-4.225720882871e0")
+      s"""WITH chars AS (
+         |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |grad AS (
+         |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
+         |  FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |        FROM chars)
+         |  WHERE pv IS NOT NULL GROUP BY doc_id),
+         |counts AS (SELECT doc_id, v, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
+         |feat AS (
+         |  SELECT counts.doc_id,
+         |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS ent,
+         |    CAST(max(n) AS DOUBLE) / max(total) AS mx
+         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+         |  GROUP BY counts.doc_id),
+         |z AS (
+         |  SELECT feat.doc_id, $b + $w0 * ent + $w2 * mx + $w3 * g AS zz
+         |  FROM feat JOIN grad ON feat.doc_id = grad.doc_id)
+         |SELECT doc_id,
+         |  round(least(10.0, greatest(1.0, 1.0 + 9.0 * zz)), 6) AS aesthetic_model_score
          |FROM z""".stripMargin
     },
 

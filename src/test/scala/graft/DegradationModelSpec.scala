@@ -59,6 +59,34 @@ class DegradationModelSpec extends SparkSpec {
     assert(hits.toDouble / held.size >= 0.9)
   }
 
+  test("frozen aesthetic head ranks visually rich renders above sparse ones") {
+    val held = AestheticTrainer.corpus(78, seed = 23L) // richness spread 2..62
+    val scored = held.map { case (bytes, richness) =>
+      (richness, AestheticModel.score(DegradationFeatures.fromAny(bytes)))
+    }
+    val rich = scored.filter(_._1 > 0.7).map(_._2)
+    val sparse = scored.filter(_._1 < 0.2).map(_._2)
+    assert(rich.nonEmpty && sparse.nonEmpty)
+    assert(rich.sum / rich.size > sparse.sum / sparse.size + 1.0)
+    assert(scored.forall { case (_, s) => s >= 1.0 && s <= 10.0 })
+  }
+
+  test("aesthetic train path recovers the richness signal") {
+    val head = AestheticTrainer.train(spark, n = 130, seed = 29L)
+    val held = AestheticTrainer.corpus(78, seed = 23L)
+    // Pearson correlation between label and raw prediction
+    val pairs = held.map { case (b, r) =>
+      val f = DegradationFeatures.fromAny(b)
+      (r, head.weights.zip(f).map { case (w, x) => w * x }.sum + head.bias)
+    }
+    val n = pairs.size.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => math.pow(p._1 - mx, 2)).sum)
+    val sy = math.sqrt(pairs.map(p => math.pow(p._2 - my, 2)).sum)
+    assert(cov / (sx * sy) > 0.8, s"correlation ${cov / (sx * sy)}")
+  }
+
   test("inference flows through the BatchInference batch slot") {
     val df = heldOut.zipWithIndex
       .map { case ((bytes, cls), i) => (i.toLong, bytes, cls) }
