@@ -248,6 +248,23 @@ object Sinks {
     swapIn(fs, path, tmp)
   }
 
+  /** Bucketed table sink: co-locates rows by hash(bucketCols) at WRITE
+    * time so every later equi-join or aggregation on those columns reads
+    * pre-partitioned data and skips its shuffle entirely — the standard
+    * 100 TB trick for fact tables that join on the same key daily
+    * (pay one shuffle at ingest, save one per downstream job). Both
+    * sides of a join must use the same bucket count. Registered in the
+    * session catalog (bucketing metadata lives there; a plain parquet
+    * dir cannot carry it). */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Table-format sink. The Iceberg runtime jar is intentionally absent
     * here (zero-egress build); with `iceberg-spark-runtime` on the
     * classpath this becomes `df.writeTo(table).append()` against a

@@ -164,6 +164,30 @@ class SourcesSpec extends SparkSpec {
       spans.mkString(","))
   }
 
+  test("bucketed tables join without a shuffle") {
+    val sq = spark
+    import sq.implicits._
+    Sinks.bucketedTable((1L to 500L).map(i => (i, s"u$i")).toDF("user_id", "name"),
+      "b_users", Seq("user_id"), numBuckets = 8)
+    Sinks.bucketedTable((1L to 2000L).map(i => (i % 500 + 1, i * 1.5)).toDF("user_id", "amount"),
+      "b_orders", Seq("user_id"), numBuckets = 8)
+    try {
+      // force the non-broadcast path so the assertion exercises bucket
+      // alignment, not the broadcast fallback
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_users"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing makes both sides pre-partitioned: shuffle-free sort-merge
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 2000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_users")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
   test("orc roundtrip") {
     val sq = spark
     import sq.implicits._
