@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare a graft.Bench JSON line against
+BASELINE_LOCAL.md and fail on per-query regressions beyond the gate.
+
+Usage:
+  python3 tools/bench_diff.py BENCH.json [--gate 2.0]
+  SPARK_GRAFT_SF_DIR=... java ... graft.Bench | tail -1 > /tmp/b.json \
+      && python3 tools/bench_diff.py /tmp/b.json
+
+Exit 0 = no query exceeds gate x its baseline; new queries (no baseline
+row) are reported but never fail the gate.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def load_baseline():
+    base = {}
+    for line in (REPO / "BASELINE_LOCAL.md").read_text().splitlines():
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m:
+            base[m.group(1)] = float(m.group(2))
+    return base
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    gate = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--gate"):
+            gate = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    bench = json.loads(Path(args[0]).read_text())
+    queries = bench["queries"]
+    base = load_baseline()
+    failures, new = [], []
+    for name in sorted(queries):
+        t = queries[name]
+        b = base.get(name)
+        if b is None:
+            new.append(name)
+            print(f"NEW   {name:30s} {t:7.3f}s (no baseline)")
+        elif t > gate * b:
+            failures.append(name)
+            print(f"FAIL  {name:30s} {t:7.3f}s > {gate:.1f}x baseline {b:.3f}s ({t / b:.2f}x)")
+        else:
+            print(f"ok    {name:30s} {t:7.3f}s vs {b:.3f}s ({t / b:.2f}x)")
+    print(f"== {len(failures)} regression(s), {len(new)} new, gate {gate:.1f}x ==")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
