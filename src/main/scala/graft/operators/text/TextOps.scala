@@ -385,6 +385,40 @@ case class LineDeduper(textCol: String = "text", sep: String = "\n") {
   }
 }
 
+/** CROSS-document boilerplate removal (the corpus-level sibling of
+  * [[LineDeduper]]; CCNet/RefinedWeb drop lines that recur across many
+  * pages — nav bars, cookie banners, copyright footers). A non-blank
+  * line appearing in ≥ `minDocs` distinct documents is boilerplate and
+  * is removed from every document; unique body text survives with line
+  * order preserved.
+  *
+  * Scale shape: one explode → groupBy(line) with map-side combine to
+  * find boilerplate (small output — boilerplate is by definition a
+  * tiny set of distinct lines, broadcastable), one anti join to drop
+  * those lines, one groupBy(doc) to reassemble. The doc payload
+  * shuffles once, keyed by id. */
+case class CrossDocLineDedup(minDocs: Int = 10,
+    idCol: String = "doc_id", textCol: String = "text", sep: String = "\n") {
+
+  def apply(df: DataFrame): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
+    val boiler = lines.filter(length(trim(col("line"))) > 0)
+      .groupBy("line").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), sep).as(textCol))
+    // docs whose every line was boilerplate survive with empty text
+    df.select(col(idCol)).join(reassembled, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+}
+
 /** Benchmark decontamination: flag/remove corpus documents sharing any
   * word n-gram with a benchmark set (the standard guard against eval
   * leakage into training data, cf. GPT-3 §C / PaLM dedup appendices).

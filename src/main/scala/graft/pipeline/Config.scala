@@ -79,6 +79,14 @@ object OperatorRegistry {
     "pii_redactor" -> (p => RefineOp("pii_redactor",
       PiiRedactor(str(p, "text_field", "text"))(_))),
 
+    // corpus-level boilerplate removal (lines recurring across >=
+    // min_docs documents are stripped everywhere)
+    "cross_doc_line_deduper" -> (p => RefineOp("cross_doc_line_deduper",
+      df => CrossDocLineDedup(int(p, "min_docs", 10),
+        str(p, "id_field", "doc_id"), str(p, "text_field", "text"))(df)
+        .join(df.drop(str(p, "text_field", "text")),
+          Seq(str(p, "id_field", "doc_id"))))),
+
     "line_deduper" -> (p => RefineOp("line_deduper",
       LineDeduper(str(p, "text_field", "text"))(_))),
 

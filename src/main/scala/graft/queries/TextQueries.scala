@@ -114,6 +114,17 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // cross-doc boilerplate removal: synthesize a shared header line +
+    // per-source footer line (the corpus ships single-line texts), then
+    // the operator must strip exactly those and keep every body
+    "boilerplate_removal" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(
+          lit("subscribe to our newsletter\n"), col("text"),
+          lit("\ncopyright "), col("source")))
+      CrossDocLineDedup(minDocs = 10)(docs)
+    }),
+
     // domain-mixture sampling: target proportions within a doc budget,
     // rates from actual counts, deterministic hash filter (map-only)
     "mixture_sample" -> ((s, dir) => {
@@ -473,6 +484,27 @@ object TextQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "boilerplate_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'subscribe to our newsletter' || chr(10) || text || chr(10) || 'copyright ' || source AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, string_split(t, chr(10))[CAST(i AS INT)] AS line
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+        |        FROM base)),
+        |boiler AS (
+        |  SELECT line FROM lines WHERE length(trim(line)) > 0
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  LEFT JOIN boiler b ON l.line = b.line WHERE b.line IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
 
     "mixture_sample" ->
       """WITH rates AS (

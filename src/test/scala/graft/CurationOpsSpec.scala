@@ -25,6 +25,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out === (("b\na\nc", 5L, 3L)))
   }
 
+  test("cross-doc line dedup strips recurring lines, keeps unique body in order") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq(
+      (1L, "NAV BAR\nunique body one line a\nunique body one line b\nCOPYRIGHT"),
+      (2L, "NAV BAR\nunique body two\nCOPYRIGHT"),
+      (3L, "NAV BAR\nunique body three\nCOPYRIGHT"),
+      (4L, "NAV BAR\nCOPYRIGHT") // all-boilerplate doc survives empty
+    ).toDF("doc_id", "text")
+    val out = graft.operators.text.CrossDocLineDedup(minDocs = 3)(docs)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique body one line a\nunique body one line b")
+    assert(out(2L) == "unique body two")
+    assert(out(3L) == "unique body three")
+    assert(out(4L) == "")
+  }
+
   test("bloom-filtered decontamination matches the exact path") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bench = docs.filter($"doc_id" % 50 === 0)
