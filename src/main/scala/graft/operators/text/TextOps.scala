@@ -385,6 +385,33 @@ case class LineDeduper(textCol: String = "text", sep: String = "\n") {
   }
 }
 
+/** Cross-document duplicated-span measurement (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better": the
+  * training-harm signal is the fraction of a document that recurs
+  * verbatim elsewhere in the corpus). For each doc: the fraction of its
+  * distinct word n-grams that also appear in ≥1 OTHER document. Use as
+  * a filter bound (`dup_ngram_frac ≥ τ` → drop or route to dedup).
+  *
+  * Scale shape: one explode → distinct per doc (map-combined) →
+  * groupBy(shingle) df counts → broadcast-or-shuffle join back → one
+  * keyed agg. Never pairwise. */
+case class SpanDupStats(n: Int = 3,
+    idCol: String = "doc_id", textCol: String = "text") {
+
+  def apply(df: DataFrame): DataFrame = {
+    import graft.functions.TextFns.wordShingles
+    val sh = df.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+    val dfCounts = sh.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
+    sh.join(dfCounts, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_ngrams"))
+      .withColumn("dup_ngram_frac",
+        round(col("n_dup_ngrams").cast("double") / col("n_ngrams").cast("double"), 6))
+  }
+}
+
 /** CROSS-document boilerplate removal (the corpus-level sibling of
   * [[LineDeduper]]; CCNet/RefinedWeb drop lines that recur across many
   * pages — nav bars, cookie banners, copyright footers). A non-blank

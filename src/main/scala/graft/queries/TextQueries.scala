@@ -114,6 +114,14 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Lee et al. duplicated-span signal: fraction of each doc's
+    // distinct trigrams that recur in other documents
+    "span_dup_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      SpanDupStats(n = 3)(docs)
+        .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_ngram_frac")
+    }),
+
     // cross-doc boilerplate removal: synthesize a shared header line +
     // per-source footer line (the corpus ships single-line texts), then
     // the operator must strip exactly those and keep every body
@@ -484,6 +492,22 @@ object TextQueries {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "span_dup_stats" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($normSql, ' ')) - 1, 1)),
+         |    i -> string_split($normSql, ' ')[CAST(i AS INT)] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 1] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 2]))) AS sh
+         |  FROM documents WHERE len(string_split($normSql, ' ')) >= 3),
+         |dfc AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+         |SELECT s.doc_id, count(*) AS n_ngrams,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+         |  round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS dup_ngram_frac
+         |FROM sh s JOIN dfc ON s.sh = dfc.sh
+         |GROUP BY s.doc_id""".stripMargin,
 
     "boilerplate_removal" ->
       """WITH base AS (
