@@ -402,11 +402,17 @@ case class SpanDupStats(n: Int = 3,
     import graft.functions.TextFns.wordShingles
     val sh = df.select(col(idCol),
       explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
-    val dfCounts = sh.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
-    sh.join(dfCounts, "sh")
+    // only shingles that DO recur matter for the numerator — filtering
+    // before the join back shrinks the build side from "every distinct
+    // shingle in the corpus" to just the duplicated set, which is what
+    // keeps the join broadcastable at scale
+    val dup = sh.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > 1)
+      .select(col("sh"), lit(1).as("__dup"))
+    sh.join(dup, Seq("sh"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_ngrams"))
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_ngrams"))
       .withColumn("dup_ngram_frac",
         round(col("n_dup_ngrams").cast("double") / col("n_ngrams").cast("double"), 6))
   }
