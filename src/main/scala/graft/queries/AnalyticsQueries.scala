@@ -116,11 +116,14 @@ object AnalyticsQueries {
     // The average is exact-decimal-sum / count so the membership
     // comparison cannot flip with window evaluation order.
     "above_avg_orders" -> ((s, dir) => {
+      // per-cust average via map-combined aggregate + equi-join back —
+      // same result as the window form but no per-partition sort, and
+      // the join/groupBy reuse one hash partitioning on o_custkey
       val ord = Tables.load(s, dir, "orders")
-      val w = Window.partitionBy("o_custkey")
-      val custAvg = sum(col("o_totalprice").cast("decimal(15,4)")).over(w)
-        .cast("double") / count(lit(1)).over(w)
-      ord.withColumn("cust_avg", custAvg)
+      val custAvg = ord.groupBy("o_custkey").agg(
+        (sum(col("o_totalprice").cast("decimal(15,4)")).cast("double") /
+          count(lit(1))).as("cust_avg"))
+      ord.join(custAvg, "o_custkey")
         .filter(col("o_totalprice") > col("cust_avg") * 1.2)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_above"),
