@@ -95,6 +95,32 @@ object StreamingOps {
       .withColumn("content_hash", graft.functions.TextFns.contentHashMd5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming NEAR-dup suppression: drop a document when any of its
+    * MinHash band digests was already seen inside the watermark — the
+    * incremental twin of [[graft.operators.dedup.MinHashLSH]]'s
+    * keep-first semantics (a colliding band ⇒ likely near-duplicate ⇒
+    * suppress the later arrival). Banding is OR-ed by exploding one row
+    * per band before the keyed drop, then collapsing back to one row
+    * per survivor: a doc survives iff ALL of its bands were unseen, so
+    * survivors re-aggregate to their full band count. State is the
+    * band-digest set inside the watermark, partitioned by the shuffle
+    * like any keyed state. */
+  def nearDupStream(docs: DataFrame,
+      lsh: graft.operators.dedup.MinHashLSH = graft.operators.dedup.MinHashLSH(),
+      idCol: String = "doc_id", tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame = {
+    val sig = lsh.bandDigests(lsh.signature(col(textCol)))
+    docs
+      .withColumn("__bands", sig)
+      .withColumn("__band", explode(col("__bands")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__band")
+      .groupBy(col(idCol), window(col(tsCol), "1 second"))
+      .agg(count(lit(1)).as("__won"), first(col("__bands")).as("__bands"))
+      .filter(col("__won") === size(col("__bands")))
+      .drop("__won", "__bands", "window")
+  }
 }
 
 /** Streaming twin of [[graft.pipeline.StageMetrics]]: per-micro-batch

@@ -122,6 +122,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nearDupStream suppresses later near-duplicates, keeps distinct docs") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.nearDupStream(docs,
+      graft.operators.dedup.MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3))
+    val q = out.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"),
+          "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:05"),
+          "a completely different document about spark structured streaming state"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, Timestamp.valueOf("2024-01-01 00:00:10"),
+          "the quick brown fox jumps over the lazy dog again and again")) // dup of 1
+      q.processAllAvailable()
+      val ids = spark.table("neardup_test").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L)) // 3 suppressed by 1's bands
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap") {
     val sq = spark
     import sq.implicits._
