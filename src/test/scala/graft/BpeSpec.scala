@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.text.BpeTokenizer
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    "low lower lowest", "low low low", "new newer newest", "wider wide wide")
+
+  test("training learns the most frequent pair first, deterministically") {
+    val merges = BpeTokenizer.train(corpus, 10)
+    assert(merges.nonEmpty)
+    // (l,o) and (o,w) tie at 7 occurrences; the documented tiebreak
+    // (lexicographically largest) picks (o,w)
+    assert(merges.head == ("o", "w"))
+    assert(BpeTokenizer.train(corpus, 10) == merges) // rerun-stable
+  }
+
+  test("encoding is lossless over pre-tokens and compresses frequent words") {
+    val merges = BpeTokenizer.train(corpus, 30)
+    val toks = BpeTokenizer.encode("low lowest", merges)
+    // concatenation restores the pre-token stream (with word markers)
+    assert(toks.mkString("") == "low</w>lowest</w>")
+    // the frequent word collapses to a single learned token
+    assert(toks.head == "low</w>")
+    // unseen words still encode (fall back toward characters)
+    val unseen = BpeTokenizer.encode("zebra", merges)
+    assert(unseen.mkString("") == "zebra</w>")
+  }
+
+  test("distributed token counting matches local encoding") {
+    val merges = BpeTokenizer.train(corpus, 30)
+    val df = Seq((1L, "low lower"), (2L, "completely new words here"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = BpeTokenizer.countTokens(df, merges)
+      .select("doc_id", "bpe_token_count").as[(Long, Long)].collect().toMap
+    def local(t: String) = BpeTokenizer.encode(t, merges).length.toLong
+    assert(got(1L) == local("low lower"))
+    assert(got(2L) == local("completely new words here"))
+    assert(got(3L) == 0L)
+  }
+
+  test("learned tokenizer runs over the test corpus end to end") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sample = docs.select("text").limit(200).as[String].collect()
+    val merges = BpeTokenizer.train(sample, 100)
+    assert(merges.size == 100)
+    val counted = BpeTokenizer.countTokens(docs, merges)
+    val rows = counted.selectExpr("count(*)", "sum(bpe_token_count)")
+      .as[(Long, Long)].head()
+    assert(rows._1 > 0 && rows._2 > 0)
+  }
+}
