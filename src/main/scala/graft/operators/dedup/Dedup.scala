@@ -103,6 +103,16 @@ case class MinHashLSH(
       md5(concat(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)),
         lit(":" + b)))): _*)
 
+  /** (id, __h) exploded distinct-shingle md5s — the ONE corpus pass
+    * (normalize + shingle regex + hash) that signatures, band buckets,
+    * and exact verification all derive from. Downstream consumers that
+    * read it more than once should `localCheckpoint()` it: it is narrow
+    * (a long and a 32-char hex) no matter how wide the documents are. */
+  def shingleHashes(df: DataFrame): DataFrame = df
+    .select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("__sh"))
+    .select(col(idCol), md5(col("__sh")).as("__h"))
+
   /** (id, band, bucket) bucket assignments for documents with ≥ shingleSize
     * words.
     *
@@ -112,11 +122,14 @@ case class MinHashLSH(
     * slower), then the 12 min-aggregates reduce with map-side partial
     * combine. The wide doc payload never enters the shuffle — only
     * (id, shingle-hash) pairs. */
-  def buckets(df: DataFrame): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("__sh"))
-      .select(col(idCol), baseHash(col("__sh")).as("__x"))
-    val sigs = exploded.groupBy(idCol).agg(
+  def buckets(df: DataFrame): DataFrame = bucketsFromHashes(shingleHashes(df))
+
+  /** [[buckets]] computed from a pre-materialized [[shingleHashes]]
+    * table (the 28-bit minwise base value is the md5's leading 7 hex
+    * digits, exactly as [[signatureFromShingles]] derives it). */
+  def bucketsFromHashes(ex: DataFrame): DataFrame = {
+    val base = conv(substring(col("__h"), 1, 7), 16, 10).cast("long")
+    val sigs = ex.select(col(idCol), base.as("__x")).groupBy(idCol).agg(
       min((col("__x") * coefA(0) + coefB(0)) % prime).as("sig_0"),
       (1 until numHashes).map(i =>
         min((col("__x") * coefA(i) + coefB(i)) % prime).as(s"sig_$i")): _*)
@@ -132,8 +145,12 @@ case class MinHashLSH(
     * collect_list — one pass over the bucket table (no self-join
     * recomputation of the signature pipeline), and `maxBucketSize`
     * drops degenerate buckets to bound the quadratic blowup per bucket. */
-  def candidatePairs(df: DataFrame): DataFrame = {
-    val grouped = buckets(df).groupBy("band", "bucket")
+  def candidatePairs(df: DataFrame): DataFrame =
+    candidatePairsFromHashes(shingleHashes(df))
+
+  /** [[candidatePairs]] from a pre-materialized [[shingleHashes]] table. */
+  def candidatePairsFromHashes(ex: DataFrame): DataFrame = {
+    val grouped = bucketsFromHashes(ex).groupBy("band", "bucket")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
     val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
@@ -247,17 +264,52 @@ case class NgramJaccard(
 
   /** (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold (6 dp).
     *
-    * Candidate generation uses the lossless PPJoin prefix filter: under
-    * a global (lexicographic) shingle order, any pair with J ≥ t must
-    * collide within each side's first ⌊(1−t)·|s|⌋+1 shingles — so only
-    * the prefixes are exploded and equi-joined, then candidates are
-    * verified exactly with one `array_intersect`. Same result set as the
-    * naive shingle join at a fraction of the join volume; the join stays
+    * Both branches are scale-safe (linear in docs, never all-pairs):
+    *
+    * τ ≥ 0.5 — the lossless PPJoin prefix filter: under a global
+    * (lexicographic) shingle order, any pair with J ≥ t must collide
+    * within each side's first ⌊(1−t)·|s|⌋+1 shingles — so only the
+    * prefixes are exploded and equi-joined, then candidates are verified
+    * exactly with one `array_intersect`. Same result set as the naive
+    * shingle join at a fraction of the join volume; the join stays
     * hash-partitioned on the shingle (no cross join, AQE handles hot
-    * shingles). */
+    * shingles).
+    *
+    * τ < 0.5 — PPJoin prefixes degenerate (length → |s|), so candidates
+    * come from [[lowTauLsh]] MinHash band buckets instead and each
+    * candidate gets the same exact `array_intersect` verification
+    * ([[minhashVerifiedPairs]]). Probabilistic recall ≥ 1−(1−τ)^b per
+    * true pair at exactly τ (99.9% at the default sizing), converging to
+    * certainty for the near-identical pairs that dominate real corpora;
+    * DedupSpec proves byte-identical pair sets vs the exact count-join
+    * on the test corpus. No exact-dup collapse on this path: identical
+    * docs collide in every band, so a dup class's candidate volume IS
+    * its (unavoidable) output volume, and adding the collapse would
+    * re-run the rep-join subtree once per consumer — measured 2× slower
+    * than the two-pass direct form. Classes larger than
+    * `maxBucketSize` should be exact-deduped upstream ([[ExactDedup]]).
+    * The inherently-quadratic count-join survives as
+    * [[countJoinPairs]], the documented small-corpus / exactness
+    * baseline. */
   def pairs(df: DataFrame): DataFrame =
     if (threshold >= 0.5) collapsedPairs(df, prefixFilteredPairs)
-    else collapsedPairs(df, rawCountJoinPairs)
+    else minhashVerifiedPairs(df, lowTauLsh)
+
+  /** MinHash-LSH sized for candidate recall at a LOW jaccard threshold:
+    * single-row bands (r = 1) keep the Broder S-curve 1−(1−t^r)^b steep
+    * near small t (any r ≥ 2 would need hundreds of bands at τ = 0.2),
+    * and b = ⌈ln(0.001)/ln(1−τ)⌉ bands give ≥ 99.9% per-pair recall AT
+    * the threshold — pairs above it are caught with exponentially better
+    * odds (j = 0.8 ⇒ miss ≈ 0.2^b ≈ 10⁻²¹). The price of r = 1 is wider
+    * buckets (every doc sharing one min-shingle collides), which
+    * `maxBucketSize` caps; verification cost stays one array_intersect
+    * per surviving candidate. */
+  def lowTauLsh: MinHashLSH = {
+    val b = math.max(8, math.min(64,
+      math.ceil(math.log(1e-3) / math.log1p(-threshold)).toInt))
+    MinHashLSH(numHashes = b, bands = b, shingleSize = n,
+      textCol = textCol, idCol = idCol)
+  }
 
   /** High-threshold path: only each doc's first ⌊(1−t)·|s|⌋+1 shingles
     * (global lexicographic order) are exploded and joined — any pair
@@ -370,26 +422,32 @@ case class NgramJaccard(
     * should equal `n` so candidates and verification see the same
     * shingle space. */
   def minhashVerifiedPairs(df: DataFrame, lsh: MinHashLSH): DataFrame = {
-    // candidates are materialized once (they are narrow — two ids — and
-    // small next to the corpus); without this the candidate-generation
-    // subtree would be recomputed by both consumers below
-    val cand = lsh.candidatePairs(df).localCheckpoint()
-    // only docs that appear in a candidate pair need their shingle set
-    // materialized — at scale candidates ≪ corpus, so the semi join
-    // keeps the (regex-heavy) shingle build off the non-colliding bulk
-    val touched = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol))).distinct()
-    val shArr = df.join(touched, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        array_sort(array_distinct(wordShingles(col(textCol), n))).as("sharr"))
-      .filter(size(col("sharr")) > 0)
-    cand
-      .join(shArr.select(col(idCol).as("id_a"), col("sharr").as("sa")), "id_a")
-      .join(shArr.select(col(idCol).as("id_b"), col("sharr").as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    require(lsh.shingleSize == n && lsh.idCol == idCol && lsh.textCol == textCol,
+      "LSH candidate generator must see the same shingle space as verification")
+    // ONE normalize+shingle+md5 pass over the corpus, materialized narrow
+    // (id, 128-bit shingle hash); signatures, band buckets AND exact
+    // verification all reuse it instead of re-running the regex subtree
+    val ex = lsh.shingleHashes(df).localCheckpoint()
+    // candidates are materialized once too (two longs per row — small
+    // next to the corpus); both the verification join and callers that
+    // fan out over them would otherwise recompute the bucket subtree
+    val cand = lsh.candidatePairsFromHashes(ex).localCheckpoint()
+    // exact |A∩B| via a count-join RESTRICTED to candidate pairs: fan
+    // each candidate out to id_a's shingle hashes, then equi-join on
+    // (id_b, hash) — O(candidates × |shingles|) joined rows, never the
+    // all-pairs flood, and md5's 128 bits make hash-set intersection
+    // equal string-set intersection (collision odds ~2⁻¹²⁸·pairs)
+    val sizes = ex.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(ex.select(col(idCol).as("id_a"), col("__h")), Seq("id_a"))
+      .join(ex.select(col(idCol).as("id_b"), col("__h")), Seq("id_b", "__h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -65,6 +65,17 @@ class DedupSpec extends SparkSpec {
     assert(recipe == direct) // full recall on the test corpus at τ=0.5
   }
 
+  test("low-τ pairs (MinHash-verified) ≡ exact count-join at τ=0.2 (sf0.001)") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val nj = NgramJaccard(3, 0.2)
+    assert(nj.lowTauLsh.bands == 31) // ⌈ln(0.001)/ln(0.8)⌉ per the Broder curve
+    val exact = nj.countJoinPairs(corpus)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val fast = nj.pairs(corpus)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(fast == exact) // full recall on the test corpus at τ=0.2
+  }
+
   test("EmbeddingNearDup lshPairs ≡ exactPairs on colliding vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -32,6 +32,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("digest")) // equi-join key is the (band, digest) LSH slice
   }
 
+  test("dedup_ngram_jaccard has no quadratic shingle count-join") {
+    // the count-join path keys an ALL-PAIRS self-join on xxhash64(shingle);
+    // the registered low-τ plan must instead verify MinHash candidates —
+    // visible as scans of the two localCheckpoint'd tables (shingle
+    // hashes + candidate pairs) feeding the restricted count-join
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("xxhash64"))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2)
+  }
+
   test("mixture_sample broadcasts the per-source rate table") {
     val p = plan("mixture_sample")
     assert(p.contains("BroadcastHashJoin"))
