@@ -1,6 +1,6 @@
 package graft.operators.image
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Batched model-inference slot — the Scala analog of the reference's
@@ -24,6 +24,27 @@ object BatchInference {
     * downstream rounding matches a SQL oracle bit-for-bit). */
   type ScoreKernel = Seq[Array[Byte]] => Seq[Array[Double]]
 
+  /** Batched mapPartitions over (id, payload) rows. The id column rides
+    * through UNTYPED (Row-encoded, whatever its DataFrame type is) so
+    * string/decimal ids join back losslessly — a silent cast-to-long
+    * would null non-numeric ids and drop every row at the join. */
+  private def batchedOver(df: DataFrame, idCol: String, imageCol: String,
+      batchSize: Int, outField: org.apache.spark.sql.types.StructField)(
+      kernel: Seq[Array[Byte]] => Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    val in = df.select(col(idCol), col(imageCol))
+    val outSchema = StructType(Seq(in.schema.head, outField))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val out = kernel(batch.map(_.getAs[Array[Byte]](1)))
+        require(out.length == batch.length,
+          s"kernel returned ${out.length} results for ${batch.length} inputs")
+        batch.zip(out).map { case (r, o) => Row(r.get(0), o) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Run a score kernel over (id, payload) rows in batches, producing
     * one named double column per head. Same batched mapPartitions shape
     * as [[embed]] — this is the slot the trained
@@ -31,18 +52,10 @@ object BatchInference {
   def score(df: DataFrame, kernel: ScoreKernel, heads: Seq[String],
       batchSize: Int = 64, idCol: String = "doc_id",
       imageCol: String = "image"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val in: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(imageCol)).as[(Long, Array[Byte])]
-    val scored = in.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        val out = kernel(batch.map(_._2))
-        require(out.length == batch.length,
-          s"kernel returned ${out.length} results for ${batch.length} inputs")
-        batch.map(_._1).zip(out)
-      }
-    }.toDF(idCol, "__scores")
+    import org.apache.spark.sql.types._
+    val scored = batchedOver(df, idCol, imageCol, batchSize,
+      StructField("__scores", ArrayType(DoubleType)))(
+      batch => kernel(batch))
     heads.zipWithIndex.foldLeft(scored) { case (d, (name, i)) =>
       d.withColumn(name, col("__scores")(i))
     }.drop("__scores")
@@ -68,18 +81,10 @@ object BatchInference {
     * producing (id, embedding). */
   def embed(df: DataFrame, kernel: Kernel = stubKernel, batchSize: Int = 64,
       idCol: String = "doc_id", imageCol: String = "image"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val in: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(imageCol)).as[(Long, Array[Byte])]
-    in.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        val out = kernel(batch.map(_._2))
-        require(out.length == batch.length,
-          s"kernel returned ${out.length} results for ${batch.length} inputs")
-        batch.map(_._1).zip(out)
-      }
-    }.toDF(idCol, "embedding")
+    import org.apache.spark.sql.types._
+    batchedOver(df, idCol, imageCol, batchSize,
+      StructField("embedding", ArrayType(FloatType)))(
+      batch => kernel(batch))
   }
 }
 

@@ -178,10 +178,17 @@ object Sinks {
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       parquet(updates, path, Seq(partitionCol)); return
     }
-    val touched = updates.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    // typed partition values (no string cast) so the read below prunes
+    // partitions; a null value maps to Hive's default-partition dir
+    val touchedVals = updates.select(col(partitionCol))
+      .distinct().collect().map(_.get(0)).toSeq
+    val (nullVals, realVals) = touchedVals.partition(_ == null)
+    val touchedPred = {
+      val in = if (realVals.nonEmpty) col(partitionCol).isin(realVals: _*) else lit(false)
+      if (nullVals.nonEmpty) in || col(partitionCol).isNull else in
+    }
     val existing = spark.read.option("basePath", path).parquet(path)
-      .filter(col(partitionCol).cast("string").isin(touched: _*))
+      .filter(touchedPred)
       // partition-dir type inference may widen; align to the update side
       .withColumn(partitionCol,
         col(partitionCol).cast(updates.schema(partitionCol).dataType))
@@ -191,10 +198,16 @@ object Sinks {
     val tmp = path.stripSuffix("/") + "__upsert_tmp"
     merged.write.mode("overwrite").option("compression", "zstd")
       .partitionBy(partitionCol).parquet(tmp)
-    touched.foreach { v =>
-      val dir = s"$partitionCol=$v"
-      swapIn(fs, s"${path.stripSuffix("/")}/$dir", s"$tmp/$dir")
-    }
+    // swap the partition dirs the writer ACTUALLY created — their names
+    // carry Hive's %XX path escaping (spaces, ':', '/') and
+    // __HIVE_DEFAULT_PARTITION__ for null, which naive
+    // "$partitionCol=$value" interpolation would get wrong
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { s =>
+        val dir = s.getPath.getName
+        swapIn(fs, s"${path.stripSuffix("/")}/$dir", s"$tmp/$dir")
+      }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 

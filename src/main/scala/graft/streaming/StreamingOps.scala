@@ -110,16 +110,47 @@ object StreamingOps {
       lsh: graft.operators.dedup.MinHashLSH = graft.operators.dedup.MinHashLSH(),
       idCol: String = "doc_id", tsCol: String = "ts",
       textCol: String = "text", watermark: String = "1 hour"): DataFrame = {
-    val sig = lsh.bandDigests(lsh.signature(col(textCol)))
-    docs
-      .withColumn("__bands", sig)
+    val base = docs.withColumn("__sh",
+      graft.functions.TextFns.wordShingles(col(textCol), lsh.shingleSize))
+    // Docs too short to shingle carry no near-dup signal: the batch twin
+    // ([[graft.operators.dedup.MinHashLSH.buckets]]) never emits them, so
+    // they pass through here. Without the split they would all share one
+    // degenerate all-null band digest and every short doc after the first
+    // would be silently suppressed.
+    val shorts = base.filter(size(col("__sh")) === 0).select(col(idCol))
+    // Deterministic intra-batch winner: rows are clustered by band, then
+    // each partition collapses every band to its MIN-id row (a per-band
+    // hash map, O(distinct bands) memory — streaming can't sort), so the
+    // stateful drop sees exactly one contender per band per batch. Ids
+    // are totally ordered, so band wins can never split across a
+    // duplicate set arriving in one batch (which would drop every copy):
+    // the min-id doc of each colliding cluster wins all its bands and
+    // survives, independent of shuffle row order.
+    val banded = base.filter(size(col("__sh")) > 0)
+      .withColumn("__bands", lsh.bandDigests(lsh.signatureFromShingles(col("__sh"))))
+      .select(col(idCol), col(tsCol), col("__bands"))
       .withColumn("__band", explode(col("__bands")))
+      .repartition(col("__band"))
+    val bandIdx = banded.schema.fieldIndex("__band")
+    val idIdx = banded.schema.fieldIndex(idCol)
+    val collapsed = banded.mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.Row]
+      it.foreach { r =>
+        val b = r.getString(bandIdx)
+        val keep = best.get(b).forall(cur =>
+          r.get(idIdx).asInstanceOf[Comparable[Any]].compareTo(cur.get(idIdx)) < 0)
+        if (keep) best(b) = r
+      }
+      best.valuesIterator
+    }(org.apache.spark.sql.Encoders.row(banded.schema))
+    val survivors = collapsed
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__band")
       .groupBy(col(idCol), window(col(tsCol), "1 second"))
       .agg(count(lit(1)).as("__won"), first(col("__bands")).as("__bands"))
       .filter(col("__won") === size(col("__bands")))
-      .drop("__won", "__bands", "window")
+      .select(col(idCol))
+    survivors.union(shorts)
   }
 }
 

@@ -24,6 +24,16 @@ class BatchInferenceSpec extends SparkSpec {
     }
   }
 
+  test("embed and score keep non-numeric ids intact") {
+    val df = Seq(("url:a b", "x".getBytes("UTF-8")), ("url:c/d", "y".getBytes("UTF-8")))
+      .toDF("doc_id", "image")
+    val emb = BatchInference.embed(df).select($"doc_id").as[String].collect().toSet
+    assert(emb == Set("url:a b", "url:c/d")) // no silent cast-to-long nulling
+    val scored = BatchInference.score(df, b => b.map(_ => Array(1.0)), Seq("s"))
+      .select($"doc_id", $"s").as[(String, Double)].collect().toSet
+    assert(scored == Set(("url:a b", 1.0), ("url:c/d", 1.0)))
+  }
+
   test("kernel batch-size contract is enforced") {
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("doc_id", "image")
     val bad: BatchInference.Kernel = _ => Seq.empty

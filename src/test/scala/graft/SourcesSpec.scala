@@ -144,6 +144,24 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/day=p1__old").exists())
   }
 
+  test("upsertPartitioned handles Hive-escaped partition values") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_upsertesc").toString + "/t"
+    // ' ' and ':' are %XX-escaped in Hive partition dir names — the swap
+    // must target the dirs the writer actually created
+    Sinks.upsertPartitioned(
+      Seq((1L, "day one", "a"), (2L, "t:colon", "b"))
+        .toDF("id", "part", "v"), dir, Seq("id"), "part")
+    Sinks.upsertPartitioned(
+      Seq((1L, "day one", "A!"), (3L, "t:colon", "c"))
+        .toDF("id", "part", "v"), dir, Seq("id"), "part")
+    val got = spark.read.parquet(dir).select("id", "part", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "day one", "A!"), (2L, "t:colon", "b"), (3L, "t:colon", "c")))
+    assert(!new java.io.File(dir + "__upsert_tmp").exists()) // nothing stranded
+  }
+
   test("z-ordered layout clusters both dimensions") {
     val sq = spark
     import sq.implicits._

@@ -148,6 +148,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream: same-batch duplicates keep exactly the min id") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.nearDupStream(docs,
+      graft.operators.dedup.MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3))
+    val q = out.writeStream.format("memory").queryName("neardup_samebatch")
+      .outputMode("update").start()
+    try {
+      // both duplicates arrive in ONE micro-batch: band wins must not
+      // split between them (which would drop the content entirely)
+      mem.addData(
+        (7L, Timestamp.valueOf("2024-01-01 00:00:00"),
+          "the quick brown fox jumps over the lazy dog again and again"),
+        (4L, Timestamp.valueOf("2024-01-01 00:00:01"),
+          "the quick brown fox jumps over the lazy dog again and again"),
+        (9L, Timestamp.valueOf("2024-01-01 00:00:02"),
+          "an unrelated report on distributed query engines and state stores"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_samebatch").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(4L, 9L)) // min id of the dup pair survives, 7 dropped
+    } finally q.stop()
+  }
+
+  test("nearDupStream: short docs pass through instead of colliding") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.nearDupStream(docs,
+      graft.operators.dedup.MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3))
+    val q = out.writeStream.format("memory").queryName("neardup_short")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "tiny"))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, Timestamp.valueOf("2024-01-01 00:00:05"), "also small"),
+        (3L, Timestamp.valueOf("2024-01-01 00:00:06"), ""))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_short").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 3L)) // no degenerate all-null digest suppression
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap") {
     val sq = spark
     import sq.implicits._

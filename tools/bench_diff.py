@@ -10,6 +10,7 @@ Usage:
 Exit 0 = no query exceeds gate x its baseline; new queries (no baseline
 row) are reported but never fail the gate.
 """
+import argparse
 import json
 import re
 import sys
@@ -28,12 +29,13 @@ def load_baseline():
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    gate = 2.0
-    for a in sys.argv[1:]:
-        if a.startswith("--gate"):
-            gate = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    bench = json.loads(Path(args[0]).read_text())
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("bench_json", help="graft.Bench output JSON line")
+    p.add_argument("--gate", type=float, default=2.0,
+                   help="max allowed slowdown vs baseline (default 2.0)")
+    ns = p.parse_args()
+    gate = ns.gate
+    bench = json.loads(Path(ns.bench_json).read_text())
     queries = bench["queries"]
     base = load_baseline()
     failures, new = [], []
