@@ -6,7 +6,7 @@ import graft.operators.image._
 import graft.operators.ml.QualityClassifier
 import graft.operators.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, min}
 import scala.jdk.CollectionConverters._
 
 /** YAML-config-driven pipeline construction — reference parity with
@@ -60,10 +60,19 @@ object OperatorRegistry {
         int(p, "shingle_size", 3), str(p, "text_field", "text"),
         str(p, "id_field", "doc_id"))(df))),
 
-    "simhash_deduplicator" -> (p => DedupOp("simhash_deduplicator",
-      df => SimHash(int(p, "nbits", 16), str(p, "text_field", "text"))
-        .signature(col(str(p, "text_field", "text"))),
-      str(p, "id_field", "doc_id"))),
+    // keep-first on the exploded-token SimHash scale path (signatures:
+    // codegen'd md5 + bit tests with map-side combine), NOT the per-row
+    // HOF signature (interpreted per token). Docs too short to sign
+    // (blank text) carry no near-dup signal and pass through.
+    "simhash_deduplicator" -> (p => RefineOp("simhash_deduplicator", { df =>
+      val id = str(p, "id_field", "doc_id")
+      val sigs = SimHash(int(p, "nbits", 16), str(p, "text_field", "text"), id)
+        .signatures(df)
+      val losers = sigs.join(
+        sigs.groupBy("simhash").agg(min(col(id)).as(id)),
+        Seq("simhash", id), "left_anti")
+      df.join(losers.select(col(id)), Seq(id), "left_anti")
+    })),
 
     "repetition_filter" -> (p => RefineOp("repetition_filter", df =>
       RepetitionScorer(str(p, "text_field", "text"), str(p, "id_field", "doc_id"))(
@@ -201,7 +210,32 @@ object OperatorRegistry {
           batchSize = int(p, "batch_size", 64),
           idCol = str(p, "id_field", "doc_id"),
           imageCol = str(p, "image_field", "image")),
-        Seq(str(p, "id_field", "doc_id")))))
+        Seq(str(p, "id_field", "doc_id"))))),
+
+    // the TRAINED embedding encoder (EmbeddingTrainer PCA, frozen
+    // projection) through the BatchInference slot — the non-stub
+    // sibling of image_clip_embedding_refiner, emitting array<float>
+    "image_trained_embedding_refiner" -> (p => RefineOp(
+      "image_trained_embedding_refiner",
+      df => df.join(
+        graft.operators.ml.TrainedEmbedding(df,
+          idCol = str(p, "id_field", "doc_id"),
+          imageCol = str(p, "image_field", "image"),
+          batchSize = int(p, "batch_size", 64)),
+        Seq(str(p, "id_field", "doc_id"))))),
+
+    // embedding-cosine near-dup suppression over any array<float>
+    // column (e.g. the trained embedding above) — banded hyperplane
+    // LSH candidates + exact rerank, never an all-pairs scan
+    "embedding_near_dup_deduplicator" -> (p => RefineOp(
+      "embedding_near_dup_deduplicator",
+      df => graft.operators.dedup.EmbeddingNearDup(
+        threshold = dbl(p, "threshold", 0.95),
+        dim = int(p, "dim", 8),
+        bands = int(p, "bands", 8),
+        bitsPerBand = int(p, "bits_per_band", 4),
+        idCol = str(p, "id_field", "doc_id"),
+        vecCol = str(p, "vec_field", "embedding"))(df)))
   )
 
   def build(name: String, params: Params): PipelineOp =

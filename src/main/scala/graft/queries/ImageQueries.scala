@@ -101,6 +101,20 @@ object ImageQueries {
         col("doc_id"),
         round(col("aigc_score"), 6).as("aigc_score"),
         (col("aigc_score") > 0.5).as("is_aigc"))
+    }),
+
+    "trained_embedding" -> ((s, dir) => {
+      // TRAINED encoder (EmbeddingTrainer: MLlib PCA over standardized
+      // content features, frozen projection) through the BatchInference
+      // slot — the non-stub sibling of clip_embedding_stub. Synthetic
+      // payloads take the raw-byte feature path the oracle reproduces.
+      // Both sides round the SAME float32 value (cast to float before
+      // widening back) so float-vs-double rounding can't diverge.
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      graft.operators.ml.TrainedEmbedding(docs)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("pos"),
+          round(col("v").cast("double"), 6).as("v"))
     })
   )
 
@@ -305,6 +319,75 @@ object ImageQueries {
          |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS clf_score,
          |  1.0 / (1.0 + exp(-z)) > 0.5 AS clf_label
          |FROM z""".stripMargin
+    },
+
+    "trained_embedding" -> {
+      // SQL twin of the frozen TrainedEmbedding projection, its literals
+      // interpolated straight from the Scala constants (single source of
+      // truth; e0 forces DOUBLE, not DECIMAL). Features: global entropy /
+      // log1p(len) / max-bin / gradient + per-quarter entropy & gradient,
+      // quarter = ((i-1)*4)//len; boundary-straddling pairs count only
+      // for the global gradient, matching EmbeddingFeatures.fromValues.
+      val p = graft.operators.ml.TrainedEmbedding.projection
+      def lit(v: Double): String = f"($v%.12fe0)"
+      val zs = (0 until 12).map(j => s"((f$j - ${lit(p.mean(j))}) / ${lit(p.std(j))})")
+      val es = p.components.zipWithIndex.map { case (c, ci) =>
+        c.zip(zs).map { case (w, z) => s"${lit(w)} * $z" }
+          .mkString("(", " + ", s") AS e$ci")
+      }
+      val eNames = (0 until 8).map(i => s"e$i")
+      val sumSq = eNames.map(e => s"$e * $e").mkString(" + ")
+      val arr = eNames.map(e => s"$e / nrm").mkString("[", ", ", "]")
+      val segEnt = (0 until 4).map(s =>
+        s"coalesce(max(CASE WHEN se.seg = $s THEN se.es END), 0.0) AS f${4 + s}")
+      val segGrad = (0 until 4).map(s =>
+        s"coalesce(max(CASE WHEN sg.seg = $s THEN sg.gs END), 0.0) AS f${8 + s}")
+      s"""WITH chars AS (
+         |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v,
+         |    CAST(((i - 1) * 4) // length(text) AS INT) AS seg
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |lagd AS (
+         |  SELECT doc_id, v, seg,
+         |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+         |    lag(seg) OVER (PARTITION BY doc_id ORDER BY i) AS pseg
+         |  FROM chars),
+         |grad AS (
+         |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
+         |  FROM lagd WHERE pv IS NOT NULL GROUP BY doc_id),
+         |seggrad AS (
+         |  SELECT doc_id, seg, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS gs
+         |  FROM lagd WHERE pv IS NOT NULL AND seg = pseg GROUP BY doc_id, seg),
+         |counts AS (SELECT doc_id, v, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
+         |gfeat AS (
+         |  SELECT counts.doc_id,
+         |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS f0,
+         |    ln(1.0 + max(total)) AS f1,
+         |    CAST(max(n) AS DOUBLE) / max(total) AS f2
+         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id GROUP BY counts.doc_id),
+         |segcounts AS (SELECT doc_id, seg, v, count(*) AS n FROM chars GROUP BY 1, 2, 3),
+         |segtot AS (SELECT doc_id, seg, sum(n) AS stot FROM segcounts GROUP BY 1, 2),
+         |segent AS (
+         |  SELECT sc.doc_id, sc.seg,
+         |    -sum((CAST(n AS DOUBLE) / stot) * log2(CAST(n AS DOUBLE) / stot)) AS es
+         |  FROM segcounts sc JOIN segtot st ON sc.doc_id = st.doc_id AND sc.seg = st.seg
+         |  GROUP BY sc.doc_id, sc.seg),
+         |feat AS (
+         |  SELECT gfeat.doc_id, gfeat.f0, gfeat.f1, gfeat.f2, grad.g AS f3,
+         |    ${segEnt.mkString(",\n    ")},
+         |    ${segGrad.mkString(",\n    ")}
+         |  FROM gfeat
+         |  JOIN grad ON gfeat.doc_id = grad.doc_id
+         |  LEFT JOIN segent se ON gfeat.doc_id = se.doc_id
+         |  LEFT JOIN seggrad sg ON gfeat.doc_id = sg.doc_id
+         |  GROUP BY gfeat.doc_id, gfeat.f0, gfeat.f1, gfeat.f2, grad.g),
+         |proj AS (SELECT doc_id, ${es.mkString(",\n  ")} FROM feat),
+         |nrmed AS (SELECT doc_id, sqrt($sumSq) AS nrm, ${eNames.mkString(", ")} FROM proj)
+         |SELECT doc_id, CAST(i AS INT) AS pos,
+         |  round(CAST(CAST(arr[CAST(i + 1 AS INT)] AS FLOAT) AS DOUBLE), 6) AS v
+         |FROM (SELECT doc_id,
+         |        CASE WHEN nrm = 0 THEN [${eNames.mkString(", ")}] ELSE $arr END AS arr
+         |      FROM nrmed), range(0, 8) r(i)""".stripMargin
     }
   )
 }

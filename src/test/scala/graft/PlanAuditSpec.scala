@@ -54,6 +54,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan(q).contains("Exchange"), s"$q should be map-only")
   }
 
+  test("config-built simhash stage runs the exploded scale path, not the HOF form") {
+    val yaml =
+      """operators:
+        |  - name: simhash_deduplicator
+        |    params: {nbits: 16}
+        |""".stripMargin
+    val pipeline = graft.pipeline.PipelineConfig.parse(yaml)
+    val docs = Tables.load(spark, dir, "documents")
+    val p = pipeline(docs).queryExecution.executedPlan.toString
+    // the per-row HOF signature builds the bit vector with zip_with
+    // inside aggregate (interpreted per token); the scale path explodes
+    // tokens into codegen'd scalar md5 + bit tests with map-side combine
+    assert(!p.contains("zip_with") && !p.contains("aggregate("))
+    assert(p.toLowerCase.contains("generate explode") || p.contains("Generate"))
+  }
+
   test("no nested-loop or cartesian joins anywhere in the registry") {
     // allowed nested loops, each deliberate:
     // - kmeans_assign / ann_ivf: 1-row broadcast attach of the centroid
