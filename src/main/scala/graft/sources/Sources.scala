@@ -278,22 +278,138 @@ object Sinks {
       .saveAsTable(table)
   }
 
-  /** Table-format sink. The Iceberg runtime jar is intentionally absent
-    * here (zero-egress build); with `iceberg-spark-runtime` on the
-    * classpath this becomes `df.writeTo(table).append()` against a
-    * configured catalog. This fallback writes the same Hive-style
-    * partitioned layout plus a minimal manifest so downstream jobs can
-    * discover partitions — swap in Iceberg by configuration, not code
-    * change. */
-  def table(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    parquet(df, s"$path/data", partitionBy)
-    val manifest =
-      s"""{"table":"$path","format":"parquet","partition_by":[${partitionBy.map("\"" + _ + "\"").mkString(",")}]}"""
-    // through the Hadoop FS like the data files, so s3a://*/hdfs://
-    // table paths work identically to local ones
+  /** Table-format sink with SNAPSHOT COMMIT semantics — the fallback
+    * for the Iceberg writer (writers/iceberg_writer.py) in a build where
+    * the runtime jar is intentionally absent (zero-egress); with
+    * `iceberg-spark-runtime` on the classpath this becomes
+    * `df.writeTo(table).append()` against a configured catalog.
+    *
+    * Layout (Iceberg's shape, minimally):
+    * {{{
+    * path/
+    *   data/v<N>/…parquet     immutable, versioned — NEVER renamed/mutated
+    *   snapshots/v<N>.json    version, timestamp, partition spec, file list
+    *   manifest.json          the pointer; rewriting it IS the commit
+    * }}}
+    *
+    * Commit protocol: (1) write `data/v<N>` (invisible — nothing points
+    * at it), (2) write `snapshots/v<N>.json` after the data completes,
+    * (3) flip `manifest.json` to N. A crash anywhere before (3) leaves
+    * the previous snapshot live and intact — there is no rename of live
+    * data and therefore no `swapIn`-style window with no table at all.
+    * If the flip itself is interrupted, [[currentVersion]] falls back to
+    * the highest snapshot file, which by (2) always has complete data.
+    * Old versions stay readable ([[readTable]] time travel) until
+    * [[expireSnapshots]]. Returns the committed version. */
+  def table(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/manifest.json"), true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val version = snapshotVersions(fs, path).lastOption.getOrElse(0L) + 1L
+    parquet(df, s"$path/data/v$version", partitionBy)
+    val files = listFilesRec(fs, new org.apache.hadoop.fs.Path(s"$path/data/v$version"))
+      .filter(_.endsWith(".parquet"))
+    val snapshot =
+      s"""{"version":$version,"timestamp_ms":${System.currentTimeMillis()},
+         |"partition_by":[${partitionBy.map("\"" + _ + "\"").mkString(",")}],
+         |"files":[${files.map("\"" + _ + "\"").mkString(",")}]}""".stripMargin
+    writeFile(fs, s"$path/snapshots/v$version.json", snapshot)
+    val manifest =
+      s"""{"table":"$path","format":"parquet","current":$version,
+         |"partition_by":[${partitionBy.map("\"" + _ + "\"").mkString(",")}]}""".stripMargin
+    // the flip: tmp + delete + rename; if interrupted, readers fall
+    // back to the snapshot log (see currentVersion)
+    writeFile(fs, s"$path/manifest.json.tmp", manifest)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest.json"), false)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/manifest.json.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/manifest.json"))
+    version
+  }
+
+  /** MERGE as a snapshot commit: read the current snapshot, apply the
+    * keyed upsert, commit the merged table as version N+1. No live data
+    * is renamed or deleted, so unlike [[upsert]]'s directory swap there
+    * is no crash window at all — a failed merge leaves version N live. */
+  def upsertTable(updates: DataFrame, path: String, keyCols: Seq[String],
+      partitionBy: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val spark = updates.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val merged = currentVersion(fs, path) match {
+      case None => updates
+      case Some(_) =>
+        val existing = readTable(spark, path)
+        existing
+          .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(updates.select(existing.columns.map(col): _*))
+    }
+    table(merged, path, partitionBy)
+  }
+
+  /** Committed version: the manifest pointer, or — if a crash
+    * interrupted the flip — the highest snapshot on the log (whose data
+    * is complete by the commit protocol's write order). */
+  def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fromManifest =
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"current\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      }
+    fromManifest.orElse(snapshotVersions(fs, path).lastOption)
+  }
+
+  /** The table at its current (or an explicit, time-travel) version. */
+  def readTable(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val v = asOfVersion.orElse(currentVersion(fs, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    spark.read.parquet(s"$path/data/v$v")
+  }
+
+  /** Versions on the snapshot log, ascending. */
+  def snapshotVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/snapshots")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => "^v(\\d+)\\.json$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong))
+      .sorted
+  }
+
+  /** Retention maintenance: drop all but the last `keepLast` snapshots
+    * (data dirs + log entries). The current version is always kept. */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val versions = snapshotVersions(fs, path)
+    val cur = currentVersion(fs, path)
+    versions.dropRight(keepLast).filterNot(cur.contains).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/v$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/snapshots/v$v.json"), false)
+    }
+  }
+
+  private def writeFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listFilesRec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) buf += it.next().getPath.getName
+    buf.toSeq
   }
 }

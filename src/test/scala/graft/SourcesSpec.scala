@@ -69,11 +69,56 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.toSet == Set("id", "part", "v"))
   }
 
-  test("table sink writes data + manifest") {
+  test("table sink commits snapshots: versioning, time travel, pointer flip") {
     val dir = Files.createTempDirectory("graft_tbl").toString + "/tbl"
-    Sinks.table(Seq((1L, "x")).toDF("id", "k"), dir, partitionBy = Seq("k"))
+    val v1 = Sinks.table(Seq((1L, "x")).toDF("id", "k"), dir, partitionBy = Seq("k"))
+    val v2 = Sinks.table(Seq((1L, "x"), (2L, "y")).toDF("id", "k"), dir,
+      partitionBy = Seq("k"))
+    assert((v1, v2) == (1L, 2L))
     assert(Files.exists(java.nio.file.Paths.get(dir, "manifest.json")))
-    assert(spark.read.parquet(dir + "/data").count() == 1)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "snapshots", "v2.json")))
+    assert(Sinks.readTable(spark, dir).count() == 2) // current = v2
+    assert(Sinks.readTable(spark, dir, asOfVersion = Some(1L)).count() == 1) // time travel
+  }
+
+  test("half-committed table write leaves the previous snapshot live") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_tblcrash").toString + "/tbl"
+    Sinks.table(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // simulate a crash mid-commit: data/v2 partially written, no
+    // snapshot entry, pointer untouched
+    val partial = java.nio.file.Paths.get(dir, "data", "v2")
+    Files.createDirectories(partial)
+    Files.writeString(partial.resolve("part-00000.parquet"), "garbage not parquet")
+    assert(Sinks.readTable(spark, dir).count() == 2) // v1 still live, unharmed
+    // the next commit claims version 2, replacing the debris
+    val v = Sinks.table(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(v == 2L)
+    assert(Sinks.readTable(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+    // interrupted pointer FLIP (manifest gone): reader falls back to the
+    // snapshot log, whose entries always have complete data
+    Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    assert(Sinks.readTable(spark, dir).count() == 1)
+  }
+
+  test("upsertTable merges as a commit; expireSnapshots keeps the tail") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_tblup").toString + "/tbl"
+    Sinks.upsertTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, Seq("id"))
+    Sinks.upsertTable(Seq((2L, "B!"), (3L, "c")).toDF("id", "v"), dir, Seq("id"))
+    assert(Sinks.readTable(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B!"), (3L, "c")))
+    // both versions still on the log, then retention drops v1
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(Sinks.snapshotVersions(fs, dir) == Seq(1L, 2L))
+    Sinks.expireSnapshots(spark, dir, keepLast = 1)
+    assert(Sinks.snapshotVersions(fs, dir) == Seq(2L))
+    assert(!new java.io.File(s"$dir/data/v1").exists())
+    assert(Sinks.readTable(spark, dir).count() == 3)
   }
 
   test("jsonl + csv loaders") {
