@@ -370,7 +370,8 @@ case class PipelineJob(
     * stops (backfill / test mode); false runs until terminated. */
   def runStream(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      availableNow: Boolean = false):
+      availableNow: Boolean = false,
+      metrics: Option[graft.streaming.StreamingMetricsListener] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val (ltpe, lp) = loaderSpec.getOrElse(
       throw new IllegalArgumentException("job config has no data_loader"))
@@ -384,7 +385,13 @@ case class PipelineJob(
       case other =>
         throw new IllegalArgumentException(s"streaming loader unsupported: $other")
     }
-    val out = pipeline(in)
+    // per-stage funnel metrics for the stream (reference
+    // example_with_metrics.yaml): named observe nodes surface counts in
+    // every micro-batch's progress event — no extra jobs
+    val out = metrics match {
+      case Some(l) => spark.streams.addListener(l); pipeline.observedStream(in)
+      case None => pipeline(in)
+    }
     val (wtpe, wp) = writerSpec.getOrElse(
       throw new IllegalArgumentException("job config has no data_writer"))
     require(wtpe == "ParquetDataWriter",

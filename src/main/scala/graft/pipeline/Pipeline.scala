@@ -67,6 +67,25 @@ case class Pipeline(ops: Seq[PipelineOp]) {
   def funnelReport(obs: Seq[(String, Observation)]): Seq[(String, Long)] =
     obs.map { case (name, o) => name -> o.get("n").asInstanceOf[Long] }
 
+  /** Streaming twin of [[observed]]: NAMED observe nodes, which the
+    * engine reports per micro-batch through
+    * `QueryProgressEvent.observedMetrics` — funnel counts with zero
+    * extra jobs, collected by
+    * [[graft.streaming.StreamingMetricsListener]]. Names carry a
+    * zero-padded stage index so reports keep pipeline order. */
+  def observedStream(df: DataFrame): DataFrame = {
+    var cur = df.observe("graft_stage_000_input", count(lit(1)).as("n"))
+    ops.zipWithIndex.foreach { case (op, i) =>
+      cur = (op match {
+        case FilterOp(_, p) => cur.filter(p(cur))
+        case RefineOp(_, f) => f(cur)
+        case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
+      })
+      cur = cur.observe(f"graft_stage_${i + 1}%03d_${op.name}", count(lit(1)).as("n"))
+    }
+    cur
+  }
+
   /** Diagnostic per-operator profiling: each stage is persisted and
     * timed as its own materialization — the reference's execution model
     * (one actor-pool batch per stage), reproduced so per-op wall time

@@ -162,8 +162,12 @@ class StreamingMetricsListener
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
   import org.apache.spark.sql.streaming.StreamingQueryListener._
 
+  /** `stageRows` carries the per-stage funnel counts of this batch when
+    * the query was built with [[graft.pipeline.Pipeline.observedStream]]
+    * (name-keyed, pipeline-ordered by the zero-padded index prefix). */
   case class BatchMetrics(queryName: String, batchId: Long,
-      inputRows: Long, recPerSec: Double, batchMs: Long)
+      inputRows: Long, recPerSec: Double, batchMs: Long,
+      stageRows: Seq[(String, Long)] = Seq.empty)
 
   private val batchBuf =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
@@ -176,10 +180,30 @@ class StreamingMetricsListener
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    import scala.jdk.CollectionConverters._
     val p = e.progress
+    val stages = p.observedMetrics.asScala.toSeq.collect {
+      case (name, row) if name.startsWith("graft_stage_") =>
+        name.stripPrefix("graft_stage_") -> row.getAs[Long]("n")
+    }.sortBy(_._1).map { case (n, v) => n.replaceFirst("^\\d+_", "") -> v }
     batchBuf.add(BatchMetrics(
       Option(p.name).getOrElse(p.id.toString), p.batchId,
-      p.numInputRows, p.processedRowsPerSecond, p.batchDuration))
+      p.numInputRows, p.processedRowsPerSecond, p.batchDuration, stages))
+  }
+
+  /** Funnel totals across all recorded batches, in pipeline order —
+    * feed to [[graft.pipeline.Pipeline.formatReport]] or
+    * [[graft.pipeline.MetricsSink.fromFunnel]] for persistence. */
+  def stageTotals: Seq[(String, Long)] = {
+    val perBatch = batches.map(_.stageRows).filter(_.nonEmpty)
+    if (perBatch.isEmpty) Seq.empty
+    else perBatch.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (name, _) =>
+        perBatch.head.indexWhere(_._1 == name) match {
+          case -1 => Int.MaxValue
+          case i => i
+        }
+      }
   }
 
   /** Reference-style throughput summary over the recorded batches. */

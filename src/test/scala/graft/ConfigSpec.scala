@@ -156,6 +156,48 @@ class ConfigSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/out__checkpoint").exists())
   }
 
+  test("config-driven stream surfaces per-stage funnel metrics per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smet").toString
+    val in = Seq(
+      (1L, "a sufficiently long document that passes the length filter"),
+      (2L, "x"),
+      (3L, "another long document that also clears the minimum length bar"))
+      .toDF("doc_id", "text")
+    in.write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader: {type: ParquetLoader, params: {path: $dir/in}}
+         |operators:
+         |  - name: quality_scorer
+         |  - name: text_length_filter
+         |    params: {min_length: 10}
+         |data_writer: {type: ParquetDataWriter, params: {path: $dir/out}}
+         |""".stripMargin
+    val job = PipelineConfig.parseJob(yaml)
+    val listener = new graft.streaming.StreamingMetricsListener
+    val q = job.runStream(spark, in.schema, availableNow = true,
+      metrics = Some(listener))
+    try {
+      q.awaitTermination(60000)
+      // listener events are delivered asynchronously after termination
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.stageTotals.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val totals = listener.stageTotals
+      assert(totals == Seq(("input", 3L), ("quality_scorer", 3L),
+        ("text_length_filter", 2L)))
+      val withStages = listener.batches.filter(_.stageRows.nonEmpty)
+      assert(withStages.nonEmpty) // per-batch rows, not just totals
+      assert(withStages.head.stageRows.map(_._1) ==
+        Seq("input", "quality_scorer", "text_length_filter"))
+      // feeds the same persistence path as batch runs
+      val mdir = s"$dir/metrics"
+      graft.pipeline.MetricsSink.persist(spark, mdir,
+        graft.pipeline.MetricsSink.fromFunnel(
+          graft.pipeline.MetricsSink.newRunId(), totals), 1.0, yaml)
+      assert(spark.read.parquet(s"$mdir/stages").count() == 2)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("z_image parity config: siglip + trained degradations columns appear") {
     val job = PipelineConfig.parseJob(
       java.nio.file.Files.readString(java.nio.file.Path.of("configs/example_z_image.yaml")))
