@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.dedup.EmbeddingNearDup
+import graft.operators.text.{CrossDocLineDedup, Decontaminator, MixtureSampler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5 scale probes: replicate the sf corpus to ~1M rows with a
+  * group structure that keeps near-dup clusters CONSTANT-sized as the
+  * corpus grows — each text group's words carry a group suffix (so
+  * shingle clusters never cross groups), and each vector group is a
+  * cyclic dimension shift (which preserves intra-group cosines exactly
+  * and decorrelates groups) — then time operators end to end.
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java … graft.ScaleProbe \
+  *     [boilerplate mixture embedding bloom]     # default: all
+  * }}}
+  * Prints one `PROBE op rows_in rows_out seconds` line per operator.
+  */
+object ScaleProbe {
+
+  /** 5k docs × 10 groups × 20 replicas = 1M. Group 0 keeps the original
+    * vocabulary (so a benchmark built from the base corpus still hits
+    * it); groups 1+ suffix every word. Replicas within a group are exact
+    * duplicates at offset ids — the duplicate-heavy web-corpus shape. */
+  def docs1m(spark: SparkSession, sfDir: String,
+      groups: Int = 10, reps: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    docs
+      .withColumn("__g", explode(sequence(lit(0), lit(groups - 1))))
+      .withColumn("__r", explode(sequence(lit(0), lit(reps - 1))))
+      .select(
+        (col("doc_id") + (col("__g") * reps + col("__r")) * lit(10000000L))
+          .as("doc_id"),
+        when(col("__g") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_g"), col("__g")))).as("text"),
+        col("source"))
+  }
+
+  /** 2k vectors × 50 shift-groups × 10 replicas = 1M. */
+  def vectors1m(spark: SparkSession, sfDir: String,
+      groups: Int = 50, reps: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val dim = 64
+    emb
+      .withColumn("__g", explode(sequence(lit(0), lit(groups - 1))))
+      .withColumn("__r", explode(sequence(lit(0), lit(reps - 1))))
+      .select(
+        (col("vec_id") + (col("__g") * reps + col("__r")) * lit(10000000L))
+          .as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"), pmod(i + col("__g"), lit(dim)) + 1))
+          .as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ops = if (args.isEmpty) Set("boilerplate", "mixture", "embedding", "bloom")
+      else args.toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def probe(name: String, rowsIn: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"PROBE $name rows_in=$rowsIn rows_out=$out ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    if (ops("boilerplate") || ops("mixture") || ops("bloom")) {
+      // materialize once so each probe times its operator, not the
+      // corpus replication
+      val corpus = docs1m(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val n = corpus.count()
+      if (ops("boilerplate")) {
+        val withBp = corpus.withColumn("text", concat(
+          lit("subscribe to our newsletter\n"), col("text"),
+          lit("\ncopyright "), col("source")))
+        probe("boilerplate_removal", n)(CrossDocLineDedup(minDocs = 10)(withBp).count())
+      }
+      if (ops("mixture"))
+        probe("mixture_sample", n)(MixtureSampler().sample(corpus,
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          budget = 12000).count())
+      if (ops("bloom")) {
+        // the benchmark stays original-sized (bench sets don't grow with
+        // the corpus); group 0 kept base vocabulary, so real hits exist
+        val bench = Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") % 50 === 0)
+        probe("decontaminate_bloom", n)(
+          Decontaminator(n = 5).contaminatedIdsBloom(corpus, bench).count())
+      }
+      corpus.unpersist()
+    }
+    if (ops("embedding")) {
+      val vecs = vectors1m(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val n = vecs.count()
+      probe("dedup_embedding", n)(
+        EmbeddingNearDup(threshold = 0.35).lshPairs(vecs).count())
+      vecs.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -232,19 +232,28 @@ case class SimHash(
       .groupBy("simhash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Hamming-distance ≤ 1 candidate pairs via 1-bit-flip probe tables —
-    * the scale path past exact-signature buckets. One side explodes to
-    * its signature plus all `nbits` single-bit flips (nbits+1 probe
-    * rows), the other keeps exact signatures; an equi-join on the probe
-    * catches every pair within hamming 1 without any pairwise scan. At
-    * hamming radius r the same trick explodes C(nbits, ≤r) probes —
-    * still an equi-join, never O(n²). */
-  def candidatePairs(df: DataFrame): DataFrame = {
+  /** Hamming-distance ≤ `radius` candidate pairs via bit-flip probe
+    * tables — the scale path past exact-signature buckets. One side
+    * explodes to its signature XOR every mask of ≤ radius set bits
+    * (C(nbits, ≤r) probe rows), the other keeps exact signatures; an
+    * equi-join on the probe catches every pair within the radius
+    * without any pairwise scan. `maxProbes` caps the per-doc explosion
+    * (e.g. 48 bits at r=2 is 1,177 probes — still an equi-join, but the
+    * cap forces the caller to acknowledge the fan-out before paying it). */
+  def candidatePairs(df: DataFrame, radius: Int = 1,
+      maxProbes: Int = 4096): DataFrame = {
+    require(radius >= 1 && radius <= 2, "radius must be 1 or 2")
+    val oneBit = (0 until nbits).map(j => 1L << j)
+    val masks = oneBit ++ (if (radius >= 2)
+      for { a <- 0 until nbits; b <- a + 1 until nbits }
+        yield (1L << a) | (1L << b)
+    else Seq.empty[Long])
+    require(masks.size + 1 <= maxProbes,
+      s"probe fan-out ${masks.size + 1} exceeds maxProbes=$maxProbes")
     val sigs = signatures(df)
-    val probes = sigs.select(col(idCol), explode(concat(
-      array(col("simhash")),
-      transform(sequence(lit(0), lit(nbits - 1)),
-        j => col("simhash").bitwiseXOR(pow(lit(2.0), j).cast("long"))))).as("probe"))
+    val probes = sigs.select(col(idCol), explode(array(
+      (lit(0L) +: masks.map(lit(_))).map(m => col("simhash").bitwiseXOR(m)): _*))
+      .as("probe"))
     probes.as("a")
       .join(sigs.as("b"), col("a.probe") === col("b.simhash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

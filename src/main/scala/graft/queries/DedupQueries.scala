@@ -41,6 +41,14 @@ object DedupQueries {
       sh.candidatePairs(docs)
     }),
 
+    // radius-2 probe tables: C(16,2)+16+1 = 137 probes per doc, still a
+    // pure equi-join (oracle = brute-force bit_count(xor) <= 2)
+    "dedup_simhash_probes2" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      sh.candidatePairs(docs, radius = 2)
+    }),
+
     // near-dup clustering: connected components over the MinHash
     // candidate graph (min-label propagation; oracle = recursive CTE)
     "dedup_components" -> ((s, dir) => {
@@ -152,7 +160,13 @@ object DedupQueries {
       s"""WITH $shSigSql
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM sig a JOIN sig b
-         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
+
+    "dedup_simhash_probes2" ->
+      s"""WITH $shSigSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
   )
 
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the 16-bit

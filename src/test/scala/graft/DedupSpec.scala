@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpec {
     assert(recipe == direct) // full recall on the test corpus at τ=0.5
   }
 
+  test("simhash radius-2 probes guard their fan-out and subsume radius 1") {
+    val sh = SimHash(nbits = 16)
+    intercept[IllegalArgumentException] {
+      sh.candidatePairs(docs, radius = 2, maxProbes = 100) // 137 > 100
+    }
+    intercept[IllegalArgumentException] { sh.candidatePairs(docs, radius = 3) }
+    val r1 = sh.candidatePairs(docs).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val r2 = sh.candidatePairs(docs, radius = 2).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(r1.subsetOf(r2))
+  }
+
   test("low-τ pairs (MinHash-verified) ≡ exact count-join at τ=0.2 (sf0.001)") {
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val nj = NgramJaccard(3, 0.2)
