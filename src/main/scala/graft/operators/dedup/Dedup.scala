@@ -170,6 +170,52 @@ case class MinHashLSH(
   }
 }
 
+/** Incremental near-dup deduplication of a NEW batch against an already
+  * curated corpus — the shape a 100 TB pipeline actually runs day to day:
+  * the historical corpus is never re-shingled; only its narrow persisted
+  * band-bucket index (id, band, bucket — the [[MinHashLSH.buckets]]
+  * output, parquet-partitionable by band) participates, via one
+  * hash-partitioned semi join. Batch-internal duplicates use the same
+  * greedy keep-first semantics as [[MinHashLSH.apply]] (any doc bucketed
+  * with a smaller batch id drops, whether or not that smaller doc itself
+  * survived — stream-order semantics, no transitive re-evaluation).
+  *
+  * Scale shape: cost is O(batch) shingling + two equi-joins keyed on
+  * (band, bucket); the corpus index is only ever READ on the join key it
+  * is stored by, so daily ingest cost is independent of corpus size
+  * (modulo bucket-key skew, which `maxBucketSize` upstream already
+  * bounds). [[indexRows]] returns the survivors' bucket rows — append
+  * them (e.g. via Sinks.upsertPartitioned on band) to roll the index
+  * forward; no other state exists.
+  */
+case class IncrementalMinHashDedup(lsh: MinHashLSH = MinHashLSH()) {
+  private val idCol = lsh.idCol
+
+  /** Batch docs that collide with the index or with a smaller-id batch
+    * doc — the complement of [[survivors]]. */
+  def rejectedIds(index: DataFrame, batch: DataFrame): DataFrame = {
+    val bb = lsh.buckets(batch)
+    val hitOld = bb.join(index, Seq("band", "bucket"), "left_semi")
+      .select(col(idCol))
+    val intra = bb.as("a")
+      .join(bb.as("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as(idCol))
+    hitOld.union(intra).distinct()
+  }
+
+  /** Rows of `batch` that are near-dups of neither the indexed corpus
+    * nor an earlier batch row. Docs too short to shingle pass through
+    * (they have no buckets), matching the batch operator. */
+  def survivors(index: DataFrame, batch: DataFrame): DataFrame =
+    batch.join(rejectedIds(index, batch), Seq(idCol), "left_anti")
+
+  /** Bucket rows to append to the index for the surviving batch docs. */
+  def indexRows(index: DataFrame, batch: DataFrame): DataFrame =
+    lsh.buckets(survivors(index, batch))
+}
+
 /** SimHash (Charikar 2002) n-bit signature as a pure Column expression:
   * per-token md5-derived value, per-bit majority vote over tokens.
   * Exact-signature buckets give near-dup candidates; at scale extend

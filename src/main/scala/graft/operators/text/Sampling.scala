@@ -92,3 +92,46 @@ case class MixtureSampler(idCol: String = "doc_id",
         Seq(sourceCol))
       .filter(u01 < col("rate"))
 }
+
+/** Token-budget sampling: fill each source's TOKEN budget (not document
+  * count — what a training run actually consumes) greedily in a
+  * deterministic salted-hash order. A document is taken while the
+  * tokens already taken from its source are still under budget, so each
+  * source overshoots by at most one document and a budget > 0 always
+  * yields at least one document.
+  *
+  * Scale shape: the cumulative sum runs over a NARROW (id, source,
+  * tokens) projection — one shuffle partitioned by source, sorting only
+  * three columns — and survivors semi-join back to the wide payload,
+  * which shuffles once. Skewed sources (one giant domain) are the
+  * window's partition skew; split them upstream with a salted
+  * sub-source key and per-shard budgets if a single source approaches
+  * executor memory. */
+case class TokenBudgetSampler(idCol: String = "doc_id",
+    sourceCol: String = "source", seed: String = "graft") {
+
+  /** Stable per-doc order key — the same salted md5 family as
+    * [[HashSampler]], so samples are rerun-stable on any layout. */
+  private def orderKey: Column =
+    md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+
+  /** Keep documents filling each source's token budget. `tokenCount`
+    * is any Column yielding the per-doc token count (e.g.
+    * [[graft.functions.TextFns.wsTokenCount]] or a precomputed
+    * column); `budgets` maps source → token budget, `defaultBudget`
+    * applies to unlisted sources (0 = drop them). */
+  def sample(df: DataFrame, tokenCount: Column,
+      budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(orderKey, col(idCol))
+    val picked = df
+      .select(col(idCol), col(sourceCol), tokenCount.cast("long").as("__tok"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") - col("__tok") < budget)
+      .select(col(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.dedup.{ConnectedComponents, MinHashLSH, NgramJaccard, SimHash}
+import graft.operators.dedup.{ConnectedComponents, IncrementalMinHashDedup, MinHashLSH, NgramJaccard, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,17 @@ object DedupQueries {
     "dedup_components" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       ConnectedComponents(mh.candidatePairs(docs), docs.select("doc_id"))
+    }),
+
+    // delta-ingest dedup: the new 40% of the corpus deduped against the
+    // persisted band-bucket index of the first 60% — corpus text is
+    // never re-shingled, only its narrow index joins
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val index = mh.buckets(docs.filter(col("doc_id") % 5 < 3))
+      val batch = docs.filter(col("doc_id") % 5 >= 3)
+      IncrementalMinHashDedup(mh).survivors(index, batch)
+        .select("doc_id", "lang", "source")
     }),
 
     // the 100 TB jaccard recipe: MinHash candidates -> exact verify
@@ -129,6 +140,22 @@ object DedupQueries {
          |  UNION
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $mhSigSql,
+         |$bandsSql,
+         |old_b AS (SELECT * FROM buckets WHERE doc_id % 5 < 3),
+         |new_b AS (SELECT * FROM buckets WHERE doc_id % 5 >= 3),
+         |rejected AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM new_b n JOIN old_b o ON n.band = o.band AND n.bucket = o.bucket
+         |  UNION
+         |  SELECT DISTINCT b.doc_id
+         |  FROM new_b a JOIN new_b b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 5 >= 3
+         |  AND doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin,
 
     "dedup_minhash_verified" ->
       s"""WITH $mhSigSql,

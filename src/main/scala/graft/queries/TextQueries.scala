@@ -143,6 +143,15 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // token-budget fill per source: greedy in salted-hash order, the
+    // budget is counted in tokens (what training consumes), not docs
+    "token_budget_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TokenBudgetSampler().sample(docs, wsTokenCount(col("text")),
+          Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 150L)
+        .select("doc_id", "source")
+    }),
+
     // deterministic 3-per-language sample (hash-ranked reservoir)
     "sample_per_group" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -540,6 +549,21 @@ object TextQueries {
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN rates r ON d.source = r.source
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456.0 < r.rate""".stripMargin,
+
+    "token_budget_sample" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len($wsToksSql) END AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || ':graft') AS ok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY ok, doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, source FROM c
+        |WHERE cum - tok < CASE source WHEN 'src0' THEN 800
+        |  WHEN 'src1' THEN 400 ELSE 150 END""".stripMargin,
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

@@ -117,4 +117,32 @@ class DedupSpec extends SparkSpec {
     val lsh = nd.lshPairs(vecs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("IncrementalMinHashDedup: index hits reject, novel and short docs pass") {
+    val lsh = MinHashLSH(numHashes = 12, bands = 6, shingleSize = 3)
+    val inc = IncrementalMinHashDedup(lsh)
+    // corpus = docs 1..3 (2 is an exact dup, 3 a near dup of 1); the
+    // persisted index carries their buckets, never their text
+    val index = lsh.buckets(docs.filter($"doc_id" <= 3))
+    val batch = Seq(
+      (11L, "the QUICK brown fox jumps over the lazy dog again and again"), // dup of indexed 1
+      (12L, "entirely novel sentence mentioning structured streaming watermarks"),
+      (13L, "entirely novel sentence mentioning structured streaming watermarks"), // intra-batch dup of 12
+      (14L, "ok") // too short to shingle → passes through
+    ).toDF("doc_id", "text")
+    val out = inc.survivors(index, batch).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(12L, 14L))
+    // rolling the index forward indexes only the survivors
+    val rolled = inc.indexRows(index, batch).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(rolled == Set(12L))
+    // batch 2 against the rolled index: a dup of batch-1 survivor 12 is
+    // now rejected without ever re-reading batch 1
+    val batch2 = Seq(
+      (21L, "entirely novel sentence mentioning structured streaming watermarks"))
+      .toDF("doc_id", "text")
+    val out2 = inc.survivors(index.union(inc.indexRows(index, batch)), batch2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2.isEmpty)
+  }
 }

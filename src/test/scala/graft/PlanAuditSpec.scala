@@ -77,8 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     // - knn_bruteforce: the EXACTNESS BASELINE — all pairs by
     //   definition, query side broadcast; scale paths are ann_lsh/ann_ivf
     // - perplexity: 1-row broadcast attach of the corpus token total
+    // - q11_important_parts: 1-row broadcast attach of the grand-total
+    //   scalar (decorrelated HAVING subquery — build side is one row)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
-      "perplexity")
+      "perplexity", "q11_important_parts")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.text.{HashSampler, PiiRedactor}
+import graft.operators.text.{HashSampler, PiiRedactor, TokenBudgetSampler}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -52,6 +52,32 @@ class SamplingSpec extends SparkSpec {
     val again = ms.sample(docs, weights, budget = 200)
       .select("doc_id").as[Long].collect().toSet
     assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("token-budget sampler fills each source to its budget plus at most one doc") {
+    val docs = (1L to 200L).map { i =>
+      (i, s"src${i % 4}", ("w " * (10 + (i % 7)).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val tbs = TokenBudgetSampler()
+    val out = tbs.sample(docs, graft.functions.TextFns.wsTokenCount(col("text")),
+      Map("src0" -> 100L, "src1" -> 40L), defaultBudget = 0L)
+    val taken = out
+      .withColumn("tok", graft.functions.TextFns.wsTokenCount(col("text")).cast("long"))
+      .groupBy("source").agg(sum("tok").as("toks"), max("tok").as("maxTok"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // unlisted sources dropped entirely
+    assert(!taken.contains("src2") && !taken.contains("src3"))
+    // budget reached but overshoot bounded by the last doc taken
+    val (_, t0, m0, _) = taken("src0")
+    assert(t0 >= 100L && t0 < 100L + m0)
+    val (_, t1, m1, _) = taken("src1")
+    assert(t1 >= 40L && t1 < 40L + m1)
+    // deterministic across runs
+    val again = tbs.sample(docs, graft.functions.TextFns.wsTokenCount(col("text")),
+      Map("src0" -> 100L, "src1" -> 40L), defaultBudget = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
   test("sequence packer: global cumsum correct across partitions, no single-partition window") {
