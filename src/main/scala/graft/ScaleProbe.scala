@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.dedup.EmbeddingNearDup
-import graft.operators.text.{CrossDocLineDedup, Decontaminator, MixtureSampler}
+import graft.operators.dedup.{EmbeddingNearDup, IncrementalMinHashDedup, MinHashLSH}
+import graft.operators.text.{CrossDocLineDedup, Decontaminator, MixtureSampler, TokenBudgetSampler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,7 +60,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val ops = if (args.isEmpty) Set("boilerplate", "mixture", "embedding", "bloom")
+    val ops = if (args.isEmpty) Set("boilerplate", "mixture", "embedding",
+      "bloom", "incremental", "token_budget")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +77,8 @@ object ScaleProbe {
       println(f"PROBE $name rows_in=$rowsIn rows_out=$out ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    if (ops("boilerplate") || ops("mixture") || ops("bloom")) {
+    if (ops("boilerplate") || ops("mixture") || ops("bloom") ||
+        ops("incremental") || ops("token_budget")) {
       // materialize once so each probe times its operator, not the
       // corpus replication
       val corpus = docs1m(spark, sfDir)
@@ -103,6 +105,24 @@ object ScaleProbe {
           .filter(col("doc_id") % 50 === 0)
         probe("decontaminate_bloom", n)(
           Decontaminator(n = 5).contaminatedIdsBloom(corpus, bench).count())
+      }
+      if (ops("token_budget"))
+        probe("token_budget_sample", n)(TokenBudgetSampler()
+          .sample(corpus, graft.functions.TextFns.wsTokenCount(col("text")),
+            Map.empty, defaultBudget = 500000L).count())
+      if (ops("incremental")) {
+        // daily-ingest shape: 60% of the corpus is already indexed (the
+        // narrow band-bucket table is materialized — at 100 TB it lives
+        // in parquet); the probe times ONLY the 40% batch's cost:
+        // shingling + two (band, bucket) equi-joins
+        val mh = MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3)
+        val index = mh.buckets(corpus.filter(col("doc_id") % 5 < 3))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        index.count()
+        val batch = corpus.filter(col("doc_id") % 5 >= 3)
+        probe("dedup_incremental", n * 2 / 5)(
+          IncrementalMinHashDedup(mh).survivors(index, batch).count())
+        index.unpersist()
       }
       corpus.unpersist()
     }

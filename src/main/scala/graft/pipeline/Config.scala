@@ -114,6 +114,36 @@ object OperatorRegistry {
             .map { case (k, v) => k -> v.toString.toDouble },
           p.getOrElse("budget", "1000").toString.toLong))),
 
+    // token-budget fill: params {budgets: {src: tokens, ...},
+    // default_budget: N} — budgets count TOKENS, not documents
+    "token_budget_sampler" -> (p => RefineOp("token_budget_sampler",
+      df => TokenBudgetSampler(str(p, "id_field", "doc_id"),
+        str(p, "source_field", "source"), str(p, "seed", "graft"))
+        .sample(df,
+          graft.functions.TextFns.wsTokenCount(
+            org.apache.spark.sql.functions.col(str(p, "text_field", "text"))),
+          p.getOrElse("budgets", Map.empty[String, Any])
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.toString.toLong },
+          p.getOrElse("default_budget", "0").toString.toLong))),
+
+    // delta-ingest near-dup dedup: params {index_path: <parquet dir of
+    // (doc_id, band, bucket) rows>} — the incoming frame dedups against
+    // the persisted corpus index without re-reading corpus text
+    "incremental_minhash_deduplicator" -> (p => RefineOp(
+      "incremental_minhash_deduplicator",
+      df => {
+        val lsh = graft.operators.dedup.MinHashLSH(
+          numHashes = int(p, "num_hashes", 12), bands = int(p, "bands", 4),
+          shingleSize = int(p, "shingle_size", 3),
+          textCol = str(p, "text_field", "text"),
+          idCol = str(p, "id_field", "doc_id"))
+        val index = df.sparkSession.read.parquet(
+          p("index_path").toString)
+        graft.operators.dedup.IncrementalMinHashDedup(lsh)
+          .survivors(index, df)
+      })),
+
     "language_id" -> (p => RefineOp("language_id",
       LanguageId(str(p, "text_field", "text"))(_))),
 

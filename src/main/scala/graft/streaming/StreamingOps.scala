@@ -25,7 +25,11 @@ object StreamingOps {
 
   /** Gap-based sessionization with mapGroupsWithState — the streaming
     * twin of `events_sessionize` (30-min inactivity gap). Emits one row
-    * per closed session. */
+    * per closed session. A session here closes only when a LATER event
+    * for the same user proves the gap — an idle user's last session
+    * stays open forever. Use [[sessionizeWithTimeout]] in production;
+    * this form exists for gap-semantics parity with the batch query on
+    * a finite replay. */
   case class SessionState(start: Long, last: Long, n: Long, value: Double)
   case class SessionOut(user_id: Long, n_events: Long, duration_us: Long, value: Double)
 
@@ -54,6 +58,55 @@ object StreamingOps {
           }
           cur.foreach(state.update)
           closed.iterator
+      }.toDF()
+  }
+
+  /** Production sessionization: like [[sessionize]], but an idle user's
+    * session also closes when the EVENT-TIME watermark passes its last
+    * event + gap (`GroupStateTimeout.EventTimeTimeout`) — no unbounded
+    * open state, no session held hostage by a user who never returns.
+    * State per user is one [[SessionState]] (4 numbers), evicted on
+    * close; the shuffle that feeds `groupByKey` partitions users, so
+    * state scales horizontally like any keyed aggregation. */
+  def sessionizeWithTimeout(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and evict
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n, s.last - s.start, s.value))
+          } else {
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, ts, v) =>
+              cur match {
+                case Some(s) if ts - s.last > gapUs =>
+                  closed += SessionOut(uid, s.n, s.last - s.start, s.value)
+                  cur = Some(SessionState(ts, ts, 1, v))
+                case Some(s) =>
+                  cur = Some(s.copy(last = ts, n = s.n + 1, value = s.value + v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time timeout is expressed in ms
+              state.setTimeoutTimestamp(s.last / 1000 + gapMinutes.toLong * 60 * 1000)
+            }
+            closed.iterator
+          }
       }.toDF()
   }
 

@@ -224,6 +224,40 @@ class ConfigSpec extends SparkSpec {
     assert(out.count() == 1) // phash dedup removed the identical copy
   }
 
+  test("token-budget sampler and incremental dedup run from YAML") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_index").toString
+    // persist a corpus index the way a nightly job would
+    val lsh = graft.operators.dedup.MinHashLSH(numHashes = 12, bands = 6)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "src0"))
+      .toDF("doc_id", "text", "source")
+    lsh.buckets(corpus).write.mode("overwrite").parquet(s"$tmp/index")
+    val yaml =
+      s"""stages:
+         |  - name: ingest
+         |    operators:
+         |      - name: incremental_minhash_deduplicator
+         |        params: {index_path: "$tmp/index", num_hashes: 12, bands: 6}
+         |      - name: token_budget_sampler
+         |        params:
+         |          budgets: {src0: 12}
+         |          default_budget: 0
+         |""".stripMargin
+    val batch = Seq(
+      (11L, "the QUICK brown fox jumps over the lazy dog again and again", "src0"), // indexed dup
+      (12L, "one novel document about incremental ingest shapes", "src0"),
+      (13L, "another novel document about sampling under token budgets", "src0"),
+      (14L, "a third novel document that the twelve-token budget cannot fit anymore", "src0"),
+      (15L, "novel but from an unbudgeted source so it is dropped", "srcX")
+    ).toDF("doc_id", "text", "source")
+    val out = PipelineConfig.parse(yaml)(batch)
+      .select("doc_id").as[Long].collect().toSet
+    // 11 rejected by the index; 15 dropped (no budget); of 12/13/14 the
+    // 12-token budget fits one-to-two docs in hash order, never all three
+    assert(!out.contains(11L) && !out.contains(15L))
+    assert(out.nonEmpty && out.subsetOf(Set(12L, 13L, 14L)) && out.size < 3)
+  }
+
   test("unknown operator fails loudly") {
     intercept[IllegalArgumentException] {
       PipelineConfig.parse("operators:\n  - name: nope\n")

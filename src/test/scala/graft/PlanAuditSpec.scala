@@ -70,6 +70,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("generate explode") || p.contains("Generate"))
   }
 
+  test("new TPC-H shapes keep their scale plans") {
+    // q8: the full star joins every dimension as broadcast — the fact
+    // table shuffles only for the final year aggregation
+    assert("BroadcastHashJoin".r.findAllIn(plan("q8_market_share")).size >= 4)
+    // q19: the OR-of-ANDs must stay one broadcast hash join with the
+    // residual disjunction as its post-condition, not a plan split
+    val q19 = plan("q19_disjunctive_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(q19).size == 1)
+    assert(!q19.contains("SortMergeJoin") && !q19.contains("Union"))
+    // q21: the EXISTS/NOT-EXISTS chain decorrelates to at most two scans
+    // of the fact table (li + perOrder) — the original's correlated form
+    // would self-join lineitem three times
+    val q21 = plan("q21_waiting_supplier")
+    assert("lineitem.parquet".r.findAllIn(q21).size <= 2)
+    // dedup_incremental: both index probe and intra-batch join are
+    // hash equi-joins on (band, bucket)
+    val inc = plan("dedup_incremental")
+    assert(!inc.contains("BroadcastNestedLoopJoin") && !inc.contains("CartesianProduct"))
+  }
+
+  test("token_budget_sample windows over a narrow projection") {
+    val p = plan("token_budget_sample")
+    // the running sum sorts only (source, orderkey, id, tokens): the
+    // sort feeding the window must not carry the text payload
+    val sortLine = p.linesIterator.find(l => l.contains("Sort [") && l.contains("_w0"))
+    assert(sortLine.exists(!_.contains("text#")),
+      s"payload column rides through the window sort: $sortLine")
+  }
+
   test("no nested-loop or cartesian joins anywhere in the registry") {
     // allowed nested loops, each deliberate:
     // - kmeans_assign / ann_ivf: 1-row broadcast attach of the centroid

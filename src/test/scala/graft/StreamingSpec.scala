@@ -216,4 +216,38 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((7L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("sessionizeWithTimeout closes idle sessions when the watermark passes") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    // 30-min gap, zero-delay watermark: the watermark is max(ts) seen
+    val sess = StreamingOps.sessionizeWithTimeout(events, gapMinutes = 30,
+      watermark = "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess_timeout_test")
+      .outputMode("append").start()
+    try {
+      // user 7 has two events then goes idle — no further events for 7 EVER
+      mem.addData(
+        (7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (7L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is 00:10, timeout is 00:40
+      assert(spark.table("sess_timeout_test").isEmpty)
+      // ANOTHER user's event advances the watermark past 00:40 —
+      // user 7's idle session must close without any event from 7
+      mem.addData((8L, Timestamp.valueOf("2024-01-01 01:00:00"), 9.0))
+      q.processAllAvailable()
+      // timeouts fire on the micro-batch AFTER the watermark advances;
+      // an empty batch is enough to trigger evaluation
+      mem.addData((8L, Timestamp.valueOf("2024-01-01 01:01:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout_test")
+        .select("user_id", "n_events", "value").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(rows.contains((7L, 2L, 3.0)), s"expected user 7's session closed, got $rows")
+    } finally q.stop()
+  }
 }
