@@ -258,6 +258,28 @@ class ConfigSpec extends SparkSpec {
     assert(out.nonEmpty && out.subsetOf(Set(12L, 13L, 14L)) && out.size < 3)
   }
 
+  test("CLI index-build + two-day ingest loop: dups stop at the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Main.runIndexBuild(spark, s"$dir/corpus", s"$dir/index",
+      Array("--bands", "6", "--num-hashes", "12"))
+    // day 1: one dup of the corpus, one novel doc
+    Seq((11L, "the QUICK brown fox jumps over the lazy dog again and again"),
+        (12L, "a genuinely new document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12"))
+    assert(spark.read.parquet(s"$dir/day1_out").select("doc_id")
+      .as[Long].collect().toSet == Set(12L))
+    // day 2: a dup of day 1's survivor must now hit the ROLLED index
+    Seq((21L, "a genuinely new document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day2")
+    Main.runIngest(spark, s"$dir/day2", s"$dir/index", s"$dir/day2_out",
+      Array("--bands", "6", "--num-hashes", "12"))
+    assert(spark.read.parquet(s"$dir/day2_out").isEmpty)
+  }
+
   test("unknown operator fails loudly") {
     intercept[IllegalArgumentException] {
       PipelineConfig.parse("operators:\n  - name: nope\n")
