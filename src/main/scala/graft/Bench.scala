@@ -46,8 +46,21 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // Anchor bench_full.json to a known root, not wherever the JVM was
+    // launched: SPARK_GRAFT_BENCH_FULL wins; otherwise the repo root
+    // derived from the classes directory; CWD only as a last resort.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val loc = java.nio.file.Paths.get(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        if (loc.endsWith(java.nio.file.Paths.get("target", "scala-2.13", "classes")))
+          Some(loc.getParent.getParent.getParent.resolve("bench_full.json"))
+        else None
+      }
+      .getOrElse(java.nio.file.Paths.get("bench_full.json"))
+    java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    System.err.println(s"[graft] full per-query timings: ${fullPath.toAbsolutePath}")
     // The harness that captures this output keeps only the final ~2000
     // characters of stdout, and sbt appends a "[success] Total time ..."
     // trailer after the program exits. Emit the machine-readable line at the

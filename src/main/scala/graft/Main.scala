@@ -22,9 +22,11 @@ import graft.pipeline.{MetricsSink, PipelineConfig}
   * [[graft.operators.dedup.IncrementalMinHashDedup]]: build the narrow
   * (doc_id, band, bucket) corpus index once, then each ingest dedups a
   * new batch against it (corpus text never re-read), writes survivors,
-  * and appends their bucket rows so the next ingest sees them. Both
-  * accept `--num-hashes --bands --shingle-size --text-field --id-field`
-  * (must match between the index build and every subsequent ingest).
+  * and commits their bucket rows as an atomic `batch=<id>` partition so
+  * the next ingest sees them (crash → just re-run; see [[runIngest]]).
+  * Both accept `--num-hashes --bands --shingle-size --text-field
+  * --id-field` (must match between the index build and every subsequent
+  * ingest); `ingest` also accepts `--batch-id`.
   */
 object Main {
 
@@ -42,31 +44,63 @@ object Main {
       idCol = opt("--id-field", "doc_id"))
   }
 
-  /** Build the persisted band-bucket index for a curated corpus. */
+  /** Build the persisted band-bucket index for a curated corpus. The
+    * index is laid out as `batch=<id>/band=<b>/` partitions so every
+    * later [[runIngest]] commits its rows as ONE directory rename. */
   def runIndexBuild(spark: org.apache.spark.sql.SparkSession,
       docsPath: String, indexPath: String, args: Array[String]): Unit = {
     val lsh = lshFromArgs(args)
     lsh.buckets(spark.read.parquet(docsPath))
-      .write.mode("overwrite").partitionBy("band").parquet(indexPath)
-    println(s"[graft] index written to $indexPath")
+      .withColumn("batch", org.apache.spark.sql.functions.lit("base"))
+      .write.mode("overwrite").partitionBy("batch", "band").parquet(indexPath)
+    println(s"[graft] index written to $indexPath (batch=base)")
   }
 
-  /** Dedup a batch against the index, write survivors, roll the index. */
+  /** Dedup a batch against the index, write survivors, roll the index.
+    *
+    * Crash-safe and idempotent per batch id (default: md5 of the batch
+    * path; override with `--batch-id` when re-ingesting a path with new
+    * content). The batch's index rows are staged under an
+    * underscore-prefixed directory (invisible to parquet reads) and
+    * committed by a single atomic rename to `batch=<id>/`; the index
+    * read EXCLUDES rows of the current batch id, so a re-run after any
+    * crash recomputes the identical survivor set instead of re-rejecting
+    * its own survivors or double-appending bucket rows. Failure anywhere
+    * → re-run the same command; there is no partial state to clean up. */
   def runIngest(spark: org.apache.spark.sql.SparkSession, batchPath: String,
       indexPath: String, outPath: String, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
     val lsh = lshFromArgs(args)
+    val batchId = args.indexOf("--batch-id") match {
+      case i if i >= 0 && i + 1 < args.length => args(i + 1)
+      case _ => graft.operators.vector.DeterministicPlanes.md5Hex(batchPath).take(12)
+    }
     val batch = spark.read.parquet(batchPath)
-    val index = spark.read.parquet(indexPath)
-    // materialize survivors before appending to the index we just read
+    val raw = spark.read.parquet(indexPath)
+    val index = // ignore rows a previous half-finished run of THIS batch committed
+      if (raw.columns.contains("batch")) raw.filter(col("batch") =!= batchId)
+      else raw // legacy flat layout: still readable, commits are per-batch from here on
+    // materialize survivors before touching the index we just read
     val survivors = graft.operators.dedup.IncrementalMinHashDedup(lsh)
       .survivors(index, batch).localCheckpoint()
     val nIn = batch.count()
     val nOut = survivors.count()
     survivors.write.mode("overwrite").parquet(outPath)
-    lsh.buckets(survivors)
-      .write.mode("append").partitionBy("band").parquet(indexPath)
+    // stage, then one rename is the commit
+    val staging = s"$indexPath/_staging_$batchId"
+    lsh.buckets(survivors).write.mode("overwrite").partitionBy("band").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingP.getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId")
+    if (fs.exists(target)) fs.delete(target, true) // idempotent re-run replaces
+    // the staged dir carries Spark's _SUCCESS marker; drop it so the
+    // committed partition holds only data files
+    fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
+    if (!fs.rename(stagingP, target))
+      throw new java.io.IOException(s"commit rename failed: $staging -> $target")
     println(s"[graft] ingest: $nIn in, $nOut kept (${nIn - nOut} near-dups); " +
-      s"survivors -> $outPath, index rolled forward")
+      s"survivors -> $outPath, index committed as batch=$batchId")
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,7 +118,7 @@ object Main {
       System.err.println(
         "usage: graft.Main run|profile <config.yaml> [--no-report] [--metrics-path <dir>]\n" +
         "       graft.Main index-build <docs.parquet> <index-dir> [lsh opts]\n" +
-        "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts]")
+        "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]")
       sys.exit(2)
     }
     val yaml = java.nio.file.Files.readString(java.nio.file.Path.of(args(1)))

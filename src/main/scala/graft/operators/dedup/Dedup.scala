@@ -149,8 +149,16 @@ case class MinHashLSH(
     candidatePairsFromHashes(shingleHashes(df))
 
   /** [[candidatePairs]] from a pre-materialized [[shingleHashes]] table. */
-  def candidatePairsFromHashes(ex: DataFrame): DataFrame = {
-    val grouped = bucketsFromHashes(ex).groupBy("band", "bucket")
+  def candidatePairsFromHashes(ex: DataFrame): DataFrame =
+    candidatePairsFromBuckets(bucketsFromHashes(ex))
+
+  /** [[candidatePairs]] from a pre-computed (id, band, bucket) table —
+    * e.g. a persisted index or a batch's [[buckets]] output. Pairs come
+    * from a sorted collect_list per bucket (never a bucket self-join),
+    * and buckets over `maxBucketSize` are dropped entirely, so one
+    * degenerate boilerplate bucket can't go quadratic. */
+  def candidatePairsFromBuckets(bk: DataFrame): DataFrame = {
+    val grouped = bk.groupBy("band", "bucket")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
     val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
@@ -181,27 +189,34 @@ case class MinHashLSH(
   * survived — stream-order semantics, no transitive re-evaluation).
   *
   * Scale shape: cost is O(batch) shingling + two equi-joins keyed on
-  * (band, bucket); the corpus index is only ever READ on the join key it
-  * is stored by, so daily ingest cost is independent of corpus size
-  * (modulo bucket-key skew, which `maxBucketSize` upstream already
-  * bounds). [[indexRows]] returns the survivors' bucket rows — append
-  * them (e.g. via Sinks.upsertPartitioned on band) to roll the index
-  * forward; no other state exists.
+  * (band, bucket). The index probe is a left-semi join (skew-tolerant:
+  * no fan-out however populous an index bucket is), and intra-batch
+  * candidates come from [[MinHashLSH.candidatePairsFromBuckets]] — the
+  * same capped sorted-collect_list shape as the batch operator, so a
+  * degenerate boilerplate bucket is dropped at `maxBucketSize` instead
+  * of exploding a quadratic self-join. The corpus index is only ever
+  * READ on the join key it is stored by, so daily ingest cost is
+  * independent of corpus size. [[indexRows]] returns the survivors'
+  * bucket rows — append them (e.g. via Sinks.upsertPartitioned on band)
+  * to roll the index forward; no other state exists.
   */
 case class IncrementalMinHashDedup(lsh: MinHashLSH = MinHashLSH()) {
   private val idCol = lsh.idCol
 
   /** Batch docs that collide with the index or with a smaller-id batch
-    * doc — the complement of [[survivors]]. */
+    * doc — the complement of [[survivors]]. Intra-batch collisions use
+    * exactly [[MinHashLSH.apply]]'s semantics: candidates come only
+    * from buckets within `maxBucketSize` (over-cap buckets are dropped,
+    * not deduped through). */
   def rejectedIds(index: DataFrame, batch: DataFrame): DataFrame = {
-    val bb = lsh.buckets(batch)
+    // narrow (id, band, bucket); materialized once for both consumers —
+    // the semi probe and the intra-batch grouping would otherwise each
+    // re-run the full shingle+signature pipeline
+    val bb = lsh.buckets(batch).localCheckpoint()
     val hitOld = bb.join(index, Seq("band", "bucket"), "left_semi")
       .select(col(idCol))
-    val intra = bb.as("a")
-      .join(bb.as("b"), col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"b.$idCol").as(idCol))
+    val intra = lsh.candidatePairsFromBuckets(bb)
+      .select(col("id_b").as(idCol))
     hitOld.union(intra).distinct()
   }
 

@@ -98,7 +98,9 @@ case class MixtureSampler(idCol: String = "doc_id",
   * deterministic salted-hash order. A document is taken while the
   * tokens already taken from its source are still under budget, so each
   * source overshoots by at most one document and a budget > 0 always
-  * yields at least one document.
+  * yields at least one document. Documents whose token count evaluates
+  * to null (e.g. a null text field) count as 0 tokens and pass through
+  * free rather than being silently dropped.
   *
   * Scale shape: the cumulative sum runs over a NARROW (id, source,
   * tokens) projection — one shuffle partitioned by source, sorting only
@@ -128,7 +130,12 @@ case class TokenBudgetSampler(idCol: String = "doc_id",
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol).orderBy(orderKey, col(idCol))
     val picked = df
-      .select(col(idCol), col(sourceCol), tokenCount.cast("long").as("__tok"))
+      .select(col(idCol), col(sourceCol),
+        // null token counts (e.g. null text) ride along free at 0 —
+        // same pass-through convention as too-short-to-shingle docs;
+        // a null must never poison the running sum and silently drop
+        // every later doc's cumulative total
+        coalesce(tokenCount.cast("long"), lit(0L)).as("__tok"))
       .withColumn("__cum", sum(col("__tok")).over(w))
       .filter(col("__cum") - col("__tok") < budget)
       .select(col(idCol))

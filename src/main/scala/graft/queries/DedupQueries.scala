@@ -146,13 +146,18 @@ object DedupQueries {
          |$bandsSql,
          |old_b AS (SELECT * FROM buckets WHERE doc_id % 5 < 3),
          |new_b AS (SELECT * FROM buckets WHERE doc_id % 5 >= 3),
+         |new_over_cap AS (
+         |  SELECT band, bucket FROM new_b
+         |  GROUP BY 1, 2 HAVING count(*) > ${mh.maxBucketSize}),
          |rejected AS (
          |  SELECT DISTINCT n.doc_id
          |  FROM new_b n JOIN old_b o ON n.band = o.band AND n.bucket = o.bucket
          |  UNION
          |  SELECT DISTINCT b.doc_id
          |  FROM new_b a JOIN new_b b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM new_over_cap g
+         |                    WHERE g.band = a.band AND g.bucket = a.bucket))
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id % 5 >= 3
          |  AND doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin,

@@ -278,6 +278,14 @@ class ConfigSpec extends SparkSpec {
     Main.runIngest(spark, s"$dir/day2", s"$dir/index", s"$dir/day2_out",
       Array("--bands", "6", "--num-hashes", "12"))
     assert(spark.read.parquet(s"$dir/day2_out").isEmpty)
+    // crash-recovery contract: re-running an already-committed ingest is a
+    // no-op — same survivors, no duplicate index rows, no self-rejection
+    val indexBefore = spark.read.parquet(s"$dir/index").count()
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12"))
+    assert(spark.read.parquet(s"$dir/day1_out").select("doc_id")
+      .as[Long].collect().toSet == Set(12L))
+    assert(spark.read.parquet(s"$dir/index").count() == indexBefore)
   }
 
   test("unknown operator fails loudly") {

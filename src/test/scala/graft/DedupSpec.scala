@@ -145,4 +145,22 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out2.isEmpty)
   }
+
+  test("IncrementalMinHashDedup drops over-cap intra-batch buckets like the batch op") {
+    // three identical docs share every band bucket; with maxBucketSize=2
+    // those buckets are over cap, so they yield NO intra candidates —
+    // same drop-the-bucket semantics as MinHashLSH.apply, not a quadratic
+    // self-join through the degenerate bucket
+    val batch = (1L to 3L).map(i =>
+      (i, "boilerplate footer repeated verbatim across the entire crawl"))
+      .toDF("doc_id", "text")
+    val emptyIndex = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0).as("band"), lit("").as("bucket"))
+      .filter(lit(false))
+    val capped = IncrementalMinHashDedup(MinHashLSH(numHashes = 12, bands = 6, maxBucketSize = 2))
+    assert(capped.survivors(emptyIndex, batch).count() == 3)
+    val uncapped = IncrementalMinHashDedup(MinHashLSH(numHashes = 12, bands = 6))
+    assert(uncapped.survivors(emptyIndex, batch).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+  }
 }

@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     // of the fact table (li + perOrder) — the original's correlated form
     // would self-join lineitem three times
     val q21 = plan("q21_waiting_supplier")
-    assert("lineitem.parquet".r.findAllIn(q21).size <= 2)
+    val lineitemScans = q21.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans >= 1 && lineitemScans <= 2,
+      s"expected 1-2 lineitem FileScans, found $lineitemScans")
     // dedup_incremental: both index probe and intra-batch join are
     // hash equi-joins on (band, bucket)
     val inc = plan("dedup_incremental")

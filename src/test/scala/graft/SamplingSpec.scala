@@ -80,6 +80,22 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("token-budget sampler passes null-token docs through at zero cost") {
+    // a null text yields a null token count; it must count as 0 (ride
+    // along free), not null out the running sum and silently drop docs —
+    // in particular, budget > 0 must still yield at least one document
+    // even when the first-ordered doc has a null count
+    val docs = Seq(
+      (1L, "src0", null.asInstanceOf[String]),
+      (2L, "src0", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val out = TokenBudgetSampler()
+      .sample(docs, graft.functions.TextFns.wsTokenCount(col("text")),
+        Map("src0" -> 1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // zero-cost docs never exhaust the budget
+  }
+
   test("sequence packer: global cumsum correct across partitions, no single-partition window") {
     val docs = (1L to 200L).map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim))
       .toDF("doc_id", "text")

@@ -37,6 +37,13 @@ def main():
     gate = ns.gate
     bench = json.loads(Path(ns.bench_json).read_text())
     queries = bench["queries"]
+    folded = [k for k in queries if k.startswith("_fast_")]
+    if folded:
+        sys.exit(
+            f"ERROR: {ns.bench_json} contains folded keys {folded} — this is the "
+            "truncated stdout line, which loses per-query names. Diff bench_full.json "
+            "instead (graft.Bench writes it next to the repo root, or wherever "
+            "SPARK_GRAFT_BENCH_FULL points).")
     base = load_baseline()
     failures, new = [], []
     for name in sorted(queries):
