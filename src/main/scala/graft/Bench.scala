@@ -52,11 +52,16 @@ object Bench {
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
       .map(java.nio.file.Paths.get(_))
       .orElse {
-        val loc = java.nio.file.Paths.get(
-          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-        if (loc.endsWith(java.nio.file.Paths.get("target", "scala-2.13", "classes")))
-          Some(loc.getParent.getParent.getParent.resolve("bench_full.json"))
-        else None
+        // getCodeSource (or its location/URI) can be null under some
+        // classloaders — any failure here falls through to the CWD
+        // default rather than losing the whole bench output to an NPE
+        scala.util.Try {
+          val loc = java.nio.file.Paths.get(
+            getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+          if (loc.endsWith(java.nio.file.Paths.get("target", "scala-2.13", "classes")))
+            Some(loc.getParent.getParent.getParent.resolve("bench_full.json"))
+          else None
+        }.toOption.flatten
       }
       .getOrElse(java.nio.file.Paths.get("bench_full.json"))
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))

@@ -56,49 +56,111 @@ object Main {
     println(s"[graft] index written to $indexPath (batch=base)")
   }
 
+  /** Batch ids become partition directory names (`batch=<id>`) and a
+    * partition-value equality filter; restricting them to a charset
+    * Spark never percent-escapes keeps the path and the filter agreeing
+    * on the same string. `base` is reserved for the index build. */
+  private[graft] def validateBatchId(id: String): String = {
+    require(id.matches("[A-Za-z0-9._-]+"),
+      s"--batch-id '$id' invalid: allowed characters are [A-Za-z0-9._-] " +
+        "(the id becomes a partition directory name and an exclusion filter; " +
+        "'/', '=', '%' or other escaped characters would break the round-trip)")
+    require(id != "base", "--batch-id 'base' is reserved for index-build")
+    id
+  }
+
+  /** A pre-batch index (written by an older index-build) has `band=<b>`
+    * dirs at the TOP level; mixing that with `batch=<id>/band=<b>`
+    * commits puts leaf files at two partition depths and Spark's
+    * partition discovery throws "Conflicting directory structures".
+    * Migrate in place — rename each top-level `band=<b>` under
+    * `batch=base/` — before the first per-batch commit. Renames are
+    * idempotent (a crash mid-migration just leaves fewer dirs to move
+    * on the re-run). */
+  private[graft] def migrateFlatIndex(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(indexPath)
+    val flatBands = entries.filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("band="))
+    if (flatBands.isEmpty) return
+    val base = new org.apache.hadoop.fs.Path(indexPath, "batch=base")
+    fs.mkdirs(base)
+    flatBands.foreach { e =>
+      val target = new org.apache.hadoop.fs.Path(base, e.getPath.getName)
+      if (!fs.rename(e.getPath, target))
+        throw new java.io.IOException(
+          s"flat-index migration failed: ${e.getPath} -> $target")
+    }
+    // the old flat write's _SUCCESS marker is top-level noise now
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS"), false)
+    println(s"[graft] migrated flat index layout to $base " +
+      s"(${flatBands.length} band partitions)")
+  }
+
   /** Dedup a batch against the index, write survivors, roll the index.
     *
     * Crash-safe and idempotent per batch id (default: md5 of the batch
     * path; override with `--batch-id` when re-ingesting a path with new
     * content). The batch's index rows are staged under an
     * underscore-prefixed directory (invisible to parquet reads) and
-    * committed by a single atomic rename to `batch=<id>/`; the index
-    * read EXCLUDES rows of the current batch id, so a re-run after any
-    * crash recomputes the identical survivor set instead of re-rejecting
-    * its own survivors or double-appending bucket rows. Failure anywhere
-    * → re-run the same command; there is no partial state to clean up. */
+    * committed by a single rename to `batch=<id>/`; the index read
+    * EXCLUDES rows of the current batch id, so a re-run after any crash
+    * recomputes the identical survivor set instead of re-rejecting its
+    * own survivors or double-appending bucket rows. Failure anywhere →
+    * re-run the same command; there is no partial state to clean up.
+    *
+    * Storage assumption: the commit rename is atomic on HDFS and local
+    * filesystems. On object stores (S3A) rename is copy+delete, so a
+    * crash mid-commit can leave a PARTIAL `batch=<id>` partition visible
+    * to concurrent readers until the re-run replaces it — re-run
+    * idempotence still holds (the re-run excludes and deletes the
+    * partial partition), but readers racing an in-flight ingest should
+    * check the `_batch_committed_<id>` marker this commit writes last,
+    * or front the index with the snapshot-log pointer flip that
+    * [[graft.sources.Sinks]] table commits use. */
   def runIngest(spark: org.apache.spark.sql.SparkSession, batchPath: String,
       indexPath: String, outPath: String, args: Array[String]): Unit = {
     import org.apache.spark.sql.functions.col
     val lsh = lshFromArgs(args)
     val batchId = args.indexOf("--batch-id") match {
-      case i if i >= 0 && i + 1 < args.length => args(i + 1)
+      case i if i >= 0 && i + 1 < args.length => validateBatchId(args(i + 1))
       case _ => graft.operators.vector.DeterministicPlanes.md5Hex(batchPath).take(12)
     }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val indexP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = indexP.getFileSystem(conf)
+    // a pre-batch flat layout must move under batch=base/ BEFORE this
+    // batch commits, or partition discovery breaks on the next read
+    migrateFlatIndex(fs, indexP)
     val batch = spark.read.parquet(batchPath)
     val raw = spark.read.parquet(indexPath)
     val index = // ignore rows a previous half-finished run of THIS batch committed
       if (raw.columns.contains("batch")) raw.filter(col("batch") =!= batchId)
-      else raw // legacy flat layout: still readable, commits are per-batch from here on
+      else raw // single-depth pre-batch layout (nothing to migrate yet)
     // materialize survivors before touching the index we just read
     val survivors = graft.operators.dedup.IncrementalMinHashDedup(lsh)
       .survivors(index, batch).localCheckpoint()
     val nIn = batch.count()
     val nOut = survivors.count()
     survivors.write.mode("overwrite").parquet(outPath)
-    // stage, then one rename is the commit
+    // stage, then one rename is the commit (atomic on HDFS/local; see
+    // the storage assumption in the scaladoc for object stores)
     val staging = s"$indexPath/_staging_$batchId"
     lsh.buckets(survivors).write.mode("overwrite").partitionBy("band").parquet(staging)
-    val conf = spark.sparkContext.hadoopConfiguration
     val stagingP = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagingP.getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(indexPath, s"_batch_committed_$batchId")
+    fs.delete(marker, false) // a re-run invalidates the old commit first
     if (fs.exists(target)) fs.delete(target, true) // idempotent re-run replaces
     // the staged dir carries Spark's _SUCCESS marker; drop it so the
     // committed partition holds only data files
     fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
     if (!fs.rename(stagingP, target))
       throw new java.io.IOException(s"commit rename failed: $staging -> $target")
+    // written LAST: on copy+delete-rename stores, readers that require
+    // this marker never observe a half-copied batch partition
+    fs.create(marker, true).close()
     println(s"[graft] ingest: $nIn in, $nOut kept (${nIn - nOut} near-dups); " +
       s"survivors -> $outPath, index committed as batch=$batchId")
   }

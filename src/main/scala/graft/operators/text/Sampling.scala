@@ -141,4 +141,43 @@ case class TokenBudgetSampler(idCol: String = "doc_id",
       .select(col(idCol))
     df.join(picked, Seq(idCol), "left_semi")
   }
+
+  /** The skew escape hatch [[sample]]'s scaladoc promises: one giant
+    * source makes the per-source running sum a single window partition
+    * (every (id, tokens) row of that source sorts on ONE task). This
+    * variant splits each source into `shards` deterministic salted
+    * sub-shards and fills each shard independently, so the window
+    * partitions by (source, shard) and the largest sort task shrinks
+    * ~`shards`×. The per-shard budgets sum EXACTLY to the source
+    * budget (⌊b/k⌋ each, +1 for the first b mod k shards); the
+    * overshoot bound weakens from ≤1 document per source to ≤1 per
+    * shard. Same salted-md5 hash family as [[sample]], so the result
+    * is rerun-stable on any cluster layout; `sampleSharded(_, _, _,
+    * 1)` picks the identical document set as [[sample]]. */
+  def sampleSharded(df: DataFrame, tokenCount: Column,
+      budgets: Map[String, Long], shards: Int,
+      defaultBudget: Long = 0L): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val k = lit(shards.toLong)
+    // decorrelated from orderKey by a different salt, so shard
+    // membership and within-shard order are independent hashes
+    val shard = pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":shard:" + seed))), 1, 7), 16, 10).cast("long"), k)
+    // exact budget split; the double division is exact because
+    // (budget - budget mod k) is a multiple of k (budgets < 2^53)
+    val perShard = ((budget - pmod(budget, k)) / k).cast("long") +
+      when(col("__shard") < pmod(budget, k), lit(1L)).otherwise(lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("__shard")).orderBy(orderKey, col(idCol))
+    val picked = df
+      .select(col(idCol), col(sourceCol), shard.as("__shard"),
+        coalesce(tokenCount.cast("long"), lit(0L)).as("__tok"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") - col("__tok") < perShard)
+      .select(col(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
 }

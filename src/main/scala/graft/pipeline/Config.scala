@@ -115,17 +115,24 @@ object OperatorRegistry {
           p.getOrElse("budget", "1000").toString.toLong))),
 
     // token-budget fill: params {budgets: {src: tokens, ...},
-    // default_budget: N} — budgets count TOKENS, not documents
+    // default_budget: N, shards: K} — budgets count TOKENS, not
+    // documents; shards > 1 splits each source into K salted
+    // sub-shards (the skew escape hatch for one giant source)
     "token_budget_sampler" -> (p => RefineOp("token_budget_sampler",
-      df => TokenBudgetSampler(str(p, "id_field", "doc_id"),
-        str(p, "source_field", "source"), str(p, "seed", "graft"))
-        .sample(df,
-          graft.functions.TextFns.wsTokenCount(
-            org.apache.spark.sql.functions.col(str(p, "text_field", "text"))),
-          p.getOrElse("budgets", Map.empty[String, Any])
-            .asInstanceOf[Map[String, Any]]
-            .map { case (k, v) => k -> v.toString.toLong },
-          p.getOrElse("default_budget", "0").toString.toLong))),
+      df => {
+        val sampler = TokenBudgetSampler(str(p, "id_field", "doc_id"),
+          str(p, "source_field", "source"), str(p, "seed", "graft"))
+        val toks = graft.functions.TextFns.wsTokenCount(
+          org.apache.spark.sql.functions.col(str(p, "text_field", "text")))
+        val budgets = p.getOrElse("budgets", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString.toLong }
+        val dflt = p.getOrElse("default_budget", "0").toString.toLong
+        int(p, "shards", 1) match {
+          case 1 => sampler.sample(df, toks, budgets, dflt)
+          case k => sampler.sampleSharded(df, toks, budgets, k, dflt)
+        }
+      })),
 
     // delta-ingest near-dup dedup: params {index_path: <parquet dir of
     // (doc_id, band, bucket) rows>} — the incoming frame dedups against

@@ -152,6 +152,17 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // sharded variant (the skew escape hatch): same budgets split
+    // exactly over 4 salted sub-shards per source, window partitioned
+    // by (source, shard) — the plan a skewed giant source needs
+    "token_budget_sharded" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TokenBudgetSampler().sampleSharded(docs, wsTokenCount(col("text")),
+          Map("src0" -> 800L, "src1" -> 400L), shards = 4,
+          defaultBudget = 150L)
+        .select("doc_id", "source")
+    }),
+
     // deterministic 3-per-language sample (hash-ranked reservoir)
     "sample_per_group" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -564,6 +575,26 @@ object TextQueries {
         |SELECT doc_id, source FROM c
         |WHERE cum - tok < CASE source WHEN 'src0' THEN 800
         |  WHEN 'src1' THEN 400 ELSE 150 END""".stripMargin,
+
+    "token_budget_sharded" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len($wsToksSql) END AS tok,
+        |    md5(CAST(doc_id AS VARCHAR) || ':graft') AS ok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:graft'),
+        |      1, 7)) AS BIGINT) % 4 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tok, shard,
+        |    CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+        |      ELSE 150 END AS budget,
+        |    CAST(sum(tok) OVER (PARTITION BY source, shard
+        |      ORDER BY ok, doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, source FROM c
+        |WHERE cum - tok < budget // 4 +
+        |  (CASE WHEN shard < budget % 4 THEN 1 ELSE 0 END)""".stripMargin,
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

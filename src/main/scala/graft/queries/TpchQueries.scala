@@ -213,29 +213,30 @@ object TpchQueries {
     // Q21 shape: suppliers in one nation who were the only late
     // supplier on a multi-supplier order (late = shipped >90 days after
     // the order date; no receipt/commit dates in this schema). The
-    // EXISTS / NOT-EXISTS pair decorrelates to one pass over lineitem:
-    // per-order supplier/late-supplier distinct counts, then a join —
-    // the fact table is never self-joined twice.
+    // EXISTS / NOT-EXISTS pair decorrelates to ONE pass over the fact
+    // join: per-order distinct supplier / distinct-late-supplier counts
+    // plus `min(late supplier)` in the same aggregate — when n_late==1
+    // that min IS the unique late supplier, so no second late-row branch
+    // (and thus no second lineitem/orders scan) is ever needed. The
+    // nation filter then rides the broadcast supplier join.
     "q21_waiting_supplier" -> ((s, dir) => {
       val nation = Tables.load(s, dir, "nation")
         .filter(col("n_name") === "NATION_5").select("n_nationkey")
       val supp = Tables.load(s, dir, "supplier")
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
-      val li = Tables.load(s, dir, "lineitem")
+      Tables.load(s, dir, "lineitem")
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
             .as("late"))
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .groupBy(col("l_orderkey"))
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-      li.filter(col("late"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .select("l_orderkey", "s_name").distinct()
-        .join(perOrder, col("l_orderkey") === col("ok"))
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+          min(when(col("late"), col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(10)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.PipelineConfig
+import org.apache.spark.sql.functions.col
 
 class ConfigSpec extends SparkSpec {
   import spark.implicits._
@@ -286,6 +287,77 @@ class ConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/day1_out").select("doc_id")
       .as[Long].collect().toSet == Set(12L))
     assert(spark.read.parquet(s"$dir/index").count() == indexBefore)
+  }
+
+  test("ingest migrates a legacy flat index layout instead of poisoning it") {
+    // a pre-batch index-build wrote band=<b> dirs at the TOP level; the
+    // first batch=<id> commit next to them would leave leaf files at two
+    // partition depths and break every later read with "Conflicting
+    // directory structures" — ingest must migrate flat dirs under
+    // batch=base/ first
+    val dir = java.nio.file.Files.createTempDirectory("graft_flatmig").toString
+    val lsh = graft.operators.dedup.MinHashLSH(numHashes = 12, bands = 6)
+    val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$dir/corpus")
+    lsh.buckets(corpus).write.partitionBy("band").parquet(s"$dir/index") // legacy layout
+    Seq((11L, "the QUICK brown fox jumps over the lazy dog again and again"),
+        (12L, "a genuinely new document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12"))
+    // the migrated index reads cleanly at ONE partition depth, keeps the
+    // corpus rows (the dup was rejected), and carries both batches
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.columns.contains("batch"))
+    assert(idx.select("batch").distinct().as[String].collect().toSet.size == 2)
+    assert(spark.read.parquet(s"$dir/day1_out").select("doc_id")
+      .as[Long].collect().toSet == Set(12L))
+  }
+
+  test("ingest rejects batch ids that break partition-path round-trips") {
+    Seq("a/b", "x=y", "has space", "pct%20", "base").foreach { bad =>
+      intercept[IllegalArgumentException] { Main.validateBatchId(bad) }
+    }
+    assert(Main.validateBatchId("day-2026.08.12_v1") == "day-2026.08.12_v1")
+  }
+
+  test("ingest recovers from a torn (copy+delete-rename) commit on re-run") {
+    // on object stores the commit rename is copy-then-delete: a crash can
+    // leave batch=<id> holding a SUBSET of its files with no committed
+    // marker. A re-run must exclude the partial partition from the index
+    // probe, replace it wholesale, and re-create the marker last.
+    val dir = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Main.runIndexBuild(spark, s"$dir/corpus", s"$dir/index",
+      Array("--bands", "6", "--num-hashes", "12"))
+    Seq((11L, "the QUICK brown fox jumps over the lazy dog again and again"),
+        (12L, "a genuinely new document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d1"))
+    val committed = spark.read.parquet(s"$dir/index")
+      .filter(col("batch") === "d1").count()
+    // tear the commit: drop one data file from the batch partition + the marker
+    val batchDir = java.nio.file.Paths.get(s"$dir/index/batch=d1")
+    val files = java.nio.file.Files.list(batchDir).toArray.map(_.toString).sorted
+    val victim = java.nio.file.Files.walk(batchDir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(victim))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/index/_batch_committed_d1"))
+    assert(files.nonEmpty) // the tear left a real partial partition behind
+    // re-run: identical survivors, fully restored partition, marker back
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d1"))
+    assert(spark.read.parquet(s"$dir/day1_out").select("doc_id")
+      .as[Long].collect().toSet == Set(12L))
+    assert(spark.read.parquet(s"$dir/index")
+      .filter(col("batch") === "d1").count() == committed)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/index/_batch_committed_d1")))
   }
 
   test("unknown operator fails loudly") {

@@ -79,14 +79,17 @@ class PlanAuditSpec extends SparkSpec {
     val q19 = plan("q19_disjunctive_revenue")
     assert("BroadcastHashJoin".r.findAllIn(q19).size == 1)
     assert(!q19.contains("SortMergeJoin") && !q19.contains("Union"))
-    // q21: the EXISTS/NOT-EXISTS chain decorrelates to at most two scans
-    // of the fact table (li + perOrder) — the original's correlated form
-    // would self-join lineitem three times
+    // q21: the EXISTS/NOT-EXISTS chain decorrelates to exactly ONE scan
+    // of each fact table — the single per-order aggregate carries
+    // n_supp, n_late, AND the unique late supplier, so no second
+    // late-row branch re-reads lineitem/orders (the correlated original
+    // would self-join lineitem three times)
     val q21 = plan("q21_waiting_supplier")
-    val lineitemScans = q21.linesIterator
-      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(lineitemScans >= 1 && lineitemScans <= 2,
-      s"expected 1-2 lineitem FileScans, found $lineitemScans")
+    Seq("lineitem", "orders").foreach { t =>
+      val scans = q21.linesIterator
+        .count(l => l.contains("FileScan parquet") && l.contains(t))
+      assert(scans == 1, s"expected exactly 1 $t FileScan in q21, found $scans")
+    }
     // dedup_incremental: both index probe and intra-batch join are
     // hash equi-joins on (band, bucket)
     val inc = plan("dedup_incremental")

@@ -80,6 +80,37 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("sharded token-budget sampler: exact budget split, bounded overshoot, 1-shard = unsharded") {
+    val docs = (1L to 400L).map { i =>
+      (i, s"src${i % 3}", ("w " * (5 + (i % 9)).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val toks = graft.functions.TextFns.wsTokenCount(col("text"))
+    val budgets = Map("src0" -> 203L, "src1" -> 80L) // 203 = 4*50+3: exercises the remainder split
+    val tbs = TokenBudgetSampler()
+    // shards=1 must pick the identical set as the unsharded sampler
+    val plain = tbs.sample(docs, toks, budgets).select("doc_id")
+      .as[Long].collect().toSet
+    val oneShard = tbs.sampleSharded(docs, toks, budgets, shards = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShard == plain)
+    // 4 shards: per-source total still reaches the budget, overshoot now
+    // bounded by one doc per SHARD (shards × max token count)
+    val out = tbs.sampleSharded(docs, toks, budgets, shards = 4)
+    val taken = out.withColumn("tok", toks.cast("long"))
+      .groupBy("source").agg(sum("tok").as("t"), max("tok").as("m"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    Seq("src0" -> 203L, "src1" -> 80L).foreach { case (src, b) =>
+      val (_, t, m) = taken(src)
+      assert(t >= b - 4 * m && t < b + 4 * m,
+        s"$src: took $t tokens vs budget $b (maxTok $m)")
+    }
+    assert(!taken.contains("src2")) // defaultBudget 0 drops unlisted sources
+    // rerun-stable
+    val again = tbs.sampleSharded(docs, toks, budgets, shards = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("token-budget sampler passes null-token docs through at zero cost") {
     // a null text yields a null token count; it must count as 0 (ride
     // along free), not null out the running sum and silently drop docs —
