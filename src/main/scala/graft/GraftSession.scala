@@ -22,8 +22,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Local session for tests / benches. */
-  def local(appName: String = "graft", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+  /** Local session for tests / benches. `SPARK_GRAFT_CPUS` pins the
+    * core count (it already sizes shuffle partitions in [[builder]] —
+    * one knob keeps the two consistent, e.g. an 8-core like-for-like
+    * run against the reference's published 8-core benchmark). */
+  def local(appName: String = "graft",
+      cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors())): SparkSession = {
     val s = builder(appName).master(s"local[$cores]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

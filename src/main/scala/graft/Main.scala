@@ -76,10 +76,15 @@ object Main {
     * Migrate in place — rename each top-level `band=<b>` under
     * `batch=base/` — before the first per-batch commit. Renames are
     * idempotent (a crash mid-migration just leaves fewer dirs to move
-    * on the re-run). */
+    * on the re-run). Per-directory, not transactional: migrate while
+    * no concurrent readers or ingests are active — a reader racing the
+    * migration can see the conflicting-depth layout it exists to fix. */
   private[graft] def migrateFlatIndex(
       fs: org.apache.hadoop.fs.FileSystem,
       indexPath: org.apache.hadoop.fs.Path): Unit = {
+    // let the subsequent spark.read.parquet surface the user-facing
+    // "path does not exist" error instead of a raw FileNotFoundException
+    if (!fs.exists(indexPath)) return
     val entries = fs.listStatus(indexPath)
     val flatBands = entries.filter(e =>
       e.isDirectory && e.getPath.getName.startsWith("band="))
@@ -88,6 +93,16 @@ object Main {
     fs.mkdirs(base)
     flatBands.foreach { e =>
       val target = new org.apache.hadoop.fs.Path(base, e.getPath.getName)
+      // HDFS rename into an EXISTING directory nests the source INSIDE
+      // it (batch=base/band=N/band=N) instead of failing — which a
+      // crashed prior migration or a racing ingest can set up. Fail
+      // loudly rather than corrupt the layout silently; if the move
+      // already completed, the source dir is gone and we never get here.
+      if (fs.exists(target))
+        throw new java.io.IOException(
+          s"flat-index migration target already exists: $target " +
+            "(crashed prior migration or concurrent ingest?); " +
+            "remove or reconcile it manually before re-running")
       if (!fs.rename(e.getPath, target))
         throw new java.io.IOException(
           s"flat-index migration failed: ${e.getPath} -> $target")

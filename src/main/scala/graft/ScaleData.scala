@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe corpus builder: replicates the driver's read-only
+  * testdata into /tmp with offset keys, preserving per-group join
+  * shape so a k× corpus answers "does the plan survive k× the data",
+  * not "what does k× duplicate skew do". Map-only (lit-array explode):
+  * no shuffle, no driver collect of data rows.
+  *
+  * {{{
+  * graft.ScaleData docs  <sfDir> <outDir> <copies> [--skew <source> <extraCopies>]
+  * graft.ScaleData tpch  <sfDir> <outDir> <copies>
+  * }}}
+  *
+  * `docs` writes a `documents.parquet` whose replicas are textually
+  * UNIQUE (a per-replica suffix rides at the end of `text`) and carry a
+  * materialized `url` column — the CommonCrawl record shape the
+  * reference's text pipeline benchmark reads (README §Performance: 1M
+  * records, URL filter → length filter; each record has a distinct
+  * url). `--skew` appends extra replicas of ONE source so a single
+  * source holds most of the corpus — the design point of
+  * [[graft.operators.text.TokenBudgetSampler.sampleSharded]].
+  *
+  * `tpch` replicates the fact tables (orders/lineitem on offset order
+  * keys, events on offset user+event ids) and copies the dimensions
+  * unchanged — k× facts over the same catalog, the way a warehouse
+  * actually grows; per-user event streams stay user-sized.
+  */
+object ScaleData {
+
+  private def replicate(df: DataFrame, copies: Int): DataFrame =
+    df.withColumn("__c", explode(lit((0 until copies).toArray)))
+
+  /** 1M-style text corpus: unique text + unique url per replica. */
+  def docs(spark: SparkSession, sfDir: String, outDir: String, copies: Int,
+      skew: Option[(String, Int)] = None): Long = {
+    val base = Tables.load(spark, sfDir, "documents")
+    val rep = skew match {
+      case None => replicate(base, copies)
+      case Some((source, extra)) =>
+        // the skewed source gets `extra` additional replicas, appended
+        // with copy indices above the uniform range so doc_ids stay unique
+        replicate(base, copies).union(
+          replicate(base.filter(col("source") === source), extra)
+            .withColumn("__c", col("__c") + lit(copies)))
+    }
+    val out = rep
+      .withColumn("doc_id", col("doc_id") + col("__c").cast("long") * 100000000L)
+      // suffix at the END: first-40-char url slugs stay stable, but
+      // every replica is a distinct document to hashing/dedup — the
+      // reference's 1M CommonCrawl records are likewise ~all distinct
+      .withColumn("text", concat(col("text"), lit(" r"), col("__c")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/r"),
+          col("__c"), lit("/"),
+          replace(substring(col("text"), 1, 40), lit(" "), lit("-"))))
+      .drop("__c")
+    out.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
+  /** k× TPC-H facts + events over unchanged dimensions. */
+  def tpch(spark: SparkSession, sfDir: String, outDir: String, copies: Int): Unit = {
+    val orderOff = 1000000L   // > max o_orderkey at any driver sf
+    val userOff = 1000000L
+    val eventOff = 100000000L
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    write(replicate(Tables.load(spark, sfDir, "orders"), copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__c").cast("long") * orderOff)
+      .drop("__c"), "orders")
+    write(replicate(Tables.load(spark, sfDir, "lineitem"), copies)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__c").cast("long") * orderOff)
+      .drop("__c"), "lineitem")
+    // events scale by USERS (offset user ids): per-user session/asof/
+    // range shape is preserved, the group count grows k×
+    write(replicate(Tables.load(spark, sfDir, "events"), copies)
+      .withColumn("user_id", col("user_id") + col("__c").cast("long") * userOff)
+      .withColumn("event_id", col("event_id") + col("__c").cast("long") * eventOff)
+      .drop("__c"), "events")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(Tables.load(spark, sfDir, t), t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: ScaleData docs|tpch <sfDir> <outDir> <copies> [--skew <source> <extraCopies>]")
+    val Array(cmd, sfDir, outDir, copies) = args.take(4)
+    val spark = GraftSession.local("graft-scaledata")
+    try cmd match {
+      case "docs" =>
+        val skew = args.indexOf("--skew") match {
+          case i if i >= 0 && i + 2 < args.length =>
+            Some((args(i + 1), args(i + 2).toInt))
+          case _ => None
+        }
+        val n = docs(spark, sfDir, outDir, copies.toInt, skew)
+        println(s"[graft] wrote $n documents to $outDir")
+      case "tpch" =>
+        tpch(spark, sfDir, outDir, copies.toInt)
+        println(s"[graft] wrote ${copies}x tpch facts + events to $outDir")
+      case other => sys.error(s"unknown subcommand $other")
+    } finally spark.stop()
+  }
+}

@@ -151,9 +151,15 @@ case class TokenBudgetSampler(idCol: String = "doc_id",
     * ~`shards`×. The per-shard budgets sum EXACTLY to the source
     * budget (⌊b/k⌋ each, +1 for the first b mod k shards); the
     * overshoot bound weakens from ≤1 document per source to ≤1 per
-    * shard. Same salted-md5 hash family as [[sample]], so the result
-    * is rerun-stable on any cluster layout; `sampleSharded(_, _, _,
-    * 1)` picks the identical document set as [[sample]]. */
+    * shard — and sharding introduces an UNDERSHOOT mode [[sample]]
+    * cannot have: a token-light shard can exhaust its documents while
+    * heavier shards are capped at their per-shard budget, so the total
+    * taken for a source can fall short of its budget by up to
+    * ~`shards` × max-doc-tokens even when the source has enough tokens
+    * overall (SamplingSpec's `t >= b - 4*m` bound assumes this). Same
+    * salted-md5 hash family as [[sample]], so the result is
+    * rerun-stable on any cluster layout; `sampleSharded(_, _, _, 1)`
+    * picks the identical document set as [[sample]]. */
   def sampleSharded(df: DataFrame, tokenCount: Column,
       budgets: Map[String, Long], shards: Int,
       defaultBudget: Long = 0L): DataFrame = {

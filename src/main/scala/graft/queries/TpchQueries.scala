@@ -214,11 +214,15 @@ object TpchQueries {
     // supplier on a multi-supplier order (late = shipped >90 days after
     // the order date; no receipt/commit dates in this schema). The
     // EXISTS / NOT-EXISTS pair decorrelates to ONE pass over the fact
-    // join: per-order distinct supplier / distinct-late-supplier counts
-    // plus `min(late supplier)` in the same aggregate — when n_late==1
-    // that min IS the unique late supplier, so no second late-row branch
-    // (and thus no second lineitem/orders scan) is ever needed. The
-    // nation filter then rides the broadcast supplier join.
+    // join, as TWO stacked plain aggregates: first collapse to one row
+    // per (order, supplier) carrying `max(late)` — fully map-combinable
+    // — then plain per-order counts over the now-distinct supplier rows.
+    // A single multi-countDistinct aggregate would plan via Expand (~3×
+    // the aggregate's input rows); this shape gets partial aggregation
+    // at both levels and no row multiplication. When n_late==1 the
+    // `min(late supplier)` IS the unique late supplier, so no second
+    // late-row branch (and thus no second lineitem/orders scan) is ever
+    // needed. The nation filter then rides the broadcast supplier join.
     "q21_waiting_supplier" -> ((s, dir) => {
       val nation = Tables.load(s, dir, "nation")
         .filter(col("n_name") === "NATION_5").select("n_nationkey")
@@ -231,9 +235,11 @@ object TpchQueries {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
             .as("late"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
         .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("late"), lit(1))).as("n_late"),
           min(when(col("late"), col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
         .join(broadcast(supp), col("late_supp") === col("s_suppkey"))

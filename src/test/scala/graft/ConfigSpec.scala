@@ -342,13 +342,17 @@ class ConfigSpec extends SparkSpec {
       .filter(col("batch") === "d1").count()
     // tear the commit: drop one data file from the batch partition + the marker
     val batchDir = java.nio.file.Paths.get(s"$dir/index/batch=d1")
-    val files = java.nio.file.Files.list(batchDir).toArray.map(_.toString).sorted
     val victim = java.nio.file.Files.walk(batchDir).toArray.map(_.toString)
       .filter(_.endsWith(".parquet")).head
     java.nio.file.Files.delete(java.nio.file.Paths.get(victim))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/index/_batch_committed_d1"))
-    assert(files.nonEmpty) // the tear left a real partial partition behind
+    // re-list AFTER the tear: a real PARTIAL partition must remain (if
+    // this were empty the test would degenerate to the easier
+    // missing-partition case and prove nothing about torn commits)
+    val remaining = java.nio.file.Files.walk(batchDir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(remaining.nonEmpty, "tear removed the whole partition; nothing partial left")
     // re-run: identical survivors, fully restored partition, marker back
     Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
       Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d1"))

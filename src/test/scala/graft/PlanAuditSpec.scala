@@ -80,16 +80,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(q19).size == 1)
     assert(!q19.contains("SortMergeJoin") && !q19.contains("Union"))
     // q21: the EXISTS/NOT-EXISTS chain decorrelates to exactly ONE scan
-    // of each fact table — the single per-order aggregate carries
-    // n_supp, n_late, AND the unique late supplier, so no second
-    // late-row branch re-reads lineitem/orders (the correlated original
-    // would self-join lineitem three times)
+    // of each fact table — two stacked plain aggregates carry n_supp,
+    // n_late, AND the unique late supplier, so no second late-row
+    // branch re-reads lineitem/orders (the correlated original would
+    // self-join lineitem three times). The distinct-supplier collapse
+    // is the FIRST groupBy, not a multi-countDistinct, so the plan must
+    // carry no Expand node (Expand replays ~3× the aggregate input).
     val q21 = plan("q21_waiting_supplier")
     Seq("lineitem", "orders").foreach { t =>
       val scans = q21.linesIterator
         .count(l => l.contains("FileScan parquet") && l.contains(t))
       assert(scans == 1, s"expected exactly 1 $t FileScan in q21, found $scans")
     }
+    assert(!q21.contains("Expand"), "q21 must not plan through Expand")
     // dedup_incremental: both index probe and intra-batch join are
     // hash equi-joins on (band, bucket)
     val inc = plan("dedup_incremental")
