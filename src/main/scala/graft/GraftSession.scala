@@ -16,6 +16,16 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // Scan-split sizing. The 128m default assumes web-scale records
+      // (KBs each): a small-record corpus (~30 B/record compressed)
+      // bin-packs into one or two scan tasks and serializes the whole
+      // pipeline. At 100 TB you RAISE this; on a benchmark corpus of
+      // tiny records you lower it so the scan parallelizes. Same knob,
+      // opposite direction — see SURVEY §5.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -33,9 +33,12 @@ object ScaleData {
   private def replicate(df: DataFrame, copies: Int): DataFrame =
     df.withColumn("__c", explode(lit((0 until copies).toArray)))
 
-  /** 1M-style text corpus: unique text + unique url per replica. */
+  /** 1M-style text corpus: unique text + unique url per replica.
+    * Written as `files` parquet files — the sharded layout a real
+    * crawl corpus has (one 30 MB file would make the whole downstream
+    * scan ONE task; CommonCrawl ships thousands of WARC shards). */
   def docs(spark: SparkSession, sfDir: String, outDir: String, copies: Int,
-      skew: Option[(String, Int)] = None): Long = {
+      skew: Option[(String, Int)] = None, files: Int = 32): Long = {
     val base = Tables.load(spark, sfDir, "documents")
     val rep = skew match {
       case None => replicate(base, copies)
@@ -58,17 +61,19 @@ object ScaleData {
           col("__c"), lit("/"),
           replace(substring(col("text"), 1, 40), lit(" "), lit("-"))))
       .drop("__c")
-    out.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    out.repartition(files)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
-  /** k× TPC-H facts + events over unchanged dimensions. */
+  /** k× TPC-H facts + events over unchanged dimensions. Facts land as
+    * 32 files each (same sharded-layout reasoning as [[docs]]). */
   def tpch(spark: SparkSession, sfDir: String, outDir: String, copies: Int): Unit = {
     val orderOff = 1000000L   // > max o_orderkey at any driver sf
     val userOff = 1000000L
     val eventOff = 100000000L
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(replicate(Tables.load(spark, sfDir, "orders"), copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("__c").cast("long") * orderOff)
