@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
 
-  private def replicate(df: DataFrame, copies: Int): DataFrame =
-    df.withColumn("__c", explode(lit((0 until copies).toArray)))
+  /** Shard the SMALL base first, then explode: the k× multiplication is
+    * map-side on 32 partitions — never a shuffle of the replicated
+    * rows (a post-explode repartition of 60M wide rows is exactly the
+    * kind of avoidable shuffle §5 bans). */
+  private def replicate(df: DataFrame, copies: Int, parts: Int = 32): DataFrame =
+    df.repartition(parts).withColumn("__c", explode(lit((0 until copies).toArray)))
 
   /** 1M-style text corpus: unique text + unique url per replica.
     * Written as `files` parquet files — the sharded layout a real
@@ -41,15 +45,15 @@ object ScaleData {
       skew: Option[(String, Int)] = None, files: Int = 32): Long = {
     val base = Tables.load(spark, sfDir, "documents")
     val rep = skew match {
-      case None => replicate(base, copies)
+      case None => replicate(base, copies, files)
       case Some((source, extra)) =>
         // the skewed source gets `extra` additional replicas, appended
         // with copy indices above the uniform range so doc_ids stay unique
-        replicate(base, copies).union(
-          replicate(base.filter(col("source") === source), extra)
+        replicate(base, copies, files).union(
+          replicate(base.filter(col("source") === source), extra, files)
             .withColumn("__c", col("__c") + lit(copies)))
     }
-    val out = rep
+    val out = rep   // replicate() already sharded the base `files`-wide
       .withColumn("doc_id", col("doc_id") + col("__c").cast("long") * 100000000L)
       // suffix at the END: first-40-char url slugs stay stable, but
       // every replica is a distinct document to hashing/dedup — the
@@ -61,8 +65,7 @@ object ScaleData {
           col("__c"), lit("/"),
           replace(substring(col("text"), 1, 40), lit(" "), lit("-"))))
       .drop("__c")
-    out.repartition(files)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    out.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
@@ -73,7 +76,7 @@ object ScaleData {
     val userOff = 1000000L
     val eventOff = 100000000L
     def write(df: DataFrame, name: String): Unit =
-      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(replicate(Tables.load(spark, sfDir, "orders"), copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("__c").cast("long") * orderOff)
