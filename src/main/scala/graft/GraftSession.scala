@@ -10,12 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the executor core count rather than Spark's default 200.
   */
 object GraftSession {
+  /** `SPARK_GRAFT_CPUS`, validated once: must parse as a positive int
+    * (it becomes both `local[n]` and the shuffle-partition count, and
+    * `local[0]`/`local[-2]` are silently invalid masters). */
+  private[graft] def configuredCpus: Option[Int] =
+    sys.env.get("SPARK_GRAFT_CPUS").map { v =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CPUS must be a positive integer, got '$v'"))
+      require(n > 0, s"SPARK_GRAFT_CPUS must be a positive integer, got '$v'")
+      n
+    }
+
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        configuredCpus.getOrElse(32).toString)
       // Scan-split sizing. The 128m default assumes web-scale records
       // (KBs each): a small-record corpus (~30 B/record compressed)
       // bin-packs into one or two scan tasks and serializes the whole
@@ -37,7 +49,7 @@ object GraftSession {
     * one knob keeps the two consistent, e.g. an 8-core like-for-like
     * run against the reference's published 8-core benchmark). */
   def local(appName: String = "graft",
-      cores: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      cores: Int = configuredCpus
         .getOrElse(Runtime.getRuntime.availableProcessors())): SparkSession = {
     val s = builder(appName).master(s"local[$cores]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")

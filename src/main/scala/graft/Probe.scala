@@ -20,8 +20,10 @@ object Probe {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val nation = spark.read.parquet(s"$dir/nation.parquet")
     scala.util.Try { // docs-only corpora carry no nation table; skip
+      // (the read itself must sit inside the Try — spark.read.parquet
+      // throws PATH_NOT_FOUND eagerly at analysis, not at execution)
+      val nation = spark.read.parquet(s"$dir/nation.parquet")
       nation.selectExpr("n_nationkey", "n_regionkey", "md5(n_name) AS h",
           "transform(sequence(1, 8), i -> i * n_nationkey) AS arr")
         .withColumn("x", explode(col("arr")))
@@ -34,7 +36,12 @@ object Probe {
     names.foreach { name =>
       System.gc()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      // Full materialization, not count(): under count() Catalyst
+      // prunes every column, so a refiner-shaped query (model scoring,
+      // kernels) would be timed as a bare scan. toRdd.count() runs the
+      // exact physical plan the query declares, all columns produced.
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val rows = qe.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"$name,$sec%.1f,$rows")
     }

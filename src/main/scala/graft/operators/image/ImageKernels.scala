@@ -121,16 +121,86 @@ object ImageKernels extends Serializable {
     }.sum
   }
 
+  /** JPEG blockiness: mean luminance step across sampled 8×8 block
+    * boundaries, normalized to [0, 1]. Mirrors the reference kernel
+    * `detect_compression_artifacts_from_rgb` (src/image_ops.rs:51-124)
+    * bit-for-bit: integer `(r+g+b)/3` gray, per-boundary mean `|Δgray|`
+    * with integer division by the row/column length, at most 64 sampled
+    * boundaries per axis starting at 0 (the reference samples `i*8` for
+    * `i = 0..`, so the image edge row is included), and the final
+    * vertical/horizontal averages each divided by 255 then averaged. */
+  def blockiness(bytes: Array[Byte]): Option[Double] = decode(bytes).map(blockinessOf)
+
+  private def blockinessOf(img: BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val block = 8
+    val maxSamples = 64
+    def grayAt(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    val hBlocks = math.min(math.max(h - 1, 0) / block, maxSamples)
+    val wBlocks = math.min(math.max(w - 1, 0) / block, maxSamples)
+    var vSum = 0L
+    var vCount = 0
+    var i = 0
+    while (i < hBlocks) {
+      val y = i * block
+      if (y + 1 < h) {
+        var sum = 0L
+        var x = 0
+        while (x < w) { sum += math.abs(grayAt(x, y) - grayAt(x, y + 1)); x += 1 }
+        vSum += sum / w
+        vCount += 1
+      }
+      i += 1
+    }
+    var hSum = 0L
+    var hCount = 0
+    var j = 0
+    while (j < wBlocks) {
+      val x = j * block
+      if (x + 1 < w) {
+        var sum = 0L
+        var y = 0
+        while (y < h) { sum += math.abs(grayAt(x, y) - grayAt(x + 1, y)); y += 1 }
+        hSum += sum / h
+        hCount += 1
+      }
+      j += 1
+    }
+    if (vCount > 0 && hCount > 0)
+      (vSum.toDouble / vCount / 255.0 + hSum.toDouble / hCount / 255.0) / 2.0
+    else 0.0
+  }
+
+  /** Compression-artifact score on real decoded pixels:
+    * `clamp(0.6·blockiness + 0.4·(1 − min(2·bytes/(3wh), 1)), 0, 1)` —
+    * the reference's combined score (src/image_ops.rs:110-124). The
+    * second term rewards aggressive compression (small file for its
+    * pixel count ⇒ more artifacts expected). */
+  def artifactScore(bytes: Array[Byte]): Option[Double] = decode(bytes).map { img =>
+    val uncompressed = img.getWidth.toLong * img.getHeight * 3L
+    val ratio = if (uncompressed > 0) bytes.length.toDouble / uncompressed else 1.0
+    val compressionScore = 1.0 - math.min(ratio * 2.0, 1.0)
+    math.max(0.0, math.min(1.0, blockinessOf(img) * 0.6 + compressionScore * 0.4))
+  }
+
   // ---- Column API (UDF bridge) ----
 
   private val dimsUdf = udf((b: Array[Byte]) => dims(b))
   private val phashUdf = udf((b: Array[Byte]) => phash64(b))
   private val entropyUdf = udf((b: Array[Byte]) => pixelEntropy(b))
+  private val blockinessUdf = udf((b: Array[Byte]) => blockiness(b))
+  private val artifactUdf = udf((b: Array[Byte]) => artifactScore(b))
 
   /** struct(width, height) or null for undecodable bytes. */
   def realDims(image: Column): Column = dimsUdf(image)
   def realPhash(image: Column): Column = phashUdf(image)
   def realEntropy(image: Column): Column = entropyUdf(image)
+  def realBlockiness(image: Column): Column = blockinessUdf(image)
+  def realArtifactScore(image: Column): Column = artifactUdf(image)
 
   /** Metadata refiner over real image bytes. */
   def withRealMetadata(df: DataFrame, imageCol: String = "image"): DataFrame =

@@ -51,9 +51,11 @@ object AnalyticsQueries {
         .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       val li = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-      // customer is the small side at any scale factor → broadcast
+      // customer grows with SF — relative smallness does not make a
+      // broadcast fit in memory, so the join is size-driven (cost
+      // model / AQE broadcast while it fits, SMJ beyond that)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .filter(col("revenue") > 0)
@@ -62,9 +64,9 @@ object AnalyticsQueries {
     }),
 
     "q5_local_supplier_volume" -> ((s, dir) => {
-      val region = broadcast(Tables.load(s, dir, "region"))
-      val nation = broadcast(Tables.load(s, dir, "nation"))
-      val supp = broadcast(Tables.load(s, dir, "supplier"))
+      val region = broadcast(Tables.load(s, dir, "region")) // fixed 5 rows
+      val nation = broadcast(Tables.load(s, dir, "nation")) // fixed 25 rows
+      val supp = Tables.load(s, dir, "supplier") // SF-scaled: size-driven join
       val cust = Tables.load(s, dir, "customer")
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
@@ -148,7 +150,7 @@ object AnalyticsQueries {
       val byCust = ord.groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("total_spend"),
           count(lit(1)).as("n_orders"))
-      byCust.join(broadcast(cust), byCust("o_custkey") === cust("c_custkey"))
+      byCust.join(cust, byCust("o_custkey") === cust("c_custkey")) // SF-scaled: size-driven
         .select(col("o_custkey").as("custkey"), col("c_name"),
           col("total_spend"), col("n_orders"))
         .orderBy(col("total_spend").desc, col("custkey").asc)

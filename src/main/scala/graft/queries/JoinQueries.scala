@@ -49,7 +49,10 @@ object JoinQueries {
       val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
       val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
-      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      // supplier grows with SF — no broadcast hint; the cost model /
+      // AQE broadcasts it while it fits and falls back to SMJ when it
+      // doesn't. Hints stay only on nation (fixed 25 rows).
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
         .join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nation.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
@@ -74,7 +77,7 @@ object JoinQueries {
       val cust = Tables.load(s, dir, "customer")
       val nation = broadcast(Tables.load(s, dir, "nation"))
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey")) // SF-scaled: size-driven join
         .join(nation, cust("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(15,4)") *
@@ -96,7 +99,7 @@ object JoinQueries {
           .cast("double").as("total_qty"))
         .filter(col("total_qty") > 150)
       ord.join(big, ord("o_orderkey") === big("l_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey")) // SF-scaled: size-driven join
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("total_qty"))
     }),
@@ -110,7 +113,7 @@ object JoinQueries {
       val part = Tables.load(s, dir, "part").select("p_partkey", "p_type")
       val disc = col("l_extendedprice").cast("decimal(15,4)") *
         (lit(1.0) - col("l_discount")).cast("decimal(9,4)")
-      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      li.join(part, li("l_partkey") === part("p_partkey")) // SF-scaled: size-driven join
         .agg(
           round(lit(100.0) *
             sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(25,8)")))

@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   * chains, disjunctive predicate pushdown, and market-share conditional
   * aggregation.
   *
-  * Scale discipline mirrors SURVEY §5: dims broadcast, facts shuffle at
+  * Scale discipline mirrors SURVEY §5: joins against SF-scaled
+  * dimensions (customer/supplier/part and their filtered subsets) carry
+  * NO broadcast hint — a hint disables Spark's size check, and a table
+  * that grows linearly with scale factor eventually stops fitting in
+  * driver memory; the cost model / AQE broadcasts while it fits and
+  * degrades gracefully to shuffle joins beyond that. Hints remain only
+  * on genuinely bounded sides: nation (25 rows), region (5 rows), and
+  * 1-row decorrelated scalars. Facts shuffle at
   * most once per aggregation grain, money sums go through exact decimal
   * so summation order can never flip the 2-dp rounding, and every
   * correlated subquery is expressed in its decorrelated join form (one
@@ -45,15 +52,18 @@ object TpchQueries {
       val parts = Tables.load(s, dir, "part")
         .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
         .select("p_partkey", "p_name")
+      // supplier/part subsets grow with SF — joins are size-driven
+      // (cost model / AQE broadcast while they fit, SMJ beyond that);
+      // only the fixed-cardinality nation/region joins keep hints.
       val costs = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min("l_extendedprice").as("cost"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
       val minCost = costs.groupBy(col("l_partkey").as("mk"))
         .agg(min("cost").as("min_cost"))
       costs
         .join(minCost, col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"),
           col("n_name"), round(col("s_acctbal"), 2).as("s_acctbal"),
           col("min_cost"))
@@ -80,11 +90,12 @@ object TpchQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate")
+      // part/customer/supplier sides grow with SF — size-driven joins
       Tables.load(s, dir, "lineitem")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
         .agg(
           round(
@@ -104,9 +115,9 @@ object TpchQueries {
       val parts = Tables.load(s, dir, "part")
         .filter(col("p_name").contains("red")).select("p_partkey")
       val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
-      Tables.load(s, dir, "lineitem")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      Tables.load(s, dir, "lineitem") // part/supplier: SF-scaled, size-driven joins
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("int").as("o_year"))
@@ -127,7 +138,7 @@ object TpchQueries {
         .join(broadcast(nation), col("s_nationkey") === col("nk"))
         .select("s_suppkey")
       val li = Tables.load(s, dir, "lineitem")
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey")) // SF-scaled: size-driven
       val perPart = li.groupBy("l_partkey")
         .agg(sum(rev).as("value_dec"))
       val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
@@ -148,7 +159,7 @@ object TpchQueries {
         .agg(round(sum(rev), 2).cast("double").as("total_revenue"))
       val top = revenue.agg(max("total_revenue").as("max_revenue"))
       revenue.join(broadcast(top), col("total_revenue") === col("max_revenue"))
-        .join(broadcast(Tables.load(s, dir, "supplier")),
+        .join(Tables.load(s, dir, "supplier"), // SF-scaled: size-driven join
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
@@ -164,10 +175,10 @@ object TpchQueries {
         .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
           col("p_size") <= 25)
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      Tables.load(s, dir, "lineitem")
+      Tables.load(s, dir, "lineitem") // supplier/part subsets: SF-scaled, size-driven
         .select("l_partkey", "l_suppkey")
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
@@ -179,12 +190,12 @@ object TpchQueries {
     "q17_small_quantity_revenue" -> ((s, dir) => {
       val parts = Tables.load(s, dir, "part")
         .filter(col("p_type") === "SMALL").select("p_partkey")
-      val li = Tables.load(s, dir, "lineitem")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val li = Tables.load(s, dir, "lineitem") // part subset + per-part agg both
+        .join(parts, col("l_partkey") === col("p_partkey")) // grow with SF: size-driven
       val avgQ = li.groupBy(col("l_partkey").as("ak"))
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_q"),
           count(lit(1)).as("cnt_q"))
-      li.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+      li.join(avgQ, col("l_partkey") === col("ak"))
         .filter(col("l_quantity") * 2 * col("cnt_q") < col("sum_q"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
             .cast("double") / 7.0, 2).as("avg_yearly"),
@@ -198,7 +209,7 @@ object TpchQueries {
       val parts = Tables.load(s, dir, "part")
         .select("p_partkey", "p_brand", "p_size")
       val li = Tables.load(s, dir, "lineitem")
-      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      li.join(parts, col("l_partkey") === col("p_partkey")) // SF-scaled: size-driven
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
             col("l_quantity").between(1, 15)) ||
@@ -242,7 +253,7 @@ object TpchQueries {
           count(when(col("late"), lit(1))).as("n_late"),
           min(when(col("late"), col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
-        .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+        .join(supp, col("late_supp") === col("s_suppkey")) // SF-scaled: size-driven
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(10)

@@ -65,6 +65,81 @@ class ImageKernelsSpec extends SparkSpec {
     assert(ImageKernels.pixelEntropy(busy).get > 4.0)
   }
 
+  /** JPEG at an explicit quality setting (ImageIO.write's default is
+    * high quality, which leaves no visible blocks). */
+  private def jpeg(w: Int, h: Int, quality: Float)(draw: java.awt.Graphics2D => Unit): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    draw(g)
+    g.dispose()
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("blockiness matches the reference arithmetic on a constructed two-band image") {
+    // The reference samples the pixel pair (i·8, i·8+1) per axis — the
+    // rows just BELOW each block boundary, not across it — so the test
+    // band edge sits between rows 8 and 9 where the kernel looks.
+    // 24×24, rows 0–8 gray 100, rows 9–23 gray 148. Sampled vertical
+    // pairs (h=24 → 2): y=0 (rows 0,1: |100−100|=0) and y=8 (rows 8,9:
+    // |100−148|=48 at every x → integer per-pair mean 48). Horizontal
+    // pairs x=0, x=8 cross identical columns → 0. Expected:
+    // ((0+48)/2/255 + 0) / 2 = 48/1020.
+    val bytes = render(24, 24, "png") { g =>
+      g.setColor(new java.awt.Color(100, 100, 100)); g.fillRect(0, 0, 24, 9)
+      g.setColor(new java.awt.Color(148, 148, 148)); g.fillRect(0, 9, 24, 15)
+    }
+    assert(math.abs(ImageKernels.blockiness(bytes).get - 48.0 / 1020.0) < 1e-12)
+    // full artifact formula on the same image: 0.6·blockiness +
+    // 0.4·(1 − min(2·len/(3wh), 1)), clamped
+    val expected = math.min(1.0, 0.6 * (48.0 / 1020.0) +
+      0.4 * (1.0 - math.min(2.0 * bytes.length / (24.0 * 24 * 3), 1.0)))
+    assert(math.abs(ImageKernels.artifactScore(bytes).get - expected) < 1e-12)
+  }
+
+  test("blockiness keys on the sampled 8-aligned pairs; flat image scores 0; JPEG decodes") {
+    // band steps landing ON the sampled pairs (edges at y ≡ 8k, between
+    // rows 8k and 8k+1) score high; the same bands shifted by 4 rows
+    // put every step between unsampled rows → 0. This is exactly the
+    // reference's sensitivity profile (JPEG block artifacts are
+    // 8-aligned; content edges usually aren't).
+    def bands(offset: Int): Array[Byte] = render(48, 48, "png") { g =>
+      for (y <- 0 until 48) {
+        val band = (y + 48 - offset) / 8 // band index, edges at y ≡ offset (mod 8)
+        val v = if (band % 2 == 0) 60 else 200
+        g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, y, 48, 1)
+      }
+    }
+    val aligned = ImageKernels.blockiness(bands(1)).get   // steps at rows 8k|8k+1
+    val misaligned = ImageKernels.blockiness(bands(5)).get // steps at rows 8k+4|8k+5
+    assert(aligned > 0.05 && misaligned == 0.0,
+      s"aligned $aligned should dwarf misaligned $misaligned")
+    val flat = render(32, 32, "png") { g =>
+      g.setColor(java.awt.Color.GRAY); g.fillRect(0, 0, 32, 32)
+    }
+    assert(ImageKernels.blockiness(flat).get === 0.0)
+    // real JPEG bytes decode through the same kernel and stay in range
+    val crushed = jpeg(96, 96, 0.05f) { g =>
+      val rnd = new scala.util.Random(7)
+      for (bx <- 0 until 12; by <- 0 until 12) {
+        g.setColor(new java.awt.Color(rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+        g.fillRect(bx * 8, by * 8, 8, 8)
+      }
+    }
+    val a = ImageKernels.artifactScore(crushed).get
+    assert(a >= 0.0 && a <= 1.0)
+    assert(ImageKernels.blockiness(crushed).get >= 0.0)
+  }
+
   test("kernels run distributed over a binary column; phash dedup keeps firsts") {
     val a = render(40, 30, "png")(gradient(0))
     val b = render(40, 30, "bmp")(gradient(0)) // same pixels, different container
