@@ -26,8 +26,23 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      // Defaults to the core count; SPARK_GRAFT_SHUFFLE_PARTITIONS
+      // decouples it for scale probes. Partition count must grow with
+      // the DATA, not the cores: a shuffle stage's per-task state
+      // (hash-aggregate maps, join buffers) is partition-sized, and at
+      // 100× data on fixed partitions each task's map outgrows cache —
+      // measured on q21@100×: 32→256 partitions cuts the fused
+      // SMJ+aggregate stage's per-task state 8× (see SURVEY §5.11).
+      // AQE coalesces small partitions back, so oversizing is cheap.
       .config("spark.sql.shuffle.partitions",
-        configuredCpus.getOrElse(32).toString)
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { v =>
+          val n = scala.util.Try(v.trim.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'"))
+          require(n > 0,
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
+          n
+        }.orElse(configuredCpus).getOrElse(32).toString)
       // Scan-split sizing. The 128m default assumes web-scale records
       // (KBs each): a small-record corpus (~30 B/record compressed)
       // bin-packs into one or two scan tasks and serializes the whole

@@ -197,6 +197,19 @@ object OperatorRegistry {
       _ => ImageKernels.realPhash(col(str(p, "image_field", "image"))),
       str(p, "id_field", "doc_id"))),
 
+    // decoded-pixel technical quality: luminance-histogram entropy +
+    // reference-parity 8×8 blockiness and combined artifact score
+    // (ImageKernels.blockiness / artifactScore) — the real-kernel twin
+    // of image_technical_quality_refiner, same output column names as
+    // the reference refiner so image_quality_filter composes downstream
+    "image_real_technical_quality_refiner" -> (p => RefineOp(
+      "image_real_technical_quality_refiner", { df =>
+        val img = col(str(p, "image_field", "image"))
+        df.withColumn("image_information_entropy", ImageKernels.realEntropy(img))
+          .withColumn("image_blockiness", ImageKernels.realBlockiness(img))
+          .withColumn("image_compression_artifacts", ImageKernels.realArtifactScore(img))
+      })),
+
     "image_aesthetic_quality_refiner" -> (p => RefineOp("image_aesthetic_quality_refiner",
       AestheticAigc(str(p, "image_field", "image"),
         dbl(p, "aigc_threshold", 0.5))(_))),

@@ -140,6 +140,25 @@ class ImageKernelsSpec extends SparkSpec {
     assert(ImageKernels.blockiness(crushed).get >= 0.0)
   }
 
+  test("config-built real technical-quality refiner emits the reference's columns") {
+    val yaml =
+      """operators:
+        |  - name: image_real_technical_quality_refiner
+        |""".stripMargin
+    val pipeline = graft.pipeline.PipelineConfig.parse(yaml)
+    val a = render(48, 48, "png")(gradient(1))
+    val b = jpeg(96, 96, 0.05f)(gradient(2))
+    val out = pipeline(Seq((1L, a), (2L, b)).toDF("doc_id", "image"))
+      .select("doc_id", "image_information_entropy", "image_blockiness",
+        "image_compression_artifacts")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 === ImageKernels.pixelEntropy(a).get)
+    assert(out(0)._3 === ImageKernels.blockiness(a).get)
+    assert(out(0)._4 === ImageKernels.artifactScore(a).get)
+    assert(out(1)._3 === ImageKernels.blockiness(b).get)
+    assert(out(1)._4 === ImageKernels.artifactScore(b).get)
+  }
+
   test("kernels run distributed over a binary column; phash dedup keeps firsts") {
     val a = render(40, 30, "png")(gradient(0))
     val b = render(40, 30, "bmp")(gradient(0)) // same pixels, different container
