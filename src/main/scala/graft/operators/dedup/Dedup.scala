@@ -399,6 +399,10 @@ case class NgramJaccard(
     cand
       .join(shArr.select(col(idCol).as("id_a"), col("sharr").as("sa")), "id_a")
       .join(shArr.select(col(idCol).as("id_b"), col("sharr").as("sb")), "id_b")
+      // size prefilter (J ≤ min/max) before the O(|s| log |s|)
+      // intersect — lossless, same lemma as the prefix filter itself
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -508,13 +512,24 @@ case class NgramJaccard(
     // all-pairs flood, and md5's 128 bits make hash-set intersection
     // equal string-set intersection (collision odds ~2⁻¹²⁸·pairs)
     val sizes = ex.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(ex.select(col(idCol).as("id_a"), col("__h")), Seq("id_a"))
-      .join(ex.select(col(idCol).as("id_b"), col("__h")), Seq("id_b", "__h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    // lossless size prefilter (the PPJoin length-filter lemma):
+    // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    // J ≤ min/max — a candidate whose size ratio is below τ cannot
+    // survive verification, and killing it HERE avoids fanning it out
+    // to |shingles| joined rows below. The narrow size joins were paid
+    // anyway (they used to sit after the count-join); moving them
+    // before it also lets the groupBy carry the sizes as keys, so the
+    // tail joins disappear entirely.
+    val candSized = cand
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+    val inter = candSized
+      .join(ex.select(col(idCol).as("id_a"), col("__h")), Seq("id_a"))
+      .join(ex.select(col(idCol).as("id_b"), col("__h")), Seq("id_b", "__h"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
+    inter
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
