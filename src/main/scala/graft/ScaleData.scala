@@ -70,34 +70,68 @@ object ScaleData {
   }
 
   /** k× TPC-H facts + events over unchanged dimensions. Facts land as
-    * 32 files each (same sharded-layout reasoning as [[docs]]). */
-  def tpch(spark: SparkSession, sfDir: String, outDir: String, copies: Int): Unit = {
+    * 32 files each (same sharded-layout reasoning as [[docs]]).
+    *
+    * `growDims = true` (`tpchfull`) replicates customer/supplier/part
+    * too, with CONSISTENT key remapping: fact copy c references dim
+    * copy c (o_custkey, l_suppkey, l_partkey all offset by the same
+    * copy index), so every copy is a closed universe — per-order
+    * supplier counts, per-customer order profiles, and join
+    * selectivities are exactly the base corpus's. This is the corpus
+    * that stresses the r8 broadcast policy: at 100× the dimensions
+    * outgrow autoBroadcastJoinThreshold and the size-driven joins must
+    * flip to SMJ (a forced hint would instead OOM the driver at real
+    * scale). nation/region stay fixed — they are bounded in TPC-H
+    * itself, which is why THEIR hints are legitimate. */
+  def tpch(spark: SparkSession, sfDir: String, outDir: String, copies: Int,
+      growDims: Boolean = false): Unit = {
     val orderOff = 1000000L   // > max o_orderkey at any driver sf
     val userOff = 1000000L
     val eventOff = 100000000L
+    val dimOff = 1000000L     // > max cust/supp/part key at any driver sf
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def off(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c + col("__c").cast("long") * dimOff
 
-    write(replicate(Tables.load(spark, sfDir, "orders"), copies)
+    val ordersRep = replicate(Tables.load(spark, sfDir, "orders"), copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("__c").cast("long") * orderOff)
-      .drop("__c"), "orders")
-    write(replicate(Tables.load(spark, sfDir, "lineitem"), copies)
+    val lineitemRep = replicate(Tables.load(spark, sfDir, "lineitem"), copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("__c").cast("long") * orderOff)
-      .drop("__c"), "lineitem")
+    if (growDims) {
+      write(ordersRep.withColumn("o_custkey", off(col("o_custkey")))
+        .drop("__c"), "orders")
+      write(lineitemRep
+        .withColumn("l_suppkey", off(col("l_suppkey")))
+        .withColumn("l_partkey", off(col("l_partkey")))
+        .drop("__c"), "lineitem")
+      write(replicate(Tables.load(spark, sfDir, "customer"), copies)
+        .withColumn("c_custkey", off(col("c_custkey"))).drop("__c"), "customer")
+      write(replicate(Tables.load(spark, sfDir, "supplier"), copies)
+        .withColumn("s_suppkey", off(col("s_suppkey"))).drop("__c"), "supplier")
+      write(replicate(Tables.load(spark, sfDir, "part"), copies)
+        .withColumn("p_partkey", off(col("p_partkey"))).drop("__c"), "part")
+    } else {
+      write(ordersRep.drop("__c"), "orders")
+      write(lineitemRep.drop("__c"), "lineitem")
+      Seq("customer", "supplier", "part").foreach { t =>
+        write(Tables.load(spark, sfDir, t), t)
+      }
+    }
     // events scale by USERS (offset user ids): per-user session/asof/
     // range shape is preserved, the group count grows k×
     write(replicate(Tables.load(spark, sfDir, "events"), copies)
       .withColumn("user_id", col("user_id") + col("__c").cast("long") * userOff)
       .withColumn("event_id", col("event_id") + col("__c").cast("long") * eventOff)
       .drop("__c"), "events")
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    Seq("region", "nation").foreach { t =>
       write(Tables.load(spark, sfDir, t), t)
     }
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: ScaleData docs|tpch <sfDir> <outDir> <copies> [--skew <source> <extraCopies>]")
+      "usage: ScaleData docs|tpch|tpchfull <sfDir> <outDir> <copies> [--skew <source> <extraCopies>]")
     val Array(cmd, sfDir, outDir, copies) = args.take(4)
     val spark = GraftSession.local("graft-scaledata")
     try cmd match {
@@ -112,6 +146,9 @@ object ScaleData {
       case "tpch" =>
         tpch(spark, sfDir, outDir, copies.toInt)
         println(s"[graft] wrote ${copies}x tpch facts + events to $outDir")
+      case "tpchfull" =>
+        tpch(spark, sfDir, outDir, copies.toInt, growDims = true)
+        println(s"[graft] wrote ${copies}x tpch facts + dims + events to $outDir")
       case other => sys.error(s"unknown subcommand $other")
     } finally spark.stop()
   }
