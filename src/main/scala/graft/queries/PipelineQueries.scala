@@ -48,6 +48,29 @@ object PipelineQueries {
       ev.groupBy("event_type").agg(
         approx_count_distinct("user_id").as("approx_users"),
         round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("approx_p50"))
+    }),
+
+    // the sketch family's ORACLE-CHECKABLE face: sketch values are
+    // engine-specific, but "the sketch sits inside its own error
+    // bound of the exact answer" is a deterministic boolean — HLL++ at
+    // its 5% design rsd within 3σ, approx_percentile(accuracy=10000)
+    // inside the exact [p45, p55] band (rank error ≤ n/10000). The
+    // oracle side is `true` by construction, so a sketch drifting out
+    // of bounds fails the hash compare like any wrong value.
+    "events_approx_bounds" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val exact = ev.groupBy("event_type").agg(
+        countDistinct("user_id").as("n_users"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      val approx = ev.groupBy("event_type").agg(
+        approx_count_distinct("user_id").as("au"),
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"))
+      exact.join(approx, "event_type").select(col("event_type"),
+        (abs(col("au") - col("n_users")) <= col("n_users") * 0.15)
+          .as("users_in_bounds"),
+        (col("ap50") >= col("p45") && col("ap50") <= col("p55"))
+          .as("p50_in_bounds"))
     })
   )
 
@@ -71,6 +94,10 @@ object PipelineQueries {
         |  round(avg(value), 4) AS avg_value,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.95), 4) AS p95
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_approx_bounds" ->
+      """SELECT event_type, true AS users_in_bounds, true AS p50_in_bounds
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
