@@ -10,17 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the executor core count rather than Spark's default 200.
   */
 object GraftSession {
-  /** `SPARK_GRAFT_CPUS`, validated once: must parse as a positive int
-    * (it becomes both `local[n]` and the shuffle-partition count, and
-    * `local[0]`/`local[-2]` are silently invalid masters). */
-  private[graft] def configuredCpus: Option[Int] =
-    sys.env.get("SPARK_GRAFT_CPUS").map { v =>
+  /** Env knob as a validated positive int — `local[0]`/`local[-2]` are
+    * silently invalid masters and a malformed value should name the
+    * variable, not throw a bare NumberFormatException. */
+  private def positiveEnvInt(name: String): Option[Int] =
+    sys.env.get(name).map { v =>
       val n = scala.util.Try(v.trim.toInt).getOrElse(
         throw new IllegalArgumentException(
-          s"SPARK_GRAFT_CPUS must be a positive integer, got '$v'"))
-      require(n > 0, s"SPARK_GRAFT_CPUS must be a positive integer, got '$v'")
+          s"$name must be a positive integer, got '$v'"))
+      require(n > 0, s"$name must be a positive integer, got '$v'")
       n
     }
+
+  /** `SPARK_GRAFT_CPUS`: both the `local[n]` core count and the
+    * default shuffle-partition count — one knob keeps them consistent. */
+  private[graft] def configuredCpus: Option[Int] =
+    positiveEnvInt("SPARK_GRAFT_CPUS")
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
@@ -35,14 +40,8 @@ object GraftSession {
       // SMJ+aggregate stage's per-task state 8× (see SURVEY §5.11).
       // AQE coalesces small partitions back, so oversizing is cheap.
       .config("spark.sql.shuffle.partitions",
-        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { v =>
-          val n = scala.util.Try(v.trim.toInt).getOrElse(
-            throw new IllegalArgumentException(
-              s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'"))
-          require(n > 0,
-            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
-          n
-        }.orElse(configuredCpus).getOrElse(32).toString)
+        positiveEnvInt("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+          .orElse(configuredCpus).getOrElse(32).toString)
       // Scan-split sizing. The 128m default assumes web-scale records
       // (KBs each): a small-record corpus (~30 B/record compressed)
       // bin-packs into one or two scan tasks and serializes the whole
