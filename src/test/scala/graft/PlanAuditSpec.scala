@@ -32,9 +32,22 @@ class PlanAuditSpec extends SparkSpec {
     // legal over a side whose cardinality cannot grow with scale
     // factor: nation/region scans, literal tables, checkpointed bounded
     // intermediates, or subtrees collapsed by an aggregate/limit.
-    // knn_bruteforce / ann_lsh / ann_ivf hint their QUERY side —
-    // bounded by the request batch, not by plan structure.
-    val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf")
+    // Exemptions, each bounded by something the plan can't show:
+    // - knn_bruteforce / ann_lsh / ann_ivf hint their QUERY side
+    //   (bounded by the request batch);
+    // - mixture_sample broadcasts the per-source rate table (keyed by
+    //   source — config-sized mixture list);
+    // - perplexity broadcasts the unigram LM (keyed by token —
+    //   vocabulary-bounded, Heaps-sublinear in corpus size);
+    // - decontaminate broadcasts the BENCHMARK shingle set — bounded
+    //   by the eval suite's size, which does not grow with the corpus
+    //   being decontaminated (the Bloom path handles oversized ones).
+    // A keyed aggregate is NOT bounded in general — q17's per-part
+    // average grows with part — which is why the structural rule below
+    // accepts only GLOBAL aggregates and these two are exemptions
+    // rather than a blanket Aggregate pass.
+    val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
+      "mixture_sample", "perplexity", "decontaminate")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -50,8 +63,12 @@ class PlanAuditSpec extends SparkSpec {
       case _ => false
     }
     def bounded(side: LogicalPlan): Boolean =
-      side.collectFirst { case _: Aggregate => (); case _: GlobalLimit => () }.nonEmpty ||
-        side.collectLeaves().forall(boundedLeaf)
+      side.collectFirst {
+        // global aggregate = 1 row; a KEYED aggregate's cardinality is
+        // its key's and may scale with SF, so it does not qualify
+        case a: Aggregate if a.groupingExpressions.isEmpty => ()
+        case _: GlobalLimit => ()
+      }.nonEmpty || side.collectLeaves().forall(boundedLeaf)
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val opt = fn(spark, dir).queryExecution.optimizedPlan
       opt.foreach {
