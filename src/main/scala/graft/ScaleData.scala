@@ -89,6 +89,23 @@ object ScaleData {
     val userOff = 1000000L
     val eventOff = 100000000L
     val dimOff = 1000000L     // > max cust/supp/part key at any driver sf
+    // The closed-universe invariant (copy c references dim copy c,
+    // no cross-copy collisions) silently breaks if a base key ever
+    // reaches the offset (part crosses 1M around sf5) — fail fast
+    // instead of writing a corrupt probe corpus.
+    def assertOff(table: String, keyCol: String, off: Long): Unit = {
+      val mx = Tables.load(spark, sfDir, table)
+        .agg(max(col(keyCol)).cast("long")).head.getLong(0)
+      require(mx < off,
+        s"$table.$keyCol max=$mx >= offset $off: replication would " +
+          "collide keys across copies; raise the offset for this seed SF")
+    }
+    assertOff("orders", "o_orderkey", orderOff)
+    if (growDims) {
+      assertOff("customer", "c_custkey", dimOff)
+      assertOff("supplier", "s_suppkey", dimOff)
+      assertOff("part", "p_partkey", dimOff)
+    }
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     def off(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -50,7 +50,18 @@ object ShardProbe {
         graft.functions.TextFns.wsTokenCount(col("text")),
         Map.empty, shards = shards, defaultBudget = 2000000L).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // SparkListener events arrive on an async bus: the straggler
+      // task's TaskEnd (the headline metric) can land AFTER count()
+      // returns. Poll until the map is stable across two 150 ms
+      // snapshots (bounded at ~3 s) before reading it; wall above is
+      // unaffected (timed before the settle).
       import scala.jdk.CollectionConverters._
+      var settle = 0
+      var prev = Map.empty[Int, Long]
+      while (settle < 20 && { val cur = stageMax.asScala.toMap
+        val same = cur == prev && cur.nonEmpty; prev = cur; !same }) {
+        Thread.sleep(150); settle += 1
+      }
       val stages = stageMax.asScala.toSeq.sortBy(-_._2).take(4)
         .map { case (sid, ms) => f"stage$sid=${ms / 1000.0}%.2f" }
       println(f"SHARD_PROBE shards=$shards kept=$kept wall=$wall%.1f s " +

@@ -332,7 +332,11 @@ case class NgramJaccard(
     textCol: String = "text",
     idCol: String = "doc_id") {
 
-  /** (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold (6 dp).
+  /** (id_a, id_b, jaccard) for pairs with RAW jaccard ≥ threshold;
+    * the emitted jaccard column is rounded to 6 dp for output only
+    * (filtering on the rounded value would re-admit J ∈ (τ−5e-7, τ)
+    * via round-up — exactly the band the lossless-on-raw-J size and
+    * prefix filters prune — so the threshold compares raw).
     *
     * Both branches are scale-safe (linear in docs, never all-pairs):
     *
@@ -404,11 +408,13 @@ case class NgramJaccard(
       .filter(least(size(col("sa")), size(col("sb"))).cast("double") >=
         lit(threshold) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // filter on RAW jaccard, round only for output: rounding before
+      // the threshold test would let J ∈ (τ−5e-7, τ) round up past τ,
+      // which the (lossless-on-raw-J) size prefilter above cannot see
+      .withColumn("__jraw", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+      .filter(col("__jraw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__jraw"), 6).as("jaccard"))
   }
 
   /** Kept for API compatibility: the count-join strategy with the
@@ -480,11 +486,11 @@ case class NgramJaccard(
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // raw-J filter for the same reason as [[prefixFilteredPairs]]
+      .withColumn("__jraw", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("__jraw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__jraw"), 6).as("jaccard"))
   }
 
   /** The 100 TB recipe (registered, not just prose): [[MinHashLSH]]
@@ -530,11 +536,13 @@ case class NgramJaccard(
       .join(ex.select(col(idCol).as("id_b"), col("__h")), Seq("id_b", "__h"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
     inter
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // raw-J filter keeps the size prefilter strictly lossless: with a
+      // rounded filter, J ∈ (τ−5e-7, τ) would round up past τ while the
+      // prefilter (a bound on RAW J) had already pruned the pair
+      .withColumn("__jraw", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("__jraw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__jraw"), 6).as("jaccard"))
   }
 
   def apply(df: DataFrame): DataFrame = {

@@ -122,13 +122,19 @@ object ImageKernels extends Serializable {
   }
 
   /** JPEG blockiness: mean luminance step across sampled 8×8 block
-    * boundaries, normalized to [0, 1]. Mirrors the reference kernel
-    * `detect_compression_artifacts_from_rgb` (src/image_ops.rs:51-124)
-    * bit-for-bit: integer `(r+g+b)/3` gray, per-boundary mean `|Δgray|`
-    * with integer division by the row/column length, at most 64 sampled
-    * boundaries per axis starting at 0 (the reference samples `i*8` for
-    * `i = 0..`, so the image edge row is included), and the final
-    * vertical/horizontal averages each divided by 255 then averaged. */
+    * boundaries, normalized to [0, 1]. Arithmetic parity with the
+    * reference kernel `detect_compression_artifacts_from_rgb`
+    * (src/image_ops.rs:51-124) GIVEN identical decoded RGB: integer
+    * `(r+g+b)/3` gray, per-boundary mean `|Δgray|` with integer
+    * division by the row/column length, at most 64 sampled boundaries
+    * per axis starting at 0 (the reference samples `i*8` for `i = 0..`,
+    * so the image edge row is included), and the final vertical/
+    * horizontal averages each divided by 255 then averaged. Caveats:
+    * the DECODERS differ (ImageIO here vs the Rust `image` crate's
+    * JPEG/IDCT there), so scores on real lossy-compressed inputs can
+    * diverge by whatever the decoded pixels diverge; and the reference
+    * accumulates `w*h*3` in u32 (overflows past ~1.4 gigapixel) where
+    * this uses Long — identical below that size. */
   def blockiness(bytes: Array[Byte]): Option[Double] = decode(bytes).map(blockinessOf)
 
   private def blockinessOf(img: BufferedImage): Double = {

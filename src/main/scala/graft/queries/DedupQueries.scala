@@ -181,7 +181,7 @@ object DedupQueries {
          |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
          |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
          |           JOIN sizes sb ON inter.id_b = sb.doc_id
-         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $shSigSql

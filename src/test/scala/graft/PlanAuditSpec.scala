@@ -62,13 +62,22 @@ class PlanAuditSpec extends SparkSpec {
       case _ if leaf.getClass.getSimpleName == "LogicalRDD" => true
       case _ => false
     }
-    def bounded(side: LogicalPlan): Boolean =
-      side.collectFirst {
-        // global aggregate = 1 row; a KEYED aggregate's cardinality is
-        // its key's and may scale with SF, so it does not qualify
-        case a: Aggregate if a.groupingExpressions.isEmpty => ()
-        case _: GlobalLimit => ()
-      }.nonEmpty || side.collectLeaves().forall(boundedLeaf)
+    // bounded = every unbounded leaf is DOMINATED by a cardinality-
+    // collapsing node (global aggregate = 1 row, global limit = ≤ N
+    // rows). A collectFirst-anywhere test would declare
+    // bigFact.join(globalAggScalar) bounded even though the join's
+    // cardinality is the fact's — hence the structural recursion: a
+    // node is bounded iff it collapses, is itself a bounded leaf, or
+    // ALL its children are bounded (a join/union of bounded inputs
+    // stays bounded; one unbounded child poisons the subtree).
+    def bounded(side: LogicalPlan): Boolean = side match {
+      // global aggregate = 1 row; a KEYED aggregate's cardinality is
+      // its key's and may scale with SF, so it does not qualify
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimit => true
+      case leaf if leaf.children.isEmpty => boundedLeaf(leaf)
+      case other => other.children.forall(bounded)
+    }
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val opt = fn(spark, dir).queryExecution.optimizedPlan
       opt.foreach {

@@ -112,6 +112,51 @@ class StreamingEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("C19: stream-stream interval join replay equals the batch RangeJoin") {
+    // Replays the real events table through clickPurchaseJoin (two file
+    // streams over the SAME time-ordered chunk dir, one filtered to
+    // clicks, one to purchases) and compares with the batch twin built
+    // from RangeJoin — the operator behind the oracle-checked
+    // events_range_join key. Chunks are global time ranges, so the
+    // 30-min watermark never drops a row and inner-join state eviction
+    // can never evict a click that a later purchase could still match
+    // (evicted ⇒ click_ts + 10 min < watermark ≤ any future purchase_ts).
+    val dir = java.nio.file.Files.createTempDirectory("graft_eq_ssjoin")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    timeChunks(ev, 4).zipWithIndex.foreach { case (c, i) => appendChunk(dir, c, i) }
+    val clicksS = streamOf(dir).filter(col("event_type") === "click")
+    val purchS = streamOf(dir).filter(col("event_type") === "purchase")
+    val q = StreamingOps.clickPurchaseJoin(clicksS, purchS, intervalMinutes = 10)
+      .writeStream.format("memory").queryName("eq_ssjoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("eq_ssjoin")
+        .select(col("click_id"), col("purchase_id"),
+          round(col("purchase_value"), 2).as("pv"))
+        .collect().map(_.toSeq).toSet
+      // batch twin: purchases are points, clicks carry the trailing
+      // [click_ts, click_ts + 10 min] interval — same predicate
+      // clickPurchaseJoin declares, executed by the bucketized batch op
+      val clicksB = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + 600000000L)
+      val purchB = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"), unix_micros(col("ts")).as("pt"))
+      val want = graft.operators.join.RangeJoin(Seq("user_id"), 600000000L)(
+          purchB, "pt", clicksB, "t0", "t1")
+        .select(col("click_id"), col("purchase_id"),
+          round(col("purchase_value"), 2).as("pv"))
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty, "batch twin produced no pairs — corpus too sparse to prove anything")
+      assert(got.size == want.size, s"pair counts differ: ${got.size} vs ${want.size}")
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("C15: streaming exact dedup keeps one survivor per batch content class") {
     // corpus = the real documents + one exact copy of every 10th doc
     // under a new id: the copies arrive in a LATER micro-batch, so the
