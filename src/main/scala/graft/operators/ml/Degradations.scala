@@ -102,11 +102,85 @@ object DegradationFeatures {
         catch { case _: Exception => None }
       img.map(fromImage).getOrElse(fromBytes(bytes))
     }
+
+  val dimExt = 7
+
+  /** Extended vector for the cast/watermark heads: the 4 base features
+    * (IDENTICAL values — the frozen blur/noise heads score
+    * `ext.take(4)` unchanged) plus what those degradations move and
+    * luminance stats cannot see:
+    *   f4 = |mean(ch0) − mean(ch2)| / 255   (red↔blue imbalance)
+    *   f5 = |2·mean(ch1) − mean(ch0) − mean(ch2)| / 510 (green imbalance)
+    *   f6 = fraction of samples ≥ 192       (bright-overlay mass)
+    * A color cast is a constant-direction chroma shift → f4/f5 jump; a
+    * translucent white watermark adds high-luminance mass → f6 jumps. */
+  private def extend(base: Array[Double], m0: Double, m1: Double, m2: Double,
+      high: Long, total: Long): Array[Double] =
+    if (total == 0L) base ++ Array(0.0, 0.0, 0.0)
+    else base ++ Array(math.abs(m0 - m2) / 255.0,
+      math.abs(2.0 * m1 - m0 - m2) / 510.0,
+      high.toDouble / total)
+
+  /** Raw-byte extended path (what a SQL oracle reproduces): channels =
+    * byte position mod 3 (pseudo-RGB over the opaque payload), bright =
+    * byte ≥ 192. */
+  def fromBytesExt(bytes: Array[Byte]): Array[Double] = {
+    val base = fromBytes(bytes)
+    if (bytes == null || bytes.isEmpty) return base ++ Array(0.0, 0.0, 0.0)
+    val sums = new Array[Long](3)
+    val ns = new Array[Long](3)
+    var high = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sums(i % 3) += v
+      ns(i % 3) += 1
+      if (v >= 192) high += 1
+      i += 1
+    }
+    def m(k: Int): Double = if (ns(k) == 0L) 0.0 else sums(k).toDouble / ns(k)
+    extend(base, m(0), m(1), m(2), high, bytes.length.toLong)
+  }
+
+  /** Decoded-pixel extended path: real per-channel means + Rec.601
+    * high-luminance fraction. */
+  def fromImageExt(img: BufferedImage): Array[Double] = {
+    val base = fromImage(img)
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var high = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += gg; sb += b
+        if ((r * 299 + gg * 587 + b * 114) / 1000 >= 192) high += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    extend(base, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, high, n)
+  }
+
+  def fromAnyExt(bytes: Array[Byte]): Array[Double] =
+    if (bytes == null || bytes.isEmpty) new Array[Double](dimExt)
+    else {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img.map(fromImageExt).getOrElse(fromBytesExt(bytes))
+    }
 }
 
-/** One logistic head: σ(w·f + b). */
+/** One logistic head: σ(w·f + b). Weight length is the head's feature
+  * dim: 4 for the base (blur/noise/aigc) heads, 7 ([[DegradationFeatures.dimExt]])
+  * for the cast/watermark heads. */
 case class LinearHead(name: String, weights: Array[Double], bias: Double) {
-  require(weights.length == DegradationFeatures.dim)
+  require(weights.length == DegradationFeatures.dim ||
+    weights.length == DegradationFeatures.dimExt)
   def score(f: Array[Double]): Double = {
     var z = bias
     var i = 0
@@ -129,7 +203,26 @@ object DegradationModel {
     Array(3.334949272463, 0.000000000000, -87.257819573567, 35.358368249793),
     -19.221955574168)
 
+  /** Cast/watermark heads (reference: image_visual_degradations.py's
+    * color_cast and watermark outputs): fitted by
+    * [[DegradationTrainer.trainExt]] over the 5-class corpus on the
+    * extended 7-dim features, frozen like blur/noise so the scoring
+    * query and its SQL oracle share exact literals. */
+  val colorCast: LinearHead = LinearHead("color_cast",
+    Array(-2.489407697757, 0.000000000000, 99.317779152040, 0.683312401859,
+      17.960377692471, 8.096287626977, -1.201873238026),
+    1.472931060870)
+  val watermark: LinearHead = LinearHead("watermark",
+    Array(-0.090185007253, 0.000000000000, -27.658972798286, -7.234551509359,
+      -2.781098508723, -2.842240094542, 18.790626064846),
+    -1.624767577290)
+
   val headNames: Seq[String] = Seq("vd_blur", "vd_noise", "vd_overall_quality")
+
+  /** Full reference head set: color_cast / blur / watermark / noise /
+    * overall (1 − mean of the four degradations). */
+  val headNames4: Seq[String] = Seq("vd_color_cast", "vd_blur",
+    "vd_watermark", "vd_noise", "vd_overall_quality")
 
   /** Batched inference kernel: features → two trained heads + the
     * composite quality score (1 − mean degradation). */
@@ -146,6 +239,25 @@ object DegradationModel {
   def apply(df: DataFrame, idCol: String = "doc_id",
       imageCol: String = "image"): DataFrame =
     BatchInference.score(df, kernel, headNames, idCol = idCol, imageCol = imageCol)
+
+  /** 4-head kernel: ONE extended feature pass per payload; the frozen
+    * 4-dim blur/noise heads score the (identical) base prefix. */
+  val kernel4: BatchInference.ScoreKernel = { batch =>
+    batch.map { bytes =>
+      val fe = DegradationFeatures.fromAnyExt(bytes)
+      val f = fe.take(DegradationFeatures.dim)
+      val cc = colorCast.score(fe)
+      val b = blur.score(f)
+      val wm = watermark.score(fe)
+      val n = noise.score(f)
+      Array(cc, b, wm, n, 1.0 - (cc + b + wm + n) / 4.0)
+    }
+  }
+
+  /** Score all four degradation heads + overall quality. */
+  def apply4(df: DataFrame, idCol: String = "doc_id",
+      imageCol: String = "image"): DataFrame =
+    BatchInference.score(df, kernel4, headNames4, idCol = idCol, imageCol = imageCol)
 }
 
 /** In-repo training: renders a labeled corpus of real images and fits
@@ -155,7 +267,7 @@ object DegradationTrainer {
 
   import java.awt.image.{ConvolveOp, Kernel => AwtKernel}
 
-  val Clean = 0; val Blurred = 1; val Noisy = 2
+  val Clean = 0; val Blurred = 1; val Noisy = 2; val Cast = 3; val Marked = 4
 
   /** Textured base image: gradient background + `shapes` seeded random
     * shapes. Texture matters — blur must have high-frequency content to
@@ -202,6 +314,46 @@ object DegradationTrainer {
     bos.toByteArray
   }
 
+  private def copyOf(img: BufferedImage): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, null)
+    g.dispose()
+    out
+  }
+
+  /** Color cast: the whole frame alpha-blended toward one saturated
+    * hue (reference class: image_visual_degradations color_cast) — a
+    * constant-direction chroma shift, which the extended channel-
+    * imbalance features see and luminance stats don't. */
+  def castOf(img: BufferedImage, rnd: scala.util.Random): BufferedImage = {
+    val hues = Array(0xff3300, 0x0033ff, 0x00cc44, 0xff8800, 0xaa00ff, 0x00bbcc)
+    val c = new java.awt.Color(hues(rnd.nextInt(hues.length)))
+    val out = copyOf(img)
+    val g = out.createGraphics()
+    g.setColor(new java.awt.Color(c.getRed, c.getGreen, c.getBlue, 90)) // α ≈ 0.35
+    g.fillRect(0, 0, out.getWidth, out.getHeight)
+    g.dispose()
+    out
+  }
+
+  /** Watermark: a translucent bright diagonal-stripe overlay — the
+    * statistical shape of a tiled logo/text watermark, rendered
+    * geometrically (headless JVMs may carry no fonts, so no
+    * drawString). Adds high-luminance mass without shifting chroma. */
+  def watermarkOf(img: BufferedImage, rnd: scala.util.Random): BufferedImage = {
+    val out = copyOf(img)
+    val g = out.createGraphics()
+    g.setColor(new java.awt.Color(255, 255, 255, 115)) // α ≈ 0.45
+    g.setStroke(new java.awt.BasicStroke(3f))
+    val w = out.getWidth
+    val h = out.getHeight
+    var off = -h + rnd.nextInt(8)
+    while (off < w) { g.drawLine(off, 0, off + h, h); off += 12 }
+    g.dispose()
+    out
+  }
+
   /** `n` images per class, labeled (bytes, class). */
   def corpus(n: Int, seed: Long = 7L): Seq[(Array[Byte], Int)] = {
     val rnd = new scala.util.Random(seed)
@@ -209,6 +361,18 @@ object DegradationTrainer {
       val base = renderClean(rnd)
       Seq((toBmp(base), Clean), (toBmp(blurOf(base)), Blurred),
         (toBmp(noiseOf(base, rnd)), Noisy))
+    }
+  }
+
+  /** 5-class corpus for the 4-head model: the 3 base classes plus
+    * color-cast and watermark renders of the same bases. */
+  def corpus5(n: Int, seed: Long = 7L): Seq[(Array[Byte], Int)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).flatMap { _ =>
+      val base = renderClean(rnd)
+      Seq((toBmp(base), Clean), (toBmp(blurOf(base)), Blurred),
+        (toBmp(noiseOf(base, rnd)), Noisy), (toBmp(castOf(base, rnd)), Cast),
+        (toBmp(watermarkOf(base, rnd)), Marked))
     }
   }
 
@@ -234,16 +398,32 @@ object DegradationTrainer {
     (fitHead(spark, "blur", data, Blurred), fitHead(spark, "noise", data, Noisy))
   }
 
+  /** Fit the cast + watermark heads over the 5-class corpus on the
+    * extended (7-dim) features. Trained one-vs-rest like the base
+    * heads; the 5-class corpus keeps each head honest against ALL
+    * other degradations, not just clean images. */
+  def trainExt(spark: SparkSession, n: Int = 120, seed: Long = 7L):
+      (LinearHead, LinearHead) = {
+    val data = corpus5(n, seed).map { case (b, c) =>
+      (DegradationFeatures.fromAnyExt(b), c)
+    }
+    (fitHead(spark, "color_cast", data, Cast),
+      fitHead(spark, "watermark", data, Marked))
+  }
+
   /** Prints fitted coefficients (source of the frozen literals above). */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().appName("degradation-trainer")
       .master("local[8]").config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false).getOrCreate()
     val (b, n) = train(spark)
+    val (cc, wm) = trainExt(spark)
     def fmt(h: LinearHead): String =
       s"""LinearHead("${h.name}", Array(${h.weights.map(w => f"$w%.12f").mkString(", ")}), ${f"${h.bias}%.12f"})"""
     println("FITTED " + fmt(b))
     println("FITTED " + fmt(n))
+    println("FITTED " + fmt(cc))
+    println("FITTED " + fmt(wm))
     println("FITTED " + fmt(AigcTrainer.train(spark)))
     println("FITTED " + fmt(AestheticTrainer.train(spark)))
     spark.stop()

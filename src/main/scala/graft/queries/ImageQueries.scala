@@ -82,6 +82,22 @@ object ImageQueries {
         round(col("vd_overall_quality"), 6).as("vd_overall_quality"))
     }),
 
+    "visual_degradations_model4" -> ((s, dir) => {
+      // FULL reference head set (image_visual_degradations.py emits
+      // color_cast / blur / watermark / noise / overall): the two new
+      // heads are trained on the extended 7-dim features
+      // (DegradationTrainer.trainExt), frozen, and scored in the same
+      // batched mapPartitions pass as the base heads.
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      graft.operators.ml.DegradationModel.apply4(docs).select(
+        col("doc_id"),
+        round(col("vd_color_cast"), 6).as("vd_color_cast"),
+        round(col("vd_blur"), 6).as("vd_blur"),
+        round(col("vd_watermark"), 6).as("vd_watermark"),
+        round(col("vd_noise"), 6).as("vd_noise"),
+        round(col("vd_overall_quality"), 6).as("vd_overall_quality"))
+    }),
+
     "aesthetic_model" -> ((s, dir) => {
       // TRAINED aesthetic regressor (AestheticTrainer: MLlib
       // LinearRegression on a controlled visual-richness label),
@@ -240,6 +256,67 @@ object ImageQueries {
          |  FROM feat JOIN grad ON feat.doc_id = grad.doc_id)
          |SELECT doc_id, round(b, 6) AS vd_blur, round(nn, 6) AS vd_noise,
          |  round(1.0 - (b + nn) / 2.0, 6) AS vd_overall_quality
+         |FROM z""".stripMargin
+    },
+
+    "visual_degradations_model4" -> {
+      // Frozen 4-head literals. Extended features over the raw payload
+      // (channel = byte position mod 3, bright = byte >= 192): exact
+      // integer sums divided in DOUBLE, so Spark's Long-sum/count and
+      // DuckDB's sum/count produce bit-identical means. The z
+      // expressions add terms in LinearHead.score's fold order.
+      val (bw0, bw2, bw3, bb) = ("3.968314738099e0", "87.068250739264e0",
+        "-65.810381762838e0", "-24.345681871329e0")
+      val (nw0, nw2, nw3, nb) = ("3.334949272463e0", "-87.257819573567e0",
+        "35.358368249793e0", "-19.221955574168e0")
+      val (cw0, cw2, cw3, cw4, cw5, cw6, cb) = ("-2.489407697757e0",
+        "99.317779152040e0", "0.683312401859e0", "17.960377692471e0",
+        "8.096287626977e0", "-1.201873238026e0", "1.472931060870e0")
+      val (ww0, ww2, ww3, ww4, ww5, ww6, wb) = ("-0.090185007253e0",
+        "-27.658972798286e0", "-7.234551509359e0", "-2.781098508723e0",
+        "-2.842240094542e0", "18.790626064846e0", "-1.624767577290e0")
+      s"""WITH chars AS (
+         |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |grad AS (
+         |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
+         |  FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |        FROM chars)
+         |  WHERE pv IS NOT NULL GROUP BY doc_id),
+         |counts AS (SELECT doc_id, v, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
+         |feat AS (
+         |  SELECT counts.doc_id,
+         |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS ent,
+         |    CAST(max(n) AS DOUBLE) / max(total) AS mx
+         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+         |  GROUP BY counts.doc_id),
+         |ext AS (
+         |  SELECT doc_id,
+         |    abs(CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS DOUBLE) /
+         |          count(CASE WHEN (i - 1) % 3 = 0 THEN 1 END) -
+         |        CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS DOUBLE) /
+         |          count(CASE WHEN (i - 1) % 3 = 2 THEN 1 END)) / 255.0 AS c1,
+         |    abs(2.0 * (CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN v END) AS DOUBLE) /
+         |          count(CASE WHEN (i - 1) % 3 = 1 THEN 1 END)) -
+         |        CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS DOUBLE) /
+         |          count(CASE WHEN (i - 1) % 3 = 0 THEN 1 END) -
+         |        CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS DOUBLE) /
+         |          count(CASE WHEN (i - 1) % 3 = 2 THEN 1 END)) / 510.0 AS c2,
+         |    CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |      count(*) AS hi
+         |  FROM chars GROUP BY doc_id),
+         |z AS (
+         |  SELECT feat.doc_id,
+         |    1.0 / (1.0 + exp(-($cb + $cw0 * ent + $cw2 * mx + $cw3 * g + $cw4 * c1 + $cw5 * c2 + $cw6 * hi))) AS cc,
+         |    1.0 / (1.0 + exp(-($bb + $bw0 * ent + $bw2 * mx + $bw3 * g))) AS b,
+         |    1.0 / (1.0 + exp(-($wb + $ww0 * ent + $ww2 * mx + $ww3 * g + $ww4 * c1 + $ww5 * c2 + $ww6 * hi))) AS wm,
+         |    1.0 / (1.0 + exp(-($nb + $nw0 * ent + $nw2 * mx + $nw3 * g))) AS nn
+         |  FROM feat JOIN grad ON feat.doc_id = grad.doc_id
+         |            JOIN ext ON feat.doc_id = ext.doc_id)
+         |SELECT doc_id, round(cc, 6) AS vd_color_cast, round(b, 6) AS vd_blur,
+         |  round(wm, 6) AS vd_watermark, round(nn, 6) AS vd_noise,
+         |  round(1.0 - (cc + b + wm + nn) / 4.0, 6) AS vd_overall_quality
          |FROM z""".stripMargin
     },
 

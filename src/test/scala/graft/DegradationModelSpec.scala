@@ -28,6 +28,46 @@ class DegradationModelSpec extends SparkSpec {
     assert(accuracy(DegradationModel.noise, DegradationTrainer.Noisy) >= 0.9)
   }
 
+  // 5-class held-out corpus for the extended heads (seed unseen in training)
+  private lazy val heldOut5 = DegradationTrainer.corpus5(40, seed = 99L)
+
+  private def accuracyExt(head: LinearHead, positiveClass: Int): Double = {
+    val hits = heldOut5.count { case (bytes, cls) =>
+      val p = head.score(DegradationFeatures.fromAnyExt(bytes)) > 0.5
+      p == (cls == positiveClass)
+    }
+    hits.toDouble / heldOut5.size
+  }
+
+  test("frozen color-cast head separates cast images (held-out acc >= 0.9)") {
+    assert(accuracyExt(DegradationModel.colorCast, DegradationTrainer.Cast) >= 0.9)
+  }
+
+  test("frozen watermark head separates watermarked images (held-out acc >= 0.9)") {
+    assert(accuracyExt(DegradationModel.watermark, DegradationTrainer.Marked) >= 0.9)
+  }
+
+  test("extended train path refits cast/watermark heads on a fresh corpus") {
+    val (cast, mark) = DegradationTrainer.trainExt(spark, n = 40, seed = 3L)
+    def acc(h: LinearHead, cls: Int): Double = {
+      val hits = heldOut5.count { case (b, c) =>
+        (h.score(DegradationFeatures.fromAnyExt(b)) > 0.5) == (c == cls)
+      }
+      hits.toDouble / heldOut5.size
+    }
+    assert(acc(cast, DegradationTrainer.Cast) >= 0.9)
+    assert(acc(mark, DegradationTrainer.Marked) >= 0.9)
+  }
+
+  test("extended features extend the base vector, identically") {
+    heldOut.take(6).foreach { case (bytes, _) =>
+      val base = DegradationFeatures.fromAny(bytes)
+      val ext = DegradationFeatures.fromAnyExt(bytes)
+      assert(ext.length == DegradationFeatures.dimExt)
+      assert(ext.take(DegradationFeatures.dim).sameElements(base))
+    }
+  }
+
   test("train path refits heads that separate a fresh corpus") {
     val (blur, noise) = DegradationTrainer.train(spark, n = 40, seed = 3L)
     def acc(h: LinearHead, cls: Int): Double = {

@@ -227,6 +227,50 @@ class SourcesSpec extends SparkSpec {
       spans.mkString(","))
   }
 
+  test("z-ordered layout actually skips data under a 2-D predicate") {
+    // The clustering test above shows the layout; this one proves the
+    // SKIPPING: a 2-D box predicate over a z-ordered table must read a
+    // fraction of the rows (parquet row-group stats pruning — the
+    // z-order confines the box to few row groups), while the same
+    // predicate over an id-ordered layout decodes nearly everything
+    // (every file spans all x/y values, so no row group can be
+    // skipped). Scan-level numOutputRows is the decoded-row count —
+    // rows surviving row-group pruning, before the post-scan filter.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val base = Files.createTempDirectory("graft_zskip").toString
+    val n = 250000L
+    // independent dims: full 500x500 grid, one point per cell
+    val df = spark.range(n).select(
+      (col("id") % 500).cast("double").as("x"),
+      (col("id") / 500).cast("double").as("y"),
+      col("id").as("payload"))
+    Sinks.parquetZOrdered(df, s"$base/z", Seq(("x", 0.0, 499.0), ("y", 0.0, 499.0)),
+      numFiles = 16)
+    // baseline layout clustered by NEITHER dim (hash order) — ordering
+    // by payload would accidentally cluster y = id/500 and skip too
+    df.repartitionByRange(16, hash(col("payload")))
+      .write.parquet(s"$base/unclustered")
+    def decodedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") < 50 && col("y") < 50) // 1% of the plane
+      assert(q.count() == 2500) // correctness of the predicate itself
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    val zRows = decodedRows(s"$base/z")
+    val linRows = decodedRows(s"$base/unclustered")
+    info(s"z-ordered decoded $zRows of $n rows; unclustered decoded $linRows")
+    assert(linRows > n / 2, s"unclustered layout unexpectedly skipped: $linRows")
+    assert(zRows < n / 4, s"z-order failed to skip: decoded $zRows of $n")
+  }
+
   test("bucketed tables join without a shuffle") {
     val sq = spark
     import sq.implicits._
@@ -249,6 +293,40 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_users")
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
+  }
+
+  test("sharded loader: killed mid-shard, resumes from the committed offset, no dup/missing") {
+    import graft.sources.ShardedLoader
+    val sq = spark
+    import sq.implicits._
+    val base = Files.createTempDirectory("graft_shardload").toString
+    spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$base/shardA")
+    spark.range(100, 107).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.parquet(s"$base/shardB")
+    val shards = Seq(s"$base/shardA", s"$base/shardB")
+    // run 1 "killed" after 2 chunks — mid-shard A, committed offset 8
+    val r1 = ShardedLoader.ingest(spark, shards, s"$base/state", s"$base/out",
+      chunkRecords = 4, maxChunks = 2)
+    assert(r1.budgetExhausted && r1.chunksWritten == 2 && r1.recordsWritten == 8)
+    val pr = ShardedLoader.progress(spark, s"$base/state", s"$base/shardA")
+    assert(pr.offset == 8 && !pr.done)
+    assert(ShardedLoader.progress(spark, s"$base/state", s"$base/shardB").offset == 0)
+    // torn chunk: a crashed attempt wrote data at the next offset but
+    // died BEFORE the marker flip — the resume must overwrite it
+    Seq((-1L, -1L)).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$base/out/shard_${ShardedLoader.shardKey(s"$base/shardA")}/off=8")
+    val r2 = ShardedLoader.ingest(spark, shards, s"$base/state", s"$base/out",
+      chunkRecords = 4)
+    assert(!r2.budgetExhausted && r2.shardsCompleted == 2)
+    assert(r2.recordsWritten == 2 + 7) // shard A rows 8-9 + all of shard B
+    val got = ShardedLoader.loaded(spark, s"$base/out")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 10L) ++ (100L until 107L)).sorted.toSeq)
+    // a third run is a no-op (all shards done)
+    val r3 = ShardedLoader.ingest(spark, shards, s"$base/state", s"$base/out",
+      chunkRecords = 4)
+    assert(r3.chunksWritten == 0 && r3.shardsCompleted == 2)
   }
 
   test("orc roundtrip") {

@@ -33,8 +33,15 @@ def main():
     p.add_argument("bench_json", help="graft.Bench output JSON line")
     p.add_argument("--gate", type=float, default=2.0,
                    help="max allowed slowdown vs baseline (default 2.0)")
+    p.add_argument("--grace", type=float, default=1.0,
+                   help="absolute seconds added to the threshold (default 1.0): "
+                        "single-shot sub-second keys on this shared host are "
+                        "bimodal by ~1s (GC/codegen landing inside the window), "
+                        "so a purely relative gate flaps on them; the grace is "
+                        "noise-floor-sized and negligible for expensive keys")
     ns = p.parse_args()
     gate = ns.gate
+    grace = ns.grace
     bench = json.loads(Path(ns.bench_json).read_text())
     queries = bench["queries"]
     folded = [k for k in queries if k.startswith("_fast_")]
@@ -52,12 +59,14 @@ def main():
         if b is None:
             new.append(name)
             print(f"NEW   {name:30s} {t:7.3f}s (no baseline)")
-        elif t > gate * b:
+        elif t > gate * b + grace:
             failures.append(name)
-            print(f"FAIL  {name:30s} {t:7.3f}s > {gate:.1f}x baseline {b:.3f}s ({t / b:.2f}x)")
+            print(f"FAIL  {name:30s} {t:7.3f}s > {gate:.1f}x baseline {b:.3f}s "
+                  f"+ {grace:.1f}s grace ({t / b:.2f}x)")
         else:
             print(f"ok    {name:30s} {t:7.3f}s vs {b:.3f}s ({t / b:.2f}x)")
-    print(f"== {len(failures)} regression(s), {len(new)} new, gate {gate:.1f}x ==")
+    print(f"== {len(failures)} regression(s), {len(new)} new, "
+          f"gate {gate:.1f}x + {grace:.1f}s ==")
     sys.exit(1 if failures else 0)
 
 
