@@ -74,15 +74,41 @@ object BucketProbe {
       .orderBy(col("numwait").desc, col("s_name").asc)
   }
 
+  /** The default session catalog is in-memory, so a fresh JVM has lost
+    * the saveAsTable metadata — re-register the bucketed files as
+    * external tables (bucket ids ride in the file names, which is what
+    * the bucketed reader keys on). */
+  private def registerBucketed(spark: SparkSession, wh: String,
+      buckets: Int): Unit = {
+    def register(name: String, key: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val loc = s"$wh/$name"
+        val schema = spark.read.parquet(loc).schema.toDDL
+        spark.sql(s"CREATE TABLE $name ($schema) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+          s"LOCATION '$loc'")
+      }
+    register("orders_bkt", "o_orderkey")
+    register("lineitem_bkt", "l_orderkey")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: BucketProbe <srcDir> <warehouseDir> write|probe [buckets=64] [reps=3]")
+      "usage: BucketProbe <srcDir> <warehouseDir> write|probe|explain " +
+        "[buckets=64] [reps=3] [plain|bucketed]")
     val Array(srcDir, wh, cmd) = args.take(3)
     val buckets = if (args.length > 3) args(3).toInt else 64
     val reps = if (args.length > 4) args(4).toInt else 3
     val spark = GraftSession.builder("graft-bucket-probe")
       .master(s"local[${GraftSession.configuredCpus.getOrElse(32)}]")
       .config("spark.sql.warehouse.dir", wh)
+      // report the per-bucket sort order from the scan: Spark 3+ turned
+      // this off by default (multi-file buckets would need a merge);
+      // our writer guarantees ONE sorted file per bucket (repartition
+      // on the bucket key before bucketBy+sortBy), which is the layout
+      // the flag exists for — with it the orderkey SMJ elides BOTH
+      // sorts, not just both exchanges
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -111,21 +137,23 @@ object BucketProbe {
         println(f"BUCKET_PROBE write buckets=$buckets " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
+      case "explain" =>
+        registerBucketed(spark, wh, buckets)
+        // formatted plan of the core fact-fact join + agg over each
+        // layout — the artifact that shows WHERE the exchanges/sorts
+        // sit (bucketed scan output is hash(orderkey)-partitioned and,
+        // with one sorted file per bucket, already orderkey-sorted)
+        for ((label, load) <- Seq(("plain", plain _), ("bucketed", bucketed _))) {
+          println(s"=== $label: lineitem JOIN orders ON orderkey, GROUP BY (orderkey, suppkey) ===")
+          load("lineitem").join(load("orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_orderkey"), col("l_suppkey"))
+            .agg(count(lit(1)).as("n"))
+            .explain("formatted")
+        }
+
       case "probe" =>
-        // the default session catalog is in-memory, so a fresh JVM has
-        // lost the saveAsTable metadata — re-register the bucketed
-        // files as external tables (bucket ids ride in the file names,
-        // which is what the bucketed reader keys on)
-        def register(name: String, key: String): Unit =
-          if (!spark.catalog.tableExists(name)) {
-            val loc = s"$wh/$name"
-            val schema = spark.read.parquet(loc).schema.toDDL
-            spark.sql(s"CREATE TABLE $name ($schema) USING parquet " +
-              s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
-              s"LOCATION '$loc'")
-          }
-        register("orders_bkt", "o_orderkey")
-        register("lineitem_bkt", "l_orderkey")
+        registerBucketed(spark, wh, buckets)
         // warmup: shared JVM paths only
         spark.range(1000000L).selectExpr("sum(id)").collect()
         // layout filter: "probe plain" / "probe bucketed" time one
@@ -164,6 +192,20 @@ object BucketProbe {
               f"runs=${times.map(t => f"$t%.1f").mkString("/")} " +
               s"exchanges=$nEx sorts=$nSort")
           }
+        }
+
+      case "explain" =>
+        // formatted plan of the core fact-fact join + agg over each
+        // layout — the artifact that shows WHERE the exchanges/sorts
+        // sit (bucketed scan output is hash(orderkey)-partitioned and,
+        // with one sorted file per bucket, already orderkey-sorted)
+        for ((label, load) <- Seq(("plain", plain _), ("bucketed", bucketed _))) {
+          println(s"=== $label: lineitem JOIN orders ON orderkey, GROUP BY (orderkey, suppkey) ===")
+          load("lineitem").join(load("orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_orderkey"), col("l_suppkey"))
+            .agg(count(lit(1)).as("n"))
+            .explain("formatted")
         }
 
       case other => sys.error(s"unknown command $other")

@@ -16,6 +16,7 @@ import graft.pipeline.{MetricsSink, PipelineConfig}
   * graft.Main profile pipeline.yaml [--metrics-path m/]  # per-op wall + rec/s
   * graft.Main index-build <docs.parquet> <index-dir>     # build the near-dup index
   * graft.Main ingest <batch.parquet> <index-dir> <out>   # delta dedup + roll index
+  * graft.Main load-shards <globs> <state> <out>          # resumable bulk load
   * }}}
   *
   * `index-build`/`ingest` implement the daily-ingest loop around
@@ -180,6 +181,39 @@ object Main {
       s"survivors -> $outPath, index committed as batch=$batchId")
   }
 
+  /** Resumable bulk load (the reference loader worker's per-shard
+    * cursor, framework/loader_worker.py:30-60): expands the comma-
+    * separated shard globs, then [[graft.sources.ShardedLoader]]
+    * ingests each shard `--chunk-records` rows at a time with a
+    * committed (shard, offset) marker per chunk — a killed run resumes
+    * mid-shard, never re-reading or duplicating committed chunks.
+    * `--max-chunks` bounds one invocation's work (the "budget per
+    * worker wake-up" knob). */
+  def runLoadShards(spark: org.apache.spark.sql.SparkSession, globsCsv: String,
+      stateDir: String, outDir: String, args: Array[String]): Unit = {
+    def intFlag(name: String, default: Int): Int = args.indexOf(name) match {
+      case i if i >= 0 && i + 1 < args.length => args(i + 1).toInt
+      case i if i >= 0 =>
+        System.err.println(s"$name needs a value"); sys.exit(2)
+      case _ => default
+    }
+    val chunkRecords = intFlag("--chunk-records", 1000000)
+    val maxChunks = intFlag("--max-chunks", Int.MaxValue)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val shards = globsCsv.split(',').toSeq.flatMap { g =>
+      val p = new org.apache.hadoop.fs.Path(g)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).toSeq.flatten.map(_.getPath.toString)
+    }.distinct.sorted
+    require(shards.nonEmpty, s"no shards match: $globsCsv")
+    val report = graft.sources.ShardedLoader.ingest(spark, shards, stateDir,
+      outDir, chunkRecords.toLong, maxChunks)
+    println(s"[graft] load-shards: ${shards.length} shards, " +
+      s"${report.chunksWritten} chunks / ${report.recordsWritten} records " +
+      s"this run, ${report.shardsCompleted} shards complete" +
+      (if (report.budgetExhausted) " (budget exhausted — re-run to continue)" else ""))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "index-build") {
       val spark = GraftSession.local("graft-cli")
@@ -191,11 +225,18 @@ object Main {
       try runIngest(spark, args(1), args(2), args(3), args) finally spark.stop()
       return
     }
+    if (args.length >= 4 && args(0) == "load-shards") {
+      val spark = GraftSession.local("graft-cli")
+      try runLoadShards(spark, args(1), args(2), args(3), args)
+      finally spark.stop()
+      return
+    }
     if (args.length < 2 || !Set("run", "profile").contains(args(0))) {
       System.err.println(
         "usage: graft.Main run|profile <config.yaml> [--no-report] [--metrics-path <dir>]\n" +
         "       graft.Main index-build <docs.parquet> <index-dir> [lsh opts]\n" +
-        "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]")
+        "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]\n" +
+        "       graft.Main load-shards <shard-glob[,glob...]> <state-dir> <out-dir> [--chunk-records N] [--max-chunks N]")
       sys.exit(2)
     }
     val yaml = java.nio.file.Files.readString(java.nio.file.Path.of(args(1)))
