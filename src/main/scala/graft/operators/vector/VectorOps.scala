@@ -121,17 +121,26 @@ case class IvfIndex(
     * within those cells only. */
   def topK(df: DataFrame, centroids: DataFrame, k: Int, nprobe: Int,
       queryPred: Column): DataFrame = {
+    // top-nprobe cells, map-only (mirrors [[assign]]'s shape): attach
+    // the ONE collapsed centroid-array row, rank by sorting the tiny
+    // per-row array of (dist, cid) structs, explode the first nprobe.
+    // The previous formulation (crossJoin against centroid ROWS + a
+    // row_number window) shuffled the query side and paid a whole
+    // window stage for a k-element ranking; lexicographic struct sort
+    // = orderBy(dist asc, cid asc) exactly, so results are identical.
     val cellsOf = { (in: DataFrame, n: Int) =>
-      val w = Window.partitionBy("__id").orderBy(col("dist").asc, col("centroid_id").asc)
+      val cents = centroids.agg(array_sort(collect_list(
+        struct(col("centroid_id").as("cid"), col("cvec")))).as("__cents"))
       in.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("dist", round(l2Dist(col("__v"), col("cvec")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= n)
-        .select(col("__id"), col("centroid_id"))
+        .crossJoin(broadcast(cents))
+        .select(col("__id"), explode(slice(array_sort(transform(col("__cents"),
+            c => struct(round(l2Dist(col("__v"), c.getField("cvec")), 6).as("dist"),
+              c.getField("cid").as("cid")))), 1, n)).as("__cell"))
+        .select(col("__id"), col("__cell").getField("cid").as("centroid_id"))
     }
     // corpus side (the big one) assigns map-only via [[assign]]; the
-    // window path below only ranks the small query side
+    // query side ranks map-only too — zero shuffles before the
+    // candidate join
     val corpusCells = assign(df, centroids)
       .select(col(idCol).as("cid"), col("centroid_id"))
     val queryCells = cellsOf(df.filter(queryPred), nprobe)
