@@ -383,6 +383,15 @@ case class NgramJaccard(
       math.ceil(math.log(1e-3) / math.log1p(-threshold)).toInt))
     MinHashLSH(numHashes = b, bands = b, shingleSize = n,
       textCol = textCol, idCol = idCol)
+    // Measured r=1 vs r=2 on the 5k-doc bench corpus (graft.DedupProfile,
+    // τ=0.2): r=2 (340 hashes / 170 bands) cuts candidates 14×
+    // (280,686 → 19,800; verified pairs identical at 256 = recall
+    // preserved) but the 11× wider signature aggregate costs more than
+    // the verify join saves at this size (wall 27 → 34 s). The
+    // crossover favors r=2 once candidate volume — quadratic in the
+    // corpus's background similarity — outgrows the linear signature
+    // cost; switch by passing minhashVerifiedPairs an explicit
+    // MinHashLSH(2b', b') there.
   }
 
   /** High-threshold path: only each doc's first ⌊(1−t)·|s|⌋+1 shingles
