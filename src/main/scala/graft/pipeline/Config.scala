@@ -378,6 +378,28 @@ object PipelineConfig {
             df => graft.sources.Sinks.parquet(df, path, partitionBy)
           case "IcebergDataWriter" | "TableDataWriter" =>
             df => graft.sources.Sinks.table(df, path, partitionBy)
+          case "BucketedDataWriter" =>
+            // declare the ingest-time layout that makes every later
+            // equi-join/aggregation on bucket_by shuffle-free (and,
+            // with one sorted file per bucket, sort-free — §5.11):
+            //   data_writer:
+            //     type: BucketedDataWriter
+            //     table: orders_bucketed
+            //     bucket_by: [o_orderkey]
+            //     num_buckets: 64
+            val table = p.getOrElse("table",
+              throw new IllegalArgumentException(
+                "BucketedDataWriter needs `table`")).toString
+            val bucketBy = p.get("bucket_by") match {
+              case Some(l: Seq[_]) => l.map(_.toString)
+              case _ => throw new IllegalArgumentException(
+                "BucketedDataWriter needs `bucket_by`")
+            }
+            val nBuckets = p.getOrElse("num_buckets", 64).toString.toInt
+            df => graft.sources.Sinks.bucketedTable(
+              df.repartition(nBuckets,
+                bucketBy.map(org.apache.spark.sql.functions.col): _*),
+              table, bucketBy, nBuckets, bucketBy)
           case other => throw new IllegalArgumentException(s"unknown writer: $other")
         }
     }

@@ -364,6 +364,35 @@ class ConfigSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/index/_batch_committed_d1")))
   }
 
+  test("BucketedDataWriter declares the shuffle-free layout from YAML") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktw").toString
+    (1L to 100L).map(i => (i, s"doc body number $i with enough text"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader: {type: ParquetLoader, params: {path: $dir/in}}
+         |operators:
+         |  - name: text_length_filter
+         |    params: {min_length: 10}
+         |data_writer:
+         |  type: BucketedDataWriter
+         |  params: {table: cfg_bucketed_docs, bucket_by: [doc_id], num_buckets: 4}
+         |""".stripMargin
+    try {
+      PipelineConfig.parseJob(yaml).run(spark)
+      val t = spark.table("cfg_bucketed_docs")
+      assert(t.count() == 100)
+      // the written layout carries bucket metadata: a self-join on the
+      // bucket key plans without exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = t.join(t.select(col("doc_id")), "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS cfg_bucketed_docs")
+    }
+  }
+
   test("unknown operator fails loudly") {
     intercept[IllegalArgumentException] {
       PipelineConfig.parse("operators:\n  - name: nope\n")

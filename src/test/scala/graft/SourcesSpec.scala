@@ -295,6 +295,43 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed one-sorted-file-per-bucket tables join with zero Sort nodes") {
+    // The BucketProbe 100× finding as a regression guard: with one
+    // sorted file per bucket (repartition on the bucket key before
+    // bucketBy+sortBy) and the bucketed-scan output-ordering flag, the
+    // orderkey SMJ loses its sorts as well as its exchanges — the scan
+    // itself reports the per-bucket order. A mis-sorted bucket file
+    // would silently corrupt the SMJ, so correctness is asserted too.
+    val sq = spark
+    import sq.implicits._
+    val users = (1L to 500L).map(i => (i, s"u$i")).toDF("user_id", "name")
+      .repartition(8, col("user_id"))
+    val orders = (1L to 2000L).map(i => (i % 500 + 1, i * 1.5)).toDF("user_id", "amount")
+      .repartition(8, col("user_id"))
+    Sinks.bucketedTable(users, "bs_users", Seq("user_id"), 8, Seq("user_id"))
+    Sinks.bucketedTable(orders, "bs_orders", Seq("user_id"), 8, Seq("user_id"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined = spark.table("bs_orders").join(spark.table("bs_users"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!"\\bSort \\[".r.findFirstIn(plan).isDefined, plan)
+      assert(joined.count() == 2000)
+      // and the join is actually correct on sorted-bucket input
+      val got = joined.filter(col("user_id") === 7L).select("amount")
+        .as[Double].collect().sorted.toSeq
+      val want = (1L to 2000L).filter(_ % 500 + 1 == 7L).map(_ * 1.5).sorted
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS bs_users")
+      spark.sql("DROP TABLE IF EXISTS bs_orders")
+    }
+  }
+
   test("sharded loader: killed mid-shard, resumes from the committed offset, no dup/missing") {
     import graft.sources.ShardedLoader
     val sq = spark
