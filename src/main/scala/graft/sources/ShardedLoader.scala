@@ -121,8 +121,10 @@ object ShardedLoader {
         }
       } else completed += 1
     }
-    IngestReport(chunks, records,
-      completed, budgetExhausted = chunks >= maxChunks)
+    IngestReport(chunks, records, completed,
+      // exhausted only if the budget stopped REMAINING work — finishing
+      // the last chunk exactly at the budget is completion, not a cut
+      budgetExhausted = chunks >= maxChunks && completed < shards.length)
   }
 
   /** All records ingested so far (every committed chunk of every
