@@ -221,6 +221,67 @@ object TpchQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Q12 shape: shipping-priority counts per line class — the
+    // conditional (CASE) aggregation over the orders⋈lineitem fact-fact
+    // join. No l_shipmode/commit/receipt dates in this schema: the mode
+    // IN-list filter runs on l_returnflag and the original's
+    // "commit < receipt" lateness predicate becomes shipped >30 days
+    // after the order date, with the one-year receipt window on
+    // l_shipdate. Both branch counts come from ONE pass over the join —
+    // no per-branch plan split — and the date predicates are pushed to
+    // the lineitem scan.
+    "q12_shipmode_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // Q20 shape: suppliers holding an outsized share of a part family —
+    // the nested double semi-join with a correlated scalar aggregate.
+    // No partsupp/availqty: "excess stock" is a supplier shipping >1/8
+    // of a part's total lineitem quantity (the correlated
+    // `> 0.5 * sum(l_quantity)` comparison, decorrelated to the
+    // per-part total + join — one pass over the family's lines). The
+    // share comparison is exact decimal (qty·8 vs total) so no
+    // division/rounding can flip a row; the qualifying-supplier set
+    // enters the supplier table as a left-semi join and the nation
+    // scope is the original's. The per-part total is a window sum over
+    // the COLLAPSED pair table rather than a groupBy + join back — the
+    // join-back form duplicates the heavy lineitem⋈family aggregate in
+    // the logical plan (one scan per branch unless runtime exchange
+    // reuse catches it); the window form is structurally single-pass,
+    // and its sort touches only the narrow (part, supplier, qty) rows.
+    "q20_excess_share_supplier" -> ((s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+        .select("n_nationkey")
+      val family = Tables.load(s, dir, "part")
+        .filter(col("p_name").contains("blue")).select("p_partkey")
+      val pairQty = Tables.load(s, dir, "lineitem") // family subset: SF-scaled, size-driven
+        .join(family, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("pair_qty"))
+      val excess = pairQty
+        .withColumn("part_qty", sum(col("pair_qty"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+        .filter(col("pair_qty") * 8 > col("part_qty"))
+        .select("l_suppkey").distinct()
+      Tables.load(s, dir, "supplier") // SF-scaled: size-driven joins
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
     // Q21 shape: suppliers in one nation who were the only late
     // supplier on a multi-supplier order (late = shipped >90 days after
     // the order date; no receipt/commit dates in this schema). The
@@ -386,6 +447,35 @@ object TpchQueries {
         |    AND l.l_quantity BETWEEN 10 AND 25)
         |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
         |    AND l.l_quantity BETWEEN 20 AND 35)""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag IN ('A','R')
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q20_excess_share_supplier" ->
+      """WITH pq AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS pair_qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%blue%'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey, sum(pair_qty) AS part_qty FROM pq GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND s.s_suppkey IN (
+        |    SELECT pq.l_suppkey FROM pq JOIN tot ON pq.l_partkey = tot.l_partkey
+        |    WHERE pq.pair_qty * 8 > tot.part_qty)""".stripMargin,
 
     "q21_waiting_supplier" ->
       """WITH li AS (

@@ -167,6 +167,28 @@ class PlanAuditSpec extends SparkSpec {
     // hash equi-joins on (band, bucket)
     val inc = plan("dedup_incremental")
     assert(!inc.contains("BroadcastNestedLoopJoin") && !inc.contains("CartesianProduct"))
+    // q12: the returnflag IN-list and both shipdate bounds reach the
+    // lineitem scan as pushed filters (only the cross-column lateness
+    // predicate stays a join condition), and the CASE aggregation is
+    // two-phase (partial_sum below the exchange)
+    val q12 = plan("q12_shipmode_priority")
+    val liScan = q12.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag"))
+    // (the explain string truncates long filter lists with "…", so only
+    // the leading pushed filters are assertable here; graft.Explain's
+    // formatted dump shows the full list incl. LessThan(l_shipdate))
+    assert(liScan.exists(l => l.contains("In(l_returnflag") &&
+      l.contains("GreaterThanOrEqual(l_shipdate")),
+      s"q12 lineitem scan missing pushed filters: $liScan")
+    assert(q12.contains("partial_sum"), "q12 aggregation must be two-phase")
+    // q20: the decorrelated per-part total is a window over the
+    // collapsed pair table, NOT a groupBy + join back — lineitem is
+    // scanned exactly once and the qualifying set enters supplier as a
+    // semi join
+    val q20 = plan("q20_excess_share_supplier")
+    val q20LiScans = q20.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(q20LiScans == 1, s"q20 must scan lineitem once, found $q20LiScans")
+    assert(q20.contains("LeftSemi"), "q20 qualifying set must be a semi join")
   }
 
   test("token_budget_sample windows over a narrow projection") {
