@@ -158,6 +158,64 @@ case class IvfIndex(
   }
 }
 
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): assign every embedding to its nearest centroid,
+  * then near-dedup WITHIN each cluster only. The cluster assignment
+  * bounds the quadratic pair space exactly like an LSH bucket — but
+  * with semantic locality, so paraphrase-level duplicates that share no
+  * hyperplane band still land in the same candidate set. The
+  * reference's LAION-5B lineage row (README:26) names CLIP-embedding
+  * dedup as this family; the embedding-LSH twin is
+  * [[graft.operators.dedup.EmbeddingNearDup]].
+  *
+  * Scale shape: assignment is the map-only [[IvfIndex.assign]] (one
+  * broadcast centroid row, zero corpus shuffle); candidates come from a
+  * hash equi-join on `centroid_id`; the drop set enters the corpus as a
+  * LEFT ANTI join. Nothing is ever all-pairs. At 100 TB the per-cluster
+  * pair count is held down by k (SemDeDup's own lever: k ~ 10⁵ at
+  * web scale keeps clusters in the thousands); a skewed giant cluster
+  * is an AQE skew-join case, not a plan change.
+  *
+  * Keep rule: a row is dropped iff some SMALLER id in the SAME cluster
+  * is within the cosine threshold (keep-first, matching the exact-dedup
+  * family's min-id collapse). This is deterministic and one-pass where
+  * the paper's variant (drop all but the member least similar to the
+  * centroid of each ε-group) needs the group structure; the kept set
+  * differs only inside multi-member ε-groups, the dedup RATE does not.
+  * Cosine is rounded to 6 dp before the threshold compare so any
+  * engine evaluating the same formula reproduces the drop set. */
+case class SemanticDedup(
+    threshold: Double = 0.35,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  /** (idCol, centroid_id) rows that SURVIVE cluster-scoped keep-first
+    * collapse. */
+  def kept(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
+      .select(col(idCol), col("centroid_id"))
+    val withCluster = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val a = withCluster.select(col("centroid_id"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withCluster.select(col("centroid_id"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val drops = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Pipeline form: train k centroids on the corpus itself (MLlib
+    * Lloyd's — the production path; the oracle query uses deterministic
+    * first-k centroids instead) and return the surviving rows with ALL
+    * their columns via a semi join on the kept ids. */
+  def dedup(df: DataFrame, k: Int = 64, seed: Long = 42L): DataFrame = {
+    val cents = KMeansOps.train(df, k, seed, vecCol)
+    df.join(kept(df, cents).select(idCol), Seq(idCol), "left_semi")
+  }
+}
+
 /** K-means: MLlib train path + a pure-DataFrame Lloyd iteration for
   * environments where the model must stay a DataFrame (reference:
   * models/kmeans). */

@@ -285,7 +285,18 @@ object OperatorRegistry {
         bands = int(p, "bands", 8),
         bitsPerBand = int(p, "bits_per_band", 4),
         idCol = str(p, "id_field", "doc_id"),
-        vecCol = str(p, "vec_field", "embedding"))(df)))
+        vecCol = str(p, "vec_field", "embedding"))(df))),
+
+    // SemDeDup-style semantic dedup: k-means clusters (trained on the
+    // corpus) scope the cosine near-dup collapse — catches paraphrase
+    // duplicates that band-hash LSH misses, candidate count bounded by
+    // the cluster assignment (see SURVEY §2 B28)
+    "semantic_deduplicator" -> (p => RefineOp("semantic_deduplicator",
+      df => graft.operators.vector.SemanticDedup(
+        threshold = dbl(p, "threshold", 0.95),
+        idCol = str(p, "id_field", "doc_id"),
+        vecCol = str(p, "vec_field", "embedding"))
+        .dedup(df, k = int(p, "k", 64), seed = int(p, "seed", 42).toLong)))
   )
 
   def build(name: String, params: Params): PipelineOp =

@@ -45,6 +45,19 @@ object VectorQueries {
       // spec-only exactness baseline (DedupSpec).
       val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
       EmbeddingNearDup(threshold = 0.35).lshPairs(emb)
+    }),
+
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: cluster-scoped near-dedup — candidates bounded by the
+      // nearest-centroid assignment instead of hyperplane bands.
+      // Centroids are the first 8 embeddings (deterministic, so the
+      // oracle reproduces the assignment; kmeans_assign uses the same
+      // convention — MLlib-trained centroids are the production path).
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      SemanticDedup(threshold = 0.35).kept(emb, centroids)
     })
   )
 
@@ -148,6 +161,26 @@ object VectorQueries {
          |  FROM cand JOIN b q ON cand.id_a = q.vec_id
          |            JOIN b c ON cand.id_b = c.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin
-    }
+    },
+
+    "dedup_semantic" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, cent.centroid_id, v.embedding,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+        |      cent.centroid_id ASC) AS rn
+        |  FROM embeddings v, cent),
+        |asg AS (SELECT vec_id, centroid_id, embedding FROM d WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id
+        |  WHERE x.vec_id < y.vec_id
+        |    AND round(list_cosine_similarity(
+        |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.35)
+        |SELECT a.vec_id, a.centroid_id FROM asg a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
   )
 }

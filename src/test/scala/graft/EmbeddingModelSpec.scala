@@ -77,6 +77,31 @@ class EmbeddingModelSpec extends SparkSpec {
     assert(kept == Set(1L, 3L)) // identical doc 2 suppressed by its embedding
   }
 
+  test("config chain: semantic_deduplicator clusters then collapses near-dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semchain").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (3L, "a completely different technical report about distributed sql engines"))
+      .toDF("doc_id", "text")
+      .withColumn("image", col("text").cast("binary"))
+      .write.parquet(s"$dir/in")
+    val yaml =
+      s"""data_loader: {type: ParquetLoader, params: {path: $dir/in}}
+         |operators:
+         |  - name: image_trained_embedding_refiner
+         |  - name: semantic_deduplicator
+         |    params: {threshold: 0.999, k: 2, vec_field: embedding}
+         |data_writer: {type: ParquetDataWriter, params: {path: $dir/out}}
+         |""".stripMargin
+    val job = graft.pipeline.PipelineConfig.parseJob(yaml)
+    job.run(spark)
+    val out = spark.read.parquet(s"$dir/out")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // identical doc 2 collapses inside its cluster
+    assert(out.columns.contains("text")) // survivors keep all columns
+  }
+
   test("trained embedding feeds LSH ANN on model output") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("image", col("text").cast("binary"))

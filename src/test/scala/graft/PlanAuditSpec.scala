@@ -209,8 +209,11 @@ class PlanAuditSpec extends SparkSpec {
     // - perplexity: 1-row broadcast attach of the corpus token total
     // - q11_important_parts: 1-row broadcast attach of the grand-total
     //   scalar (decorrelated HAVING subquery — build side is one row)
+    // - dedup_semantic: the 1-row centroid attach again (via
+    //   IvfIndex.assign); its candidate join is a hash equi-join on
+    //   centroid_id
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
-      "perplexity", "q11_important_parts")
+      "perplexity", "q11_important_parts", "dedup_semantic")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -66,6 +66,25 @@ class VectorSpec extends SparkSpec {
     assert(got == Map(10L -> 0, 11L -> 1))
   }
 
+  test("SemanticDedup keeps min id per in-cluster near-dup, never collapses across clusters") {
+    // cluster 0 (near (1,0)): ids 10/11 are near-identical -> keep 10;
+    // id 12 is in the same cluster but dissimilar enough -> kept.
+    // cluster 1 (near (0,1)): id 20 duplicates 10's DIRECTION but sits
+    // in the other cluster -> must survive (cluster-scoped, not global).
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.999f, 0.01f)),
+      (12L, Array(0.6f, 0.55f)), (20L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val kept = SemanticDedup(threshold = 0.99).kept(vecs, cents)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(kept == Map(10L -> 0, 12L -> 0, 20L -> 1))
+    // kept-set invariant: no two survivors in one cluster within threshold
+    val p = kept.keys.toSeq.sorted
+    assert(!p.contains(11L))
+  }
+
   test("KMeansOps.train + lloydStep run and keep k centroids") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat))).toDF("vec_id", "embedding")
