@@ -146,9 +146,33 @@ object ScaleData {
     }
   }
 
+  /** Synthetic embedding corpus with PLANTED near-dup structure, for
+    * vector-family scale probes. Ids come in groups of 5: members 0–3
+    * carry independent hash-derived vectors, member 4 is a perturbed
+    * copy of member 0 (cos ≈ 0.9998 ≫ any sane threshold), so exactly
+    * 20% of rows have one in-corpus near-dup and the expected semantic-
+    * dedup drop rate is a known quantity, not a vibe. Components are
+    * murmur3-derived rationals in [-1, 1) — any engine evaluating the
+    * same formula reproduces the corpus bit-for-bit. Written sharded
+    * (`files`) like [[docs]] so the scan parallelizes. */
+  def vectors(spark: SparkSession, outDir: String, n: Long,
+      dim: Int = 64, files: Int = 32): Long = {
+    val baseId = when(col("id") % 5 === 4, col("id") - 3)
+      .otherwise(col("id") + 1) // +1 keeps hash seeds off the trivial 0 row
+    val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+      (hash(baseId, d).cast("double") / 2147483648.0 +
+        when(col("id") % 5 === 4,
+          hash(col("id"), d, lit(7)).cast("double") / 2147483648.0 * 0.01)
+          .otherwise(lit(0.0))).cast("float"))
+    val out = spark.range(n).repartition(files)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    out.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    spark.read.parquet(s"$outDir/embeddings.parquet").count()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: ScaleData docs|tpch|tpchfull <sfDir> <outDir> <copies> [--skew <source> <extraCopies>]")
+      "usage: ScaleData docs|tpch|tpchfull|vectors <sfDir> <outDir> <copies|nRows> [--skew <source> <extraCopies>]")
     val Array(cmd, sfDir, outDir, copies) = args.take(4)
     val spark = GraftSession.local("graft-scaledata")
     try cmd match {
@@ -166,6 +190,9 @@ object ScaleData {
       case "tpchfull" =>
         tpch(spark, sfDir, outDir, copies.toInt, growDims = true)
         println(s"[graft] wrote ${copies}x tpch facts + dims + events to $outDir")
+      case "vectors" =>
+        val n = vectors(spark, outDir, copies.toLong)
+        println(s"[graft] wrote $n vectors to $outDir")
       case other => sys.error(s"unknown subcommand $other")
     } finally spark.stop()
   }

@@ -44,4 +44,23 @@ class ScaleDataSpec extends SparkSpec {
     assert(cust.select("c_custkey").distinct().count() === cust.count())
     assert(ord.select("o_orderkey").distinct().count() === ord.count())
   }
+
+  test("vectors corpus plants exactly one near-dup per 5 ids, nothing else") {
+    val out = java.nio.file.Files.createTempDirectory("graft_vec_spec").toString
+    assert(ScaleData.vectors(spark, out, n = 200L) === 200L)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val cos = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(graft.functions.VecFns.cosine(col("va"), col("vb")), 6).as("cos"))
+    // the planted pairs (g, g+4) are near-identical; every other pair
+    // of 64-dim hash vectors sits far below any sane threshold
+    val planted = cos.filter(col("cos") >= 0.95)
+      .select("ia", "ib").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toSet
+    assert(planted === (0L until 200L by 5).map(g => (g, g + 4)).toSet)
+    assert(cos.filter(col("cos") >= 0.95 || col("cos") <= -0.95).count() === 40)
+  }
 }
