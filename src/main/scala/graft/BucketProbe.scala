@@ -161,6 +161,9 @@ object BucketProbe {
         // keeps a session inside an external watchdog window); bare
         // "probe" keeps the result-equality cross-check (run it at the
         // scale where a full extra evaluation of each query is cheap)
+        if (args.length > 5)
+          require(Set("plain", "bucketed")(args(5)),
+            s"layout must be 'plain' or 'bucketed', got '${args(5)}'")
         val layouts = Seq(("plain", plain _), ("bucketed", bucketed _))
           .filter { case (l, _) => args.length <= 5 || l == args(5) }
         for ((qname, q) <- Seq(("q5", q5 _), ("q21", q21 _))) {
@@ -192,20 +195,6 @@ object BucketProbe {
               f"runs=${times.map(t => f"$t%.1f").mkString("/")} " +
               s"exchanges=$nEx sorts=$nSort")
           }
-        }
-
-      case "explain" =>
-        // formatted plan of the core fact-fact join + agg over each
-        // layout — the artifact that shows WHERE the exchanges/sorts
-        // sit (bucketed scan output is hash(orderkey)-partitioned and,
-        // with one sorted file per bucket, already orderkey-sorted)
-        for ((label, load) <- Seq(("plain", plain _), ("bucketed", bucketed _))) {
-          println(s"=== $label: lineitem JOIN orders ON orderkey, GROUP BY (orderkey, suppkey) ===")
-          load("lineitem").join(load("orders"),
-              col("l_orderkey") === col("o_orderkey"))
-            .groupBy(col("l_orderkey"), col("l_suppkey"))
-            .agg(count(lit(1)).as("n"))
-            .explain("formatted")
         }
 
       case other => sys.error(s"unknown command $other")

@@ -101,6 +101,8 @@ object ScaleData {
           "collide keys across copies; raise the offset for this seed SF")
     }
     assertOff("orders", "o_orderkey", orderOff)
+    assertOff("events", "user_id", userOff)
+    assertOff("events", "event_id", eventOff)
     if (growDims) {
       assertOff("customer", "c_custkey", dimOff)
       assertOff("supplier", "s_suppkey", dimOff)

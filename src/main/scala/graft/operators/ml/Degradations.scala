@@ -182,6 +182,13 @@ case class LinearHead(name: String, weights: Array[Double], bias: Double) {
   require(weights.length == DegradationFeatures.dim ||
     weights.length == DegradationFeatures.dimExt)
   def score(f: Array[Double]): Double = {
+    // a 4-weight head on a 7-dim ext vector reads the shared prefix BY
+    // DESIGN (the first dimExt entries are bit-identical to the base
+    // vector); the reverse — a 7-weight head on base features — is a
+    // caller bug and should name itself, not throw AIOOBE at f(4)
+    require(f.length >= weights.length,
+      s"head '$name' needs ${weights.length} features, got ${f.length} " +
+        "(ext heads require DegradationFeatures.fromBytesExt)")
     var z = bias
     var i = 0
     while (i < weights.length) { z += weights(i) * f(i); i += 1 }

@@ -211,7 +211,13 @@ case class SemanticDedup(
     * first-k centroids instead) and return the surviving rows with ALL
     * their columns via a semi join on the kept ids. */
   def dedup(df: DataFrame, k: Int = 64, seed: Long = 42L): DataFrame = {
-    val cents = KMeansOps.train(df, k, seed, vecCol)
+    // k cannot exceed the corpus size (MLlib refuses more clusters than
+    // points); a tiny corpus under the default k=64 should degrade to
+    // per-point clusters, not throw. limit(k).count() IS min(k, n) and
+    // stops after k rows — no full pass over the upstream pipeline in
+    // the common n ≫ k case.
+    val kEff = math.max(1L, df.limit(k).count()).toInt
+    val cents = KMeansOps.train(df, kEff, seed, vecCol)
     df.join(kept(df, cents).select(idCol), Seq(idCol), "left_semi")
   }
 }

@@ -395,9 +395,10 @@ object PipelineConfig {
             // with one sorted file per bucket, sort-free — §5.11):
             //   data_writer:
             //     type: BucketedDataWriter
-            //     table: orders_bucketed
-            //     bucket_by: [o_orderkey]
-            //     num_buckets: 64
+            //     params:
+            //       table: orders_bucketed
+            //       bucket_by: [o_orderkey]
+            //       num_buckets: 64
             val table = p.getOrElse("table",
               throw new IllegalArgumentException(
                 "BucketedDataWriter needs `table`")).toString

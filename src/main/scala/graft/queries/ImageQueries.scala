@@ -291,21 +291,25 @@ object ImageQueries {
          |    CAST(max(n) AS DOUBLE) / max(total) AS mx
          |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id
          |  GROUP BY counts.doc_id),
-         |ext AS (
+         |ch AS (
+         |  -- COALESCE mirrors the kernel's ns(k)==0 -> mean 0.0 guard
+         |  -- (DegradationFeatures.fromBytesExt): a payload under 3
+         |  -- bytes has an empty channel, and NULL here would poison
+         |  -- every downstream score where Scala emits a finite one
          |  SELECT doc_id,
-         |    abs(CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS DOUBLE) /
-         |          count(CASE WHEN (i - 1) % 3 = 0 THEN 1 END) -
-         |        CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS DOUBLE) /
-         |          count(CASE WHEN (i - 1) % 3 = 2 THEN 1 END)) / 255.0 AS c1,
-         |    abs(2.0 * (CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN v END) AS DOUBLE) /
-         |          count(CASE WHEN (i - 1) % 3 = 1 THEN 1 END)) -
-         |        CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS DOUBLE) /
-         |          count(CASE WHEN (i - 1) % 3 = 0 THEN 1 END) -
-         |        CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS DOUBLE) /
-         |          count(CASE WHEN (i - 1) % 3 = 2 THEN 1 END)) / 510.0 AS c2,
+         |    COALESCE(CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v END) AS DOUBLE) /
+         |      count(CASE WHEN (i - 1) % 3 = 0 THEN 1 END), 0.0) AS m0,
+         |    COALESCE(CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN v END) AS DOUBLE) /
+         |      count(CASE WHEN (i - 1) % 3 = 1 THEN 1 END), 0.0) AS m1,
+         |    COALESCE(CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v END) AS DOUBLE) /
+         |      count(CASE WHEN (i - 1) % 3 = 2 THEN 1 END), 0.0) AS m2,
          |    CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS DOUBLE) /
          |      count(*) AS hi
          |  FROM chars GROUP BY doc_id),
+         |ext AS (
+         |  SELECT doc_id, abs(m0 - m2) / 255.0 AS c1,
+         |    abs(2.0 * m1 - m0 - m2) / 510.0 AS c2, hi
+         |  FROM ch),
          |z AS (
          |  SELECT feat.doc_id,
          |    1.0 / (1.0 + exp(-($cb + $cw0 * ent + $cw2 * mx + $cw3 * g + $cw4 * c1 + $cw5 * c2 + $cw6 * hi))) AS cc,

@@ -9,19 +9,26 @@ import org.apache.spark.sql.functions._
   * verdict listed as having no direct twin. A killed ingest resumes
   * FROM its committed (shard, offset) instead of re-reading the shard.
   *
-  * Offsets are parquet `_metadata.row_index` values — the file-stable
-  * record position Spark exposes on every parquet scan — so a resume
-  * boundary is exact regardless of task splits, retries, or
-  * parallelism; no "first N rows of some nondeterministic order".
+  * Offsets are SHARD-GLOBAL record positions: parquet
+  * `_metadata.row_index` (file-stable, task-split-proof) plus a
+  * per-file base offset (files ordered by path, bases = cumulative row
+  * counts from the footers). A resume boundary is exact regardless of
+  * task splits, retries, parallelism, or how many part files the shard
+  * directory holds; no "first N rows of some nondeterministic order".
   *
   * Crash protocol, per chunk:
   *   1. write the chunk's output under `out/<shard>/off=<o>` (overwrite
   *      mode — a torn previous attempt at the same offset is replaced);
-  *   2. THEN flip the shard's progress marker (tmp + rename, atomic on
-  *      HDFS/local) to `offset = o + chunk`.
+  *   2. THEN flip the shard's progress marker to `offset = o + chunk`
+  *      (write `.tmp`, close, delete old, rename).
   * A crash between 1 and 2 re-runs exactly one chunk into the same
   * directory — output is duplicate-free without any dedup pass. The
-  * marker is one tiny JSON per shard, not a log: O(shards) state.
+  * delete-then-rename in step 2 is NOT atomic; [[progress]] closes that
+  * window by reading marker AND leftover `.tmp` and taking the larger
+  * offset — offsets are monotone and any parseable marker reflects
+  * already-written output, so the rule is crash-safe even against a
+  * torn tmp (a truncated decimal prefix is always numerically smaller).
+  * The marker is one tiny JSON per shard, not a log: O(shards) state.
   *
   * At 100 TB the driver loop below parallelizes trivially (shards are
   * independent — run one loader per executor pool or partition the
@@ -49,23 +56,34 @@ object ShardedLoader {
   private def markerPath(stateDir: String, shard: String) =
     s"$stateDir/shard_${shardKey(shard)}.json"
 
-  /** Read a shard's committed progress (offset 0 when none). */
-  def progress(spark: SparkSession, stateDir: String,
-      shard: String): ShardProgress = {
-    val f = fs(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(markerPath(stateDir, shard))
-    if (!f.exists(p)) ShardProgress(shard, 0L, done = false)
-    else {
+  private def parseMarker(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, shard: String): Option[ShardProgress] =
+    if (!f.exists(p)) None
+    else scala.util.Try {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       // two numeric fields + a boolean — a hand-rolled parse keeps the
       // marker dependency-free (no JSON lib on the unmanaged classpath)
-      val off = "\"offset\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong).getOrElse(0L)
-      val done = txt.contains("\"done\": true")
-      ShardProgress(shard, off, done)
-    }
+      "\"offset\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map { m =>
+        ShardProgress(shard, m.group(1).toLong, txt.contains("\"done\": true"))
+      }
+    }.toOption.flatten
+
+  /** Read a shard's committed progress (offset 0 when none). Considers
+    * the marker AND a leftover `.tmp` from a commit cut between its
+    * delete and rename steps, keeping whichever carries the larger
+    * offset (see the crash-protocol note above). */
+  def progress(spark: SparkSession, stateDir: String,
+      shard: String): ShardProgress = {
+    val f = fs(spark, stateDir)
+    val dst = parseMarker(f,
+      new org.apache.hadoop.fs.Path(markerPath(stateDir, shard)), shard)
+    val tmp = parseMarker(f,
+      new org.apache.hadoop.fs.Path(markerPath(stateDir, shard) + ".tmp"), shard)
+    (dst.toSeq ++ tmp.toSeq)
+      .sortBy(pr => (pr.offset, pr.done)).lastOption
+      .getOrElse(ShardProgress(shard, 0L, done = false))
   }
 
   private def commit(spark: SparkSession, stateDir: String,
@@ -100,16 +118,35 @@ object ShardedLoader {
     for (shard <- shards) {
       var pr = progress(spark, stateDir, shard)
       if (!pr.done) {
-        // metadata-only count: parquet footers, no data scan
-        val total = spark.read.parquet(shard).count()
+        // `_metadata.row_index` restarts at 0 in EVERY part file, so a
+        // multi-file shard needs per-file base offsets to make the
+        // cursor shard-global. Footer-only work: per-file counts via a
+        // scan pruned to the file-path metadata column, cumulated in
+        // path order (stable — the file set is immutable input data).
+        val files = spark.read.parquet(shard)
+          .groupBy(col("_metadata.file_path").as("__f")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val layout = files.map { case (p, c) => val b = acc; acc += c; (p, b, c) }
+        val total = acc
         while (!pr.done && chunks < maxChunks) {
           val lo = pr.offset
           val hi = math.min(lo + chunkRecords, total)
           if (lo < hi) {
-            val chunk = spark.read.parquet(shard)
-              .select(col("_metadata.row_index").as("__row_idx"), col("*"))
-              .filter(col("__row_idx") >= lo && col("__row_idx") < hi)
-              .drop("__row_idx")
+            // translate the global [lo, hi) window back into per-file
+            // row_index ranges at the driver: only overlapping files
+            // appear in the predicate, and within each file the filter
+            // is a plain row_index range (same pushdown as before)
+            val pred = layout.flatMap { case (p, base, c) =>
+              val llo = math.max(0L, lo - base)
+              val lhi = math.min(c, hi - base)
+              if (llo < lhi)
+                Some(col("_metadata.file_path") === p &&
+                  col("_metadata.row_index") >= llo &&
+                  col("_metadata.row_index") < lhi)
+              else None
+            }.reduce(_ || _)
+            val chunk = spark.read.parquet(shard).filter(pred)
             transform(chunk).write.mode("overwrite")
               .parquet(s"$outDir/shard_${shardKey(shard)}/off=$lo")
             records += hi - lo

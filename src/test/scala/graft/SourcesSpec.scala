@@ -366,6 +366,43 @@ class SourcesSpec extends SparkSpec {
     assert(r3.chunksWritten == 0 && r3.shardsCompleted == 2)
   }
 
+  test("sharded loader: multi-file shard keeps shard-global offsets; torn tmp marker recovers") {
+    import graft.sources.ShardedLoader
+    val sq = spark
+    import sq.implicits._
+    val base = Files.createTempDirectory("graft_shardmf").toString
+    // one shard, SEVERAL part files — row_index restarts per file, so
+    // this is the layout that breaks a naive per-file cursor
+    spark.range(0, 15).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(3).write.parquet(s"$base/shardM")
+    val shard = s"$base/shardM"
+    val r = ShardedLoader.ingest(spark, Seq(shard), s"$base/state",
+      s"$base/out", chunkRecords = 4)
+    assert(r.recordsWritten == 15 && r.shardsCompleted == 1 && r.chunksWritten == 4)
+    val key = ShardedLoader.shardKey(shard)
+    // every chunk dir holds EXACTLY its window's rows (the per-file
+    // cursor bug would triple the first chunk and leave later ones empty)
+    val sizes = Seq(0, 4, 8, 12).map(o =>
+      spark.read.parquet(s"$base/out/shard_$key/off=$o").count())
+    assert(sizes == Seq(4L, 4L, 4L, 3L))
+    val got = ShardedLoader.loaded(spark, s"$base/out")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 15L).toSeq)
+    // commit-window crash: tmp written, old marker deleted, rename never
+    // ran — only the .tmp survives and progress() must honor it
+    val stateDir = s"$base/state2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateDir/shard_$key.json.tmp"),
+      s"""{"shard": "$shard", "offset": 8, "done": false}""".getBytes("UTF-8"))
+    assert(ShardedLoader.progress(spark, stateDir, shard).offset == 8)
+    // stale tmp BELOW the marker must lose (monotone-max rule)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateDir/shard_$key.json"),
+      s"""{"shard": "$shard", "offset": 12, "done": false}""".getBytes("UTF-8"))
+    assert(ShardedLoader.progress(spark, stateDir, shard).offset == 12)
+  }
+
   test("orc roundtrip") {
     val sq = spark
     import sq.implicits._
