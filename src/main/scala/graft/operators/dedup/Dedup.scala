@@ -383,15 +383,16 @@ case class NgramJaccard(
       math.ceil(math.log(1e-3) / math.log1p(-threshold)).toInt))
     MinHashLSH(numHashes = b, bands = b, shingleSize = n,
       textCol = textCol, idCol = idCol)
-    // Measured r=1 vs r=2 on the 5k-doc bench corpus (graft.DedupProfile,
-    // τ=0.2): r=2 (340 hashes / 170 bands) cuts candidates 14×
-    // (280,686 → 19,800; verified pairs identical at 256 = recall
-    // preserved) but the 11× wider signature aggregate costs more than
-    // the verify join saves at this size (wall 27 → 34 s). The
-    // crossover favors r=2 once candidate volume — quadratic in the
-    // corpus's background similarity — outgrows the linear signature
-    // cost; switch by passing minhashVerifiedPairs an explicit
-    // MinHashLSH(2b', b') there.
+    // Measured r=1 vs r=2 (graft.DedupProfile, τ=0.2), 5k-doc bench
+    // corpus AND its 10× replica (SURVEY §5.11): r=2 (340 hashes / 170
+    // bands) cuts candidates 14× at 5k (280,686 → 19,800) but its 11×
+    // wider signature aggregate loses on wall there (27 → 34 s); at
+    // 50k docs the r=1 candidate volume has gone quadratic (558/doc vs
+    // 56/doc) and r=2 wins 3.1× (260 → 84 s), verified pairs identical
+    // at both sizes (256 resp. 250,600 — recall preserved). The
+    // crossover sits between 5k and 50k on this vocabulary; above it,
+    // switch by passing minhashVerifiedPairs an explicit
+    // MinHashLSH(2b', b').
   }
 
   /** High-threshold path: only each doc's first ⌊(1−t)·|s|⌋+1 shingles
