@@ -100,6 +100,78 @@ case class QualityScorer(textCol: String = "text") {
   }
 }
 
+/** The Gopher document-quality rules (Rae et al. 2021,
+  * arXiv:2112.11446 Table A1) — the rule bundle RefinedWeb / Dolma /
+  * DCLM all reuse, and the reference's lineage table roadmaps via
+  * those rows (README:15-17). Every rule is a pure column expression
+  * over one text pass: word-count bounds, mean-word-length bounds,
+  * symbol-to-word ratio (# and …), bullet-start / ellipsis-end line
+  * ratios, alphabetic-word ratio, and a ≥2-stopword requirement. Each
+  * signal lands in its own `g_*` column (rounded 4 dp so any engine
+  * evaluating the same formulas agrees) and `gopher_pass` combines the
+  * ROUNDED signals, keeping the verdict engine-portable too. The
+  * stopword list is Gopher's eight by default; pass a corpus-matched
+  * list where the vocabulary differs (the synthetic test corpus only
+  * carries "the"/"a").
+  *
+  * Scale: map-only (no shuffle, no UDF — whitespace split, `filter`/
+  * `array_contains` higher-order functions); a 100 TB corpus runs this
+  * at scan speed. */
+case class GopherQualityFilter(
+    minWords: Int = 50, maxWords: Int = 100000,
+    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+    maxSymbolRatio: Double = 0.1,
+    maxBulletLineRatio: Double = 0.9,
+    maxEllipsisLineRatio: Double = 0.3,
+    minAlphaWordRatio: Double = 0.8,
+    stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+    minStopWords: Int = 2,
+    textCol: String = "text") {
+
+  /** df + g_* signal columns + `gopher_pass`. */
+  def withFlags(df: DataFrame): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val wc = size(words)
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    // mean word length via total non-whitespace chars — one regexp,
+    // no per-word aggregate
+    val mwl = length(regexp_replace(t, "\\s+", "")).cast("double") / wc
+    val hashes = length(t) - length(replace(t, lit("#"), lit("")))
+    // '...' occurrences: non-overlapping left-to-right replace on both
+    // engines, so the length delta is always a multiple of 3
+    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    val bulletLines = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") || trim(l).startsWith("•")))
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stops = stopWords.map(sw =>
+      when(array_contains(words, sw), 1).otherwise(0)).reduce(_ + _)
+    val flagged = df
+      .withColumn("g_word_count", wc.cast("long"))
+      .withColumn("g_mean_word_len", round(mwl, 4))
+      .withColumn("g_symbol_ratio", round((hashes + ellipses).cast("double") / wc, 4))
+      .withColumn("g_bullet_ratio", round(bulletLines.cast("double") / nLines, 4))
+      .withColumn("g_ellipsis_ratio", round(ellipsisLines.cast("double") / nLines, 4))
+      .withColumn("g_alpha_ratio", round(alphaWords.cast("double") / wc, 4))
+      .withColumn("g_stop_hits", stops.cast("long"))
+    flagged.withColumn("gopher_pass",
+      col("g_word_count").between(minWords, maxWords) &&
+        col("g_mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("g_symbol_ratio") <= maxSymbolRatio &&
+        col("g_bullet_ratio") <= maxBulletLineRatio &&
+        col("g_ellipsis_ratio") <= maxEllipsisLineRatio &&
+        col("g_alpha_ratio") >= minAlphaWordRatio &&
+        col("g_stop_hits") >= minStopWords)
+  }
+
+  /** Pipeline form: survivors only, signal columns retained. */
+  def apply(df: DataFrame): DataFrame =
+    withFlags(df).filter(col("gopher_pass"))
+}
+
 /** N-gram-heuristic language identification: per-language stopword hit
   * counts over whitespace tokens, argmax with deterministic tiebreak
   * (priority order below), "und" when nothing matches. The planned

@@ -85,6 +85,24 @@ object OperatorRegistry {
     "quality_scorer" -> (p => RefineOp("quality_scorer",
       QualityScorer(str(p, "text_field", "text"))(_))),
 
+    // Gopher rule bundle (Rae 2021 Table A1): keeps passing docs with
+    // their g_* signal columns; thresholds and the stopword list are
+    // the paper's unless overridden
+    "gopher_quality_filter" -> (p => RefineOp("gopher_quality_filter",
+      df => graft.operators.text.GopherQualityFilter(
+        minWords = int(p, "min_words", 50),
+        maxWords = int(p, "max_words", 100000),
+        minMeanWordLen = dbl(p, "min_mean_word_len", 3.0),
+        maxMeanWordLen = dbl(p, "max_mean_word_len", 10.0),
+        maxSymbolRatio = dbl(p, "max_symbol_ratio", 0.1),
+        maxBulletLineRatio = dbl(p, "max_bullet_line_ratio", 0.9),
+        maxEllipsisLineRatio = dbl(p, "max_ellipsis_line_ratio", 0.3),
+        minAlphaWordRatio = dbl(p, "min_alpha_word_ratio", 0.8),
+        stopWords = if (p.contains("stop_words")) strs(p, "stop_words")
+          else graft.operators.text.GopherQualityFilter().stopWords,
+        minStopWords = int(p, "min_stop_words", 2),
+        textCol = str(p, "text_field", "text"))(df))),
+
     "pii_redactor" -> (p => RefineOp("pii_redactor",
       PiiRedactor(str(p, "text_field", "text"))(_))),
 

@@ -202,6 +202,18 @@ object TextQueries {
         "q_mean_word_len", "q_score")
     }),
 
+    "gopher_quality" -> ((s, dir) => {
+      // stopword list matched to the synthetic corpus vocabulary (only
+      // "the"/"a" of Gopher's eight occur); rule structure and every
+      // other threshold are the paper's
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.text.GopherQualityFilter(stopWords = Seq("the", "a"))
+        .withFlags(docs)
+        .select("doc_id", "g_word_count", "g_mean_word_len",
+          "g_symbol_ratio", "g_bullet_ratio", "g_ellipsis_ratio",
+          "g_alpha_ratio", "g_stop_hits", "gopher_pass")
+    }),
+
     "lang_id" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       LanguageId()(docs).select("doc_id", "lang_pred")
@@ -288,6 +300,38 @@ object TextQueries {
          |       ELSE len($wsToksSql) END AS n_ws_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
          |FROM documents""".stripMargin,
+
+    "gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS g_word_count,
+        |    round(CAST(chars AS DOUBLE) / len(words), 4) AS g_mean_word_len,
+        |    round(CAST(hashes + ellipses AS DOUBLE) / len(words), 4) AS g_symbol_ratio,
+        |    round(CAST(len(list_filter(lines, l -> trim(l) LIKE '-%' OR
+        |      trim(l) LIKE '*%' OR trim(l) LIKE '•%')) AS DOUBLE) / len(lines), 4)
+        |      AS g_bullet_ratio,
+        |    round(CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+        |      AS DOUBLE) / len(lines), 4) AS g_ellipsis_ratio,
+        |    round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(words), 4) AS g_alpha_ratio,
+        |    CAST(CAST(list_contains(words, 'the') AS INT) +
+        |         CAST(list_contains(words, 'a') AS INT) AS BIGINT) AS g_stop_hits
+        |  FROM w)
+        |SELECT *,
+        |  (g_word_count BETWEEN 50 AND 100000 AND
+        |   g_mean_word_len BETWEEN 3.0 AND 10.0 AND
+        |   g_symbol_ratio <= 0.1 AND g_bullet_ratio <= 0.9 AND
+        |   g_ellipsis_ratio <= 0.3 AND g_alpha_ratio >= 0.8 AND
+        |   g_stop_hits >= 2) AS gopher_pass
+        |FROM f""".stripMargin,
 
     "quality_score" -> {
       val stops = defaultStopwords.map(w => s"'$w'").mkString(", ")

@@ -42,6 +42,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == "")
   }
 
+  test("gopher rules: each signal fires on its own pathological doc") {
+    import graft.operators.text.GopherQualityFilter
+    val good = (("the quick brown fox and friends " * 9) + "ends here now").trim
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "too short the and"),                      // word count < 50
+      (3L, ("a b c " * 20 + "the and").trim),         // mean word len < 3
+      (4L, (good + " " + "### ### ### ### ### ### ### ### ###")), // symbols
+      (5L, (1 to 12).map(_ => "- bulleted item the and quick brown fox jumps here").mkString("\n")), // all lines bulleted
+      (6L, (1 to 10).map(i => s"line $i the and quick brown fox gently trails away off...").mkString("\n")), // all lines ellipsis-ended
+      (7L, good.replace("fox", "12345")),             // still passes alpha (most words alphabetic)
+      (8L, ("zz1 " + "234 567 " * 30 + "the and").trim)) // alpha ratio < 0.8
+      .toDF("doc_id", "text")
+    val flagged = GopherQualityFilter(minWords = 40)
+      .withFlags(docs)
+      .select("doc_id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(flagged(1L))
+    assert(!flagged(2L) && !flagged(3L) && !flagged(4L) && !flagged(8L))
+    assert(!flagged(5L), "bullet-line ratio must fail an all-bulleted doc")
+    assert(!flagged(6L), "ellipsis-line ratio must fail trailing-off docs")
+    assert(flagged(7L))
+    // survivors keep their signal columns in the pipeline form
+    val kept = GopherQualityFilter(minWords = 40)(docs)
+    assert(kept.columns.contains("g_symbol_ratio"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+  }
+
   test("bloom-filtered decontamination matches the exact path") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bench = docs.filter($"doc_id" % 50 === 0)
