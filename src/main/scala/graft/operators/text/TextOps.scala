@@ -100,6 +100,57 @@ case class QualityScorer(textCol: String = "text") {
   }
 }
 
+/** The C4 line-level cleaning rules (Raffel et al. 2020,
+  * arXiv:1910.10683 §2.2) — the LINE-grained complement to
+  * [[GopherQualityFilter]]'s document-grained rules, and the other
+  * rule bundle the reference's lineage rows (README:15-17) inherit. A
+  * line survives iff it ends in terminal punctuation, carries at least
+  * `minLineWords` words, and does not mention javascript; a page
+  * survives iff at least `minKeptLines` lines survive and the page
+  * contains neither "lorem ipsum" nor a curly brace. (The paper's
+  * badwords-list rule needs its external list and is intentionally not
+  * reproduced here.) Cleaning and verdict are pure column expressions
+  * — one map-only pass, no UDF, no shuffle.
+  *
+  * The synthetic test corpus is single-line without terminal
+  * punctuation (every page would fail uniformly), so this operator is
+  * spec-verified on synthetic multi-line documents rather than
+  * oracle-checked — same status as the streaming rows in SURVEY §2. */
+case class C4Cleaner(
+    minLineWords: Int = 5,
+    minKeptLines: Int = 3,
+    textCol: String = "text") {
+
+  private val terminal = Seq(".", "!", "?", "\"")
+
+  /** df + c4_text (surviving lines re-joined), kept/dropped line
+    * counts, page-level flags, and the combined `c4_pass`. */
+  def withFlags(df: DataFrame): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l => {
+      val lt = trim(l)
+      terminal.map(p => lt.endsWith(p)).reduce(_ || _) &&
+        size(split(lt, "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    })
+    df.withColumn("c4_kept_lines", size(kept).cast("long"))
+      .withColumn("c4_dropped_lines", (size(lines) - size(kept)).cast("long"))
+      .withColumn("c4_has_lorem", lower(t).contains("lorem ipsum"))
+      .withColumn("c4_has_brace", t.contains("{"))
+      .withColumn("c4_text", array_join(kept, "\n"))
+      .withColumn("c4_pass",
+        col("c4_kept_lines") >= minKeptLines &&
+          !col("c4_has_lorem") && !col("c4_has_brace"))
+  }
+
+  /** Pipeline form: surviving pages only, `textCol` replaced by the
+    * cleaned text, line/page signals retained. */
+  def apply(df: DataFrame): DataFrame =
+    withFlags(df).filter(col("c4_pass"))
+      .withColumn(textCol, col("c4_text")).drop("c4_text")
+}
+
 /** The Gopher document-quality rules (Rae et al. 2021,
   * arXiv:2112.11446 Table A1) — the rule bundle RefinedWeb / Dolma /
   * DCLM all reuse, and the reference's lineage table roadmaps via

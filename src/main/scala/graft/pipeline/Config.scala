@@ -85,6 +85,15 @@ object OperatorRegistry {
     "quality_scorer" -> (p => RefineOp("quality_scorer",
       QualityScorer(str(p, "text_field", "text"))(_))),
 
+    // C4 line-level cleaning (Raffel 2020 §2.2): drops junk lines,
+    // replaces text with the cleaned join, drops pages failing the
+    // page rules; line/page signal columns retained
+    "c4_cleaner" -> (p => RefineOp("c4_cleaner",
+      df => graft.operators.text.C4Cleaner(
+        minLineWords = int(p, "min_line_words", 5),
+        minKeptLines = int(p, "min_kept_lines", 3),
+        textCol = str(p, "text_field", "text"))(df))),
+
     // Gopher rule bundle (Rae 2021 Table A1): keeps passing docs with
     // their g_* signal columns; thresholds and the stopword list are
     // the paper's unless overridden

@@ -69,6 +69,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
   }
 
+  test("c4 cleaner: line rules strip junk, page rules drop whole documents") {
+    import graft.operators.text.C4Cleaner
+    val goodLine = "This sentence has plenty of words and ends properly."
+    val docs = Seq(
+      (1L, Seq(goodLine, "no terminal punctuation here at all",
+        goodLine, "short line.", goodLine).mkString("\n")), // 3 survivors
+      (2L, Seq(goodLine, goodLine, "visit lorem ipsum dolor sit amet today.",
+        goodLine).mkString("\n")),                          // lorem -> page dropped
+      (3L, Seq(goodLine, goodLine, "a brace { hides in this long sentence.",
+        goodLine).mkString("\n")),                          // brace -> page dropped
+      (4L, Seq(goodLine, goodLine).mkString("\n")),         // only 2 survivors
+      (5L, Seq(goodLine, "please enable javascript to continue reading this.",
+        goodLine, goodLine).mkString("\n")))                // js line stripped, page survives
+      .toDF("doc_id", "text")
+    val out = C4Cleaner()(docs)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L))
+    val cleaned = out.filter($"doc_id" === 1L).select("text").as[String].head()
+    assert(cleaned == Seq(goodLine, goodLine, goodLine).mkString("\n"),
+      "junk lines must be stripped from the surviving page")
+    val flags = C4Cleaner().withFlags(docs)
+      .select("doc_id", "c4_kept_lines", "c4_dropped_lines")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(flags(1L) == (3L, 2L) && flags(5L) == (3L, 1L) && flags(4L) == (2L, 0L))
+  }
+
   test("bloom-filtered decontamination matches the exact path") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bench = docs.filter($"doc_id" % 50 === 0)

@@ -120,7 +120,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("map-only operators have zero exchanges") {
     for (q <- Seq("image_entropy", "hash_sample_split", "pii_redact",
-        "line_dedup", "url_canonicalize", "token_count"))
+        "line_dedup", "url_canonicalize", "token_count", "gopher_quality"))
       assert(!plan(q).contains("Exchange"), s"$q should be map-only")
   }
 
