@@ -127,7 +127,8 @@ case class C4Cleaner(
     * counts, page-level flags, and the combined `c4_pass`. */
   def withFlags(df: DataFrame): DataFrame = {
     val t = col(textCol)
-    val lines = split(t, "\n")
+    // \r?\n: a trailing \r would defeat the endsWith checks below
+    val lines = split(t, "\\r?\\n")
     val kept = filter(lines, l => {
       val lt = trim(l)
       terminal.map(p => lt.endsWith(p)).reduce(_ || _) &&
@@ -175,31 +176,38 @@ case class GopherQualityFilter(
     maxBulletLineRatio: Double = 0.9,
     maxEllipsisLineRatio: Double = 0.3,
     minAlphaWordRatio: Double = 0.8,
-    stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+    stopWords: Seq[String] = GopherQualityFilter.DefaultStopWords,
     minStopWords: Int = 2,
     textCol: String = "text") {
 
   /** df + g_* signal columns + `gopher_pass`. */
   def withFlags(df: DataFrame): DataFrame = {
     val t = col(textCol)
-    val words = split(trim(t), "\\s+")
+    val words = graft.functions.TextFns.wsTokens(t)
     val wc = size(words)
-    val lines = split(t, "\n")
+    // \r?\n so CRLF documents split cleanly (a trailing \r would
+    // defeat every endsWith below — Spark's trim strips spaces only)
+    val lines = split(t, "\\r?\\n")
     val nLines = size(lines)
     // mean word length via total non-whitespace chars — one regexp,
     // no per-word aggregate
     val mwl = length(regexp_replace(t, "\\s+", "")).cast("double") / wc
     val hashes = length(t) - length(replace(t, lit("#"), lit("")))
     // '...' occurrences: non-overlapping left-to-right replace on both
-    // engines, so the length delta is always a multiple of 3
-    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    // engines, so the length delta is always a multiple of 3; the
+    // 1-char Unicode ellipsis counts separately
+    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
+      (length(t) - length(replace(t, lit("…"), lit(""))))
     val bulletLines = size(filter(lines, l =>
       trim(l).startsWith("-") || trim(l).startsWith("*") || trim(l).startsWith("•")))
     val ellipsisLines = size(filter(lines, l =>
       l.endsWith("...") || l.endsWith("…")))
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    // foldLeft, not reduce: an empty stopword list (rule disabled via
+    // YAML `stop_words: []`) must score 0 hits, not throw
     val stops = stopWords.map(sw =>
-      when(array_contains(words, sw), 1).otherwise(0)).reduce(_ + _)
+      when(array_contains(words, sw), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
     val flagged = df
       .withColumn("g_word_count", wc.cast("long"))
       .withColumn("g_mean_word_len", round(mwl, 4))
@@ -221,6 +229,12 @@ case class GopherQualityFilter(
   /** Pipeline form: survivors only, signal columns retained. */
   def apply(df: DataFrame): DataFrame =
     withFlags(df).filter(col("gopher_pass"))
+}
+
+object GopherQualityFilter {
+  /** The paper's eight (Rae 2021 Table A1). */
+  val DefaultStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 }
 
 /** N-gram-heuristic language identification: per-language stopword hit

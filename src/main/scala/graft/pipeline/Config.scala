@@ -108,7 +108,7 @@ object OperatorRegistry {
         maxEllipsisLineRatio = dbl(p, "max_ellipsis_line_ratio", 0.3),
         minAlphaWordRatio = dbl(p, "min_alpha_word_ratio", 0.8),
         stopWords = if (p.contains("stop_words")) strs(p, "stop_words")
-          else graft.operators.text.GopherQualityFilter().stopWords,
+          else graft.operators.text.GopherQualityFilter.DefaultStopWords,
         minStopWords = int(p, "min_stop_words", 2),
         textCol = str(p, "text_field", "text"))(df))),
 

@@ -305,10 +305,11 @@ object TextQueries {
       """WITH w AS (
         |  SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS words,
-        |    string_split(text, chr(10)) AS lines,
+        |    string_split_regex(text, '\r?\n') AS lines,
         |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
         |    length(text) - length(replace(text, '#', '')) AS hashes,
-        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+        |    (length(text) - length(replace(text, '...', ''))) / 3 +
+        |      (length(text) - length(replace(text, '…', ''))) AS ellipses
         |  FROM documents),
         |f AS (
         |  SELECT doc_id,

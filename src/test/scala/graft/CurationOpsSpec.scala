@@ -67,6 +67,15 @@ class CurationOpsSpec extends SparkSpec {
     val kept = GopherQualityFilter(minWords = 40)(docs)
     assert(kept.columns.contains("g_symbol_ratio"))
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+    // unicode ellipsis counts toward the symbol rule too
+    val uni = Seq((9L, good + " " + "… … … … … … … … …")).toDF("doc_id", "text")
+    assert(!GopherQualityFilter(minWords = 40).withFlags(uni)
+      .select("gopher_pass").as[Boolean].head())
+    // an empty stopword list disables the rule instead of crashing
+    val noStops = GopherQualityFilter(minWords = 40,
+      stopWords = Nil, minStopWords = 0)
+    assert(noStops.withFlags(Seq((10L, good)).toDF("doc_id", "text"))
+      .select("gopher_pass").as[Boolean].head())
   }
 
   test("c4 cleaner: line rules strip junk, page rules drop whole documents") {
@@ -93,6 +102,12 @@ class CurationOpsSpec extends SparkSpec {
       .select("doc_id", "c4_kept_lines", "c4_dropped_lines")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(flags(1L) == (3L, 2L) && flags(5L) == (3L, 1L) && flags(4L) == (2L, 0L))
+    // CRLF documents split cleanly — a trailing \r must not defeat the
+    // terminal-punctuation check and silently drop the whole page
+    val crlf = Seq((6L, Seq(goodLine, goodLine, goodLine).mkString("\r\n")))
+      .toDF("doc_id", "text")
+    assert(C4Cleaner().withFlags(crlf)
+      .select("c4_kept_lines").as[Long].head() == 3L)
   }
 
   test("bloom-filtered decontamination matches the exact path") {
