@@ -176,6 +176,13 @@ case class IvfIndex(
   * web scale keeps clusters in the thousands); a skewed giant cluster
   * is an AQE skew-join case, not a plan change.
   *
+  * The self-join repeats the assign subtree in the LOGICAL plan;
+  * at runtime Spark's exchange reuse collapses the duplicates
+  * (verified: 2 ReusedExchange nodes in the executed adaptive plan —
+  * the 250k/1M probe walls in SURVEY §5.11 include this plan shape).
+  * If the raw corpus scan ever dominates at extreme scale, persist the
+  * assigned frame before [[kept]]; the operator itself stays pure.
+  *
   * Keep rule: a row is dropped iff some SMALLER id in the SAME cluster
   * is within the cosine threshold (keep-first, matching the exact-dedup
   * family's min-id collapse). This is deterministic and one-pass where
