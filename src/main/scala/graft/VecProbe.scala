@@ -17,14 +17,24 @@ import org.apache.spark.sql.functions._
   * reported kept-count doubles as a recall check: kept ≈ 0.8·n when
   * clustering places each planted pair together.
   *
-  * {{{ graft.VecProbe <dir> <threshold> <k>... }}}
+  * Each k arg is `k` (uncapped semantics at the default cap) or
+  * `k:cap` to probe a `maxClusterSize` lever setting — the salted
+  * sub-split cap that bounds an oversized cluster's quadratic pair
+  * stream.
+  *
+  * {{{ graft.VecProbe <dir> <threshold> <k[:cap]>... }}}
   */
 object VecProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k>...")
+    require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k[:cap]>...")
     val dir = args(0)
     val threshold = args(1).toDouble
-    val ks = args.drop(2).map(_.toInt).toSeq
+    val ks = args.drop(2).map { a =>
+      a.split(":") match {
+        case Array(k) => (k.toInt, 1 << 16)
+        case Array(k, cap) => (k.toInt, cap.toInt)
+      }
+    }.toSeq
     val spark = GraftSession.local("graft-vecprobe")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     emb.selectExpr("max(vec_id)").collect() // warm the scan path
@@ -36,12 +46,13 @@ object VecProbe {
       val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       println(f"$label,$sec%.1f,$rows,load=${mx.getSystemLoadAverage}%.1f")
     }
-    ks.foreach { k =>
+    ks.foreach { case (k, cap) =>
       val cents = emb.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("centroid_id"),
           transform(col("embedding"), x => x.cast("double")).as("cvec"))
       timed(s"assign_k$k")(IvfIndex().assign(emb, cents))
-      timed(s"semdedup_k$k")(SemanticDedup(threshold).kept(emb, cents))
+      timed(s"semdedup_k${k}_cap$cap")(
+        SemanticDedup(threshold, maxClusterSize = cap).kept(emb, cents))
     }
     spark.stop()
   }

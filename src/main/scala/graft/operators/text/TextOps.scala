@@ -630,17 +630,34 @@ case class Decontaminator(n: Int = 5, textCol: String = "text",
     * reach the exact verification join, so the shuffle carries a
     * fraction of the corpus. Results are identical to
     * [[contaminatedIds]] — the Bloom filter only prunes true negatives,
-    * and survivors are verified exactly. */
+    * and survivors are verified exactly.
+    *
+    * All-native: the sketch is built by Spark's own
+    * `BloomFilterAggregate` (a distributed partial/merge aggregate over
+    * xxhash64 of the shingles — the same machinery runtime row-level
+    * filtering uses), lands in the plan as one binary literal
+    * (numBits/8 bytes, the probe's broadcast), and the probe is the
+    * codegen'd `BloomFilterMightContain` predicate — no ScalaUDF
+    * anywhere, so the corpus-side scan stays inside whole-stage
+    * codegen. */
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       expectedShingles: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val bsh = shingles(benchmark, Seq.empty).distinct()
-    val bloom = bsh.stat.bloomFilter("__sh", expectedShingles, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = org.apache.spark.sql.functions.udf(
-      (s: String) => s != null && bloomB.value.mightContain(s))
+    // standard Bloom sizing: m = -n·ln(p) / ln(2)²
+    val numBits = math.ceil(
+      -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val sketch = bsh.agg(column(new BloomFilterAggregate(
+        expression(xxhash64(col("__sh"))),
+        expression(lit(expectedShingles)),
+        expression(lit(numBits))).toAggregateExpression()).as("__bf"))
+      .head.getAs[Array[Byte]]("__bf")
     shingles(corpus, Seq(col(idCol)))
-      .filter(mightContain(col("__sh")))           // map-side prune
+      .filter(column(BloomFilterMightContain(
+        expression(lit(sketch)),
+        expression(xxhash64(col("__sh"))))))       // map-side prune
       .join(broadcast(bsh), "__sh")                // exact verify
       .select(idCol).distinct()
   }

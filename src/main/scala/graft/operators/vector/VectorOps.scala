@@ -170,18 +170,43 @@ case class IvfIndex(
   *
   * Scale shape: assignment is the map-only [[IvfIndex.assign]] (one
   * broadcast centroid row, zero corpus shuffle); candidates come from a
-  * hash equi-join on `centroid_id`; the drop set enters the corpus as a
-  * LEFT ANTI join. Nothing is ever all-pairs. At 100 TB the per-cluster
-  * pair count is held down by k (SemDeDup's own lever: k ~ 10⁵ at
-  * web scale keeps clusters in the thousands); a skewed giant cluster
-  * is an AQE skew-join case, not a plan change.
+  * hash equi-join on the cluster key, generated NARROW (two ids) and
+  * back-joined to the wide vector column only for the surviving
+  * candidates' cosine rerank. Nothing is ever all-pairs. Per-cluster
+  * pair count is held down by k (SemDeDup's own lever: k ~ 10⁵ at web
+  * scale keeps clusters in the thousands) — but k alone cannot bound a
+  * skewed giant cluster (boilerplate-heavy embeddings guarantee one at
+  * 100 TB), and AQE skew-join splits partitions, not the quadratic pair
+  * count, so `maxClusterSize` is the hard cap. Three tiers:
   *
-  * The self-join repeats the assign subtree in the LOGICAL plan;
-  * at runtime Spark's exchange reuse collapses the duplicates
-  * (verified: 2 ReusedExchange nodes in the executed adaptive plan —
-  * the 250k/1M probe walls in SURVEY §5.11 include this plan shape).
-  * If the raw corpus scan ever dominates at extreme scale, persist the
-  * assigned frame before [[kept]]; the operator itself stays pure.
+  *   - clusters at or under the cap pair up exactly as before
+  *     (per-task pairs ≤ cap²) — the only tier the correctness oracle
+  *     ever exercises at its scale;
+  *   - an OVERSIZED cluster is re-bucketed by banded random-hyperplane
+  *     signs ([[graft.operators.dedup.EmbeddingNearDup]]'s recall
+  *     machinery: `bands` OR-ed groupings of `bitsPerBand` sign bits, so
+  *     a τ-close pair shares a bucket in some band w.h.p. — a plain
+  *     id-salt here was measured to destroy recall, scattering planted
+  *     near-dup pairs across splits); sign buckets at or under the cap
+  *     pair up exactly;
+  *   - a sign bucket STILL oversized in band 0 is the identical-core
+  *     case (thousands of rows agreeing on every sign bit): it is
+  *     salted into ceil(bucket/cap) sub-splits — content-independent
+  *     salt is the only thing that bounds an all-identical bucket —
+  *     with exact pairs inside each split plus a member-versus-
+  *     split-min-representative stream, so the bucket still collapses
+  *     to its global min id exactly as the uncapped semantics would.
+  *     Oversized buckets in bands ≥ 1 are skipped: every member is
+  *     already covered by its band-0 tier, and replaying the same core
+  *     B times would multiply the pair stream for zero recall.
+  *
+  * Per oversized cluster the work is O(n·bands·bucket + n·cap + n·n/cap)
+  * instead of O(n²), every join is a hash equi-join on a bucket key,
+  * and no task ever materializes more than ~cap² pairs. The documented
+  * approximation: a τ-close pair in a MIXED oversized cluster is caught
+  * only if some band co-buckets it (probability 1−(1−p^bits)^bands, the
+  * EmbeddingNearDup S-curve) or a representative sees it; below the cap
+  * the semantics are exact.
   *
   * Keep rule: a row is dropped iff some SMALLER id in the SAME cluster
   * is within the cosine threshold (keep-first, matching the exact-dedup
@@ -192,23 +217,93 @@ case class IvfIndex(
   * Cosine is rounded to 6 dp before the threshold compare so any
   * engine evaluating the same formula reproduces the drop set. */
 case class SemanticDedup(
-    threshold: Double = 0.35,
+    threshold: Double = 0.95,
     idCol: String = "vec_id",
-    vecCol: String = "embedding") {
+    vecCol: String = "embedding",
+    maxClusterSize: Int = 8192,
+    dim: Int = 64,
+    bands: Int = 8,
+    bitsPerBand: Int = 8) {
+
+  /** Exact pairs (id_a < id_b) within each group keyed by `keys`. */
+  private def pairsWithin(members: DataFrame, keys: Seq[String]): DataFrame = {
+    val a = members.select(keys.map(col) :+ col(idCol).as("id_a"): _*)
+    val b = members.select(keys.map(col) :+ col(idCol).as("id_b"): _*)
+    a.join(b, keys).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Narrow (id_a, id_b) candidate pairs, id_a < id_b, from the three
+    * tiers described above. Exposed so specs can assert the candidate
+    * count stays bounded on a planted mega-cluster. */
+  def candidatePairs(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
+      .select(col(idCol), col("centroid_id"))
+    // cluster sizes: one row per centroid — broadcast by construction
+    val sizes = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("__n"))
+    val withSize = assigned.join(broadcast(sizes), Seq("centroid_id"))
+
+    // tier 1: small clusters — exact in-cluster pairs, the original
+    // SemDeDup candidate set
+    val small = withSize.filter(col("__n") <= maxClusterSize)
+      .select(col(idCol), col("centroid_id"))
+    val tier1 = pairsWithin(small, Seq("centroid_id"))
+
+    // oversized clusters: re-bucket by banded hyperplane signs (recall
+    // machinery — near-dup pairs share a digest in some band w.h.p.)
+    val sigExpr = LshAnn(dim, bands * bitsPerBand, idCol, vecCol)
+      .signature(col(vecCol))
+    val banded = withSize.filter(col("__n") > maxClusterSize)
+      .select(col(idCol), col("centroid_id"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("centroid_id"), sigExpr.as("__sig"))
+      .select(col(idCol), col("centroid_id"),
+        posexplode(array((0 until bands).map(bd =>
+          substring(col("__sig"), bd * bitsPerBand + 1, bitsPerBand)): _*)))
+      .toDF(idCol, "centroid_id", "__band", "__digest")
+    val bucketKey = Seq("centroid_id", "__band", "__digest")
+    val bsizes = banded.groupBy(bucketKey.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val bkeyed = banded.join(bsizes, bucketKey)
+
+    // tier 2: sign buckets at or under the cap — exact in-bucket pairs
+    val tier2 = pairsWithin(
+      bkeyed.filter(col("__bn") <= maxClusterSize)
+        .select((bucketKey :+ idCol).map(col): _*), bucketKey)
+
+    // tier 3: the identical-core buckets (oversized even after the sign
+    // split), band 0 only — bands ≥ 1 would replay the same membership.
+    // Content-independent salt bounds the split size; the split-min
+    // representative stream preserves the collapse-to-global-min result.
+    val core = bkeyed.filter(col("__bn") > maxClusterSize && col("__band") === 0)
+      .withColumn("__sub", pmod(xxhash64(col(idCol)),
+        ceil(col("__bn").cast("double") / lit(maxClusterSize.toDouble)).cast("int"))
+        .cast("int"))
+    val tier3within = pairsWithin(
+      core.select((bucketKey ++ Seq("__sub", idCol)).map(col): _*),
+      bucketKey :+ "__sub")
+    val reps = core.groupBy((bucketKey :+ "__sub").map(col): _*)
+      .agg(min(col(idCol)).as("__rep"))
+      .select((bucketKey :+ "__rep").map(col): _*)
+    val tier3reps = core.join(reps, bucketKey)
+      .filter(col("__rep") =!= col(idCol))
+      .select(least(col("__rep"), col(idCol)).as("id_a"),
+        greatest(col("__rep"), col(idCol)).as("id_b"))
+
+    tier1.union(tier2).union(tier3within).union(tier3reps).distinct()
+  }
 
   /** (idCol, centroid_id) rows that SURVIVE cluster-scoped keep-first
     * collapse. */
   def kept(df: DataFrame, centroids: DataFrame): DataFrame = {
     val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
       .select(col(idCol), col("centroid_id"))
-    val withCluster = df.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
-    val a = withCluster.select(col("centroid_id"),
-      col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = withCluster.select(col("centroid_id"),
-      col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val drops = a.join(b, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b") &&
-        round(cosine(col("va"), col("vb")), 6) >= threshold)
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val drops = candidatePairs(df, centroids)
+      .join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     assigned.join(drops, Seq(idCol), "left_anti")
   }

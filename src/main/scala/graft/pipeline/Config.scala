@@ -317,12 +317,14 @@ object OperatorRegistry {
     // SemDeDup-style semantic dedup: k-means clusters (trained on the
     // corpus) scope the cosine near-dup collapse — catches paraphrase
     // duplicates that band-hash LSH misses, candidate count bounded by
-    // the cluster assignment (see SURVEY §2 B28)
+    // the cluster assignment plus the max_cluster_size salt cap (see
+    // SURVEY §2 B28). 0.95 is the operator's default threshold too.
     "semantic_deduplicator" -> (p => RefineOp("semantic_deduplicator",
       df => graft.operators.vector.SemanticDedup(
         threshold = dbl(p, "threshold", 0.95),
         idCol = str(p, "id_field", "doc_id"),
-        vecCol = str(p, "vec_field", "embedding"))
+        vecCol = str(p, "vec_field", "embedding"),
+        maxClusterSize = int(p, "max_cluster_size", 1 << 16))
         .dedup(df, k = int(p, "k", 64), seed = int(p, "seed", 42).toLong)))
   )
 

@@ -41,13 +41,16 @@ class PlanAuditSpec extends SparkSpec {
     //   vocabulary-bounded, Heaps-sublinear in corpus size);
     // - decontaminate broadcasts the BENCHMARK shingle set — bounded
     //   by the eval suite's size, which does not grow with the corpus
-    //   being decontaminated (the Bloom path handles oversized ones).
+    //   being decontaminated (the Bloom path handles oversized ones);
+    // - dedup_semantic broadcasts the per-cluster size table (keyed by
+    //   centroid_id — one row per centroid, bounded by the cluster
+    //   count k, a config lever like the mixture list, not the corpus).
     // A keyed aggregate is NOT bounded in general — q17's per-part
     // average grows with part — which is why the structural rule below
-    // accepts only GLOBAL aggregates and these two are exemptions
+    // accepts only GLOBAL aggregates and these are exemptions
     // rather than a blanket Aggregate pass.
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
-      "mixture_sample", "perplexity", "decontaminate")
+      "mixture_sample", "perplexity", "decontaminate", "dedup_semantic")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -198,6 +201,19 @@ class PlanAuditSpec extends SparkSpec {
     val sortLine = p.linesIterator.find(l => l.contains("Sort [") && l.contains("_w0"))
     assert(sortLine.exists(!_.contains("text#")),
       s"payload column rides through the window sort: $sortLine")
+  }
+
+  test("decontaminate bloom path probes with the native expression, no ScalaUDF") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val p = graft.operators.text.Decontaminator(n = 5)
+      .contaminatedIdsBloom(docs, bench, expectedShingles = 100000L)
+      .queryExecution.executedPlan.toString
+    // the map-side prune must stay inside whole-stage codegen: Spark's
+    // BloomFilterMightContain, not a ScalaUDF closure
+    assert(!p.contains("ScalaUDF"), "bloom probe fell back to a ScalaUDF")
+    assert(p.contains("might_contain"), s"native bloom probe missing from plan")
   }
 
   test("no nested-loop or cartesian joins anywhere in the registry") {

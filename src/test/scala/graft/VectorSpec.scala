@@ -85,6 +85,34 @@ class VectorSpec extends SparkSpec {
     assert(!p.contains(11L))
   }
 
+  test("SemanticDedup maxClusterSize bounds candidates on a planted mega-cluster") {
+    // one cluster of 2000 near-identical vectors (the boilerplate
+    // mega-cluster failure mode) + a small second cluster as control
+    val mega = (0L until 2000L).map(i =>
+      (i, Array(1.0f, (i % 7).toFloat * 1e-5f)))
+    val ctrl = (5000L until 5004L).map(i => (i, Array(0.0f, 1.0f + (i % 3) * 1e-5f)))
+    val vecs = (mega ++ ctrl).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+
+    val capped = SemanticDedup(threshold = 0.999, maxClusterSize = 100, dim = 2)
+    // bounded candidate volume: the identical-core tier salts the one
+    // giant sign bucket into ceil(2000/100) = 20 sub-splits — within
+    // pairs ≈ 20·C(100,2) plus the linear member×rep stream, far below
+    // the uncapped C(2000,2) ≈ 2.0M pair stream one task would serialize
+    val nCand = capped.candidatePairs(vecs, cents).count()
+    assert(nCand < 450000, s"candidate stream not bounded: $nCand")
+
+    // semantics: the all-near-identical mega-cluster still collapses to
+    // its global min id, exactly as the uncapped operator computes it
+    val keptCapped = capped.kept(vecs, cents)
+      .select("vec_id").as[Long].collect().toSet
+    val keptUncapped = SemanticDedup(threshold = 0.999).kept(vecs, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptCapped(0L) && !keptCapped(1L) && !keptCapped(1999L))
+    assert(keptCapped == keptUncapped)
+  }
+
   test("KMeansOps.train + lloydStep run and keep k centroids") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat))).toDF("vec_id", "embedding")
