@@ -81,9 +81,12 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) which the vectorized parquet
-      // reader rejects; read nanos as long and floor to microseconds
-      // (identical to how µs-native engines ingest ns timestamps).
+      // events.ts has shipped as INT64 TIMESTAMP(NANOS) (vectorized
+      // reader rejects it — read nanos as long, floor to micros) and as
+      // tz-naive TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ, which
+      // unix_micros/watermarks reject). Normalize both to TIMESTAMP;
+      // the session timezone is UTC, so the NTZ cast preserves the
+      // wall-clock values the DuckDB oracle sees.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
@@ -91,6 +94,9 @@ object Tables {
           raw.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
         case _ => raw
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
