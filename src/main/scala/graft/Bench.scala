@@ -32,7 +32,13 @@ object Bench {
       .withColumn("rn", row_number().over(
         Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
       .selectExpr("count(distinct h)", "max(rn)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration lever: SPARK_GRAFT_BENCH_KEYS=a,b,c times only the
+    // named keys. Absent (the driver's invocation) → the full registry.
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // collect the previous query's garbage before timing, so one
       // query's allocation debt doesn't land in the next one's wall time
       System.gc()

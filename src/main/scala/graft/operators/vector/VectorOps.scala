@@ -233,29 +233,58 @@ case class SemanticDedup(
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Nearest-centroid assignment, materialized once. The assignment
+    * subtree is referenced four times downstream (the cluster-size
+    * action, both sides of the in-cluster pair self-join, the survivor
+    * anti-join base) and its argmin fold over the broadcast centroid
+    * array is a higher-order function Spark evaluates interpreted —
+    * re-running it per reference is the dominant cost. The checkpointed
+    * table is the NARROW (id, centroid_id) projection, a small fraction
+    * of corpus width, so materializing it is exactly what a 100 TB run
+    * wants too. */
+  private def assignedOf(df: DataFrame, centroids: DataFrame): DataFrame =
+    IvfIndex(idCol, vecCol).assign(df, centroids)
+      .select(col(idCol), col("centroid_id"))
+      .localCheckpoint()
+
   /** Narrow (id_a, id_b) candidate pairs, id_a < id_b, from the three
     * tiers described above. Exposed so specs can assert the candidate
     * count stays bounded on a planted mega-cluster. */
-  def candidatePairs(df: DataFrame, centroids: DataFrame): DataFrame = {
-    val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
-      .select(col(idCol), col("centroid_id"))
-    // cluster sizes: one row per centroid — broadcast by construction
-    val sizes = assigned.groupBy("centroid_id")
-      .agg(count(lit(1)).as("__n"))
-    val withSize = assigned.join(broadcast(sizes), Seq("centroid_id"))
+  def candidatePairs(df: DataFrame, centroids: DataFrame): DataFrame =
+    candidatePairsFrom(df, assignedOf(df, centroids))
+
+  /** [[candidatePairs]] against a pre-computed (idCol, centroid_id)
+    * assignment, so [[kept]] shares ONE assignment subtree with the
+    * candidate generator instead of planning it twice.
+    *
+    * Cluster sizes are one row per centroid — k rows — so they are
+    * collected to the driver in one tiny action. That action decides the
+    * PLAN SHAPE: when every cluster is at or under the cap (the case the
+    * oracle exercises, and the common case whenever k tracks corpus
+    * size) the query compiles to the plain SemDeDup in-cluster pair join
+    * with none of the banded tier-2/3 machinery — no bands×bits×dim
+    * plane literals in codegen, no bucket-size groupBy, no 4-way
+    * union+distinct. The banded branches are attached only when an
+    * oversized cluster actually exists. */
+  private[vector] def candidatePairsFrom(df: DataFrame, assigned: DataFrame): DataFrame = {
+    val oversized: Seq[Any] = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("__n")).collect().toIndexedSeq
+      .filter(_.getAs[Long]("__n") > maxClusterSize).map(_.get(0))
 
     // tier 1: small clusters — exact in-cluster pairs, the original
-    // SemDeDup candidate set
-    val small = withSize.filter(col("__n") <= maxClusterSize)
-      .select(col(idCol), col("centroid_id"))
+    // SemDeDup candidate set. Already distinct (each id lives in exactly
+    // one cluster), so the no-oversized fast path needs no dedup pass.
+    val small =
+      if (oversized.isEmpty) assigned
+      else assigned.filter(!col("centroid_id").isin(oversized: _*))
     val tier1 = pairsWithin(small, Seq("centroid_id"))
+    if (oversized.isEmpty) return tier1
 
     // oversized clusters: re-bucket by banded hyperplane signs (recall
     // machinery — near-dup pairs share a digest in some band w.h.p.)
     val sigExpr = LshAnn(dim, bands * bitsPerBand, idCol, vecCol)
       .signature(col(vecCol))
-    val banded = withSize.filter(col("__n") > maxClusterSize)
-      .select(col(idCol), col("centroid_id"))
+    val banded = assigned.filter(col("centroid_id").isin(oversized: _*))
       .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col("centroid_id"), sigExpr.as("__sig"))
       .select(col(idCol), col("centroid_id"),
@@ -297,11 +326,10 @@ case class SemanticDedup(
   /** (idCol, centroid_id) rows that SURVIVE cluster-scoped keep-first
     * collapse. */
   def kept(df: DataFrame, centroids: DataFrame): DataFrame = {
-    val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
-      .select(col(idCol), col("centroid_id"))
+    val assigned = assignedOf(df, centroids)
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val drops = candidatePairs(df, centroids)
+    val drops = candidatePairsFrom(df, assigned)
       .join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select(col("id_b").as(idCol)).distinct()

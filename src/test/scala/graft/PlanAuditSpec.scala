@@ -42,15 +42,16 @@ class PlanAuditSpec extends SparkSpec {
     // - decontaminate broadcasts the BENCHMARK shingle set — bounded
     //   by the eval suite's size, which does not grow with the corpus
     //   being decontaminated (the Bloom path handles oversized ones);
-    // - dedup_semantic broadcasts the per-cluster size table (keyed by
-    //   centroid_id — one row per centroid, bounded by the cluster
-    //   count k, a config lever like the mixture list, not the corpus).
+    // (dedup_semantic used to broadcast a per-cluster size table here;
+    // since r11 the k-row size aggregate is collected to the driver to
+    // pick the plan shape, so its only remaining hint is the global-
+    // aggregate centroid collapse the structural rule already accepts.)
     // A keyed aggregate is NOT bounded in general — q17's per-part
     // average grows with part — which is why the structural rule below
     // accepts only GLOBAL aggregates and these are exemptions
     // rather than a blanket Aggregate pass.
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
-      "mixture_sample", "perplexity", "decontaminate", "dedup_semantic")
+      "mixture_sample", "perplexity", "decontaminate")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
