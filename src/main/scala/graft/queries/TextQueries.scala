@@ -202,6 +202,29 @@ object TextQueries {
         "q_mean_word_len", "q_score")
     }),
 
+    "c4_clean" -> ((s, dir) => {
+      // B30's oracle row. The synthetic corpus is single-line word
+      // soup, so pages that exercise C4's LINE rules are DERIVED
+      // in-query with one deterministic formula the DuckDB oracle
+      // repeats verbatim: four common words gain terminal periods (so
+      // some 5-word lines end in punctuation and some don't), "spark"
+      // becomes the javascript trigger, doc_id-keyed suffixes plant
+      // the lorem-ipsum / curly-brace page flags, and the word stream
+      // then chunks into 5-word lines.
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", regexp_replace(
+          concat(
+            regexp_replace(
+              regexp_replace(col("text"), "(table|value|part|row)", "$1."),
+              "spark", "javascript"),
+            when(col("doc_id") % 11 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit(""))),
+          "((?:\\S+ ){4}\\S+) ", "$1\n"))
+      graft.operators.text.C4Cleaner().withFlags(docs)
+        .select("doc_id", "c4_kept_lines", "c4_dropped_lines",
+          "c4_has_lorem", "c4_has_brace", "c4_text", "c4_pass")
+    }),
+
     "gopher_quality" -> ((s, dir) => {
       // stopword list matched to the synthetic corpus vocabulary (only
       // "the"/"a" of Gopher's eight occur); rule structure and every
@@ -300,6 +323,37 @@ object TextQueries {
          |       ELSE len($wsToksSql) END AS n_ws_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens
          |FROM documents""".stripMargin,
+
+    "c4_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      concat(
+        |        regexp_replace(
+        |          regexp_replace(text, '(table|value|part|row)', '\1.', 'g'),
+        |          'spark', 'javascript', 'g'),
+        |        CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END,
+        |        CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END),
+        |      '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    string_split_regex(t, '\r?\n') AS lines,
+        |    list_filter(string_split_regex(t, '\r?\n'), l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!') OR
+        |       ends_with(trim(l), '?') OR ends_with(trim(l), '"')) AND
+        |      len(string_split_regex(trim(l), '\s+')) >= 5 AND
+        |      NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(kept) AS BIGINT) AS c4_kept_lines,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS c4_dropped_lines,
+        |  contains(lower(t), 'lorem ipsum') AS c4_has_lorem,
+        |  contains(t, '{') AS c4_has_brace,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+        |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')) AS c4_pass
+        |FROM f""".stripMargin,
 
     "gopher_quality" ->
       """WITH w AS (
