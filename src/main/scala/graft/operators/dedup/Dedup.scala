@@ -378,21 +378,29 @@ case class NgramJaccard(
     * buckets (every doc sharing one min-shingle collides), which
     * `maxBucketSize` caps; verification cost stays one array_intersect
     * per surviving candidate. */
-  def lowTauLsh: MinHashLSH = {
-    val b = math.max(8, math.min(64,
-      math.ceil(math.log(1e-3) / math.log1p(-threshold)).toInt))
-    MinHashLSH(numHashes = b, bands = b, shingleSize = n,
+  def lowTauLsh: MinHashLSH = lowTauBanding(1)
+
+  /** The same ≥ 99.9%-recall-at-τ sizing for an arbitrary band width:
+    * a τ-jaccard pair matches an r-row band with probability τ^r, so
+    * b = ⌈ln(10⁻³)/ln(1−τ^r)⌉ bands (r·b hashes) keep per-pair recall
+    * at the floor. Measured r=1 vs r=2 (graft.DedupProfile, τ=0.2),
+    * 5k-doc bench corpus AND its 10× replica (SURVEY §5.11): r=2
+    * (340 hashes / 170 bands) cuts candidates 14× at 5k
+    * (280,686 → 19,800) but its 11× wider signature aggregate loses on
+    * wall there (27 → 34 s); at 50k docs the r=1 candidate volume has
+    * gone quadratic (558/doc vs 56/doc) and r=2 wins 3.1× (260 → 84 s),
+    * verified pairs identical at both sizes (256 resp. 250,600 —
+    * recall preserved). The crossover sits between 5k and 50k on this
+    * vocabulary; above it, run `minhashVerifiedPairs(df,
+    * lowTauBanding(2))` — the driver-gated `dedup_jaccard_r2` key. */
+  def lowTauBanding(rowsPerBand: Int): MinHashLSH = {
+    // r=1 keeps its historical 64-band cap; wider bands need more of
+    // them for the same recall floor, so the cap scales with r
+    val b = math.max(8, math.min(64 * rowsPerBand * rowsPerBand,
+      math.ceil(math.log(1e-3) /
+        math.log1p(-math.pow(threshold, rowsPerBand))).toInt))
+    MinHashLSH(numHashes = rowsPerBand * b, bands = b, shingleSize = n,
       textCol = textCol, idCol = idCol)
-    // Measured r=1 vs r=2 (graft.DedupProfile, τ=0.2), 5k-doc bench
-    // corpus AND its 10× replica (SURVEY §5.11): r=2 (340 hashes / 170
-    // bands) cuts candidates 14× at 5k (280,686 → 19,800) but its 11×
-    // wider signature aggregate loses on wall there (27 → 34 s); at
-    // 50k docs the r=1 candidate volume has gone quadratic (558/doc vs
-    // 56/doc) and r=2 wins 3.1× (260 → 84 s), verified pairs identical
-    // at both sizes (256 resp. 250,600 — recall preserved). The
-    // crossover sits between 5k and 50k on this vocabulary; above it,
-    // switch by passing minhashVerifiedPairs an explicit
-    // MinHashLSH(2b', b').
   }
 
   /** High-threshold path: only each doc's first ⌊(1−t)·|s|⌋+1 shingles

@@ -89,6 +89,22 @@ class DedupSpec extends SparkSpec {
     assert(fast == exact) // full recall on the test corpus at τ=0.2
   }
 
+  test("r=2 banding ≡ r=1 banding ≡ exact pair set at τ=0.2 (sf0.001)") {
+    // the measured scale default (SURVEY §5.11: r=2 wins 3.1× at 50k
+    // docs): sizing per the recall floor, identical VERIFIED pairs
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val nj = NgramJaccard(3, 0.2)
+    val r2 = nj.lowTauBanding(2)
+    assert(r2.bands == 170 && r2.numHashes == 340) // ⌈ln(10⁻³)/ln(1−0.04)⌉
+    val r1pairs = nj.minhashVerifiedPairs(corpus, nj.lowTauBanding(1))
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val r2pairs = nj.minhashVerifiedPairs(corpus, r2)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = nj.countJoinPairs(corpus)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(r2pairs == exact && r1pairs == exact)
+  }
+
   test("collapsedLshPairs collapses bit-identical vectors before LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
