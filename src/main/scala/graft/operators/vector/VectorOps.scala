@@ -387,4 +387,62 @@ object KMeansOps {
         .as("pairs"))
       .select(col("centroid_id"), transform(col("pairs"), p => p.getField("m")).as("cvec"))
   }
+
+  /** [[lloydStep]] hardened for iteration: per-dim means are computed
+    * on doubles and ROUNDED to 6 dp (so any engine replaying the same
+    * formula reproduces the whole trajectory), and a cluster that
+    * captured no points keeps its previous centroid instead of
+    * vanishing from the k rows. */
+  private def lloydIter(df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val assigned = IvfIndex(idCol, vecCol).assign(df, centroids)
+    val means = assigned.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("centroid_id"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos").agg(round(avg("x"), 6).as("m"))
+      .groupBy("centroid_id").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pairs"))
+      .select(col("centroid_id"), transform(col("pairs"), p => p.getField("m")).as("cvec"))
+    centroids.select(col("centroid_id"), col("cvec").as("__prev"))
+      .join(means, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), coalesce(col("cvec"), col("__prev")).as("cvec"))
+  }
+
+  /** Full Lloyd CONVERGENCE loop as pure DataFrame iterations — the
+    * reference's distributed k-means trainer
+    * (models/kmeans/distributed_trainer.py) iterates the same
+    * assign→mean cycle over an actor pool; here every iteration is one
+    * map-only assignment plus one (cluster, dim)-keyed aggregate with
+    * map-side combine, and the loop state is k localCheckpointed rows,
+    * so lineage stays flat no matter how many iterations run.
+    *
+    * Deterministic end to end: init is the k lowest-id rows
+    * (centroid_id 0..k−1 in id order), per-dim means round to 6 dp
+    * each iteration, empty clusters keep their previous centroid, and
+    * assignment tiebreaks by centroid id — so a fixed-iteration run is
+    * reproducible by any engine evaluating the same formulas (the
+    * kmeans_lloyd_assign oracle replays two iterations in SQL).
+    * Stops when no centroid moves more than `tol` (L2) or at
+    * `maxIter`. */
+  def fit(df: DataFrame, k: Int, tol: Double = 1e-4, maxIter: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && maxIter >= 1, "k and maxIter must be positive")
+    var cents = df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cvec"))
+      .localCheckpoint()
+    var moved = Double.MaxValue
+    var it = 0
+    while (it < maxIter && moved > tol) {
+      val next = lloydIter(df, cents, idCol, vecCol).localCheckpoint()
+      moved = next.join(cents.select(col("centroid_id"), col("cvec").as("__prev")),
+          Seq("centroid_id"))
+        .agg(max(graft.functions.VecFns.l2Dist(col("cvec"), col("__prev"))))
+        .collect()(0).getDouble(0)
+      cents = next
+      it += 1
+    }
+    cents
+  }
 }

@@ -40,6 +40,16 @@ object VectorQueries {
       IvfIndex().assign(emb, centroids)
     }),
 
+    "kmeans_lloyd_assign" -> ((s, dir) => {
+      // the CONVERGENCE-loop path (KMeansOps.fit): two deterministic
+      // Lloyd iterations from the first-4-rows init, then assignment.
+      // tol=0 pins the iteration count so the SQL oracle can replay
+      // the identical trajectory (round-6 means, id tiebreaks).
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = KMeansOps.fit(emb, k = 4, tol = 0.0, maxIter = 2)
+      IvfIndex().assign(emb, cents)
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       // Scale path: LSH bucket join (no nested loop). exactPairs is the
       // spec-only exactness baseline (DedupSpec).
@@ -126,6 +136,52 @@ object VectorQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
          |  FROM scored)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "kmeans_lloyd_assign" ->
+      """WITH c0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_distance(CAST(v.embedding AS DOUBLE[]), c.cvec), 6) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM embeddings v, c0 c) t WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |    SELECT a1.cid, unnest(CAST(v.embedding AS DOUBLE[])) AS x,
+        |           unnest(range(1, len(v.embedding) + 1)) AS pos
+        |    FROM a1 JOIN embeddings v ON a1.vec_id = v.vec_id) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, coalesce(m.cvec, c0.cvec) AS cvec
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY cid) m
+        |    ON c0.cid = m.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_distance(CAST(v.embedding AS DOUBLE[]), c.cvec), 6) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM embeddings v, c1 c) t WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+        |    SELECT a2.cid, unnest(CAST(v.embedding AS DOUBLE[])) AS x,
+        |           unnest(range(1, len(v.embedding) + 1)) AS pos
+        |    FROM a2 JOIN embeddings v ON a2.vec_id = v.vec_id) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, coalesce(m.cvec, c1.cvec) AS cvec
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY cid) m
+        |    ON c1.cid = m.cid)
+        |SELECT vec_id, centroid_id, dist FROM (
+        |  SELECT v.vec_id, c.cid AS centroid_id,
+        |    round(list_distance(CAST(v.embedding AS DOUBLE[]), c.cvec), 6) AS dist,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      round(list_distance(CAST(v.embedding AS DOUBLE[]), c.cvec), 6) ASC,
+        |      c.cid ASC) AS rn
+        |  FROM embeddings v, c2 c) t WHERE rn = 1""".stripMargin,
 
     "kmeans_assign" ->
       """WITH cent AS (

@@ -113,6 +113,39 @@ class VectorSpec extends SparkSpec {
     assert(keptCapped == keptUncapped)
   }
 
+  test("KMeansOps.fit converges to MLlib-comparable WSSSE and stops on tol") {
+    // four well-separated blobs with small in-blob jitter; ids 0..3
+    // land one per blob so the lowest-id init is non-degenerate
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(4)(d => (c * 10 + d).toFloat + (i % 7).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cents = KMeansOps.fit(vecs, k = 4, tol = 1e-6, maxIter = 20)
+    assert(cents.count() == 4)
+    def wssse(c: org.apache.spark.sql.DataFrame): Double =
+      IvfIndex().assign(vecs, c)
+        .agg(sum(col("dist") * col("dist"))).collect()(0).getDouble(0)
+    val ours = wssse(cents)
+    val mllib = wssse(KMeansOps.train(vecs, k = 4))
+    assert(ours <= mllib * 1.05 + 1e-9,
+      s"Lloyd-loop WSSSE $ours worse than MLlib $mllib")
+    // convergence: one more iteration from the fitted centroids is a
+    // fixed point (trajectory is rounded, so equality is exact)
+    val again = KMeansOps.fit(vecs, k = 4, tol = 1e-6, maxIter = 20)
+    assert(again.collect().toSet == cents.collect().toSet)
+  }
+
+  test("KMeansOps.fit keeps empty clusters at their previous centroid") {
+    // k=3 over two tight far-apart groups: the id-2 init centroid loses
+    // all its points to the id-0/id-1 centroids after one iteration
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.01f, 0.0f)), (2L, Array(0.02f, 0.0f)),
+      (10L, Array(100.0f, 0.0f)), (11L, Array(100.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = KMeansOps.fit(vecs, k = 3, tol = 0.0, maxIter = 3)
+    assert(cents.count() == 3) // no vanished rows
+  }
+
   test("KMeansOps.train + lloydStep run and keep k centroids") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(4)(d => ((i % 4) * 10 + d).toFloat))).toDF("vec_id", "embedding")
