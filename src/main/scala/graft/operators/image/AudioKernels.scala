@@ -77,6 +77,31 @@ object AudioKernels extends Serializable {
   def audioDuration(audio: Column): Column = durUdf(audio)
   def audioRms(audio: Column): Column = rmsUdf(audio)
 
+  /** Deterministic 8-bit mono PCM WAV whose samples are the text's
+    * byte codes — the audio twin of the text-as-binary image
+    * derivation, but through a REAL container: the bytes round-trip
+    * javax.sound's WAV parser, so the audio_metadata oracle key drives
+    * the same decode path production audio would, while the expected
+    * values stay computable from the construction formula (rate and
+    * layout are constants, frames = text length, RMS over the
+    * unsigned-byte samples). */
+  def wavFromText(text: String, sampleRate: Int = 8000): Array[Byte] = {
+    val data =
+      if (text == null) Array.emptyByteArray else text.getBytes("ISO-8859-1")
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+  private val wavFromTextUdf = udf((t: String) => wavFromText(t))
+  def textWav(text: Column): Column = wavFromTextUdf(text)
+
   /** Metadata refiner: sample_rate, channels, bits, n_frames, duration_s,
     * rms — null fields for undecodable bytes. */
   def withAudioMetadata(df: DataFrame, audioCol: String = "audio"): DataFrame =

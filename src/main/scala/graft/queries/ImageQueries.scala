@@ -45,6 +45,20 @@ object ImageQueries {
       ImagePhashDedup().groups(docs)
     }),
 
+    "audio_metadata" -> ((s, dir) => {
+      // real WAV container derived in-query (AudioKernels.wavFromText:
+      // 8-bit mono 8 kHz PCM, samples = the text's byte codes), decoded
+      // back through javax.sound — the oracle recomputes the expected
+      // values from the construction formula.
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("audio", AudioKernels.textWav(col("text")))
+      AudioKernels.withAudioMetadata(docs)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("n_frames"),
+          round(col("duration_s"), 6).as("duration_s"),
+          round(col("rms"), 6).as("rms"))
+    }),
+
     "visual_degradations" -> ((s, dir) => {
       val docs = withImage(Tables.load(s, dir, "documents"))
       VisualDegradations()(docs).select("doc_id", "img_vd_color_cast",
@@ -142,6 +156,24 @@ object ImageQueries {
     s"(CAST(${hexInt(s"text || '$tag'", 6)} AS DOUBLE) / 16777216.0)"
 
   def oracles: Map[String, String] = Map(
+    "audio_metadata" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |r AS (
+        |  SELECT doc_id,
+        |    round(sqrt(avg(((c - 128.0) / 128.0) * ((c - 128.0) / 128.0))), 6) AS rms
+        |  FROM chars GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(8 AS INT) AS bits_per_sample,
+        |  CAST(length(d.text) AS BIGINT) AS n_frames,
+        |  round(length(d.text) / 8000.0, 6) AS duration_s,
+        |  r.rms AS rms
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
+
     "image_metadata" ->
       s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS image_file_size_bytes,
          |  'UNKNOWN' AS image_format,

@@ -37,6 +37,16 @@ class AudioKernelsSpec extends SparkSpec {
     assert(quiet < 1e-3)
   }
 
+  test("wavFromText: real container round-trips the construction formula") {
+    val wav = AudioKernels.wavFromText("abcd")
+    assert(AudioKernels.info(wav) === Some((8000, 1, 8, 4L)))
+    assert(math.abs(AudioKernels.durationSec(wav).get - 4.0 / 8000) < 1e-12)
+    // RMS from the byte codes: sqrt(mean(((c-128)/128)^2)) over a..d
+    val want = math.sqrt("abcd".map(c => math.pow((c - 128) / 128.0, 2)).sum / 4)
+    assert(math.abs(AudioKernels.rms(wav).get - want) < 1e-12)
+    assert(AudioKernels.info(AudioKernels.wavFromText("")).exists(_._4 == 0L))
+  }
+
   test("audio metadata refiner runs distributed over a binary column") {
     val df = Seq((1L, sineWav(0.25, 440, 0.5)), (2L, Array.emptyByteArray))
       .toDF("doc_id", "audio")
