@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the driver loop below parallelizes trivially (shards are
   * independent — run one loader per executor pool or partition the
-  * shard list across jobs); the per-chunk DataFrame is a normal
-  * pushdown-friendly scan (`row_index >= o AND < o+n` prunes row
-  * groups via parquet stats).
+  * shard list across jobs). Chunk windows are FILE-aligned: a
+  * `row_index` range does not prune parquet row groups (only the
+  * file-constant `file_path` predicate prunes at planning time), so a
+  * window cutting a file mid-way would re-decode the whole file per
+  * adjacent chunk; whole-file windows decode exactly the rows they
+  * emit. `chunkRecords` is the window's minimum — size it at or above
+  * the shard's largest file to keep chunks near-uniform.
   */
 object ShardedLoader {
 
@@ -131,21 +135,39 @@ object ShardedLoader {
         val total = acc
         while (!pr.done && chunks < maxChunks) {
           val lo = pr.offset
-          val hi = math.min(lo + chunkRecords, total)
+          // FILE-ALIGNED chunk window: take whole files (in path order)
+          // until the window reaches `chunkRecords`, at least one. A
+          // `row_index` range filter does NOT prune parquet row groups
+          // (only the file-constant `file_path` predicate prunes), so a
+          // window cutting a file mid-way re-decodes that whole file
+          // per adjacent chunk — at 100 TB that read amplification
+          // dwarfs the value of byte-exact chunk sizes. Aligned windows
+          // decode EXACTLY the rows they emit; `chunkRecords` becomes
+          // the window's minimum (chunks run up to one file longer),
+          // and resume offsets always land on file boundaries.
+          val win = layout.filter { case (_, base, c) =>
+            base >= lo && base < lo + chunkRecords
+          }
+          // an offset from a marker committed before chunks were
+          // file-aligned can sit MID-file: finish that file with a
+          // row_index filter (one transitional chunk pays the decode
+          // amplification once), then all further offsets are aligned
+          val head = layout.find { case (_, base, c) => base < lo && lo < base + c }
+          val hi = (win.lastOption, head) match {
+            case (Some((_, b, c)), _) => b + c
+            case (None, Some((_, b, c))) => b + c
+            case (None, None) => total
+          }
           if (lo < hi) {
-            // translate the global [lo, hi) window back into per-file
-            // row_index ranges at the driver: only overlapping files
-            // appear in the predicate, and within each file the filter
-            // is a plain row_index range (same pushdown as before)
-            val pred = layout.flatMap { case (p, base, c) =>
-              val llo = math.max(0L, lo - base)
-              val lhi = math.min(c, hi - base)
-              if (llo < lhi)
-                Some(col("_metadata.file_path") === p &&
-                  col("_metadata.row_index") >= llo &&
-                  col("_metadata.row_index") < lhi)
-              else None
-            }.reduce(_ || _)
+            val paths = win.map(_._1)
+            val filePred = if (paths.isEmpty) lit(false)
+              else col("_metadata.file_path").isin(paths: _*)
+            val pred = head match {
+              case Some((p, b, _)) => filePred ||
+                (col("_metadata.file_path") === p &&
+                  col("_metadata.row_index") >= lo - b)
+              case None => filePred
+            }
             val chunk = spark.read.parquet(shard).filter(pred)
             transform(chunk).write.mode("overwrite")
               .parquet(s"$outDir/shard_${shardKey(shard)}/off=$lo")
@@ -164,8 +186,30 @@ object ShardedLoader {
       budgetExhausted = chunks >= maxChunks && completed < shards.length)
   }
 
-  /** All records ingested so far (every committed chunk of every
-    * shard). */
-  def loaded(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/shard_*/off=*")
+  /** All records COMMITTED so far: only chunk directories whose offset
+    * the shard's marker has advanced past. A chunk written by a crash
+    * that died before its marker flip (the step-1/step-2 window in the
+    * crash protocol above) sits at `off >= marker.offset` and is
+    * excluded — reading it would surface rows the resume is about to
+    * overwrite. */
+  def loaded(spark: SparkSession, outDir: String, stateDir: String,
+      shards: Seq[String]): DataFrame = {
+    val dirs = shards.flatMap { shard =>
+      val committed = progress(spark, stateDir, shard).offset
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$outDir/shard_${shardKey(shard)}")
+      val f = fs(spark, outDir)
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("off=") &&
+            scala.util.Try(p.getName.stripPrefix("off=").toLong)
+              .toOption.exists(_ < committed)
+        }
+        .map(_.toString)
+    }
+    require(dirs.nonEmpty, "no committed chunks to load")
+    spark.read.parquet(dirs: _*)
+  }
 }

@@ -337,8 +337,18 @@ class SourcesSpec extends SparkSpec {
     val sq = spark
     import sq.implicits._
     val base = Files.createTempDirectory("graft_shardload").toString
-    spark.range(0, 10).select(col("id"), (col("id") * 2).as("v"))
-      .coalesce(1).write.parquet(s"$base/shardA")
+    // shard A: three 4-row files with path order = id order, so
+    // file-aligned chunks land at 0/4/8 with known contents
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/shardA"))
+    Seq((0L, 4L), (4L, 8L), (8L, 12L)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = s"$base/tmpA$i"
+      spark.range(lo, hi).select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$base/shardA/part-0000$i.parquet"))
+    }
     spark.range(100, 107).select(col("id"), (col("id") * 2).as("v"))
       .coalesce(1).write.parquet(s"$base/shardB")
     val shards = Seq(s"$base/shardA", s"$base/shardB")
@@ -350,16 +360,20 @@ class SourcesSpec extends SparkSpec {
     assert(pr.offset == 8 && !pr.done)
     assert(ShardedLoader.progress(spark, s"$base/state", s"$base/shardB").offset == 0)
     // torn chunk: a crashed attempt wrote data at the next offset but
-    // died BEFORE the marker flip — the resume must overwrite it
+    // died BEFORE the marker flip — loaded() must NOT surface it, and
+    // the resume must overwrite it
     Seq((-1L, -1L)).toDF("id", "v").write.mode("overwrite")
       .parquet(s"$base/out/shard_${ShardedLoader.shardKey(s"$base/shardA")}/off=8")
+    val committed = ShardedLoader.loaded(spark, s"$base/out", s"$base/state", shards)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(committed == (0L until 8L).toSeq) // no -1 row, no shard B yet
     val r2 = ShardedLoader.ingest(spark, shards, s"$base/state", s"$base/out",
       chunkRecords = 4)
     assert(!r2.budgetExhausted && r2.shardsCompleted == 2)
-    assert(r2.recordsWritten == 2 + 7) // shard A rows 8-9 + all of shard B
-    val got = ShardedLoader.loaded(spark, s"$base/out")
+    assert(r2.recordsWritten == 4 + 7) // shard A rows 8-11 + all of shard B
+    val got = ShardedLoader.loaded(spark, s"$base/out", s"$base/state", shards)
       .select("id").as[Long].collect().sorted.toSeq
-    assert(got == ((0L until 10L) ++ (100L until 107L)).sorted.toSeq)
+    assert(got == ((0L until 12L) ++ (100L until 107L)).sorted.toSeq)
     // a third run is a no-op (all shards done)
     val r3 = ShardedLoader.ingest(spark, shards, s"$base/state", s"$base/out",
       chunkRecords = 4)
@@ -378,16 +392,30 @@ class SourcesSpec extends SparkSpec {
     val shard = s"$base/shardM"
     val r = ShardedLoader.ingest(spark, Seq(shard), s"$base/state",
       s"$base/out", chunkRecords = 4)
-    assert(r.recordsWritten == 15 && r.shardsCompleted == 1 && r.chunksWritten == 4)
+    // file-aligned windows: each 5-row file exceeds the 4-row minimum,
+    // so every chunk is exactly one file — decoded rows == emitted rows
+    assert(r.recordsWritten == 15 && r.shardsCompleted == 1 && r.chunksWritten == 3)
     val key = ShardedLoader.shardKey(shard)
-    // every chunk dir holds EXACTLY its window's rows (the per-file
-    // cursor bug would triple the first chunk and leave later ones empty)
-    val sizes = Seq(0, 4, 8, 12).map(o =>
+    val sizes = Seq(0, 5, 10).map(o =>
       spark.read.parquet(s"$base/out/shard_$key/off=$o").count())
-    assert(sizes == Seq(4L, 4L, 4L, 3L))
-    val got = ShardedLoader.loaded(spark, s"$base/out")
+    assert(sizes == Seq(5L, 5L, 5L))
+    val got = ShardedLoader.loaded(spark, s"$base/out", s"$base/state", Seq(shard))
       .select("id").as[Long].collect().sorted.toSeq
     assert(got == (0L until 15L).toSeq)
+    // a marker committed by the PRE-alignment loader can sit mid-file:
+    // the resume finishes that file exactly (row_index residual, no
+    // skip, no dup), then realigns
+    val state3 = s"$base/state3"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(state3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$state3/shard_$key.json"),
+      s"""{"shard": "$shard", "offset": 7, "done": false}""".getBytes("UTF-8"))
+    val r2 = ShardedLoader.ingest(spark, Seq(shard), state3,
+      s"$base/out2", chunkRecords = 4)
+    assert(r2.recordsWritten == 8 && r2.shardsCompleted == 1)
+    val resumed = ShardedLoader.loaded(spark, s"$base/out2", state3, Seq(shard))
+      .count()
+    assert(resumed == 8)
     // commit-window crash: tmp written, old marker deleted, rename never
     // ran — only the .tmp survives and progress() must honor it
     val stateDir = s"$base/state2"
