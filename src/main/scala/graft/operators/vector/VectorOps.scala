@@ -253,24 +253,21 @@ case class SemanticDedup(
   def candidatePairs(df: DataFrame, centroids: DataFrame): DataFrame =
     candidatePairsFrom(df, assignedOf(df, centroids))
 
-  /** [[candidatePairs]] against a pre-computed (idCol, centroid_id)
-    * assignment, so [[kept]] shares ONE assignment subtree with the
-    * candidate generator instead of planning it twice.
-    *
-    * Cluster sizes are one row per centroid — k rows — so they are
-    * collected to the driver in one tiny action. That action decides the
-    * PLAN SHAPE: when every cluster is at or under the cap (the case the
-    * oracle exercises, and the common case whenever k tracks corpus
-    * size) the query compiles to the plain SemDeDup in-cluster pair join
-    * with none of the banded tier-2/3 machinery — no bands×bits×dim
-    * plane literals in codegen, no bucket-size groupBy, no 4-way
-    * union+distinct. The banded branches are attached only when an
-    * oversized cluster actually exists. */
-  private[vector] def candidatePairsFrom(df: DataFrame, assigned: DataFrame): DataFrame = {
-    val oversized: Seq[Any] = assigned.groupBy("centroid_id")
+  /** Cluster sizes are one row per centroid — k rows — collected to
+    * the driver in one tiny action. The result decides the PLAN SHAPE:
+    * banded tier-2/3 branches (bands×bits×dim plane literals, bucket
+    * groupBys, the 4-way union) attach only when an oversized cluster
+    * actually exists. */
+  private def oversizedClusters(assigned: DataFrame): Seq[Any] =
+    assigned.groupBy("centroid_id")
       .agg(count(lit(1)).as("__n")).collect().toIndexedSeq
       .filter(_.getAs[Long]("__n") > maxClusterSize).map(_.get(0))
 
+  /** [[candidatePairs]] against a pre-computed (idCol, centroid_id)
+    * assignment, so callers share ONE assignment subtree with the
+    * candidate generator instead of planning it twice. */
+  private[vector] def candidatePairsFrom(df: DataFrame, assigned: DataFrame): DataFrame = {
+    val oversized = oversizedClusters(assigned)
     // tier 1: small clusters — exact in-cluster pairs, the original
     // SemDeDup candidate set. Already distinct (each id lives in exactly
     // one cluster), so the no-oversized fast path needs no dedup pass.
@@ -278,10 +275,17 @@ case class SemanticDedup(
       if (oversized.isEmpty) assigned
       else assigned.filter(!col("centroid_id").isin(oversized: _*))
     val tier1 = pairsWithin(small, Seq("centroid_id"))
-    if (oversized.isEmpty) return tier1
+    if (oversized.isEmpty) tier1
+    else tier1.union(bandedPairs(df, assigned, oversized)).distinct()
+  }
 
-    // oversized clusters: re-bucket by banded hyperplane signs (recall
-    // machinery — near-dup pairs share a digest in some band w.h.p.)
+  /** Tier-2/3 narrow pairs for the OVERSIZED clusters only: re-bucket
+    * by banded hyperplane signs, exact pairs in under-cap sign buckets,
+    * salted splits + split-min representatives for identical cores. */
+  private def bandedPairs(df: DataFrame, assigned: DataFrame,
+      oversized: Seq[Any]): DataFrame = {
+    // recall machinery — near-dup pairs share a digest in some band
+    // w.h.p.
     val sigExpr = LshAnn(dim, bands * bitsPerBand, idCol, vecCol)
       .signature(col(vecCol))
     val banded = assigned.filter(col("centroid_id").isin(oversized: _*))
@@ -320,19 +324,48 @@ case class SemanticDedup(
       .select(least(col("__rep"), col(idCol)).as("id_a"),
         greatest(col("__rep"), col(idCol)).as("id_b"))
 
-    tier1.union(tier2).union(tier3within).union(tier3reps).distinct()
+    tier2.union(tier3within).union(tier3reps)
   }
 
   /** (idCol, centroid_id) rows that SURVIVE cluster-scoped keep-first
-    * collapse. */
+    * collapse.
+    *
+    * The tier-1 (in-cluster, under-cap) pair stream is evaluated as ONE
+    * self-join on centroid_id with the vectors ALREADY attached and the
+    * cosine threshold applied inline — the C(S,2)-per-cluster stream is
+    * piped straight through codegen and never materialized, sorted, or
+    * re-joined. The earlier narrow-pairs-then-back-join form re-sorted
+    * the full pair stream with 520-byte vectors attached to satisfy the
+    * second join; at 250k vectors × k=64 that sort spilled ~80 GB and
+    * filled the disk (measured — graft.VecProbe r11). Narrow-then-join
+    * is the right shape only for SPARSE candidate sets (the banded
+    * tier-2/3 streams, bounded by the cap), and those keep it. SMJ
+    * buffers one cluster's match group at a time — at most cap rows. */
   def kept(df: DataFrame, centroids: DataFrame): DataFrame = {
     val assigned = assignedOf(df, centroids)
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val drops = candidatePairsFrom(df, assigned)
-      .join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    val oversized = oversizedClusters(assigned)
+    val withVec = assigned.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val smallVec =
+      if (oversized.isEmpty) withVec
+      else withVec.filter(!col("centroid_id").isin(oversized: _*))
+    val t1drops = smallVec
+      .select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .join(smallVec.select(col("centroid_id"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb")), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("id_b").as(idCol))
+    val drops =
+      if (oversized.isEmpty) t1drops.distinct()
+      else {
+        val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+        val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+        val t23 = bandedPairs(df, assigned, oversized).distinct()
+          .join(va, Seq("id_a")).join(vb, Seq("id_b"))
+          .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+          .select(col("id_b").as(idCol))
+        t1drops.union(t23).distinct()
+      }
     assigned.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -350,6 +383,85 @@ case class SemanticDedup(
     val cents = KMeansOps.train(df, kEff, seed, vecCol)
     df.join(kept(df, cents).select(idCol), Seq(idCol), "left_semi")
   }
+}
+
+/** Incremental SemDeDup: [[graft.operators.dedup.IncrementalMinHashDedup]]'s
+  * delta-ingest protocol composed with [[SemanticDedup]] (reference
+  * anchor: framework/backend.py's sharded dedup state). The corpus
+  * persists as a NARROW (idCol, centroid_id, vecCol) index — store it
+  * partitioned by centroid_id; a new batch assigns map-only (one
+  * broadcast centroid row), probes only its OWN clusters' index rows
+  * ([[prunedIndex]] collects the batch's ≤ k distinct cluster ids and
+  * filters, so partition pruning keeps daily ingest cost proportional
+  * to the touched clusters' index size, not the corpus), and
+  * intra-batch duplicates reuse the batch operator's capped candidate
+  * machinery. Stream-order keep-first, exactly like the MinHash twin:
+  * an index hit rejects the batch row whether or not the indexed row
+  * itself survived — which equals the from-scratch batch result when
+  * batches arrive in id order (spec'd batch-vs-scratch equality). The
+  * cross probe is a left-semi join (no fan-out however dense an index
+  * cluster is); cosine evaluates inside the join condition. */
+case class IncrementalSemanticDedup(
+    threshold: Double = 0.95,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    maxClusterSize: Int = 8192,
+    dim: Int = 64,
+    bands: Int = 8,
+    bitsPerBand: Int = 8) {
+
+  private def sd = SemanticDedup(threshold, idCol, vecCol,
+    maxClusterSize, dim, bands, bitsPerBand)
+
+  /** Index rows for `df`: (idCol, centroid_id, vecCol). Append the
+    * SURVIVORS' rows (or the full batch, for all-prior semantics) to
+    * roll the state forward; no other state exists. */
+  def indexRows(df: DataFrame, centroids: DataFrame): DataFrame =
+    IvfIndex(idCol, vecCol).assign(df, centroids)
+      .select(col(idCol), col("centroid_id"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+
+  /** The stored index restricted to the clusters `batch` actually
+    * touches — one tiny driver action (≤ k cluster ids) buys partition
+    * pruning on a centroid_id-partitioned store. */
+  def prunedIndex(index: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val touched = IvfIndex(idCol, vecCol).assign(batch, centroids)
+      .select(col("centroid_id")).distinct().collect().map(_.get(0)).toSeq
+    index.filter(col("centroid_id").isin(touched: _*))
+  }
+
+  /** Batch rows rejected by the indexed corpus or by a smaller-id
+    * batch row. */
+  def rejectedIds(index: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val assigned = IvfIndex(idCol, vecCol).assign(batch, centroids)
+      .select(col(idCol), col("centroid_id"))
+      .localCheckpoint()
+    val bvec = assigned.join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+    val idx = index.select(col("centroid_id").as("__icid"),
+      col(vecCol).as("__ivec"))
+    val hitOld = bvec.join(idx,
+        col("centroid_id") === col("__icid") &&
+          round(graft.functions.VecFns.cosine(col(vecCol), col("__ivec")), 6)
+            >= threshold,
+        "left_semi")
+      .select(col(idCol))
+    val va = batch.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = batch.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val intra = sd.candidatePairsFrom(batch, assigned)
+      .join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(round(graft.functions.VecFns.cosine(col("__va"), col("__vb")), 6)
+        >= threshold)
+      .select(col("id_b").as(idCol))
+    hitOld.union(intra).distinct()
+  }
+
+  /** Rows of `batch` that near-duplicate neither the indexed corpus
+    * nor an earlier batch row. */
+  def survivors(index: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame =
+    batch.join(rejectedIds(index, batch, centroids), Seq(idCol), "left_anti")
 }
 
 /** K-means: MLlib train path + a pure-DataFrame Lloyd iteration for

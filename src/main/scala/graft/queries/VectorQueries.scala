@@ -40,6 +40,20 @@ object VectorQueries {
       IvfIndex().assign(emb, centroids)
     }),
 
+    "dedup_semantic_inc" -> ((s, dir) => {
+      // delta-ingest SemDeDup: the 40% batch deduped against the
+      // persisted index of the first 60% (same split convention as
+      // dedup_incremental), stream-order keep-first.
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val inc = IncrementalSemanticDedup(threshold = 0.35)
+      val index = inc.indexRows(emb.filter(col("vec_id") % 5 < 3), centroids)
+      inc.survivors(index, emb.filter(col("vec_id") % 5 >= 3), centroids)
+        .select("vec_id")
+    }),
+
     "kmeans_lloyd_assign" -> ((s, dir) => {
       // the CONVERGENCE-loop path (KMeansOps.fit): two deterministic
       // Lloyd iterations from the first-4-rows init, then assignment.
@@ -136,6 +150,32 @@ object VectorQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
          |  FROM scored)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "dedup_semantic_inc" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |a AS (
+        |  SELECT vec_id, cid AS centroid_id, embedding FROM (
+        |    SELECT v.vec_id, c.cid, v.embedding,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_distance(CAST(v.embedding AS DOUBLE[]), c.cvec), 6) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM embeddings v, cent c) t WHERE rn = 1),
+        |old AS (SELECT * FROM a WHERE vec_id % 5 < 3),
+        |new AS (SELECT * FROM a WHERE vec_id % 5 >= 3),
+        |rej AS (
+        |  SELECT DISTINCT n.vec_id FROM new n JOIN old o
+        |    ON n.centroid_id = o.centroid_id
+        |    AND round(list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+        |          CAST(o.embedding AS DOUBLE[])), 6) >= 0.35
+        |  UNION
+        |  SELECT DISTINCT b.vec_id FROM new x JOIN new b
+        |    ON x.centroid_id = b.centroid_id AND x.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])), 6) >= 0.35)
+        |SELECT vec_id FROM new
+        |WHERE vec_id NOT IN (SELECT vec_id FROM rej)""".stripMargin,
 
     "kmeans_lloyd_assign" ->
       """WITH c0 AS (

@@ -226,11 +226,12 @@ class PlanAuditSpec extends SparkSpec {
     // - perplexity: 1-row broadcast attach of the corpus token total
     // - q11_important_parts: 1-row broadcast attach of the grand-total
     //   scalar (decorrelated HAVING subquery — build side is one row)
-    // - dedup_semantic: the 1-row centroid attach again (via
-    //   IvfIndex.assign); its candidate join is a hash equi-join on
-    //   centroid_id
+    // - dedup_semantic / dedup_semantic_inc / kmeans_lloyd_assign: the
+    //   1-row centroid attach again (via IvfIndex.assign); their
+    //   candidate/probe joins are hash equi-joins on centroid_id
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
-      "perplexity", "q11_important_parts", "dedup_semantic")
+      "perplexity", "q11_important_parts", "dedup_semantic",
+      "dedup_semantic_inc", "kmeans_lloyd_assign")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -113,6 +113,28 @@ class VectorSpec extends SparkSpec {
     assert(keptCapped == keptUncapped)
   }
 
+  test("IncrementalSemanticDedup ≡ from-scratch SemanticDedup on id-ordered batches") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    val b1 = emb.filter(col("vec_id") < 300)
+    val b2 = emb.filter(col("vec_id") >= 300)
+    val inc = IncrementalSemanticDedup(threshold = 0.35)
+    val idx = inc.indexRows(b1, cents)
+    val s2 = inc.survivors(idx, b2, cents).select("vec_id").as[Long].collect().toSet
+    val s1 = SemanticDedup(threshold = 0.35).kept(b1, cents)
+      .select("vec_id").as[Long].collect().toSet
+    val scratch = SemanticDedup(threshold = 0.35).kept(emb, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1.union(s2) == scratch) // stream-order == id-order here
+    assert(s2.nonEmpty && (s1 ++ s2).size < 500) // real drops happened
+    // pruning the index to the batch's clusters changes nothing
+    val s2p = inc.survivors(inc.prunedIndex(idx, b2, cents), b2, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2p == s2)
+  }
+
   test("KMeansOps.fit converges to MLlib-comparable WSSSE and stops on tol") {
     // four well-separated blobs with small in-blob jitter; ids 0..3
     // land one per blob so the lowest-id init is non-degenerate
