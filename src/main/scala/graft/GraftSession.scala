@@ -95,8 +95,13 @@ object Tables {
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts DIV 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
+          // cast to the CONCRETE type: "timestamp" resolves through the
+          // spark.sql.timestampType session conf, and under
+          // TIMESTAMP_NTZ it would be a no-op cast that leaves
+          // unix_micros/watermark consumers rejecting the column
           raw.withColumn("ts",
-            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

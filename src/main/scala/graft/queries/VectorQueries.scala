@@ -77,6 +77,10 @@ object VectorQueries {
       // Centroids are the first 8 embeddings (deterministic, so the
       // oracle reproduces the assignment; kmeans_assign uses the same
       // convention — MLlib-trained centroids are the production path).
+      // threshold=0.35, NOT the operator/registry default 0.95: the
+      // synthetic corpus's independent hash-vectors cluster around
+      // cosine ≈ 0.3–0.5, so 0.95 would drop nothing and the oracle
+      // would only prove the identity; 0.35 exercises real drops.
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("centroid_id"),

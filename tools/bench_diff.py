@@ -37,11 +37,17 @@ def main():
                    help="absolute seconds added to the threshold (default 1.0): "
                         "single-shot sub-second keys on this shared host are "
                         "bimodal by ~1s (GC/codegen landing inside the window), "
-                        "so a purely relative gate flaps on them; the grace is "
-                        "noise-floor-sized and negligible for expensive keys")
+                        "so a purely relative gate flaps on them")
+    p.add_argument("--floor", type=float, default=1.0,
+                   help="baseline seconds below which the grace applies "
+                        "(default 1.0): keys with a baseline at or above the "
+                        "floor are already out of the noise floor, so they get "
+                        "the bare relative gate — without this, an 8x "
+                        "regression on a 0.15s key slid under the grace")
     ns = p.parse_args()
     gate = ns.gate
     grace = ns.grace
+    floor = ns.floor
     bench = json.loads(Path(ns.bench_json).read_text())
     queries = bench["queries"]
     folded = [k for k in queries if k.startswith("_fast_")]
@@ -59,10 +65,11 @@ def main():
         if b is None:
             new.append(name)
             print(f"NEW   {name:30s} {t:7.3f}s (no baseline)")
-        elif t > gate * b + grace:
+        elif t > gate * b + (grace if b < floor else 0.0):
             failures.append(name)
+            g = grace if b < floor else 0.0
             print(f"FAIL  {name:30s} {t:7.3f}s > {gate:.1f}x baseline {b:.3f}s "
-                  f"+ {grace:.1f}s grace ({t / b:.2f}x)")
+                  f"+ {g:.1f}s grace ({t / b:.2f}x)")
         else:
             print(f"ok    {name:30s} {t:7.3f}s vs {b:.3f}s ({t / b:.2f}x)")
     print(f"== {len(failures)} regression(s), {len(new)} new, "
