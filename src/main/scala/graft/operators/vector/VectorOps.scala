@@ -282,40 +282,56 @@ case class SemanticDedup(
   /** Tier-2/3 narrow pairs for the OVERSIZED clusters only: re-bucket
     * by banded hyperplane signs, exact pairs in under-cap sign buckets,
     * salted splits + split-min representatives for identical cores. */
-  private def bandedPairs(df: DataFrame, assigned: DataFrame,
-      oversized: Seq[Any]): DataFrame = {
+  private val bucketKey = Seq("centroid_id", "__band", "__digest")
+
+  /** Banded re-bucketing of the OVERSIZED clusters, vector carried:
+    * (under-cap sign-bucket rows, identical-core rows with `__sub`
+    * salt). The bucket-size attach is a BROADCAST join — bucket
+    * cardinality is bounded by k·bands·2^bitsPerBand, all config
+    * constants — so the wide banded stream is never sorted for it. */
+  private def bandedTables(df: DataFrame, assigned: DataFrame,
+      oversized: Seq[Any]): (DataFrame, DataFrame) = {
     // recall machinery — near-dup pairs share a digest in some band
     // w.h.p.
     val sigExpr = LshAnn(dim, bands * bitsPerBand, idCol, vecCol)
       .signature(col(vecCol))
     val banded = assigned.filter(col("centroid_id").isin(oversized: _*))
       .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col(idCol), col("centroid_id"), sigExpr.as("__sig"))
-      .select(col(idCol), col("centroid_id"),
+      .select(col(idCol), col("centroid_id"), col(vecCol), sigExpr.as("__sig"))
+      .select(col(idCol), col("centroid_id"), col(vecCol),
         posexplode(array((0 until bands).map(bd =>
           substring(col("__sig"), bd * bitsPerBand + 1, bitsPerBand)): _*)))
-      .toDF(idCol, "centroid_id", "__band", "__digest")
-    val bucketKey = Seq("centroid_id", "__band", "__digest")
-    val bsizes = banded.groupBy(bucketKey.map(col): _*)
+      .toDF(idCol, "centroid_id", vecCol, "__band", "__digest")
+    val bsizes = banded.select(bucketKey.map(col): _*)
+      .groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("__bn"))
-    val bkeyed = banded.join(bsizes, bucketKey)
-
-    // tier 2: sign buckets at or under the cap — exact in-bucket pairs
-    val tier2 = pairsWithin(
-      bkeyed.filter(col("__bn") <= maxClusterSize)
-        .select((bucketKey :+ idCol).map(col): _*), bucketKey)
-
-    // tier 3: the identical-core buckets (oversized even after the sign
-    // split), band 0 only — bands ≥ 1 would replay the same membership.
-    // Content-independent salt bounds the split size; the split-min
-    // representative stream preserves the collapse-to-global-min result.
+    val bkeyed = banded.join(broadcast(bsizes), bucketKey)
+    val under = bkeyed.filter(col("__bn") <= maxClusterSize)
+    // tier 3 input: the identical-core buckets (oversized even after
+    // the sign split), band 0 only — bands ≥ 1 would replay the same
+    // membership. Content-independent salt bounds the split size.
     val core = bkeyed.filter(col("__bn") > maxClusterSize && col("__band") === 0)
       .withColumn("__sub", pmod(xxhash64(col(idCol)),
         ceil(col("__bn").cast("double") / lit(maxClusterSize.toDouble)).cast("int"))
         .cast("int"))
+    (under, core)
+  }
+
+  /** Narrow (id_a, id_b) banded candidate pairs — the spec-facing
+    * bounded-candidate-count surface ([[candidatePairs]]). [[kept]]
+    * does NOT consume this: it pipelines the same streams through
+    * [[bandedDrops]] instead. */
+  private def bandedPairs(df: DataFrame, assigned: DataFrame,
+      oversized: Seq[Any]): DataFrame = {
+    val (under, core) = bandedTables(df, assigned, oversized)
+    // tier 2: sign buckets at or under the cap — exact in-bucket pairs
+    val tier2 = pairsWithin(
+      under.select((bucketKey :+ idCol).map(col): _*), bucketKey)
     val tier3within = pairsWithin(
       core.select((bucketKey ++ Seq("__sub", idCol)).map(col): _*),
       bucketKey :+ "__sub")
+    // the split-min representative stream preserves the
+    // collapse-to-global-min result across sub-splits
     val reps = core.groupBy((bucketKey :+ "__sub").map(col): _*)
       .agg(min(col(idCol)).as("__rep"))
       .select((bucketKey :+ "__rep").map(col): _*)
@@ -323,8 +339,41 @@ case class SemanticDedup(
       .filter(col("__rep") =!= col(idCol))
       .select(least(col("__rep"), col(idCol)).as("id_a"),
         greatest(col("__rep"), col(idCol)).as("id_b"))
-
     tier2.union(tier3within).union(tier3reps)
+  }
+
+  /** Dropped ids from the banded tiers with the cosine threshold
+    * applied INLINE on vector-carrying self-joins — at 1M vectors the
+    * "sparse" banded stream is ~10⁸ pairs (every cluster oversized at
+    * k=64), and the narrow-pairs-then-back-join form re-sorted it with
+    * vectors attached until the JVM died in GC (measured, §14). Same
+    * pair set as [[bandedPairs]] + cosine, evaluated streaming. */
+  private def bandedDrops(df: DataFrame, assigned: DataFrame,
+      oversized: Seq[Any]): DataFrame = {
+    val (under, core) = bandedTables(df, assigned, oversized)
+    def dropsWithin(members: DataFrame, keys: Seq[String]): DataFrame =
+      members.select(keys.map(col) :+ col(idCol).as("id_a") :+
+          col(vecCol).as("__va"): _*)
+        .join(members.select(keys.map(col) :+ col(idCol).as("id_b") :+
+          col(vecCol).as("__vb"): _*), keys)
+        .filter(col("id_a") < col("id_b") &&
+          round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+        .select(col("id_b").as(idCol))
+    val t2 = dropsWithin(under, bucketKey)
+    val t3w = dropsWithin(core, bucketKey :+ "__sub")
+    // rep stream: reps are ≤ one row per sub-split (corpus/cap rows
+    // total) — attaching their vectors is a narrow join on a SMALL
+    // table, then one equi-join back to the vector-carrying core
+    val reps = core.groupBy((bucketKey :+ "__sub").map(col): _*)
+      .agg(min(col(idCol)).as("__rep"))
+      .select((bucketKey :+ "__rep").map(col): _*)
+      .join(df.select(col(idCol).as("__rep"), col(vecCol).as("__rvec")),
+        Seq("__rep"))
+    val t3r = core.join(reps, bucketKey)
+      .filter(col("__rep") =!= col(idCol) &&
+        round(cosine(col(vecCol), col("__rvec")), 6) >= threshold)
+      .select(greatest(col("__rep"), col(idCol)).as(idCol))
+    t2.union(t3w).union(t3r)
   }
 
   /** (idCol, centroid_id) rows that SURVIVE cluster-scoped keep-first
@@ -337,10 +386,10 @@ case class SemanticDedup(
     * re-joined. The earlier narrow-pairs-then-back-join form re-sorted
     * the full pair stream with 520-byte vectors attached to satisfy the
     * second join; at 250k vectors × k=64 that sort spilled ~80 GB and
-    * filled the disk (measured — graft.VecProbe r11). Narrow-then-join
-    * is the right shape only for SPARSE candidate sets (the banded
-    * tier-2/3 streams, bounded by the cap), and those keep it. SMJ
-    * buffers one cluster's match group at a time — at most cap rows. */
+    * filled the disk (measured — graft.VecProbe r11). The banded
+    * tier-2/3 streams pipeline the same way ([[bandedDrops]]) — their
+    * "sparse" pair stream is ~10⁸ rows at 1M vectors. SMJ buffers one
+    * bucket's match group at a time — at most cap rows. */
   def kept(df: DataFrame, centroids: DataFrame): DataFrame = {
     val assigned = assignedOf(df, centroids)
     val oversized = oversizedClusters(assigned)
@@ -357,15 +406,7 @@ case class SemanticDedup(
       .select(col("id_b").as(idCol))
     val drops =
       if (oversized.isEmpty) t1drops.distinct()
-      else {
-        val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-        val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-        val t23 = bandedPairs(df, assigned, oversized).distinct()
-          .join(va, Seq("id_a")).join(vb, Seq("id_b"))
-          .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
-          .select(col("id_b").as(idCol))
-        t1drops.union(t23).distinct()
-      }
+      else t1drops.union(bandedDrops(df, assigned, oversized)).distinct()
     assigned.join(drops, Seq(idCol), "left_anti")
   }
 
