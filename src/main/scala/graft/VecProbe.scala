@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.vector.{IvfIndex, SemanticDedup}
+import graft.operators.vector.{IncrementalSemanticDedup, IvfIndex, SemanticDedup}
 import org.apache.spark.sql.functions._
 
 /** Vector-family scale probe: time nearest-centroid assignment and
@@ -23,9 +23,58 @@ import org.apache.spark.sql.functions._
   * stream.
   *
   * {{{ graft.VecProbe <dir> <threshold> <k[:cap]>... }}}
+  *
+  * `inc` mode probes [[IncrementalSemanticDedup]]'s delta-ingest cost
+  * shape: the corpus index is WRITTEN partitioned by centroid_id (the
+  * deployment layout), a cluster-CONCENTRATED batch (rows assigned to
+  * the first `clusters` centroids, ids offset into fresh territory) is
+  * deduped against it through [[IncrementalSemanticDedup.prunedIndex]],
+  * and the probe reports the touched-index row count next to the wall —
+  * the claim under test is that batch cost tracks the TOUCHED clusters'
+  * index size (n/k per cluster), not the corpus size, because the
+  * ≤ `clusters` distinct centroid ids prune the partitioned store.
+  *
+  * {{{ graft.VecProbe inc <dir> <threshold> <k> <clusters> <batchN> }}}
   */
 object VecProbe {
+  def incMain(args: Array[String]): Unit = {
+    require(args.length == 5,
+      "usage: VecProbe inc <dir> <threshold> <k> <clusters> <batchN>")
+    val Array(dir, thresholdS, kS, clustersS, batchNS) = args
+    val (threshold, k) = (thresholdS.toDouble, kS.toInt)
+    val (clusters, batchN) = (clustersS.toInt, batchNS.toInt)
+    val spark = GraftSession.local("graft-vecprobe-inc")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint()
+    val inc = IncrementalSemanticDedup(threshold)
+    val store = s"$dir/inc_index"
+    inc.indexRows(emb, cents).write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(store)
+    val index = spark.read.parquet(store)
+    // concentrated batch: members of the first `clusters` clusters with
+    // ids shifted into fresh territory — every row is an index near-dup
+    // (cosine 1.0), so the probe times the expensive all-hits path
+    val batch = index.filter(col("centroid_id") < clusters)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
+      .limit(batchN).localCheckpoint()
+    val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    System.gc()
+    val t0 = System.nanoTime()
+    val pruned = inc.prunedIndex(index, batch, cents).localCheckpoint()
+    val survivors = inc.survivors(pruned, batch, cents).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val touched = pruned.count()
+    val total = index.count()
+    println(f"inc_k${k}_c${clusters}_b$batchN,$sec%.1f,survivors=$survivors," +
+      f"touched_rows=$touched,index_rows=$total,load=${mx.getSystemLoadAverage}%.1f")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("inc")) return incMain(args.drop(1))
     require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k[:cap]>...")
     val dir = args(0)
     val threshold = args(1).toDouble
