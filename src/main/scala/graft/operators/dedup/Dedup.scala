@@ -129,13 +129,23 @@ case class MinHashLSH(
     * digits, exactly as [[signatureFromShingles]] derives it). */
   def bucketsFromHashes(ex: DataFrame): DataFrame = {
     val base = conv(substring(col("__h"), 1, 7), 16, 10).cast("long")
-    val sigs = ex.select(col(idCol), base.as("__x")).groupBy(idCol).agg(
-      min((col("__x") * coefA(0) + coefB(0)) % prime).as("sig_0"),
-      (1 until numHashes).map(i =>
-        min((col("__x") * coefA(i) + coefB(i)) % prime).as(s"sig_$i")): _*)
+    // ONE TypedImperativeAggregate computes the whole n-wide signature
+    // (tight long-array loop per row) instead of n separate min()
+    // aggregate columns: past spark.sql.codegen.maxFields (100) the
+    // declarative form loses whole-stage codegen and every row pays n
+    // interpreted expression walks — at the r=2 banding (n=340) that
+    // was the dominant cost of the whole pipeline. Identical 64-bit
+    // arithmetic, still map-side-combined (ObjectHashAggregate).
+    val sigs = ex.select(col(idCol), base.as("__x")).groupBy(idCol)
+      .agg(graft.plans.MinHashAgg.minhashSig(col("__x"),
+        (0 until numHashes).map(coefA), (0 until numHashes).map(coefB),
+        prime).as("__sig"))
     val digests = array((0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
-      md5(concat(concat_ws(",", cols: _*), lit(":" + b)))
+      // array_join over cast-to-string longs = concat_ws over long
+      // columns: both render via Cast(long -> string)
+      md5(concat(array_join(transform(
+        slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
+        x => x.cast("string")), ","), lit(":" + b)))
     }: _*)
     sigs.select(col(idCol), posexplode(digests).as(Seq("band", "bucket")))
   }
@@ -369,30 +379,33 @@ case class NgramJaccard(
     if (threshold >= 0.5) collapsedPairs(df, prefixFilteredPairs)
     else minhashVerifiedPairs(df, lowTauLsh)
 
-  /** MinHash-LSH sized for candidate recall at a LOW jaccard threshold:
-    * single-row bands (r = 1) keep the Broder S-curve 1−(1−t^r)^b steep
-    * near small t (any r ≥ 2 would need hundreds of bands at τ = 0.2),
-    * and b = ⌈ln(0.001)/ln(1−τ)⌉ bands give ≥ 99.9% per-pair recall AT
-    * the threshold — pairs above it are caught with exponentially better
-    * odds (j = 0.8 ⇒ miss ≈ 0.2^b ≈ 10⁻²¹). The price of r = 1 is wider
-    * buckets (every doc sharing one min-shingle collides), which
-    * `maxBucketSize` caps; verification cost stays one array_intersect
-    * per surviving candidate. */
-  def lowTauLsh: MinHashLSH = lowTauBanding(1)
+  /** The default low-τ banding: r = 2 since the single-aggregate
+    * signature ([[MinHashSignature]]) made signature cost flat in the
+    * hash count — see [[lowTauBanding]] for the measurements. r = 1
+    * remains available via `lowTauBanding(1)` (its single-min-shingle
+    * buckets go quadratic with corpus size; it wins only below ~5k
+    * docs, where everything is fast anyway). */
+  def lowTauLsh: MinHashLSH = lowTauBanding(2)
 
-  /** The same ≥ 99.9%-recall-at-τ sizing for an arbitrary band width:
-    * a τ-jaccard pair matches an r-row band with probability τ^r, so
+  /** ≥ 99.9%-recall-at-τ sizing for an arbitrary band width: a
+    * τ-jaccard pair matches an r-row band with probability τ^r, so
     * b = ⌈ln(10⁻³)/ln(1−τ^r)⌉ bands (r·b hashes) keep per-pair recall
-    * at the floor. Measured r=1 vs r=2 (graft.DedupProfile, τ=0.2),
-    * 5k-doc bench corpus AND its 10× replica (SURVEY §5.11): r=2
-    * (340 hashes / 170 bands) cuts candidates 14× at 5k
-    * (280,686 → 19,800) but its 11× wider signature aggregate loses on
-    * wall there (27 → 34 s); at 50k docs the r=1 candidate volume has
-    * gone quadratic (558/doc vs 56/doc) and r=2 wins 3.1× (260 → 84 s),
-    * verified pairs identical at both sizes (256 resp. 250,600 —
-    * recall preserved). The crossover sits between 5k and 50k on this
-    * vocabulary; above it, run `minhashVerifiedPairs(df,
-    * lowTauBanding(2))` — the driver-gated `dedup_jaccard_r2` key. */
+    * at the floor — pairs above τ are caught with exponentially better
+    * odds (the Broder S-curve). Wider bands trade signature width for
+    * bucket selectivity: r=2 at τ=0.2 needs 340 hashes / 170 bands but
+    * cuts candidates 13× (42.5/doc vs 558/doc at 50k docs).
+    *
+    * Measured (graft.DedupProfile, τ=0.2, same box, r11 — the
+    * [[MinHashSignature]] one-aggregate signature; the pre-r11
+    * n-min-columns aggregate lost whole-stage codegen past 100 fields
+    * and made r=2's 340 hashes artificially expensive): at 5k docs
+    * r=2 already edges r=1 (4.8 vs 5.7 s in bench context); at 50k
+    * docs the r=1 candidate volume has gone quadratic and **r=2 wins
+    * 8.0× (518.7 → 65.1 s)**, verified pairs identical at both sizes
+    * (256 resp. 250,600 — recall preserved, the equivalence the
+    * DedupSpec r=1≡r=2≡exact test pins). Hence r=2 is the [[pairs]]
+    * default; `dedup_ngram_jaccard` keeps the r=1 banding registered
+    * so both paths stay regression-gated. */
   def lowTauBanding(rowsPerBand: Int): MinHashLSH = {
     // r=1 keeps its historical 64-band cap; wider bands need more of
     // them for the same recall floor, so the cap scales with r

@@ -285,8 +285,13 @@ object TextQueries {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // pinned to the r=1 banding: the operator DEFAULT is now r=2
+      // (lowTauLsh — the measured 8× winner at 50k docs), which
+      // dedup_jaccard_r2 below gates; keeping r=1 registered here
+      // keeps BOTH banding paths oracle-checked and bench-gated
       val docs = Tables.load(s, dir, "documents")
-      NgramJaccard(3, 0.2).pairs(docs)
+      val nj = NgramJaccard(3, 0.2)
+      nj.minhashVerifiedPairs(docs, nj.lowTauBanding(1))
     }),
 
     // the measured at-scale default (SURVEY §5.11: r=2 banding wins

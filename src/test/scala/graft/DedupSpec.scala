@@ -81,7 +81,9 @@ class DedupSpec extends SparkSpec {
   test("low-τ pairs (MinHash-verified) ≡ exact count-join at τ=0.2 (sf0.001)") {
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val nj = NgramJaccard(3, 0.2)
-    assert(nj.lowTauLsh.bands == 31) // ⌈ln(0.001)/ln(0.8)⌉ per the Broder curve
+    // default banding is r=2 since r11: ⌈ln(10⁻³)/ln(1−0.04)⌉ bands
+    assert(nj.lowTauLsh.bands == 170 && nj.lowTauLsh.numHashes == 340)
+    assert(nj.lowTauBanding(1).bands == 31) // ⌈ln(0.001)/ln(0.8)⌉, Broder curve
     val exact = nj.countJoinPairs(corpus)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
     val fast = nj.pairs(corpus)
@@ -103,6 +105,28 @@ class DedupSpec extends SparkSpec {
     val exact = nj.countJoinPairs(corpus)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
     assert(r2pairs == exact && r1pairs == exact)
+  }
+
+  test("MinHashSignature agg ≡ declarative n-column min formulation") {
+    // the TypedImperativeAggregate behind bucketsFromHashes: identical
+    // values to the n separate min((x*a+b)%p) aggregate columns it
+    // replaced (the declarative form loses codegen past 100 fields),
+    // and an all-null group evaluates to null
+    val mh = MinHashLSH(numHashes = 12, bands = 4)
+    val rows = Seq((1L, Some(77L)), (1L, Some(123456789L)), (1L, Some(5L)),
+      (2L, Some(999L)), (3L, None))
+      .toDF("doc_id", "__x")
+    val agg = rows.groupBy($"doc_id")
+      .agg(graft.plans.MinHashAgg.minhashSig($"__x",
+        (0 until 12).map(mh.coefA), (0 until 12).map(mh.coefB),
+        mh.prime).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val decl = rows.groupBy($"doc_id")
+      .agg(array((0 until 12).map(i =>
+        min(($"__x" * mh.coefA(i) + mh.coefB(i)) % mh.prime)): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(agg(1L).get == decl(1L) && agg(2L).get == decl(2L))
+    assert(agg(3L).isEmpty && decl(3L).forall(_ == null))
   }
 
   test("collapsedLshPairs collapses bit-identical vectors before LSH") {
