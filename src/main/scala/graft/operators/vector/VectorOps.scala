@@ -505,6 +505,81 @@ case class IncrementalSemanticDedup(
     batch.join(rejectedIds(index, batch, centroids), Seq(idCol), "left_anti")
 }
 
+/** Embedding-space decontamination: a corpus row is contaminated when
+  * its embedding lies within cosine `threshold` of ANY benchmark
+  * embedding — the paraphrase-robust complement of the n-gram
+  * [[graft.operators.text.Decontaminator]] (reworded eval leakage
+  * defeats shingle overlap but barely moves an embedding; the SemDeDup
+  * observation applied to benchmark contamination).
+  *
+  * Scale shape, exact path: the benchmark side is an EVAL SUITE — a
+  * few thousand rows — so it collapses to ONE broadcast row holding
+  * all its vectors, and each corpus row folds an `exists` over it:
+  * map-only, zero corpus shuffle, zero recall loss, the
+  * [[IvfIndex.assign]] centroid-attach shape with a short-circuiting
+  * any-match instead of an argmin. Per-row cost is |benchmark| fused
+  * dot products; past ~10⁵ benchmark rows switch to
+  * [[contaminatedIdsLsh]], which equi-joins banded hyperplane sign
+  * digests (the [[graft.operators.dedup.EmbeddingNearDup]] recall
+  * machinery: a τ-close pair shares a bucket in some band w.h.p.) and
+  * verifies survivors exactly — candidates are a broadcast hash join
+  * on the digest, never a nested loop. */
+case class SemanticDecontaminator(
+    threshold: Double = 0.95,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    dim: Int = 64,
+    bands: Int = 8,
+    bitsPerBand: Int = 8) {
+  import graft.functions.VecFns.cosine
+
+  /** ids of corpus rows within `threshold` of some benchmark vector
+    * (exact, benchmark broadcast as one collected row). */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bench = benchmark.agg(collect_list(col(vecCol)).as("__bench"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(bench))
+      .filter(exists(col("__bench"),
+        b => round(cosine(col(vecCol), b), 6) >= threshold))
+      .select(col(idCol))
+  }
+
+  /** The 100 TB candidate path: banded sign-digest equi-join + exact
+    * cosine verification. Same S-curve recall bound as
+    * [[SemanticDedup]]'s tier-2 (probability 1−(1−p^bits)^bands of
+    * co-bucketing a τ-close pair); identical copies collide in every
+    * band, so true leakage (verbatim or near-verbatim) is caught with
+    * near-certainty. */
+  def contaminatedIdsLsh(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val sig = LshAnn(dim, bands * bitsPerBand, idCol, vecCol)
+      .signature(col(vecCol))
+    def banded(df: DataFrame) = df
+      .select(col(idCol), col(vecCol), sig.as("__sig"))
+      .select(col(idCol), col(vecCol), posexplode(array(
+        (0 until bands).map(b =>
+          substring(col("__sig"), b * bitsPerBand + 1, bitsPerBand)): _*))
+        .as(Seq("__band", "__digest")))
+    val b = banded(benchmark)
+      .select(col("__band"), col("__digest"), col(vecCol).as("__bvec"))
+    banded(corpus).join(broadcast(b), Seq("__band", "__digest"))
+      .filter(round(cosine(col(vecCol), col("__bvec")), 6) >= threshold)
+      .select(col(idCol)).distinct()
+  }
+
+  /** corpus + `is_contaminated` flag. */
+  def flag(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, benchmark)
+        .withColumn("is_contaminated", lit(true)),
+      Seq(idCol), "left_outer")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+
+  /** corpus with contaminated rows removed (anti join). */
+  def apply(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark), Seq(idCol), "left_anti")
+}
+
 /** K-means: MLlib train path + a pure-DataFrame Lloyd iteration for
   * environments where the model must stay a DataFrame (reference:
   * models/kmeans). */

@@ -86,6 +86,20 @@ object VectorQueries {
         .select(col("vec_id").cast("int").as("centroid_id"),
           transform(col("embedding"), x => x.cast("double")).as("cvec"))
       SemanticDedup(threshold = 0.35).kept(emb, centroids)
+    }),
+
+    "decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: benchmark = first 20 vectors
+      // (deterministic eval-suite stand-in), corpus = the rest; 0.35
+      // for the same reason dedup_semantic uses it (the hash-derived
+      // corpus clusters around cosine 0.3-0.5, so the production-ish
+      // 0.95 would flag nothing and prove only the identity)
+      val emb = Tables.load(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      SemanticDecontaminator(threshold = 0.35)
+        .flag(corpus, bench)
+        .select("vec_id", "is_contaminated")
     })
   )
 
@@ -281,6 +295,14 @@ object VectorQueries {
         |    AND round(list_cosine_similarity(
         |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.35)
         |SELECT a.vec_id, a.centroid_id FROM asg a
-        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """SELECT c.vec_id,
+        |  EXISTS(SELECT 1 FROM embeddings b WHERE b.vec_id < 20
+        |    AND round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])), 6) >= 0.35)
+        |    AS is_contaminated
+        |FROM embeddings c WHERE c.vec_id >= 20""".stripMargin
   )
 }

@@ -229,9 +229,12 @@ class PlanAuditSpec extends SparkSpec {
     // - dedup_semantic / dedup_semantic_inc / kmeans_lloyd_assign: the
     //   1-row centroid attach again (via IvfIndex.assign); their
     //   candidate/probe joins are hash equi-joins on centroid_id
+    // - decontaminate_semantic: 1-row broadcast attach of the collected
+    //   benchmark-vector array (an eval suite, bounded by definition);
+    //   the corpus side is a map-only exists() fold over it
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
-      "dedup_semantic_inc", "kmeans_lloyd_assign")
+      "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
