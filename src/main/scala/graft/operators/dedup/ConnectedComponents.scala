@@ -67,4 +67,26 @@ object ConnectedComponents {
     df.join(comp.filter(col(idCol) === col("component")).select(idCol),
       Seq(idCol), "left_semi")
   }
+
+  /** One survivor per component chosen by QUALITY: the member
+    * maximizing `score` (ties: smallest id) — the RefinedWeb/FineWeb
+    * "keep the best copy" rule instead of keep-first min-id, so a
+    * boilerplate stub never shadows the full article it near-matches.
+    *
+    * Scale shape: `score` evaluates map-side on the corpus, the
+    * component labels join on the narrow id, and the selection is one
+    * `max_by` aggregate per component (lexicographic (score, −id)
+    * struct — deterministic without a window over the corpus); the
+    * full rows return via LEFT SEMI, so the wide payload never sorts
+    * or shuffles beyond the id join. */
+  def survivorsBy(df: DataFrame, edges: DataFrame,
+      score: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = apply(edges, df.select(idCol), idCol)
+    val scored = df.select(col(idCol), score.as("__q")).join(comp, Seq(idCol))
+    val best = scored.groupBy("component")
+      .agg(max_by(col(idCol),
+        struct(col("__q"), (-col(idCol)).as("__nid"))).as(idCol))
+    df.join(best.select(idCol), Seq(idCol), "left_semi")
+  }
 }

@@ -56,6 +56,17 @@ object DedupQueries {
       ConnectedComponents(mh.candidatePairs(docs), docs.select("doc_id"))
     }),
 
+    // quality-aware survivor selection: per near-dup component keep
+    // the LONGEST member (ties: smallest id) — the RefinedWeb "best
+    // copy" rule; oracle = the components CTE + a per-component
+    // ORDER BY quality DESC, doc_id window
+    "dedup_quality_survivors" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ConnectedComponents
+        .survivorsBy(docs, mh.candidatePairs(docs), length(col("text")))
+        .select(col("doc_id"), length(col("text")).as("quality"))
+    }),
+
     // delta-ingest dedup: the new 40% of the corpus deduped against the
     // persisted band-bucket index of the first 60% — corpus text is
     // never re-shingled, only its narrow index joins
@@ -140,6 +151,31 @@ object DedupQueries {
          |  UNION
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1""".stripMargin,
+
+    "dedup_quality_survivors" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |scored AS (
+         |  SELECT c.component, d.doc_id, length(d.text) AS quality
+         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+         |best AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY component
+         |      ORDER BY quality DESC, doc_id ASC) AS rn
+         |    FROM scored) t WHERE rn = 1)
+         |SELECT s.doc_id, s.quality FROM scored s
+         |JOIN best b ON s.doc_id = b.doc_id""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH $mhSigSql,

@@ -21,4 +21,20 @@ class ComponentsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 7L))
   }
+
+  test("survivorsBy keeps the best-quality member per component") {
+    import org.apache.spark.sql.functions.length
+    // component {1,2,3}: 2 is longest → survives over min-id 1;
+    // component {10,11}: tie on length → min id 10; isolate 7 passes
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, "aa"), (2L, "bbbb"), (3L, "c"),
+      (10L, "xx"), (11L, "yy"), (7L, "d")).toDF("doc_id", "text")
+    val kept = ConnectedComponents.survivorsBy(docs, edges, length($"text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 10L, 7L))
+    // degenerate: empty edge set → everything is its own component
+    val none = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    assert(ConnectedComponents.survivorsBy(docs, none, length($"text"))
+      .count() == 6L)
+  }
 }
