@@ -187,3 +187,65 @@ case class TokenBudgetSampler(idCol: String = "doc_id",
     df.join(picked, Seq(idCol), "left_semi")
   }
 }
+
+/** Deterministic training-shard layout — the step between a curated
+  * corpus and the trainer's data loader (the reference's pipeline ends
+  * at a writer; an LLM run additionally needs its input GLOBALLY
+  * shuffled and split into a fixed number of shards whose order every
+  * rerun and every engine reproduces: epoch order is part of the
+  * experiment).
+  *
+  * Order comes from the salted-md5 family (`:ord:` salt), sharding
+  * from an independent `:shard:` salt — decorrelated hashes, no RNG
+  * state, byte-identical layout on any cluster/partitioning. A shard
+  * read in `pos` order replays its slice of the global permutation.
+  *
+  * Scale shape: shard assignment is map-only; the per-shard `pos`
+  * rank is a window over (shard) sorted by the order key — that sort
+  * IS the physical write layout (ordered shard files are the
+  * product), it scales per-shard (n/nShards rows each, grow nShards
+  * with the corpus), and the wide payload shuffles exactly once, on
+  * the shard key. */
+case class TrainingShardLayout(nShards: Int = 32,
+    idCol: String = "doc_id", seed: String = "graft") {
+  require(nShards > 0, "nShards must be positive")
+
+  private def orderKey: Column =
+    md5(concat(col(idCol).cast("string"), lit(":ord:" + seed)))
+
+  /** Map-only shard id in [0, nShards). */
+  def shard: Column =
+    pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":shard:" + seed))), 1, 7), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+
+  /** All input columns + (shard, pos): pos is the 0-based rank within
+    * the shard under the shuffled order (ties impossible — the id is
+    * the tiebreak). */
+  def assign(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(orderKey, col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Write `outDir/shard=K/` parquet, each shard's file(s) sorted by
+    * `pos`, plus a `_manifest` parquet of per-shard row/token counts —
+    * what a data-loader needs to plan an epoch without opening shards.
+    * Returns the manifest. */
+  def write(df: DataFrame, outDir: String,
+      tokenCount: Option[Column] = None): DataFrame = {
+    val assigned = assign(
+      tokenCount.map(tc => df.withColumn("__tok", tc.cast("long")))
+        .getOrElse(df))
+    assigned
+      .repartition(nShards, col("shard")).sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = assigned.groupBy("shard").agg(
+      count(lit(1)).as("rows"),
+      (if (tokenCount.isDefined) sum(col("__tok")) else lit(null).cast("long"))
+        .as("tokens"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+}

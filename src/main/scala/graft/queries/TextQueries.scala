@@ -163,6 +163,15 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // deterministic training-shard layout: global md5-shuffled order
+    // split into a fixed shard count — epoch order is part of the
+    // experiment, so any engine must reproduce (shard, pos) exactly
+    "training_shards" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TrainingShardLayout(nShards = 8).assign(docs)
+        .select("doc_id", "shard", "pos")
+    }),
+
     // deterministic 3-per-language sample (hash-ranked reservoir)
     "sample_per_group" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -709,6 +718,18 @@ object TextQueries {
         |SELECT doc_id, source FROM c
         |WHERE cum - tok < budget // 4 +
         |  (CASE WHEN shard < budget % 4 THEN 1 ELSE 0 END)""".stripMargin,
+
+    "training_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':shard:graft'), 1, 7)) AS BIGINT) % 8 AS INT) AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':ord:graft') AS ok
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+        |    - 1 AS BIGINT) AS pos
+        |FROM t""".stripMargin,
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

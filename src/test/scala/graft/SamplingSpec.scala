@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.text.{HashSampler, PiiRedactor, TokenBudgetSampler}
+import graft.operators.text.{HashSampler, PiiRedactor, TokenBudgetSampler, TrainingShardLayout}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -161,5 +161,35 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Int, Int, Int, Int)].head()
     assert(out._1 == "mail me at <EMAIL> or <PHONE>; ssn <SSN> host <IP>")
     assert((out._2, out._3, out._4, out._5) == (1, 1, 1, 1))
+  }
+
+  test("training-shard layout: partition-invariant, exhaustive, ordered on disk") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tsl = TrainingShardLayout(nShards = 4)
+    val a = tsl.assign(docs).select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    // layout must not depend on the input's physical partitioning
+    val b = tsl.assign(docs.repartition(7)).select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    // exhaustive permutation: every doc exactly once, per-shard pos is
+    // a gapless 0..n_k-1 range
+    assert(a.size == docs.count())
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet)
+    }
+    // written shards are parquet dirs sorted by pos with a manifest
+    // that matches them
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = tsl.write(docs, out,
+      tokenCount = Some(size(split(col("text"), " "))))
+      .as[(Int, Long, Long)].collect().map { case (s, r, t) => s -> (r, t) }.toMap
+    (0 until 4).foreach { k =>
+      val rows = spark.read.parquet(s"$out/shard=$k")
+        .select("pos").as[Long].collect()
+      assert(rows.toSeq == rows.sorted.toSeq, s"shard $k not pos-ordered")
+      assert(manifest(k)._1 == rows.length)
+    }
+    assert(manifest.values.map(_._1).sum == docs.count())
   }
 }
