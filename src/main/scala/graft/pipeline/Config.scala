@@ -325,7 +325,56 @@ object OperatorRegistry {
         idCol = str(p, "id_field", "doc_id"),
         vecCol = str(p, "vec_field", "embedding"),
         maxClusterSize = int(p, "max_cluster_size", 1 << 16))
-        .dedup(df, k = int(p, "k", 64), seed = int(p, "seed", 42).toLong)))
+        .dedup(df, k = int(p, "k", 64), seed = int(p, "seed", 42).toLong))),
+
+    // embedding-space decontamination (B31): drop frame rows within
+    // cosine-threshold of any benchmark vector. params {benchmark_path:
+    // parquet of eval-suite rows carrying vec_field}; mode=lsh switches
+    // to the banded-digest candidate path for oversized benchmarks
+    "semantic_decontaminator" -> (p => RefineOp("semantic_decontaminator",
+      df => {
+        val sd = graft.operators.vector.SemanticDecontaminator(
+          threshold = dbl(p, "threshold", 0.95),
+          idCol = str(p, "id_field", "doc_id"),
+          vecCol = str(p, "vec_field", "embedding"))
+        val bench = df.sparkSession.read.parquet(p("benchmark_path").toString)
+        str(p, "mode", "exact") match {
+          case "exact" => sd(df, bench)
+          case "lsh" => df.join(sd.contaminatedIdsLsh(df, bench),
+            Seq(str(p, "id_field", "doc_id")), "left_anti")
+          case other => throw new IllegalArgumentException(
+            s"semantic_decontaminator mode must be exact|lsh, got $other")
+        }
+      })),
+
+    // quality-aware near-dup collapse (B32): component the MinHash
+    // candidate graph, keep the best-quality member of each component
+    // (quality_field if given, else text length)
+    "quality_survivor_deduplicator" -> (p => RefineOp(
+      "quality_survivor_deduplicator",
+      df => {
+        val id = str(p, "id_field", "doc_id")
+        val lsh = graft.operators.dedup.MinHashLSH(
+          numHashes = int(p, "num_hashes", 12), bands = int(p, "bands", 4),
+          shingleSize = int(p, "shingle_size", 3),
+          textCol = str(p, "text_field", "text"), idCol = id)
+        val score = p.get("quality_field") match {
+          case Some(f) => col(f.toString)
+          case None =>
+            org.apache.spark.sql.functions.length(
+              col(str(p, "text_field", "text")))
+        }
+        graft.operators.dedup.ConnectedComponents
+          .survivorsBy(df, lsh.candidatePairs(df), score, id)
+      })),
+
+    // training-shard layout (B33): attach (shard, pos) — deterministic
+    // global shuffle order the downstream writer lays out per shard
+    "training_shard_assigner" -> (p => RefineOp("training_shard_assigner",
+      df => graft.operators.text.TrainingShardLayout(
+        nShards = int(p, "n_shards", 32),
+        idCol = str(p, "id_field", "doc_id"),
+        seed = str(p, "seed", "graft")).assign(df)))
   )
 
   def build(name: String, params: Params): PipelineOp =

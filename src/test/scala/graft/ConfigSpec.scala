@@ -259,6 +259,43 @@ class ConfigSpec extends SparkSpec {
     assert(out.nonEmpty && out.subsetOf(Set(12L, 13L, 14L)) && out.size < 3)
   }
 
+  test("r11 ops run from YAML: semantic decontam, quality survivors, shard assign") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_vecs").toString
+    def v(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val b1 = v(1)
+    Seq((100L, b1)).toDF("doc_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/bench")
+    val yaml =
+      s"""stages:
+         |  - name: curate
+         |    operators:
+         |      - name: semantic_decontaminator
+         |        params: {benchmark_path: "$tmp/bench", threshold: 0.95}
+         |      - name: quality_survivor_deduplicator
+         |        params: {num_hashes: 12, bands: 6}
+         |      - name: training_shard_assigner
+         |        params: {n_shards: 2}
+         |""".stripMargin
+    val near = b1.clone(); near(0) = near(0) + 0.01f
+    val docs = Seq(
+      (1L, "an eval-leaked row that must be dropped by embedding", near),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", v(7)),
+      (3L, "the QUICK brown fox jumps over the lazy dog AGAIN and again padded longer", v(8)),
+      (4L, "a genuinely distinct document with its own vocabulary", v(9)))
+      .toDF("doc_id", "text", "embedding")
+    val out = PipelineConfig.parse(yaml)(docs)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // 1 decontaminated (cos≈1 to the benchmark row); 2/3 near-dup with
+    // 3 the LONGER member → 3 survives; 4 isolated
+    assert(kept == Set(3L, 4L))
+    assert(out.columns.contains("shard") && out.columns.contains("pos"))
+    val sp = out.select("shard", "pos").as[(Int, Long)].collect()
+    assert(sp.forall { case (s, _) => s == 0 || s == 1 })
+  }
+
   test("CLI index-build + two-day ingest loop: dups stop at the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
