@@ -1,0 +1,134 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection with importance resampling (Xie et al.
+  * 2023, arXiv:2302.03169 "Data Selection for Language Models via
+  * Importance Resampling"): score each raw document by how much more
+  * likely its hashed n-gram features are under a TARGET distribution
+  * (a high-quality exemplar set — curated wiki/books, an in-domain
+  * corpus) than under the RAW distribution, then resample top-k by
+  * importance weight. This is the selection family the reference's
+  * quality models feed (operators/refiners — model-scored filtering);
+  * DSIR replaces the trained scorer with closed-form n-gram statistics,
+  * so it runs before any model exists.
+  *
+  * Features are hashed unigrams + bigrams over normalized tokens,
+  * folded into `buckets` counts (the paper's hashed n-gram model; the
+  * hash is an md5 prefix so any engine reproduces the bucketing).
+  * Per-bucket log-likelihood-ratio:
+  *
+  *   λ(b) = ln p̂_target(b) − ln p̂_raw(b),   p̂(b) = (cnt(b)+α)/(N+αB)
+  *
+  * and a document's score is Σ_features λ(bucket(f)) — evaluated as an
+  * explode → broadcast join on the λ table → per-doc sum.
+  *
+  * Scale shape: both distribution tables are ≤ `buckets` rows (config
+  * constant — broadcastable at any corpus size), built by one
+  * map-side-combined groupBy each; scoring joins the corpus feature
+  * stream against the broadcast λ table and re-aggregates per doc —
+  * the corpus payload itself never shuffles (selection comes back as a
+  * semi join on the id). Resampling is the Gumbel-top-k trick: adding
+  * G = −ln(−ln U) to a log-weight and taking the global top-k draws k
+  * documents without replacement with probability proportional to the
+  * importance weight — and U here is a salted-md5 uniform
+  * ([[HashSampler]]'s 28-bit family), so the "randomness" is a pure
+  * deterministic column: rerun-stable on any cluster layout and
+  * replayable by a SQL oracle. The global top-k is a TakeOrdered (heap
+  * per partition + k-row driver merge), never a full sort. */
+case class DsirSelector(
+    buckets: Int = 1024,
+    alpha: Double = 1.0,
+    seed: String = "dsir",
+    idCol: String = "doc_id",
+    textCol: String = "text") {
+  require(buckets > 0 && alpha > 0.0, "buckets and alpha must be positive")
+
+  import graft.functions.TextFns.wordShingles
+
+  /** md5-prefix bucket in [0, buckets) for a feature string (the
+    * engine-portable [[HashSampler]] hash family). */
+  private def bucketOf(feat: Column): Column =
+    pmod(conv(substring(md5(concat(feat, lit(":" + seed))), 1, 7), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** (idCol, __bucket) — one row per unigram+bigram occurrence. */
+  private def features(df: DataFrame): DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(concat(
+        wordShingles(col(textCol), 1), wordShingles(col(textCol), 2))).as("__f"))
+      .select(col(idCol), bucketOf(col("__f")).as("__bucket"))
+
+  /** Per-bucket occurrence counts (≤ `buckets` rows). */
+  private def bucketCounts(df: DataFrame): DataFrame =
+    features(df).groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+
+  /** The λ table: (__bucket, lam) for every bucket either side
+    * populates, with additive-α smoothing so unseen buckets stay
+    * finite. Rounded to 9 dp — portable across engines evaluating the
+    * same doubles. */
+  def logRatios(raw: DataFrame, target: DataFrame): DataFrame = {
+    val t = bucketCounts(target).withColumnRenamed("__cnt", "__ct")
+    val r = bucketCounts(raw).withColumnRenamed("__cnt", "__cr")
+    val tTot = t.agg(sum(col("__ct")).as("__tt"))
+    val rTot = r.agg(sum(col("__cr")).as("__rt"))
+    val aB = alpha * buckets
+    t.join(r, Seq("__bucket"), "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__bucket"),
+        round(
+          log((coalesce(col("__ct"), lit(0L)) + alpha) / (col("__tt") + aB)) -
+          log((coalesce(col("__cr"), lit(0L)) + alpha) / (col("__rt") + aB)),
+          9).as("lam"))
+  }
+
+  /** (idCol, dsir_score): Σ λ over the document's hashed features,
+    * rounded to 6 dp. Documents with no features (blank text) score
+    * 0. */
+  def scored(raw: DataFrame, target: DataFrame): DataFrame = {
+    val lam = logRatios(raw, target)
+    val sums = features(raw)
+      .join(broadcast(lam), Seq("__bucket"))
+      .groupBy(idCol).agg(round(sum(col("lam")), 6).as("dsir_score"))
+    raw.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0.0)))
+  }
+
+  /** Deterministic Gumbel noise for the resampling draw: U is the
+    * (h+0.5)/2^24 salted-md5 uniform (24-bit prefix; never exactly 0
+    * or 1), G = −ln(−ln U), rounded 6 dp. */
+  private def gumbel: Column =
+    round(-log(-log((conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed + ":gum"))), 1, 6), 16, 10).cast("double") + 0.5) /
+      16777216.0)), 6)
+
+  /** Gumbel-top-k importance resampling: k ids drawn without
+    * replacement with probability ∝ exp(dsir_score / temperature).
+    * Returns (idCol, dsir_score, rnk) with rnk 1..k by the perturbed
+    * weight (ties broken by id). `temperature` flattens (>1) or
+    * sharpens (<1) the draw; temperature → 0 degrades to plain top-k
+    * by score. */
+  def resample(raw: DataFrame, target: DataFrame, k: Int,
+      temperature: Double = 1.0): DataFrame = {
+    require(k > 0 && temperature > 0.0, "k and temperature must be positive")
+    // orderBy+limit is a TakeOrdered (per-partition heap + k-row driver
+    // merge), so the global draw never full-sorts the corpus; the
+    // row_number window then ranks only the k surviving rows.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__adj").desc, col(idCol).asc)
+    scored(raw, target)
+      .withColumn("__adj", round(col("dsir_score") / temperature + gumbel, 6))
+      .orderBy(col("__adj").desc, col(idCol).asc).limit(k)
+      .withColumn("rnk", row_number().over(w))
+      .select(col(idCol), col("dsir_score"), col("rnk"))
+  }
+
+  /** Full-row selection: the resampled corpus subset (semi join on the
+    * drawn ids — the wide payload never sorts or shuffles for the
+    * draw). */
+  def select(raw: DataFrame, target: DataFrame, k: Int,
+      temperature: Double = 1.0): DataFrame =
+    raw.join(resample(raw, target, k, temperature).select(idCol),
+      Seq(idCol), "left_semi")
+}

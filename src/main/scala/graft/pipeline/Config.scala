@@ -374,7 +374,24 @@ object OperatorRegistry {
       df => graft.operators.text.TrainingShardLayout(
         nShards = int(p, "n_shards", 32),
         idCol = str(p, "id_field", "doc_id"),
-        seed = str(p, "seed", "graft")).assign(df)))
+        seed = str(p, "seed", "graft")).assign(df))),
+
+    // DSIR importance resampling (B34): keep the k frame rows drawn
+    // ∝ exp(hashed-n-gram log-likelihood-ratio vs the target corpus).
+    // params {target_path: parquet of in-domain exemplar rows, k: N,
+    // buckets, alpha, temperature}
+    "dsir_selector" -> (p => RefineOp("dsir_selector",
+      df => {
+        val target = df.sparkSession.read.parquet(p("target_path").toString)
+        graft.operators.text.DsirSelector(
+          buckets = int(p, "buckets", 1024),
+          alpha = dbl(p, "alpha", 1.0),
+          seed = str(p, "seed", "dsir"),
+          idCol = str(p, "id_field", "doc_id"),
+          textCol = str(p, "text_field", "text"))
+          .select(df, target, int(p, "k", 1000),
+            dbl(p, "temperature", 1.0))
+      }))
   )
 
   def build(name: String, params: Params): PipelineOp =

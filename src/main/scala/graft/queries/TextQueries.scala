@@ -172,6 +172,14 @@ object TextQueries {
         .select("doc_id", "shard", "pos")
     }),
 
+    // DSIR importance resampling: target = the English slice (the
+    // in-domain exemplar stand-in), raw = the whole corpus; hashed
+    // unigram+bigram log-likelihood-ratio scores, Gumbel-top-100 draw
+    "dsir_select" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DsirSelector().resample(docs, docs.filter(col("lang") === "en"), k = 100)
+    }),
+
     // deterministic 3-per-language sample (hash-ranked reservoir)
     "sample_per_group" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -730,6 +738,46 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
         |    - 1 AS BIGINT) AS pos
         |FROM t""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $normSql AS norm FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |feats AS (
+         |  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS f FROM d
+         |  UNION ALL
+         |  SELECT doc_id, lang,
+         |    string_split(norm, ' ')[CAST(i AS INT)] || ' ' ||
+         |    string_split(norm, ' ')[CAST(i AS INT) + 1] AS f
+         |  FROM (SELECT doc_id, lang, norm,
+         |          unnest(range(1, len(string_split(norm, ' ')))) AS i FROM d)),
+         |fb AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(f || ':dsir'), 1, 7)) AS BIGINT) % 1024 AS b
+         |  FROM feats),
+         |t AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+         |r AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+         |tt AS (SELECT sum(ct) AS tt FROM t),
+         |rt AS (SELECT sum(cr) AS rt FROM r),
+         |lam AS (
+         |  SELECT coalesce(t.b, r.b) AS b,
+         |    round(ln((coalesce(ct, 0) + 1.0) / (tt + 1024.0)) -
+         |          ln((coalesce(cr, 0) + 1.0) / (rt + 1024.0)), 9) AS lam
+         |  FROM t FULL OUTER JOIN r ON t.b = r.b, tt, rt),
+         |sums AS (
+         |  SELECT fb.doc_id, round(sum(lam), 6) AS dsir_score
+         |  FROM fb JOIN lam ON fb.b = lam.b GROUP BY fb.doc_id),
+         |sc AS (
+         |  SELECT documents.doc_id, coalesce(dsir_score, 0.0) AS dsir_score,
+         |    round(-ln(-ln((CAST(('0x' || substr(md5(CAST(documents.doc_id AS VARCHAR)
+         |      || ':dsir:gum'), 1, 6)) AS BIGINT) + 0.5) / 16777216.0)), 6) AS g
+         |  FROM documents LEFT JOIN sums ON documents.doc_id = sums.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, dsir_score,
+         |    CAST(row_number() OVER (ORDER BY round(dsir_score / 1.0 + g, 6) DESC,
+         |      doc_id ASC) AS INT) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, dsir_score, rnk FROM ranked WHERE rnk <= 100""".stripMargin,
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

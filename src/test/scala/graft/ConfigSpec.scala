@@ -296,6 +296,23 @@ class ConfigSpec extends SparkSpec {
     assert(sp.forall { case (s, _) => s == 0 || s == 1 })
   }
 
+  test("dsir_selector runs from YAML and keeps the in-domain side") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir_target").toString
+    val a = (1L to 20L).map(i => (i, s"alpha beta gamma delta epsilon u$i"))
+    val b = (21L to 40L).map(i => (i, s"zeta eta theta iota kappa u$i"))
+    (a ++ b).toDF("doc_id", "text")
+      .filter($"doc_id" <= 20).write.mode("overwrite").parquet(s"$tmp/t")
+    val yaml =
+      s"""operators:
+         |  - name: dsir_selector
+         |    params: {target_path: "$tmp/t", k: 10}
+         |""".stripMargin
+    val out = PipelineConfig.parse(yaml)((a ++ b).toDF("doc_id", "text"))
+    val kept = out.select("doc_id").as[Long].collect()
+    assert(kept.length == 10 && kept.count(_ <= 20) >= 8,
+      s"draw should favor the target domain: ${kept.toSeq.sorted}")
+  }
+
   test("CLI index-build + two-day ingest loop: dups stop at the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
