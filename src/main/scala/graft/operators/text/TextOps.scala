@@ -555,6 +555,65 @@ case class SpanDupStats(n: Int = 3,
   }
 }
 
+/** Cross-document duplicated-span REMOVAL — the surgical sibling of
+  * [[SpanDupStats]] (which only measures). Lee et al. 2022's
+  * exact-substring dedup cuts the duplicated span itself and keeps the
+  * surrounding unique text, so a page that quotes a boilerplate
+  * paragraph loses the paragraph, not the page. Approximated here at
+  * word n-gram granularity: a token is removed iff it is covered by an
+  * occurrence of an n-gram whose corpus-wide occurrence count is ≥
+  * `minCount` — except the CANONICAL first occurrence (smallest
+  * (doc, start)), which survives so exactly one copy of every
+  * duplicated span remains in the corpus ("all but one", the paper's
+  * rule). Tokens and spans live in normalized-text space (the dedup
+  * family's convention); the rebuilt text is the surviving tokens
+  * joined in order.
+  *
+  * Scale shape: one posexplode for tokens, one for n-gram starts; the
+  * duplicated-gram table is ONE map-side-combined groupBy over the
+  * shingle stream whose aggregate carries (count, min (doc,pos))
+  * together; only the duplicated subset (small, by the same argument as
+  * [[SpanDupStats]]) joins back — broadcastable; coverage expansion is
+  * an explode of n constant positions; the rebuild is one keyed agg.
+  * Never pairwise, never a window over the corpus. */
+case class DuplicatedSpanRemover(n: Int = 3, minCount: Long = 2,
+    idCol: String = "doc_id", textCol: String = "text") {
+  require(n >= 1 && minCount >= 2, "n >= 1 and minCount >= 2 required")
+
+  import graft.functions.TextFns.{normalizeText, wordShingles, wsTokens}
+
+  def apply(df: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(wsTokens(normalizeText(col(textCol)))).as(Seq("pos", "tok")))
+    val grams = df.select(col(idCol),
+      posexplode(wordShingles(col(textCol), n)).as(Seq("gpos", "sh")))
+    // duplicated grams with their canonical (first) occurrence — one
+    // aggregate carries both, so no second pass over the shingle stream
+    val dup = grams.groupBy("sh").agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol).as("cid"), col("gpos").as("cg"))).as("__c"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("sh"), col("__c.cid").as("__cid"), col("__c.cg").as("__cg"))
+    // every duplicated occurrence EXCEPT the canonical one
+    val dupStarts = grams.join(dup, Seq("sh"))
+      .filter(!(col(idCol) === col("__cid") && col("gpos") === col("__cg")))
+      .select(col(idCol), col("gpos"))
+    val covered = dupStarts.select(col(idCol),
+      explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos")).distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("__kept"),
+      count(lit(1)).as("__n_kept"))
+    df.select(col(idCol),
+        size(wsTokens(normalizeText(col(textCol)))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__kept"), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+}
+
 /** CROSS-document boilerplate removal (the corpus-level sibling of
   * [[LineDeduper]]; CCNet/RefinedWeb drop lines that recur across many
   * pages — nav bars, cookie banners, copyright footers). A non-blank

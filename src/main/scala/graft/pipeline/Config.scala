@@ -126,6 +126,15 @@ object OperatorRegistry {
     "line_deduper" -> (p => RefineOp("line_deduper",
       LineDeduper(str(p, "text_field", "text"))(_))),
 
+    // Lee-et-al duplicated-span removal: cut every copy of a recurring
+    // n-gram span except its canonical first occurrence
+    "duplicated_span_remover" -> (p => RefineOp("duplicated_span_remover",
+      df => DuplicatedSpanRemover(int(p, "n", 3),
+        int(p, "min_count", 2).toLong,
+        str(p, "id_field", "doc_id"), str(p, "text_field", "text"))(df)
+        .join(df.drop(str(p, "text_field", "text")),
+          Seq(str(p, "id_field", "doc_id"))))),
+
     "hash_sampler" -> (p => FilterOp("hash_sampler",
       _ => HashSampler(str(p, "id_field", "doc_id"),
         int(p, "buckets", 100), str(p, "seed", "graft"))

@@ -122,6 +122,14 @@ object TextQueries {
         .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_ngram_frac")
     }),
 
+    // Lee-et-al duplicated-span REMOVAL: cut every covered token except
+    // the canonical first occurrence of each duplicated trigram
+    "span_removal" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DuplicatedSpanRemover(n = 3)(docs)
+        .select("doc_id", "text", "n_tokens", "n_removed")
+    }),
+
     // cross-doc boilerplate removal: synthesize a shared header line +
     // per-source footer line (the corpus ships single-line texts), then
     // the operator must strip exactly those and keep every body
@@ -738,6 +746,39 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
         |    - 1 AS BIGINT) AS pos
         |FROM t""".stripMargin,
+
+    "span_removal" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS tok
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)),
+         |grams AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS gpos,
+         |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+         |    w[CAST(i AS INT) + 2] AS sh
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM d
+         |        WHERE len(w) >= 3)),
+         |occ AS (
+         |  SELECT doc_id, gpos,
+         |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, gpos) AS rn,
+         |    count(*) OVER (PARTITION BY sh) AS cnt
+         |  FROM grams),
+         |starts AS (SELECT doc_id, gpos FROM occ WHERE cnt >= 2 AND rn > 1),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, gpos + CAST(k AS INT) AS pos
+         |  FROM starts, range(0, 3) r(k)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+         |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text, '') AS text,
+         |  CAST(len(d.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(d.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
 
     "dsir_select" ->
       s"""WITH d AS (
