@@ -86,6 +86,31 @@ object BatchInference {
       StructField("embedding", ArrayType(FloatType)))(
       batch => kernel(batch))
   }
+
+  /** TWO payload columns embedded in ONE batched mapPartitions pass —
+    * the dual-tower shape of image-text alignment scoring: both towers
+    * run over the same batch, so pairing needs no second scan and no
+    * join. Output: (id, `aOut`, `bOut`). */
+  def embedPair(df: DataFrame, kernel: Kernel = stubKernel,
+      batchSize: Int = 64, idCol: String = "doc_id",
+      aCol: String = "image", bCol: String = "caption",
+      aOut: String = "a_embedding", bOut: String = "b_embedding"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol), col(aCol), col(bCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField(aOut, ArrayType(FloatType)),
+      StructField(bOut, ArrayType(FloatType))))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val ea = kernel(batch.map(_.getAs[Array[Byte]](1)))
+        val eb = kernel(batch.map(_.getAs[Array[Byte]](2)))
+        require(ea.length == batch.length && eb.length == batch.length,
+          s"kernel returned ${ea.length}/${eb.length} results for ${batch.length} inputs")
+        batch.indices.map(i => Row(batch(i).get(0), ea(i), eb(i)))
+      }
+    }(Encoders.row(outSchema))
+  }
 }
 
 /** Frame/clip handling stubs for video binary columns — decode needs a

@@ -385,6 +385,16 @@ object OperatorRegistry {
         idCol = str(p, "id_field", "doc_id"),
         seed = str(p, "seed", "graft")).assign(df))),
 
+    // image-text alignment filter (B36): keep pairs whose dual-tower
+    // cosine clears the threshold (the LAION CLIP-score rule)
+    "clip_score_filter" -> (p => RefineOp("clip_score_filter",
+      df => graft.operators.ml.CrossModalAlignment(
+        threshold = dbl(p, "threshold", 0.8),
+        idCol = str(p, "id_field", "doc_id"),
+        imageCol = str(p, "image_field", "image"),
+        captionCol = str(p, "caption_field", "text"),
+        batchSize = int(p, "batch_size", 64))(df))),
+
     // DSIR importance resampling (B34): keep the k frame rows drawn
     // ∝ exp(hashed-n-gram log-likelihood-ratio vs the target corpus).
     // params {target_path: parquet of in-domain exemplar rows, k: N,

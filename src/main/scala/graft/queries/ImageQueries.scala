@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.image._
-import graft.operators.ml.QualityClassifier
+import graft.operators.ml.{CrossModalAlignment, QualityClassifier}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,17 @@ object ImageQueries {
         col("doc_id"),
         round(col("aigc_score"), 6).as("aigc_score"),
         (col("aigc_score") > 0.5).as("is_aigc"))
+    }),
+
+    "clip_score_filter" -> ((s, dir) => {
+      // image-text alignment: image tower = the derived binary payload,
+      // caption tower = reverse(text) (a deterministic "related but not
+      // identical" caption both engines rebuild — same global byte
+      // statistics, permuted positional quarters, so scores land high
+      // but below 1 and the 0.99 threshold splits the corpus ~50/50)
+      val docs = withImage(Tables.load(s, dir, "documents"))
+        .withColumn("caption", reverse(col("text")))
+      CrossModalAlignment(threshold = 0.99).scored(docs)
     }),
 
     "trained_embedding" -> ((s, dir) => {
@@ -434,73 +445,100 @@ object ImageQueries {
          |FROM z""".stripMargin
     },
 
-    "trained_embedding" -> {
-      // SQL twin of the frozen TrainedEmbedding projection, its literals
-      // interpolated straight from the Scala constants (single source of
-      // truth; e0 forces DOUBLE, not DECIMAL). Features: global entropy /
-      // log1p(len) / max-bin / gradient + per-quarter entropy & gradient,
-      // quarter = ((i-1)*4)//len; boundary-straddling pairs count only
-      // for the global gradient, matching EmbeddingFeatures.fromValues.
-      val p = graft.operators.ml.TrainedEmbedding.projection
-      def lit(v: Double): String = f"($v%.12fe0)"
-      val zs = (0 until 12).map(j => s"((f$j - ${lit(p.mean(j))}) / ${lit(p.std(j))})")
-      val es = p.components.zipWithIndex.map { case (c, ci) =>
-        c.zip(zs).map { case (w, z) => s"${lit(w)} * $z" }
-          .mkString("(", " + ", s") AS e$ci")
-      }
-      val eNames = (0 until 8).map(i => s"e$i")
-      val sumSq = eNames.map(e => s"$e * $e").mkString(" + ")
-      val arr = eNames.map(e => s"$e / nrm").mkString("[", ", ", "]")
-      val segEnt = (0 until 4).map(s =>
-        s"coalesce(max(CASE WHEN se.seg = $s THEN se.es END), 0.0) AS f${4 + s}")
-      val segGrad = (0 until 4).map(s =>
-        s"coalesce(max(CASE WHEN sg.seg = $s THEN sg.gs END), 0.0) AS f${8 + s}")
-      s"""WITH chars AS (
-         |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v,
-         |    CAST(((i - 1) * 4) // length(text) AS INT) AS seg
-         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
-         |lagd AS (
-         |  SELECT doc_id, v, seg,
-         |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
-         |    lag(seg) OVER (PARTITION BY doc_id ORDER BY i) AS pseg
-         |  FROM chars),
-         |grad AS (
-         |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
-         |  FROM lagd WHERE pv IS NOT NULL GROUP BY doc_id),
-         |seggrad AS (
-         |  SELECT doc_id, seg, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS gs
-         |  FROM lagd WHERE pv IS NOT NULL AND seg = pseg GROUP BY doc_id, seg),
-         |counts AS (SELECT doc_id, v, count(*) AS n FROM chars GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, sum(n) AS total FROM counts GROUP BY 1),
-         |gfeat AS (
-         |  SELECT counts.doc_id,
-         |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS f0,
-         |    ln(1.0 + max(total)) AS f1,
-         |    CAST(max(n) AS DOUBLE) / max(total) AS f2
-         |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id GROUP BY counts.doc_id),
-         |segcounts AS (SELECT doc_id, seg, v, count(*) AS n FROM chars GROUP BY 1, 2, 3),
-         |segtot AS (SELECT doc_id, seg, sum(n) AS stot FROM segcounts GROUP BY 1, 2),
-         |segent AS (
-         |  SELECT sc.doc_id, sc.seg,
-         |    -sum((CAST(n AS DOUBLE) / stot) * log2(CAST(n AS DOUBLE) / stot)) AS es
-         |  FROM segcounts sc JOIN segtot st ON sc.doc_id = st.doc_id AND sc.seg = st.seg
-         |  GROUP BY sc.doc_id, sc.seg),
-         |feat AS (
-         |  SELECT gfeat.doc_id, gfeat.f0, gfeat.f1, gfeat.f2, grad.g AS f3,
-         |    ${segEnt.mkString(",\n    ")},
-         |    ${segGrad.mkString(",\n    ")}
-         |  FROM gfeat
-         |  JOIN grad ON gfeat.doc_id = grad.doc_id
-         |  LEFT JOIN segent se ON gfeat.doc_id = se.doc_id
-         |  LEFT JOIN seggrad sg ON gfeat.doc_id = sg.doc_id
-         |  GROUP BY gfeat.doc_id, gfeat.f0, gfeat.f1, gfeat.f2, grad.g),
-         |proj AS (SELECT doc_id, ${es.mkString(",\n  ")} FROM feat),
-         |nrmed AS (SELECT doc_id, sqrt($sumSq) AS nrm, ${eNames.mkString(", ")} FROM proj)
+    "trained_embedding" ->
+      s"""WITH ${embArrCtes("documents", "t")}
          |SELECT doc_id, CAST(i AS INT) AS pos,
-         |  round(CAST(CAST(arr[CAST(i + 1 AS INT)] AS FLOAT) AS DOUBLE), 6) AS v
-         |FROM (SELECT doc_id,
-         |        CASE WHEN nrm = 0 THEN [${eNames.mkString(", ")}] ELSE $arr END AS arr
-         |      FROM nrmed), range(0, 8) r(i)""".stripMargin
-    }
+         |  round(arr[CAST(i + 1 AS INT)], 6) AS v
+         |FROM tarr, range(0, 8) r(i)""".stripMargin,
+
+    "clip_score_filter" ->
+      s"""WITH caps AS (SELECT doc_id, reverse(text) AS text FROM documents),
+         |${embArrCtes("documents", "i")},
+         |${embArrCtes("caps", "c")}
+         |SELECT i.doc_id,
+         |  round(list_cosine_similarity(i.arr, c.arr), 6) AS clip_score,
+         |  round(list_cosine_similarity(i.arr, c.arr), 6) >= 0.99 AS clip_keep
+         |FROM iarr i JOIN carr c ON i.doc_id = c.doc_id""".stripMargin
   )
+
+  /** SQL twin of the frozen TrainedEmbedding projection as a chain of
+    * `pfx`-prefixed CTE definitions over `src` (any relation providing
+    * (doc_id, text)); the final CTE `${pfx}arr` is (doc_id,
+    * arr DOUBLE[8]) holding the FLOAT-cast normalized embedding —
+    * exactly the float32 values the Scala kernel emits, widened back to
+    * double. Literals interpolate straight from the Scala constants
+    * (single source of truth; e0 forces DOUBLE, not DECIMAL).
+    * Features: global entropy / log1p(len) / max-bin / gradient +
+    * per-quarter entropy & gradient, quarter = ((i-1)*4)//len;
+    * boundary-straddling pairs count only for the global gradient,
+    * matching EmbeddingFeatures.fromValues. */
+  private def embArrCtes(src: String, pfx: String): String = {
+    val p = graft.operators.ml.TrainedEmbedding.projection
+    def lit(v: Double): String = f"($v%.12fe0)"
+    val zs = (0 until 12).map(j => s"((f$j - ${lit(p.mean(j))}) / ${lit(p.std(j))})")
+    val es = p.components.zipWithIndex.map { case (c, ci) =>
+      c.zip(zs).map { case (w, z) => s"${lit(w)} * $z" }
+        .mkString("(", " + ", s") AS e$ci")
+    }
+    val eNames = (0 until 8).map(i => s"e$i")
+    val sumSq = eNames.map(e => s"$e * $e").mkString(" + ")
+    val arr = eNames.map(e => s"$e / nrm").mkString("[", ", ", "]")
+    val segEnt = (0 until 4).map(s =>
+      s"coalesce(max(CASE WHEN se.seg = $s THEN se.es END), 0.0) AS f${4 + s}")
+    val segGrad = (0 until 4).map(s =>
+      s"coalesce(max(CASE WHEN sg.seg = $s THEN sg.gs END), 0.0) AS f${8 + s}")
+    s"""${pfx}chars AS (
+       |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v,
+       |    CAST(((i - 1) * 4) // length(text) AS INT) AS seg
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM $src)),
+       |${pfx}lagd AS (
+       |  SELECT doc_id, v, seg,
+       |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+       |    lag(seg) OVER (PARTITION BY doc_id ORDER BY i) AS pseg
+       |  FROM ${pfx}chars),
+       |${pfx}grad AS (
+       |  SELECT doc_id, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS g
+       |  FROM ${pfx}lagd WHERE pv IS NOT NULL GROUP BY doc_id),
+       |${pfx}seggrad AS (
+       |  SELECT doc_id, seg, sum(CAST(abs(v - pv) AS DOUBLE)) / (count(*) * 255.0) AS gs
+       |  FROM ${pfx}lagd WHERE pv IS NOT NULL AND seg = pseg GROUP BY doc_id, seg),
+       |${pfx}counts AS (SELECT doc_id, v, count(*) AS n FROM ${pfx}chars GROUP BY 1, 2),
+       |${pfx}tot AS (SELECT doc_id, sum(n) AS total FROM ${pfx}counts GROUP BY 1),
+       |${pfx}gfeat AS (
+       |  SELECT ${pfx}counts.doc_id,
+       |    -sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)) AS f0,
+       |    ln(1.0 + max(total)) AS f1,
+       |    CAST(max(n) AS DOUBLE) / max(total) AS f2
+       |  FROM ${pfx}counts JOIN ${pfx}tot ON ${pfx}counts.doc_id = ${pfx}tot.doc_id
+       |  GROUP BY ${pfx}counts.doc_id),
+       |${pfx}segcounts AS (
+       |  SELECT doc_id, seg, v, count(*) AS n FROM ${pfx}chars GROUP BY 1, 2, 3),
+       |${pfx}segtot AS (
+       |  SELECT doc_id, seg, sum(n) AS stot FROM ${pfx}segcounts GROUP BY 1, 2),
+       |${pfx}segent AS (
+       |  SELECT sc.doc_id, sc.seg,
+       |    -sum((CAST(n AS DOUBLE) / stot) * log2(CAST(n AS DOUBLE) / stot)) AS es
+       |  FROM ${pfx}segcounts sc JOIN ${pfx}segtot st
+       |    ON sc.doc_id = st.doc_id AND sc.seg = st.seg
+       |  GROUP BY sc.doc_id, sc.seg),
+       |${pfx}feat AS (
+       |  SELECT ${pfx}gfeat.doc_id, ${pfx}gfeat.f0, ${pfx}gfeat.f1, ${pfx}gfeat.f2,
+       |    ${pfx}grad.g AS f3,
+       |    ${segEnt.mkString(",\n    ")},
+       |    ${segGrad.mkString(",\n    ")}
+       |  FROM ${pfx}gfeat
+       |  JOIN ${pfx}grad ON ${pfx}gfeat.doc_id = ${pfx}grad.doc_id
+       |  LEFT JOIN ${pfx}segent se ON ${pfx}gfeat.doc_id = se.doc_id
+       |  LEFT JOIN ${pfx}seggrad sg ON ${pfx}gfeat.doc_id = sg.doc_id
+       |  GROUP BY ${pfx}gfeat.doc_id, ${pfx}gfeat.f0, ${pfx}gfeat.f1, ${pfx}gfeat.f2,
+       |    ${pfx}grad.g),
+       |${pfx}proj AS (SELECT doc_id, ${es.mkString(",\n  ")} FROM ${pfx}feat),
+       |${pfx}nrmed AS (
+       |  SELECT doc_id, sqrt($sumSq) AS nrm, ${eNames.mkString(", ")} FROM ${pfx}proj),
+       |${pfx}arr AS (
+       |  SELECT doc_id, list_transform(
+       |    CASE WHEN nrm = 0 THEN [${eNames.mkString(", ")}] ELSE $arr END,
+       |    x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS arr
+       |  FROM ${pfx}nrmed)""".stripMargin
+  }
 }
