@@ -102,3 +102,95 @@ object BpeTokenizer {
     df.withColumn("bpe_token_count", countUdf(col(textCol)))
   }
 }
+
+/** [[BpeTokenizer.train]]'s scale-out sibling: the same greedy merge
+  * learning with the word-frequency dictionary kept DISTRIBUTED — for
+  * corpora whose distinct-word table itself outgrows the driver
+  * (multilingual web crawls: hundreds of millions of distinct
+  * "words" once typos/URLs/code identifiers flood the long tail).
+  *
+  * Per merge iteration: one weighted pair-count aggregate over the
+  * word table (map-side combined; pairs explode from adjacent symbol
+  * positions), ONE collected row (the argmax pair — count then
+  * lexicographic, the driver trainer's exact tiebreak), and a map-only
+  * greedy re-segmentation fold (left-to-right non-overlapping, the
+  * classic BPE application) with a localCheckpoint so lineage stays
+  * flat across iterations. The corpus is read once — everything after
+  * `wordFreq` touches only the distinct-word table, which shrinks as
+  * merges land. Spec'd merge-for-merge equal to the driver-side
+  * [[BpeTokenizer.train]]. */
+object DistributedBpeTrainer {
+
+  /** (syms array<string>, n): the word-frequency dictionary,
+    * symbolized as chars + the end-of-word marker — identical
+    * pre-segmentation to [[BpeTokenizer.preTokens]]/`symbolize`. */
+  def wordFreq(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[\\p{L}\\p{N}]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // Spark's split("") appends a trailing "" (Pattern.split limit -1)
+      // that DuckDB's string_split does not — drop empties explicitly
+      .select(concat(filter(split(col("w"), ""), x => length(x) > 0),
+        array(lit(BpeTokenizer.EndOfWord))).as("syms"), col("n"))
+
+  /** Weighted adjacent-pair counts over a symbolized word table. A
+    * fully-merged single-symbol word contributes nothing (guarded:
+    * Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("left"),
+          element_at(col("syms"), i + 1).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** One greedy left-to-right merge of (a,b) inside each word — the
+    * fold replaces a trailing `a` with `a+b` when `b` arrives, which
+    * is exactly the non-overlapping left-to-right rule ("aaa" under
+    * (a,a) → ["aa","a"]); a merged symbol can never re-trigger within
+    * the same iteration because a+b ≠ a. */
+  private def mergeExpr(a: String, b: String): Column =
+    aggregate(col("syms"), array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merges; returns (rank int, left, right,
+    * cnt long) in learned order. Each iteration's argmax is one
+    * bounded driver action (a single row), the same family as the
+    * k-row cluster-size action SemanticDedup documents. */
+  def fit(df: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = wordFreq(df, textCol).localCheckpoint()
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      // ties on count break to the lexicographically LARGEST pair —
+      // maxBy((n, a, b)), the driver trainer's exact rule
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("left").desc, col("right").desc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((k + 1, a, b, c))
+        words = words.select(mergeExpr(a, b).as("syms"), col("n"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    out.result().toDF("rank", "left", "right", "cnt")
+  }
+
+  /** The learned merges as the (left, right) sequence
+    * [[BpeTokenizer.encode]]/`countTokens` consume. */
+  def fitMerges(df: DataFrame, numMerges: Int,
+      textCol: String = "text"): Vector[(String, String)] =
+    fit(df, numMerges, textCol).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toVector
+}

@@ -45,32 +45,48 @@ case class DsirSelector(
     textCol: String = "text") {
   require(buckets > 0 && alpha > 0.0, "buckets and alpha must be positive")
 
-  import graft.functions.TextFns.wordShingles
-
   /** md5-prefix bucket in [0, buckets) for a feature string (the
     * engine-portable [[HashSampler]] hash family). */
   private def bucketOf(feat: Column): Column =
     pmod(conv(substring(md5(concat(feat, lit(":" + seed))), 1, 7), 16, 10)
       .cast("long"), lit(buckets.toLong))
 
-  /** (idCol, __bucket) — one row per unigram+bigram occurrence. */
-  private def features(df: DataFrame): DataFrame =
+  /** (idCol, __bucket) — one row per unigram+bigram occurrence. The
+    * token array is let-bound once (two separate wordShingles calls
+    * would each re-run the normalize+split tree per row). */
+  private def features(df: DataFrame): DataFrame = {
+    import graft.functions.TextFns.{normalizeText, wsTokens}
+    val feats = graft.functions.Cols.bind(
+      wsTokens(normalizeText(col(textCol)))) { toks =>
+      concat(toks,
+        when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2))))))
+    }
     df.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), explode(concat(
-        wordShingles(col(textCol), 1), wordShingles(col(textCol), 2))).as("__f"))
+      .select(col(idCol), explode(feats).as("__f"))
       .select(col(idCol), bucketOf(col("__f")).as("__bucket"))
+  }
+
+  /** Per-(doc, bucket) feature counts, MATERIALIZED: this narrow table
+    * (≤ `buckets` rows per doc, usually far fewer) feeds both the raw
+    * distribution totals and the per-doc score join, so the corpus is
+    * tokenized exactly once — without the checkpoint the explode
+    * subtree re-runs per consumer, which tripled the wall cost at
+    * sf0.1. The same shape a 100 TB run wants: one tokenize pass, a
+    * persisted narrow aggregate after it. */
+  private def docBucketCounts(df: DataFrame): DataFrame =
+    features(df).groupBy(col(idCol), col("__bucket"))
+      .agg(count(lit(1)).as("__fcnt")).localCheckpoint()
 
   /** Per-bucket occurrence counts (≤ `buckets` rows). */
   private def bucketCounts(df: DataFrame): DataFrame =
     features(df).groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
 
-  /** The λ table: (__bucket, lam) for every bucket either side
-    * populates, with additive-α smoothing so unseen buckets stay
-    * finite. Rounded to 9 dp — portable across engines evaluating the
-    * same doubles. */
-  def logRatios(raw: DataFrame, target: DataFrame): DataFrame = {
-    val t = bucketCounts(target).withColumnRenamed("__cnt", "__ct")
-    val r = bucketCounts(raw).withColumnRenamed("__cnt", "__cr")
+  /** The λ table from two pre-aggregated bucket tables, with
+    * additive-α smoothing so unseen buckets stay finite. Rounded to
+    * 9 dp — portable across engines evaluating the same doubles. */
+  private def lamOf(t: DataFrame, r: DataFrame): DataFrame = {
     val tTot = t.agg(sum(col("__ct")).as("__tt"))
     val rTot = r.agg(sum(col("__cr")).as("__rt"))
     val aB = alpha * buckets
@@ -83,14 +99,24 @@ case class DsirSelector(
           9).as("lam"))
   }
 
-  /** (idCol, dsir_score): Σ λ over the document's hashed features,
-    * rounded to 6 dp. Documents with no features (blank text) score
-    * 0. */
+  /** The λ table: (__bucket, lam) for every bucket either side
+    * populates. */
+  def logRatios(raw: DataFrame, target: DataFrame): DataFrame =
+    lamOf(bucketCounts(target).withColumnRenamed("__cnt", "__ct"),
+      bucketCounts(raw).withColumnRenamed("__cnt", "__cr"))
+
+  /** (idCol, dsir_score): Σ λ over the document's hashed features
+    * (evaluated as Σ per-bucket count·λ), rounded to 6 dp. Documents
+    * with no features (blank text) score 0. */
   def scored(raw: DataFrame, target: DataFrame): DataFrame = {
-    val lam = logRatios(raw, target)
-    val sums = features(raw)
+    val docCounts = docBucketCounts(raw)
+    val r = docCounts.groupBy("__bucket").agg(sum(col("__fcnt")).as("__cr"))
+    val t = bucketCounts(target).withColumnRenamed("__cnt", "__ct")
+    val lam = lamOf(t, r)
+    val sums = docCounts
       .join(broadcast(lam), Seq("__bucket"))
-      .groupBy(idCol).agg(round(sum(col("lam")), 6).as("dsir_score"))
+      .groupBy(idCol)
+      .agg(round(sum(col("lam") * col("__fcnt")), 6).as("dsir_score"))
     raw.select(col(idCol)).join(sums, Seq(idCol), "left")
       .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0.0)))
   }

@@ -122,6 +122,14 @@ object TextQueries {
         .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_ngram_frac")
     }),
 
+    // distributed BPE training: first two learned merges (count +
+    // lexicographic tiebreak); iteration 2's counts depend on a correct
+    // greedy application of merge 1, so the loop is what's verified
+    "bpe_train_merges" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DistributedBpeTrainer.fit(docs, numMerges = 2)
+    }),
+
     // Lee-et-al duplicated-span REMOVAL: cut every covered token except
     // the canonical first occurrence of each duplicated trigram
     "span_removal" -> ((s, dir) => {
@@ -747,6 +755,52 @@ object TextQueries {
         |    - 1 AS BIGINT) AS pos
         |FROM t""".stripMargin,
 
+    "bpe_train_merges" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n,
+        |    list_concat(string_split(w, ''), ['</w>']) AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |pc1 AS (
+        |  SELECT syms[CAST(j AS INT)] AS l, syms[CAST(j AS INT) + 1] AS r,
+        |    CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS j FROM words)
+        |  GROUP BY 1, 2),
+        |best1 AS (SELECT l, r, cnt FROM pc1 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
+        |pos1 AS (
+        |  SELECT w, n, syms, CAST(j AS INT) AS j, syms[CAST(j AS INT)] AS s,
+        |    syms[CAST(j AS INT) + 1] AS nxt
+        |  FROM (SELECT w, n, syms, unnest(range(1, len(syms) + 1)) AS j FROM words)),
+        |cand1 AS (
+        |  SELECT p.w, p.j FROM pos1 p, best1 b
+        |  WHERE p.j < len(p.syms) AND p.s = b.l AND p.nxt = b.r),
+        |act1 AS (
+        |  SELECT w, j FROM (
+        |    SELECT w, j, j - min(j) OVER (PARTITION BY w, rid) AS off FROM (
+        |      SELECT w, j, j - row_number() OVER (PARTITION BY w ORDER BY j) AS rid
+        |      FROM cand1))
+        |  WHERE off % 2 = 0),
+        |words2 AS (
+        |  SELECT x.w, any_value(x.n) AS n, list(x.tok ORDER BY x.j) AS syms
+        |  FROM (
+        |    SELECT p.w, p.n, p.j,
+        |      CASE WHEN a.j IS NOT NULL THEN p.s || p.nxt ELSE p.s END AS tok
+        |    FROM pos1 p
+        |    LEFT JOIN act1 a ON p.w = a.w AND p.j = a.j
+        |    LEFT JOIN act1 ap ON p.w = ap.w AND p.j - 1 = ap.j
+        |    WHERE ap.j IS NULL) x
+        |  GROUP BY x.w),
+        |pc2 AS (
+        |  SELECT syms[CAST(j AS INT)] AS l, syms[CAST(j AS INT) + 1] AS r,
+        |    CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS j FROM words2)
+        |  GROUP BY 1, 2),
+        |best2 AS (SELECT l, r, cnt FROM pc2 ORDER BY cnt DESC, l DESC, r DESC LIMIT 1)
+        |SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right", cnt FROM best1
+        |UNION ALL
+        |SELECT CAST(2 AS INT) AS rank, l AS "left", r AS "right", cnt FROM best2""".stripMargin,
+
     "span_removal" ->
       s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
          |toks AS (
@@ -805,9 +859,10 @@ object TextQueries {
          |    round(ln((coalesce(ct, 0) + 1.0) / (tt + 1024.0)) -
          |          ln((coalesce(cr, 0) + 1.0) / (rt + 1024.0)), 9) AS lam
          |  FROM t FULL OUTER JOIN r ON t.b = r.b, tt, rt),
+         |fbc AS (SELECT doc_id, b, count(*) AS fcnt FROM fb GROUP BY 1, 2),
          |sums AS (
-         |  SELECT fb.doc_id, round(sum(lam), 6) AS dsir_score
-         |  FROM fb JOIN lam ON fb.b = lam.b GROUP BY fb.doc_id),
+         |  SELECT fbc.doc_id, round(sum(lam * fcnt), 6) AS dsir_score
+         |  FROM fbc JOIN lam ON fbc.b = lam.b GROUP BY fbc.doc_id),
          |sc AS (
          |  SELECT documents.doc_id, coalesce(dsir_score, 0.0) AS dsir_score,
          |    round(-ln(-ln((CAST(('0x' || substr(md5(CAST(documents.doc_id AS VARCHAR)

@@ -41,6 +41,24 @@ class BpeSpec extends SparkSpec {
     assert(got(3L) == 0L)
   }
 
+  test("distributed trainer matches the driver trainer merge for merge") {
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val driver = graft.operators.text.BpeTokenizer.train(corpus, 8)
+    val dist = graft.operators.text.DistributedBpeTrainer.fitMerges(df, 8)
+    assert(dist == driver, s"dist=$dist driver=$driver")
+    // partition layout must not change the learned merges
+    val distP = graft.operators.text.DistributedBpeTrainer
+      .fitMerges(df.repartition(5), 8)
+    assert(distP == driver)
+  }
+
+  test("distributed trainer stops when every word is a single symbol") {
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m = graft.operators.text.DistributedBpeTrainer.fit(df, 10).collect()
+    assert(m.length == 2, m.mkString(";")) // two merges exhaust 'ab</w>'
+  }
+
   test("learned tokenizer runs over the test corpus end to end") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val sample = docs.select("text").limit(200).as[String].collect()
