@@ -61,7 +61,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ops = if (args.isEmpty) Set("boilerplate", "mixture", "embedding",
-      "bloom", "incremental", "token_budget")
+      "bloom", "incremental", "token_budget", "span", "dsir", "clip", "bpe")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,7 +78,8 @@ object ScaleProbe {
     }
 
     if (ops("boilerplate") || ops("mixture") || ops("bloom") ||
-        ops("incremental") || ops("token_budget")) {
+        ops("incremental") || ops("token_budget") || ops("span") ||
+        ops("dsir") || ops("clip") || ops("bpe")) {
       // materialize once so each probe times its operator, not the
       // corpus replication
       val corpus = docs1m(spark, sfDir)
@@ -110,6 +111,43 @@ object ScaleProbe {
         probe("token_budget_sample", n)(TokenBudgetSampler()
           .sample(corpus, graft.functions.TextFns.wsTokenCount(col("text")),
             Map.empty, defaultBudget = 500000L).count())
+      if (ops("span")) {
+        // duplicate-heavy worst case: every replica repeats its group's
+        // text 20×, so ~every n-gram is corpus-duplicated and nearly
+        // every token is cut — the probe times the full pipeline at its
+        // maximum coverage volume. agg over the rebuilt text so the
+        // left join can't be pruned by a bare count()
+        probe("span_removal", n)(
+          graft.operators.text.DuplicatedSpanRemover(n = 3)(corpus)
+            .agg(sum(length(col("text"))) + sum(col("n_removed")))
+            .head().getLong(0))
+      }
+      if (ops("dsir")) {
+        // target stays benchmark-sized (1/50th of the BASE corpus,
+        // group-0 vocabulary) while raw grows — the DSIR deployment
+        // shape: tiny in-domain exemplar set, huge raw crawl
+        val target = Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") % 50 === 0)
+        probe("dsir_select", n)(
+          graft.operators.text.DsirSelector()
+            .resample(corpus, target, k = 10000).count())
+      }
+      if (ops("clip")) {
+        // dual-tower alignment is map-only — this probes raw encode
+        // throughput at 1M pairs; agg over the score so the pass runs
+        val pairs = corpus
+          .withColumn("image", col("text").cast("binary"))
+          .withColumn("caption", reverse(col("text")))
+        probe("clip_score", n)(
+          graft.operators.ml.CrossModalAlignment(threshold = 0.99)
+            .scored(pairs).agg(sum(col("clip_score"))).head().getDouble(0).toLong)
+      }
+      if (ops("bpe")) {
+        // 5 merges over the 1M-doc word-freq dictionary; the corpus is
+        // read once (wordFreq), iterations touch only the word table
+        probe("bpe_train_5merges", n)(
+          graft.operators.text.DistributedBpeTrainer.fit(corpus, 5).count())
+      }
       if (ops("incremental")) {
         // daily-ingest shape: 60% of the corpus is already indexed (the
         // narrow band-bucket table is materialized — at 100 TB it lives

@@ -42,6 +42,11 @@ class PlanAuditSpec extends SparkSpec {
     // - decontaminate broadcasts the BENCHMARK shingle set — bounded
     //   by the eval suite's size, which does not grow with the corpus
     //   being decontaminated (the Bloom path handles oversized ones);
+    // - dsir_select broadcasts the λ table — keyed by a hash bucket in
+    //   [0, buckets), a config constant (1024 default), so its
+    //   cardinality cannot grow with the corpus (the mixture_sample /
+    //   perplexity argument; the keyed-Aggregate structural rule can't
+    //   see the pmod bound);
     // (dedup_semantic used to broadcast a per-cluster size table here;
     // since r11 the k-row size aggregate is collected to the driver to
     // pick the plan shape, so its only remaining hint is the global-
@@ -51,7 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     // accepts only GLOBAL aggregates and these are exemptions
     // rather than a blanket Aggregate pass.
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
-      "mixture_sample", "perplexity", "decontaminate")
+      "mixture_sample", "perplexity", "decontaminate", "dsir_select")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -232,9 +237,12 @@ class PlanAuditSpec extends SparkSpec {
     // - decontaminate_semantic: 1-row broadcast attach of the collected
     //   benchmark-vector array (an eval suite, bounded by definition);
     //   the corpus side is a map-only exists() fold over it
+    // - dsir_select: 1-row broadcast attach of the two global feature
+    //   totals onto the ≤`buckets`-row λ table (the perplexity shape)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
-      "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic")
+      "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
+      "dsir_select")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
