@@ -131,6 +131,92 @@ case class ImagePhashDedup(imageCol: String = "image", idCol: String = "doc_id")
       .groupBy("phash").agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 }
 
+/** Hamming-radius pHash near-dup — the scale extension of
+  * [[ImagePhashDedup]]'s exact-key collapse (reference
+  * operators/dedup/image_phash_dedup.py dedups on the exact hash
+  * string only). A re-encoded / recompressed / resized copy of an
+  * image flips a handful of pHash bits, so exact-key dedup misses
+  * exactly the duplicates a perceptual hash exists to catch; the
+  * standard acceptance test is hamming distance ≤ r on the 64-bit
+  * hash.
+  *
+  * Scale shape — never pairwise over the corpus:
+  *   1. EXACT COLLAPSE FIRST: group by full phash → (phash, min id,
+  *      count). Identical bytes / identical hashes (the dup-heavy web
+  *      shape, hamming 0) collapse before any join, and this is also
+  *      the skew cap: the hottest possible key (a flood of blank
+  *      images sharing one phash) becomes ONE rep row.
+  *   2. BANDED EQUI-JOIN on the DISTINCT hashes only: the hash splits
+  *      into `bands` disjoint bit-bands; by pigeonhole a pair within
+  *      hamming radius r < bands agrees EXACTLY on some band, so a
+  *      per-band equi-join on (band, bits) finds every candidate —
+  *      this is EXACT recall, not the LSH S-curve (the simhash probe
+  *      tables get the same guarantee from C(n,≤r) XOR probes, which
+  *      at 60 bits × r=3 would be 36k probes/row; 6 bands is 6
+  *      rows/rep).
+  *   3. Verify candidates with one codegen'd `bit_count(a XOR b) ≤ r`.
+  *
+  * Keep rule matches the family: doc d survives iff NO doc with a
+  * smaller id is within hamming r. Computable entirely at rep level:
+  * non-min members of a hash group drop (distance 0 to their rep);
+  * rep m_p drops iff some neighboring hash q (d(p,q) ≤ r) has
+  * m_q < m_p. */
+case class PhashHammingDedup(
+    radius: Int = 2,
+    bands: Int = 6,
+    nbits: Int = 60,
+    phashCol: String = "phash",
+    idCol: String = "doc_id") {
+  require(radius >= 0 && radius < bands,
+    s"pigeonhole exactness needs radius < bands (got $radius >= $bands)")
+  require(nbits % bands == 0, "bands must divide nbits")
+
+  private val width = nbits / bands
+
+  /** (phash, keep_id, dup_count): one row per distinct hash. */
+  def reps(df: DataFrame): DataFrame =
+    df.select(col(phashCol), col(idCol))
+      .groupBy(phashCol)
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct-hash neighbor pairs within the radius (pa < pb). */
+  def repPairs(reps: DataFrame): DataFrame = {
+    val banded = reps.select(col(phashCol),
+      posexplode(array((0 until bands).map(j =>
+        shiftrightunsigned(col(phashCol), j * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("__band", "__key")))
+    banded.select(col(phashCol).as("pa"), col("__band"), col("__key"))
+      .join(banded.select(col(phashCol).as("pb"), col("__band"), col("__key")),
+        Seq("__band", "__key"))
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct()
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= radius)
+  }
+
+  /** Every input row + `keep` flag (keep-first within hamming radius). */
+  def flagged(df: DataFrame): DataFrame = {
+    val r = reps(df)
+    val pairs = repPairs(r)
+    val m = r.select(col(phashCol), col("keep_id"))
+    // neighbor rep with the smaller min id kills the other side's rep
+    val dropped = pairs
+      .join(m.select(col(phashCol).as("pa"), col("keep_id").as("ma")), Seq("pa"))
+      .join(m.select(col(phashCol).as("pb"), col("keep_id").as("mb")), Seq("pb"))
+      .select(when(col("ma") < col("mb"), col("mb")).otherwise(col("ma"))
+        .as("__dropped_rep"))
+      .distinct()
+    df.join(m, Seq(phashCol))
+      .join(dropped, col("keep_id") === col("__dropped_rep"), "left_outer")
+      .withColumn("keep",
+        col(idCol) === col("keep_id") && col("__dropped_rep").isNull)
+      .drop("keep_id", "__dropped_rep")
+  }
+
+  /** Surviving rows only. */
+  def apply(df: DataFrame): DataFrame =
+    flagged(df).filter(col("keep")).drop("keep")
+}
+
 /** reference: operators/refiners/image_visual_degradations.py — model
   * scores (color cast / blur / watermark / noise / overall). Stub model. */
 case class VisualDegradations(imageCol: String = "image") {

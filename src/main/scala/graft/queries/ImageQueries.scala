@@ -45,6 +45,27 @@ object ImageQueries {
       ImagePhashDedup().groups(docs)
     }),
 
+    "dedup_phash_hamming" -> ((s, dir) => {
+      // hamming-radius pHash near-dup on a planted re-encode table:
+      // every doc emits its base 60-bit content phash plus a twin
+      // (id + 1e6) with doc_id % 4 bits flipped at deterministic
+      // positions — so radius 2 drops the distance-{0,1,2} twins and
+      // keeps the distance-3 ones, and the oracle rebuilds the exact
+      // same table and brute-forces the keep rule
+      val docs = withImage(Tables.load(s, dir, "documents"))
+      val base = docs.select(col("doc_id"),
+        ImagePhashDedup().phash(col("image")).as("phash"))
+      val nf = pmod(col("doc_id"), lit(4L))
+      val mask = (0 until 3).map { i =>
+        val pos = pmod(pmod(col("doc_id"), lit(47L)) + lit(i * 13), lit(60L))
+        when(nf >= i + 1, pow(lit(2.0), pos).cast("long")).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      val copies = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("phash").bitwiseXOR(mask).as("phash"))
+      PhashHammingDedup(radius = 2).flagged(base.unionByName(copies))
+        .select("doc_id", "phash", "keep")
+    }),
+
     "audio_metadata" -> ((s, dir) => {
       // real WAV container derived in-query (AudioKernels.wavFromText:
       // 8-bit mono 8 kHz PCM, samples = the text's byte codes), decoded
@@ -167,6 +188,28 @@ object ImageQueries {
     s"(CAST(${hexInt(s"text || '$tag'", 6)} AS DOUBLE) / 16777216.0)"
 
   def oracles: Map[String, String] = Map(
+    "dedup_phash_hamming" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${hexInt("text", 15)} AS phash FROM documents),
+         |copies AS (
+         |  SELECT doc_id + 1000000 AS new_id,
+         |    xor(phash,
+         |      (CASE WHEN doc_id % 4 >= 1
+         |         THEN CAST(pow(2, (doc_id % 47) % 60) AS BIGINT) ELSE 0 END) |
+         |      (CASE WHEN doc_id % 4 >= 2
+         |         THEN CAST(pow(2, ((doc_id % 47) + 13) % 60) AS BIGINT) ELSE 0 END) |
+         |      (CASE WHEN doc_id % 4 >= 3
+         |         THEN CAST(pow(2, ((doc_id % 47) + 26) % 60) AS BIGINT) ELSE 0 END)
+         |    ) AS phash
+         |  FROM base),
+         |h AS (
+         |  SELECT doc_id, phash FROM base
+         |  UNION ALL SELECT new_id AS doc_id, phash FROM copies)
+         |SELECT a.doc_id, a.phash,
+         |  NOT EXISTS (SELECT 1 FROM h b WHERE b.doc_id < a.doc_id
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2) AS keep
+         |FROM h a""".stripMargin,
+
     "audio_metadata" ->
       """WITH chars AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS c

@@ -53,4 +53,55 @@ class ImageOpsSpec extends SparkSpec {
     assert(emb.size == 8)
     assert(math.abs(emb.map(x => x * x).sum - 1.0) < 1e-9)
   }
+
+  test("PhashHammingDedup: keep-first within radius, planted distances") {
+    // hashes chosen directly: 20 is 2 flips from 23 (bits 0,1), 3 flips
+    // from 16 (bits 0,1,2); 1<<59 exercises the top band
+    val rows = Seq(
+      (1L, 20L),          // base — survives (smallest id overall)
+      (2L, 20L),          // identical hash → drops to 1
+      (3L, 23L),          // hamming(20,23)=2 ≤ r → drops to 1's group
+      (4L, 16L),          // hamming(20,16)=... 20=10100, 16=10000 → 1 flip → drops
+      (5L, (1L << 59) | (1L << 39) | (1L << 29) | (1L << 19) | (1L << 9)),
+      // ^ ≥ 5 flips from every other row → survives
+      (6L, (1L << 59) | (1L << 39) | (1L << 29) | (1L << 19) | (1L << 9) | 7L)
+      // ^ 3 flips from 5 → OUTSIDE r=2 → survives
+    ).toDF("doc_id", "phash")
+    val got = PhashHammingDedup(radius = 2).flagged(rows)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true))
+  }
+
+  test("PhashHammingDedup: banded candidates == brute force at r=2") {
+    // derived corpus with planted near pairs at mixed distances
+    val base = (0L until 120L).map(i =>
+      (i, java.lang.Long.parseLong(
+        graft.operators.vector.DeterministicPlanes.md5Hex(s"ph$i").substring(0, 15), 16)))
+    val twins = base.map { case (i, h) =>
+      val flips = (i % 4).toInt
+      val mask = (0 until flips).map(j => 1L << (((i % 47) + 13 * j) % 60)).fold(0L)(_ | _)
+      (i + 1000L, h ^ mask)
+    }
+    val df = (base ++ twins).toDF("doc_id", "phash")
+    val keptBanded = PhashHammingDedup(radius = 2).flagged(df)
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    // brute force keep-first
+    val all = (base ++ twins).sortBy(_._1)
+    val keptBrute = all.filter { case (id, h) =>
+      !all.exists { case (id2, h2) =>
+        id2 < id && java.lang.Long.bitCount(h ^ h2) <= 2 }
+    }.map(_._1).toSet
+    assert(keptBanded == keptBrute)
+    // the planted distance-0/1/2 twins dropped, distance-3 twins kept
+    assert(twins.filter(t => (t._1 - 1000L) % 4 == 3).forall(t => keptBanded(t._1)))
+    assert(twins.filter(t => (t._1 - 1000L) % 4 != 3).forall(t => !keptBanded(t._1)))
+  }
+
+  test("PhashHammingDedup plan: equi-joins only, no cartesian") {
+    val df = (0L until 50L).map(i => (i, i * 1315423911L)).toDF("doc_id", "phash")
+    val plan = PhashHammingDedup().flagged(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
