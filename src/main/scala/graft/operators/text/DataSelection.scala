@@ -68,17 +68,6 @@ case class DsirSelector(
       .select(col(idCol), bucketOf(col("__f")).as("__bucket"))
   }
 
-  /** Per-(doc, bucket) feature counts, MATERIALIZED: this narrow table
-    * (≤ `buckets` rows per doc, usually far fewer) feeds both the raw
-    * distribution totals and the per-doc score join, so the corpus is
-    * tokenized exactly once — without the checkpoint the explode
-    * subtree re-runs per consumer, which tripled the wall cost at
-    * sf0.1. The same shape a 100 TB run wants: one tokenize pass, a
-    * persisted narrow aggregate after it. */
-  private def docBucketCounts(df: DataFrame): DataFrame =
-    features(df).groupBy(col(idCol), col("__bucket"))
-      .agg(count(lit(1)).as("__fcnt")).localCheckpoint()
-
   /** Per-bucket occurrence counts (≤ `buckets` rows). */
   private def bucketCounts(df: DataFrame): DataFrame =
     features(df).groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
@@ -105,18 +94,30 @@ case class DsirSelector(
     lamOf(bucketCounts(target).withColumnRenamed("__cnt", "__ct"),
       bucketCounts(raw).withColumnRenamed("__cnt", "__cr"))
 
-  /** (idCol, dsir_score): Σ λ over the document's hashed features
-    * (evaluated as Σ per-bucket count·λ), rounded to 6 dp. Documents
-    * with no features (blank text) score 0. */
+  /** (idCol, dsir_score): Σ λ over the document's hashed feature
+    * occurrences, rounded to 6 dp. Documents with no features (blank
+    * text) score 0.
+    *
+    * Scale shape: the corpus tokenizes TWICE and materializes NOTHING
+    * in between — pass 1 (the raw distribution) map-side combines the
+    * feature stream down to ≤ `buckets` rows per partition before its
+    * ≤ `buckets`-row shuffle; pass 2 joins the feature stream to the
+    * broadcast λ table and map-side combines the per-doc sums, so its
+    * shuffle is one row per document. The earlier design materialized
+    * the per-(doc, bucket) counts between the passes (localCheckpoint)
+    * to tokenize once; at 1M docs that intermediate is ~10⁸ narrow
+    * rows, and writing + twice re-reading it cost far more than the
+    * second codegen'd tokenize pass it saved (probe row, SURVEY §14 —
+    * 1062 s → re-measured after this change). */
   def scored(raw: DataFrame, target: DataFrame): DataFrame = {
-    val docCounts = docBucketCounts(raw)
-    val r = docCounts.groupBy("__bucket").agg(sum(col("__fcnt")).as("__cr"))
+    val feats = features(raw)
+    val r = feats.groupBy("__bucket").agg(count(lit(1)).as("__cr"))
     val t = bucketCounts(target).withColumnRenamed("__cnt", "__ct")
     val lam = lamOf(t, r)
-    val sums = docCounts
+    val sums = feats
       .join(broadcast(lam), Seq("__bucket"))
       .groupBy(idCol)
-      .agg(round(sum(col("lam") * col("__fcnt")), 6).as("dsir_score"))
+      .agg(round(sum(col("lam")), 6).as("dsir_score"))
     raw.select(col(idCol)).join(sums, Seq(idCol), "left")
       .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0.0)))
   }

@@ -249,3 +249,57 @@ case class TrainingShardLayout(nShards: Int = 32,
     manifest
   }
 }
+
+/** Exact per-group top-fraction selection — the percentile quality gate
+  * (FineWeb-Edu's "keep documents above the classifier-score
+  * percentile", per domain): keep the ceil(frac·n_g) best rows of each
+  * group by (score desc, id asc). Deterministic and EXACT, without a
+  * per-group global sort:
+  *
+  *   1. histogram (group, score) → counts — the only corpus-wide
+  *      aggregate, map-side combined, sized by DISTINCT scores per
+  *      group (scores are rounded upstream, so this is bounded);
+  *   2. a window cumsum over the HISTOGRAM (tiny) finds each group's
+  *      threshold score and how many boundary ties to admit;
+  *   3. rows join the per-(group, score) verdict on an equi-key:
+  *      scores above the threshold keep wholesale; ONLY the boundary
+  *      ties (score == threshold) pay a row_number, and that window is
+  *      partitioned by (group, score) — the tie set, not the group.
+  *
+  * The degenerate worst case (every row of a group sharing one score)
+  * makes the boundary window the whole group — same cost as the naive
+  * rank, never worse. A group with n_g ≥ 1 keeps at least one row
+  * (ceil). */
+case class TopFractionByGroup(
+    frac: Double,
+    groupCol: String = "source",
+    scoreCol: String = "score",
+    idCol: String = "doc_id") {
+  require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val byScoreDesc = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc)
+    val whole = Window.partitionBy(groupCol)
+    // __cum = rows at-or-above this score; __k = the group's quota;
+    // __take = quota left when this score's tie block starts
+    val marks = hist
+      .withColumn("__cum", sum(col("__c")).over(byScoreDesc))
+      .withColumn("__k", ceil(sum(col("__c")).over(whole) * frac).cast("long"))
+      .withColumn("__take", col("__k") - (col("__cum") - col("__c")))
+      .filter(col("__take") > 0)
+      .select(col(groupCol), col(scoreCol),
+        (col("__cum") <= col("__k")).as("__full"), col("__take"))
+    val joined = df.join(marks, Seq(groupCol, scoreCol))
+    val kept = joined.filter(col("__full"))
+    val boundary = joined.filter(!col("__full"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol, scoreCol).orderBy(col(idCol))))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__rn")
+    kept.unionByName(boundary)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -107,6 +107,15 @@ object TextQueries {
         .select("doc_id", "is_contaminated")
     }),
 
+    // percentile quality gate: per-source top 20% by token count
+    // (integer score → heavy ties, so the boundary tie-admission path
+    // is exercised, not just the wholesale-keep path)
+    "quality_topq" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("score", wsTokenCount(col("text")).cast("long"))
+      TopFractionByGroup(frac = 0.2)(docs).select("doc_id", "source", "score")
+    }),
+
     // stratified rebalance: 50% of en, 10% of everything else
     "sample_stratified" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -650,6 +659,21 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 3""".stripMargin,
 
+    "quality_topq" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($wsToksSql) END AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM scored)
+         |SELECT doc_id, source, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)""".stripMargin,
+
     "hash_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -859,10 +883,9 @@ object TextQueries {
          |    round(ln((coalesce(ct, 0) + 1.0) / (tt + 1024.0)) -
          |          ln((coalesce(cr, 0) + 1.0) / (rt + 1024.0)), 9) AS lam
          |  FROM t FULL OUTER JOIN r ON t.b = r.b, tt, rt),
-         |fbc AS (SELECT doc_id, b, count(*) AS fcnt FROM fb GROUP BY 1, 2),
          |sums AS (
-         |  SELECT fbc.doc_id, round(sum(lam * fcnt), 6) AS dsir_score
-         |  FROM fbc JOIN lam ON fbc.b = lam.b GROUP BY fbc.doc_id),
+         |  SELECT fb.doc_id, round(sum(lam), 6) AS dsir_score
+         |  FROM fb JOIN lam ON fb.b = lam.b GROUP BY fb.doc_id),
          |sc AS (
          |  SELECT documents.doc_id, coalesce(dsir_score, 0.0) AS dsir_score,
          |    round(-ln(-ln((CAST(('0x' || substr(md5(CAST(documents.doc_id AS VARCHAR)

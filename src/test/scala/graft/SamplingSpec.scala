@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.text.{HashSampler, PiiRedactor, TokenBudgetSampler, TrainingShardLayout}
+import graft.operators.text.{HashSampler, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -191,5 +191,35 @@ class SamplingSpec extends SparkSpec {
       assert(manifest(k)._1 == rows.length)
     }
     assert(manifest.values.map(_._1).sum == docs.count())
+  }
+
+  test("TopFractionByGroup == per-group rank by (score desc, id)") {
+    // mixed tie structure: scores i % 7 force boundary tie admission
+    val rows = (0L until 200L).map(i =>
+      (i, s"src${i % 3}", (i % 7).toDouble)).toDF("doc_id", "source", "score")
+    val got = TopFractionByGroup(frac = 0.3)(rows)
+      .select("doc_id").as[Long].collect().toSet
+    val naive = (0L until 200L).map(i => (i, s"src${i % 3}", (i % 7).toDouble))
+      .groupBy(_._2).flatMap { case (_, g) =>
+        val k = math.ceil(g.size * 0.3).toInt
+        g.sortBy(r => (-r._3, r._1)).take(k)
+      }.map(_._1).toSet
+    assert(got == naive)
+  }
+
+  test("TopFractionByGroup: degenerate single-score group, ceil quota") {
+    val rows = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 5.0),
+      (4L, "b", 1.0)).toDF("doc_id", "source", "score")
+    val got = TopFractionByGroup(frac = 0.5)(rows)
+      .select("doc_id").as[Long].collect().toSet
+    // a: ceil(3*0.5)=2 smallest ids of the tie block; b: ceil(0.5)=1
+    assert(got == Set(1L, 2L, 4L))
+  }
+
+  test("TopFractionByGroup keeps all rows at frac=1 and output schema is input's") {
+    val rows = Seq((1L, "a", 2.0), (2L, "a", 1.0)).toDF("doc_id", "source", "score")
+    val out = TopFractionByGroup(frac = 1.0)(rows)
+    assert(out.columns.toSeq == rows.columns.toSeq)
+    assert(out.count() == 2)
   }
 }
