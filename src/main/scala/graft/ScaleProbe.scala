@@ -79,7 +79,7 @@ object ScaleProbe {
 
     if (ops("boilerplate") || ops("mixture") || ops("bloom") ||
         ops("incremental") || ops("token_budget") || ops("span") ||
-        ops("dsir") || ops("clip") || ops("bpe")) {
+        ops("dsir") || ops("dsir_fast") || ops("clip") || ops("bpe")) {
       // materialize once so each probe times its operator, not the
       // corpus replication
       val corpus = docs1m(spark, sfDir)
@@ -122,15 +122,22 @@ object ScaleProbe {
             .agg(sum(length(col("text"))) + sum(col("n_removed")))
             .head().getLong(0))
       }
-      if (ops("dsir")) {
+      if (ops("dsir") || ops("dsir_fast")) {
         // target stays benchmark-sized (1/50th of the BASE corpus,
         // group-0 vocabulary) while raw grows — the DSIR deployment
         // shape: tiny in-domain exemplar set, huge raw crawl
         val target = Tables.load(spark, sfDir, "documents")
           .filter(col("doc_id") % 50 === 0)
-        probe("dsir_select", n)(
-          graft.operators.text.DsirSelector()
-            .resample(corpus, target, k = 10000).count())
+        if (ops("dsir"))
+          probe("dsir_select", n)(
+            graft.operators.text.DsirSelector()
+              .resample(corpus, target, k = 10000).count())
+        // the production-recipe hash lever: same pipeline, native
+        // xxhash64 bucketing instead of the engine-portable md5
+        if (ops("dsir_fast"))
+          probe("dsir_select_fast", n)(
+            graft.operators.text.DsirSelector(fastHash = true)
+              .resample(corpus, target, k = 10000).count())
       }
       if (ops("clip")) {
         // dual-tower alignment is map-only — this probes raw encode

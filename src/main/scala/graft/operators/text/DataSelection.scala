@@ -42,14 +42,24 @@ case class DsirSelector(
     alpha: Double = 1.0,
     seed: String = "dsir",
     idCol: String = "doc_id",
-    textCol: String = "text") {
+    textCol: String = "text",
+    fastHash: Boolean = false) {
   require(buckets > 0 && alpha > 0.0, "buckets and alpha must be positive")
 
-  /** md5-prefix bucket in [0, buckets) for a feature string (the
-    * engine-portable [[HashSampler]] hash family). */
+  /** Feature bucket in [0, buckets). Default: md5-prefix (the
+    * engine-portable [[HashSampler]] hash family — any engine replays
+    * the bucketing, which is what the oracle checks). `fastHash`
+    * switches to the native codegen'd xxhash64 — statistically
+    * equivalent bucketing (any uniform hash serves the hashed n-gram
+    * model identically), JVM-only, measured 1.7× on the whole 1M-doc
+    * selection (SURVEY §14: the per-occurrence md5 dominates the
+    * md5 path's cost) — the production recipe at 100 TB. */
   private def bucketOf(feat: Column): Column =
-    pmod(conv(substring(md5(concat(feat, lit(":" + seed))), 1, 7), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    if (fastHash)
+      pmod(xxhash64(feat, lit(":" + seed)), lit(buckets.toLong))
+    else
+      pmod(conv(substring(md5(concat(feat, lit(":" + seed))), 1, 7), 16, 10)
+        .cast("long"), lit(buckets.toLong))
 
   /** (idCol, __bucket) — one row per unigram+bigram occurrence. The
     * token array is let-bound once (two separate wordShingles calls

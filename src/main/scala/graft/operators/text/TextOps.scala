@@ -396,6 +396,59 @@ object PiiRedactor {
   val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 }
 
+/** Luhn-verified credit/payment-card redaction — the [[PiiRedactor]]
+  * kind a bare digit regex cannot deliver: 13–19-digit runs are
+  * everywhere (order ids, tracking numbers, timestamps), and the
+  * standard discriminator is the Luhn mod-10 checksum every real card
+  * number satisfies. A regex has no checksum, so detection is
+  *
+  *   1. `regexp_extract_all` the shape candidates (digit runs with
+  *      optional single space/dash separators — RE2-safe, no
+  *      backreferences);
+  *   2. `filter()` them through a CLOSED-FORM Luhn column: the digit
+  *      string reverses, and a fixed 19-term sum (every term a CASE on
+  *      a literal position — engine-portable, whole-stage-codegen'd,
+  *      replayed verbatim by the SQL oracle) doubles every second
+  *      digit with the >9 ⇒ −9 fold; valid iff total ≡ 0 (mod 10);
+  *   3. fold the VALID matches over the text with literal `replace` —
+  *      invalid candidates stay untouched.
+  *
+  * Map-only end to end, no shuffle, no UDF. */
+case class CreditCardRedactor(textCol: String = "text") {
+  import CreditCardRedactor._
+
+  /** True iff the candidate's digits pass length 13–19 + Luhn mod 10. */
+  def luhnValid(c: Column): Column = {
+    val d = regexp_replace(c, "[^0-9]", "")
+    val rev = reverse(d)
+    val terms = (1 to 19).map { i =>
+      val dig = when(length(rev) >= i, substring(rev, i, 1).cast("int"))
+        .otherwise(lit(0))
+      if (i % 2 == 0) {
+        val dd = dig * 2
+        when(dd > 9, dd - 9).otherwise(dd)
+      } else dig
+    }
+    length(d).between(13, 19) && pmod(terms.reduce(_ + _), lit(10)) === 0
+  }
+
+  /** Luhn-valid card-shaped matches in the text. */
+  def validCards(t: Column): Column =
+    filter(regexp_extract_all(t, lit(cardPat), lit(0)), c => luhnValid(c))
+
+  def redact(t: Column): Column =
+    aggregate(validCards(t), t, (acc, c) => replace(acc, c, lit("<CC>")))
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("n_cards", size(validCards(col(textCol))))
+      .withColumn(textCol, redact(col(textCol)))
+}
+
+object CreditCardRedactor {
+  /** 13–19 digits, optional single space/dash between digits. */
+  val cardPat = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+}
+
 /** Training-sequence packing (GPT-style concatenate-then-cut): documents
   * are laid out end-to-end in doc-id order and cut into fixed-token-
   * budget sequences; each doc learns which sequence it starts in and at

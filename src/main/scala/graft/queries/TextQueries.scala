@@ -222,6 +222,20 @@ object TextQueries {
 
     // synthesize PII-bearing text (both engines build the identical
     // string), then redact + count — proves the masking actually fires
+    // Luhn-verified card redaction: a valid card (16 digits, spaced),
+    // an invalid same-shape number, or no card, planted by doc_id % 3 —
+    // the checksum (not the regex) is what separates the first two
+    "pii_credit_card" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(
+          substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit(" card 4111 1111 1111 1111 thanks"))
+            .when(col("doc_id") % 3 === 1, lit(" card 4111-1111-1111-1112 thanks"))
+            .otherwise(lit(" no card here"))))
+      CreditCardRedactor()(docs)
+        .select(col("doc_id"), col("text").as("redacted"), col("n_cards"))
+    }),
+
     "pii_redact" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .withColumn("text", concat(
@@ -897,6 +911,37 @@ object TextQueries {
          |      doc_id ASC) AS INT) AS rnk
          |  FROM sc)
          |SELECT doc_id, dsir_score, rnk FROM ranked WHERE rnk <= 100""".stripMargin,
+
+    "pii_credit_card" -> {
+      // the 19-term closed-form Luhn sum over the reversed digit
+      // string — the exact formula CreditCardRedactor.luhnValid builds
+      val digits = "regexp_replace(x, '[^0-9]', '', 'g')"
+      val terms = (1 to 19).map { i =>
+        val dig = s"CASE WHEN length(reverse($digits)) >= $i " +
+          s"THEN CAST(substr(reverse($digits), $i, 1) AS INT) ELSE 0 END"
+        if (i % 2 == 0)
+          s"(CASE WHEN 2 * ($dig) > 9 THEN 2 * ($dig) - 9 ELSE 2 * ($dig) END)"
+        else s"($dig)"
+      }.mkString(" + ")
+      val luhn = s"(length($digits) BETWEEN 13 AND 19 AND ($terms) % 10 = 0)"
+      val pat = """\b\d(?:[ -]?\d){12,18}\b"""
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' card 4111 1111 1111 1111 thanks'
+         |         WHEN doc_id % 3 = 1 THEN ' card 4111-1111-1111-1112 thanks'
+         |         ELSE ' no card here' END AS text
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_extract_all(text, '$pat'), x -> $luhn) AS ok
+         |  FROM t)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(text, ok),
+         |    (a, b) -> replace(a, b, '<CC>')) AS redacted,
+         |  CAST(len(ok) AS INT) AS n_cards
+         |FROM v""".stripMargin
+    },
 
     "pii_redact" -> {
       val e = PiiRedactor.emailPat

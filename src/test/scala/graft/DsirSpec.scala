@@ -55,4 +55,23 @@ class DsirSpec extends SparkSpec {
       .filter($"doc_id" === 81L).as[(Long, Double)].collect().head
     assert(blank._2 == 0.0)
   }
+
+  test("fastHash lever: same selection semantics, same domain bias") {
+    val raw = corpus
+    val target = raw.filter($"doc_id" <= 40)
+    val sel = DsirSelector(fastHash = true)
+    val drawn = sel.resample(raw, target, k = 20)
+    assert(drawn.count() == 20)
+    // partition-invariant and rerun-stable like the md5 path
+    val ids1 = drawn.select("doc_id").as[Long].collect().toSet
+    val ids2 = sel.resample(raw.repartition(7), target, k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // the hashed n-gram model works under any uniform hash: in-domain
+    // docs still outscore out-of-domain ones
+    val scores = sel.scored(raw, target).as[(Long, Double)].collect().toMap
+    val aMean = (1L to 40L).map(scores).sum / 40
+    val bMean = (41L to 80L).map(scores).sum / 40
+    assert(aMean > bMean + 1.0, s"aMean=$aMean bMean=$bMean")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.text.{HashSampler, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
+import graft.operators.text.{CreditCardRedactor, HashSampler, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -221,5 +221,25 @@ class SamplingSpec extends SparkSpec {
     val out = TopFractionByGroup(frac = 1.0)(rows)
     assert(out.columns.toSeq == rows.columns.toSeq)
     assert(out.count() == 2)
+  }
+
+  test("credit-card redactor: Luhn separates cards from card-shaped noise") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),        // Visa test number: valid
+      (2L, "pay 4111-1111-1111-1112 now"),        // same shape, bad checksum
+      (3L, "amex 378282246310005 ok"),            // 15-digit valid
+      (4L, "order 1234567890123456 shipped"),     // invalid
+      (5L, "totally clean"),
+      (6L, "two: 4111111111111111 and 5555555555554444 !") // both valid
+    ).toDF("doc_id", "text")
+    val out = CreditCardRedactor()(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_cards"))).toMap
+    assert(out(1L) == ("pay <CC> now", 1))
+    assert(out(2L) == ("pay 4111-1111-1111-1112 now", 0))
+    assert(out(3L) == ("amex <CC> ok", 1))
+    assert(out(4L) == ("order 1234567890123456 shipped", 0))
+    assert(out(5L) == ("totally clean", 0))
+    assert(out(6L) == ("two: <CC> and <CC> !", 2))
   }
 }
