@@ -410,7 +410,35 @@ object OperatorRegistry {
           textCol = str(p, "text_field", "text"))
           .select(df, target, int(p, "k", 1000),
             dbl(p, "temperature", 1.0))
-      }))
+      })),
+
+    // hamming-radius pHash near-dup (B38): keep-first within hamming
+    // r of the perceptual hash — catches the re-encode/resize copies
+    // exact-key pHash dedup misses. Expects the phash column (compute
+    // upstream with image_phash_dedup's hash or a real DCT kernel)
+    "phash_hamming_dedup" -> (p => RefineOp("phash_hamming_dedup",
+      df => graft.operators.image.PhashHammingDedup(
+        radius = int(p, "radius", 2),
+        bands = int(p, "bands", 6),
+        nbits = int(p, "nbits", 60),
+        phashCol = str(p, "phash_field", "phash"),
+        idCol = str(p, "id_field", "doc_id"))(df))),
+
+    // per-group top-fraction quality gate (B39): keep the best
+    // ceil(frac·n_g) rows of each domain by a score column — the
+    // FineWeb-Edu percentile selection, exact and sort-free
+    "top_fraction_by_group" -> (p => RefineOp("top_fraction_by_group",
+      df => graft.operators.text.TopFractionByGroup(
+        frac = dbl(p, "frac", 0.2),
+        groupCol = str(p, "group_field", "source"),
+        scoreCol = str(p, "score_field", "score"),
+        idCol = str(p, "id_field", "doc_id"))(df))),
+
+    // Luhn-verified credit-card redaction (B16 extension): masks only
+    // checksum-valid card numbers, counts them in n_cards
+    "credit_card_redactor" -> (p => RefineOp("credit_card_redactor",
+      df => graft.operators.text.CreditCardRedactor(
+        textCol = str(p, "text_field", "text"))(df)))
   )
 
   def build(name: String, params: Params): PipelineOp =

@@ -313,6 +313,33 @@ class ConfigSpec extends SparkSpec {
       s"draw should favor the target domain: ${kept.toSeq.sorted}")
   }
 
+  test("phash hamming dedup, top-fraction gate, card redactor run from YAML") {
+    val yaml =
+      """operators:
+        |  - name: credit_card_redactor
+        |  - name: top_fraction_by_group
+        |    params: {frac: 0.5, score_field: n_cards}
+        |  - name: phash_hamming_dedup
+        |    params: {radius: 2}
+        |""".stripMargin
+    val docs = Seq(
+      (1L, "g1", "pay 4111 1111 1111 1111 now", 10L),
+      (2L, "g1", "order 1234567890123456 shipped", 20L),
+      (3L, "g2", "card 5555555555554444 ok", 21L), // hamming(20,21)=1 → dup of 2? no: 2 cut by gate
+      (4L, "g2", "clean", 1L << 40))
+      .toDF("doc_id", "source", "text", "phash")
+    val out = PipelineConfig.parse(yaml)(docs)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("text"), r.getAs[Int]("n_cards"))).toMap
+    // redactor: 1 and 3 carry Luhn-valid cards (n_cards 1), 2 is
+    // card-shaped noise (0), 4 clean (0). gate keeps top 50% per
+    // source by n_cards → {1, 3}. phash 10 vs 21 differ by 5 bits →
+    // both survive the hamming dedup.
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(1L)._1 == "pay <CC> now" && rows(1L)._2 == 1)
+    assert(rows(3L)._1 == "card <CC> ok" && rows(3L)._2 == 1)
+  }
+
   test("CLI index-build + two-day ingest loop: dups stop at the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
