@@ -68,14 +68,67 @@ object AudioKernels extends Serializable {
         } finally in.close()
       } catch { case _: Exception => None }
 
+  /** Energy-contour fingerprint: decode PCM, split the sample stream
+    * into `windows` contiguous chunks (sample i → window ⌊i·w/n⌋ —
+    * integer arithmetic, engine-replayable), per-window INTEGER energy
+    * Σ v² (exact — no FP anywhere), then one bit per adjacent window
+    * pair: bit j = 1 iff energy(j+1) > energy(j). The delta-sign
+    * contour is the classic coarse audio signature: a localized
+    * corruption (clipped samples, a dropped packet) flips at most the
+    * two bits touching its window, so near-identical recordings sit
+    * within a small hamming radius and
+    * [[graft.operators.image.PhashHammingDedup]] (bands over the
+    * fingerprint) groups them — the audio twin of the pHash story.
+    * None when the clip has fewer samples than windows. */
+  def fingerprint(bytes: Array[Byte], windows: Int = 17): Option[Long] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val data = in.readAllBytes()
+          val bits = f.getSampleSizeInBits
+          if (bits != 8 && bits != 16) None
+          else {
+            val n = if (bits == 8) data.length else data.length / 2
+            if (n < windows) None
+            else {
+              val sums = new Array[Long](windows)
+              var i = 0
+              while (i < n) {
+                val v =
+                  if (bits == 8) (data(i) & 0xff) - 128
+                  else {
+                    val le = !f.isBigEndian
+                    if (le) ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+                    else ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
+                  }
+                sums((i.toLong * windows / n).toInt) += v.toLong * v
+                i += 1
+              }
+              var fp = 0L
+              var j = 0
+              while (j < windows - 1) {
+                if (sums(j + 1) > sums(j)) fp |= 1L << j
+                j += 1
+              }
+              Some(fp)
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
   // ---- Column API ----
   private val infoUdf = udf((b: Array[Byte]) => info(b))
   private val durUdf = udf((b: Array[Byte]) => durationSec(b))
   private val rmsUdf = udf((b: Array[Byte]) => rms(b))
+  private val fpUdf = udf((b: Array[Byte]) => fingerprint(b))
 
   def audioInfo(audio: Column): Column = infoUdf(audio)
   def audioDuration(audio: Column): Column = durUdf(audio)
   def audioRms(audio: Column): Column = rmsUdf(audio)
+  def audioFingerprint(audio: Column): Column = fpUdf(audio)
 
   /** Deterministic 8-bit mono PCM WAV whose samples are the text's
     * byte codes — the audio twin of the text-as-binary image

@@ -638,6 +638,14 @@ case class DuplicatedSpanRemover(n: Int = 3, minCount: Long = 2,
   def apply(df: DataFrame): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(wsTokens(normalizeText(col(textCol)))).as(Seq("pos", "tok")))
+    // the gram streams join on the raw shingle string. Two plan
+    // variants were tried and MEASURED a wash at the 1M worst case
+    // (489.7 vs 512.1 s, same kept set): an md5-60bit gram key
+    // (narrower shuffles in principle; the wall cost actually sits in
+    // the token-rebuild aggregate, not the gram streams) and dropping
+    // covered.distinct() (LEFT ANTI tolerates duplicate build rows,
+    // but the n×-larger join input cancels the saved exchange at full
+    // coverage). Both reverted — no measured benefit anywhere.
     val grams = df.select(col(idCol),
       posexplode(wordShingles(col(textCol), n)).as(Seq("gpos", "sh")))
     // duplicated grams with their canonical (first) occurrence — one

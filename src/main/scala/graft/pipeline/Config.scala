@@ -438,7 +438,15 @@ object OperatorRegistry {
     // checksum-valid card numbers, counts them in n_cards
     "credit_card_redactor" -> (p => RefineOp("credit_card_redactor",
       df => graft.operators.text.CreditCardRedactor(
-        textCol = str(p, "text_field", "text"))(df)))
+        textCol = str(p, "text_field", "text"))(df))),
+
+    // energy-contour audio fingerprint refiner: attaches the 16-bit
+    // delta-sign signature; chain phash_hamming_dedup on audio_fp
+    // (radius 1, bands 4, nbits 16) for audio near-dup
+    "audio_fingerprint" -> (p => RefineOp("audio_fingerprint",
+      df => df.withColumn(str(p, "out_field", "audio_fp"),
+        graft.operators.image.AudioKernels.audioFingerprint(
+          org.apache.spark.sql.functions.col(str(p, "audio_field", "audio"))))))
   )
 
   def build(name: String, params: Params): PipelineOp =

@@ -80,6 +80,31 @@ object ImageQueries {
           round(col("rms"), 6).as("rms"))
     }),
 
+    "audio_fingerprint_dedup" -> ((s, dir) => {
+      // energy-contour fingerprint (16 delta-sign bits over 17 integer
+      // energy windows, through the REAL WAV decode path) + hamming
+      // dedup via the B38 banded machinery; planted exact copies for
+      // even doc_ids, natural 16-bit contour collisions handled
+      // identically by the brute-force oracle
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("audio", AudioKernels.textWav(col("text")))
+      // the decode UDF is the expensive leg and the dedup references
+      // its input three times (rep groupBy + two back joins) — pin the
+      // NARROW (id, fp) table once so the corpus decodes exactly once
+      val base = docs.select(col("doc_id"),
+        AudioKernels.audioFingerprint(col("audio")).as("audio_fp"))
+        .localCheckpoint()
+      val copies = base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("audio_fp"))
+      val all = base.unionByName(copies)
+      PhashHammingDedup(radius = 1, bands = 4, nbits = 16,
+          phashCol = "audio_fp")
+        .flagged(all.filter(col("audio_fp").isNotNull))
+        .unionByName(all.filter(col("audio_fp").isNull)
+          .withColumn("keep", lit(true)))
+        .select("doc_id", "audio_fp", "keep")
+    }),
+
     "visual_degradations" -> ((s, dir) => {
       val docs = withImage(Tables.load(s, dir, "documents"))
       VisualDegradations()(docs).select("doc_id", "img_vd_color_cast",
@@ -209,6 +234,37 @@ object ImageQueries {
          |  NOT EXISTS (SELECT 1 FROM h b WHERE b.doc_id < a.doc_id
          |    AND bit_count(xor(a.phash, b.phash)) <= 2) AS keep
          |FROM h a""".stripMargin,
+
+    "audio_fingerprint_dedup" ->
+      """WITH chars AS (
+        |  SELECT doc_id, length(text) AS n, CAST(i - 1 AS BIGINT) AS i0,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |e AS (
+        |  SELECT doc_id, (i0 * 17) // n AS w,
+        |    sum(CAST((c - 128) * (c - 128) AS BIGINT)) AS s
+        |  FROM chars GROUP BY doc_id, (i0 * 17) // n),
+        |fp0 AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.s > a.s
+        |        THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  GROUP BY a.doc_id),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(d.text) >= 17 THEN fp0.fp ELSE NULL END AS fp
+        |  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
+        |copies AS (
+        |  SELECT doc_id + 1000000 AS doc_id, fp FROM base WHERE doc_id % 2 = 0),
+        |h AS (SELECT doc_id, fp FROM base UNION ALL SELECT doc_id, fp FROM copies)
+        |SELECT a.doc_id, a.fp AS audio_fp,
+        |  CASE WHEN a.fp IS NULL THEN TRUE ELSE
+        |    NOT EXISTS (SELECT 1 FROM h b WHERE b.fp IS NOT NULL
+        |      AND b.doc_id < a.doc_id AND bit_count(xor(a.fp, b.fp)) <= 1)
+        |  END AS keep
+        |FROM h a""".stripMargin,
 
     "audio_metadata" ->
       """WITH chars AS (

@@ -56,4 +56,24 @@ class AudioKernelsSpec extends SparkSpec {
     assert(rows(1L) === ((Some(8000), Some(0.25))))
     assert(rows(2L) === ((None, None)))
   }
+
+  test("fingerprint: deterministic, contour-sensitive, locality-bounded") {
+    val quiet = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"   // flat contour
+    val loud = quiet.take(17) + "zz!!zz!!zz!!zz!!z"     // energy jump mid-clip
+    val w1 = AudioKernels.wavFromText(loud)
+    // identical bytes → identical fingerprint
+    assert(AudioKernels.fingerprint(w1) == AudioKernels.fingerprint(w1.clone()))
+    // a flat clip and a contoured clip differ
+    assert(AudioKernels.fingerprint(AudioKernels.wavFromText(quiet)) !=
+      AudioKernels.fingerprint(w1))
+    // corrupting ONE sample flips at most the two bits whose windows
+    // touch it — the hamming-dedup locality claim
+    val corrupted = loud.updated(20, '~')
+    val d = AudioKernels.fingerprint(w1).get ^
+      AudioKernels.fingerprint(AudioKernels.wavFromText(corrupted)).get
+    assert(java.lang.Long.bitCount(d) <= 2, s"flipped ${java.lang.Long.bitCount(d)} bits")
+    // shorter than the window count → no fingerprint
+    assert(AudioKernels.fingerprint(AudioKernels.wavFromText("short")).isEmpty)
+    assert(AudioKernels.fingerprint(null).isEmpty)
+  }
 }
