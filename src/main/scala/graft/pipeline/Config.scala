@@ -446,7 +446,19 @@ object OperatorRegistry {
     "audio_fingerprint" -> (p => RefineOp("audio_fingerprint",
       df => df.withColumn(str(p, "out_field", "audio_fp"),
         graft.operators.image.AudioKernels.audioFingerprint(
-          org.apache.spark.sql.functions.col(str(p, "audio_field", "audio"))))))
+          org.apache.spark.sql.functions.col(str(p, "audio_field", "audio")))))),
+
+    // aligned frame-hash video near-dup (B41): keep-first among videos
+    // sharing >= min_matches identically-hashed frames at the same
+    // sampled index
+    "video_frame_dedup" -> (p => RefineOp("video_frame_dedup",
+      df => graft.operators.image.VideoFrameDedup(
+        n = int(p, "n_frames", 8),
+        frameBytes = int(p, "frame_bytes", 32),
+        minMatches = int(p, "min_matches", 5),
+        maxFrameGroup = int(p, "max_frame_group", 1000),
+        videoCol = str(p, "video_field", "video"),
+        idCol = str(p, "id_field", "doc_id"))(df)))
   )
 
   def build(name: String, params: Params): PipelineOp =

@@ -105,6 +105,23 @@ object ImageQueries {
         .select("doc_id", "audio_fp", "keep")
     }),
 
+    "dedup_video_frames" -> ((s, dir) => {
+      // aligned frame-hash video near-dup: every even doc also ships a
+      // "re-encoded" twin with one byte spliced mid-stream — ≥ 6 of 8
+      // sampled frames still hash identically at the same index, so
+      // minMatches=5 groups them; the oracle rebuilds the identical
+      // videos and replays the frame formula + brute-force keep rule
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        repeat(col("text"), 4).cast("binary").as("video"))
+      val copies = base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("video"), 1, 40), lit("X").cast("binary"),
+            substring(col("video"), 42, 1000000000)).as("video"))
+      VideoFrameDedup().flagged(base.unionByName(copies))
+        .select(col("doc_id"), col("keep"))
+    }),
+
     "visual_degradations" -> ((s, dir) => {
       val docs = withImage(Tables.load(s, dir, "documents"))
       VisualDegradations()(docs).select("doc_id", "img_vd_color_cast",
@@ -265,6 +282,29 @@ object ImageQueries {
         |      AND b.doc_id < a.doc_id AND bit_count(xor(a.fp, b.fp)) <= 1)
         |  END AS keep
         |FROM h a""".stripMargin,
+
+    "dedup_video_frames" ->
+      """WITH base AS (SELECT doc_id, repeat(text, 4) AS video FROM documents),
+        |cops AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(video, 1, 40) || 'X' || substr(video, 42, 1000000000) AS video
+        |  FROM base WHERE doc_id % 2 = 0),
+        |v AS (SELECT doc_id, video FROM base
+        |      UNION ALL SELECT doc_id, video FROM cops),
+        |fr AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |    CAST(('0x' || substr(md5(substr(video,
+        |      CAST(floor(i * greatest((length(video) - 32) / 7.0, 1.0) + 1) AS INT),
+        |      32)), 1, 15)) AS BIGINT) AS fh
+        |  FROM v, range(0, 8) r(i)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS m
+        |  FROM fr a JOIN fr b
+        |    ON a.frame_idx = b.frame_idx AND a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT v.doc_id,
+        |  NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ib = v.doc_id) AS keep
+        |FROM v""".stripMargin,
 
     "audio_metadata" ->
       """WITH chars AS (

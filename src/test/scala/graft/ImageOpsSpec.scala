@@ -104,4 +104,29 @@ class ImageOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("VideoFrameDedup: aligned-frame matching, splice tolerance, stop-frame cut") {
+    def vid(s: String): Array[Byte] = (s * 40).getBytes("UTF-8")
+    val a = vid("the quick brown fox jumps over the lazy dog ")
+    // one byte spliced mid-stream: most sampled frames still align
+    val b = a.clone(); b(41) = 'X'.toByte
+    val c = vid("a completely different recording with other bytes ")
+    val got = VideoFrameDedup().flagged(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "video"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+
+    // stop-frame cut: with maxFrameGroup=2, frames shared by ALL
+    // videos are non-discriminative and generate no pairs
+    val flood = (1L to 5L).map(i => (i, a)).toDF("doc_id", "video")
+    assert(VideoFrameDedup(maxFrameGroup = 2).candidatePairs(flood).count() == 0)
+    // ...but under the default cap the flood collapses to doc 1
+    val keptFlood = VideoFrameDedup().flagged(flood)
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(keptFlood == Set(1L))
+
+    val plan = VideoFrameDedup().flagged(
+      Seq((1L, a)).toDF("doc_id", "video")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
