@@ -449,6 +449,75 @@ object CreditCardRedactor {
   val cardPat = "\\b\\d(?:[ -]?\\d){12,18}\\b"
 }
 
+/** Unicode normalization + mojibake repair — the CCNet-style encoding
+  * cleanup a web crawl needs before any token-level operator (the same
+  * page crawled twice often differs ONLY in encoding damage, so exact
+  * dedup, shingles, and language ID all fracture on it):
+  *
+  *   1. MOJIBAKE REPAIR: UTF-8 bytes mis-decoded as Latin-1/Win-1252
+  *      leave signature digraphs ("Ã©" for é, "â€™" for an
+  *      apostrophe). A fixed translation table of the common artifacts
+  *      applies as a chained literal `replace` — deterministic,
+  *      codegen'd, and replayed verbatim by the SQL oracle (a general
+  *      re-decode kernel would fix more but is not engine-portable;
+  *      the table covers the high-frequency artifacts that dominate
+  *      real crawls).
+  *   2. NFC NORMALIZATION via the JDK's java.text.Normalizer (zero
+  *      dependency): composed and decomposed accents ("é" vs "e"+U+301)
+  *      become byte-identical, so content hashes agree. DuckDB's
+  *      nfc_normalize replays it exactly.
+  *
+  * Emits `n_mojibake_chars` (characters removed by the repair — a
+  * per-doc encoding-damage signal usable as a quality feature) and
+  * `was_changed`. Map-only, no shuffle. */
+case class UnicodeNormalizer(textCol: String = "text") {
+  import UnicodeNormalizer._
+
+  def fixMojibake(t: Column): Column =
+    mojibakeTable.foldLeft(t) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  def normalize(t: Column): Column = nfcUdf(fixMojibake(t))
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("__fixed", fixMojibake(col(textCol)))
+      .withColumn("n_mojibake_chars",
+        (length(col(textCol)) - length(col("__fixed"))).cast("int"))
+      .withColumn("__norm", nfcUdf(col("__fixed")))
+      .withColumn("was_changed", col("__norm") =!= col(textCol))
+      .withColumn(textCol, col("__norm"))
+      .drop("__fixed", "__norm")
+}
+
+object UnicodeNormalizer {
+  /** (artifact, repair) — UTF-8-as-Latin-1 signatures, longest first so
+    * the chained replace never bites a prefix of a longer artifact.
+    * Punctuation repairs land on ASCII (the curly forms' own Latin-1
+    * artifacts include C1 controls that don't survive SQL literals). */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "'",
+    "â€œ" -> "\"",
+    "â€“" -> "-",
+    "â€”" -> "-",
+    "â€¦" -> "...",
+    "Ã©" -> "é",
+    "Ã¨" -> "è",
+    "Ã¼" -> "ü",
+    "Ã¶" -> "ö",
+    "Ã¤" -> "ä",
+    "Ã±" -> "ñ",
+    "Ã§" -> "ç",
+    "Ã³" -> "ó",
+    "Ãº" -> "ú",
+    "Ã­" -> "í",
+    "Ã¡" -> "á")
+}
+
 /** Training-sequence packing (GPT-style concatenate-then-cut): documents
   * are laid out end-to-end in doc-id order and cut into fixed-token-
   * budget sequences; each doc learns which sequence it starts in and at

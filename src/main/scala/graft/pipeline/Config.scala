@@ -448,6 +448,12 @@ object OperatorRegistry {
         graft.operators.image.AudioKernels.audioFingerprint(
           org.apache.spark.sql.functions.col(str(p, "audio_field", "audio")))))),
 
+    // unicode normalization + mojibake repair (B42): run FIRST in a
+    // crawl pipeline — encoding damage fractures dedup/shingles/langid
+    "unicode_normalizer" -> (p => RefineOp("unicode_normalizer",
+      df => graft.operators.text.UnicodeNormalizer(
+        textCol = str(p, "text_field", "text"))(df))),
+
     // aligned frame-hash video near-dup (B41): keep-first among videos
     // sharing >= min_matches identically-hashed frames at the same
     // sampled index

@@ -222,6 +222,22 @@ object TextQueries {
 
     // synthesize PII-bearing text (both engines build the identical
     // string), then redact + count — proves the masking actually fires
+    // encoding cleanup: planted UTF-8-as-Latin-1 mojibake + an
+    // NFD-decomposed accent per doc; odd docs add curly-quote
+    // artifacts — the oracle rebuilds the damage and replays the
+    // repair table + nfc_normalize
+    "text_normalize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(
+          substring(col("text"), 1, 30),
+          lit(" cafÃ© éclair"),
+          when(col("doc_id") % 2 === 1,
+            lit(" â€™dâ€™accordâ€¦"))
+            .otherwise(lit(""))))
+      UnicodeNormalizer()(docs)
+        .select("doc_id", "text", "n_mojibake_chars", "was_changed")
+    }),
+
     // Luhn-verified card redaction: a valid card (16 digits, spaced),
     // an invalid same-shape number, or no card, planted by doc_id % 3 —
     // the checksum (not the regex) is what separates the first two
@@ -911,6 +927,24 @@ object TextQueries {
          |      doc_id ASC) AS INT) AS rnk
          |  FROM sc)
          |SELECT doc_id, dsir_score, rnk FROM ranked WHERE rnk <= 100""".stripMargin,
+
+    "text_normalize" -> {
+      import graft.operators.text.UnicodeNormalizer.mojibakeTable
+      def q(s: String) = s.replace("'", "''")
+      val chain = mojibakeTable.foldLeft("orig") { case (acc, (bad, good)) =>
+        s"replace($acc, '${q(bad)}', '${q(good)}')"
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 30) || ' cafÃ© e' || chr(769) || 'clair' ||
+         |    CASE WHEN doc_id % 2 = 1 THEN ' â€™dâ€™accordâ€¦' ELSE '' END AS orig
+         |  FROM documents),
+         |f AS (SELECT doc_id, orig, $chain AS fixed FROM t)
+         |SELECT doc_id, nfc_normalize(fixed) AS text,
+         |  CAST(length(orig) - length(fixed) AS INT) AS n_mojibake_chars,
+         |  nfc_normalize(fixed) != orig AS was_changed
+         |FROM f""".stripMargin
+    },
 
     "pii_credit_card" -> {
       // the 19-term closed-form Luhn sum over the reversed digit

@@ -134,4 +134,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> false, 3L -> false))
     assert(d(corpus, bench).select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
   }
+
+  test("unicode normalizer: mojibake repair + NFC, damage counter") {
+    import graft.operators.text.UnicodeNormalizer
+    val rows = Seq(
+      (1L, "caf\u00c3\u00a9 is caf\u00c3\u00a9"),   // 2x "A~(c)" artifact for e-acute
+      (2L, "it\u00e2\u20ac\u2122s fine\u00e2\u20ac\u00a6"),  // curly apostrophe + ellipsis artifacts
+      (3L, "plain ascii stays"),
+      (4L, "e\u0301clair")                                // NFD accent, no mojibake
+    ).toDF("doc_id", "text")
+    val out = UnicodeNormalizer()(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Int]("n_mojibake_chars"),
+          r.getAs[Boolean]("was_changed")))).toMap
+    assert(out(1L) == (("caf\u00e9 is caf\u00e9", 2, true)))
+    assert(out(2L) == (("it's fine...", 2, true)))
+    assert(out(3L) == (("plain ascii stays", 0, false)))
+    assert(out(4L) == (("\u00e9clair", 0, true)))  // NFC composed, nothing removed
+    // the cleanup unifies content hashes of encoding-damaged twins
+    val n = UnicodeNormalizer()
+    val h = Seq(("caf\u00c3\u00a9", 1), ("caf\u00e9", 2), ("cafe\u0301", 3))
+      .toDF("text", "k")
+      .select(org.apache.spark.sql.functions.md5(n.normalize($"text")).as("h"))
+      .as[String].collect().toSet
+    assert(h.size == 1)
+  }
 }
