@@ -117,9 +117,12 @@ case class IvfIndex(
         folded.getField("dist").as("dist"))
   }
 
-  /** Probe the `nprobe` nearest cells for each query, exact rerank
-    * within those cells only. */
-  def topK(df: DataFrame, centroids: DataFrame, k: Int, nprobe: Int,
+  /** Candidate (qid, cid, cos) stream behind [[topK]] and
+    * [[HardNegativeMiner]]: each query probes its `nprobe` nearest
+    * cells, candidates come from the cell equi-join, cosine evaluates
+    * on the joined pairs. Shared so the ANN ranker and the
+    * hard-negative band filter stay one implementation. */
+  def candidateCosines(df: DataFrame, centroids: DataFrame, nprobe: Int,
       queryPred: Column): DataFrame = {
     // top-nprobe cells, map-only (mirrors [[assign]]'s shape): attach
     // the ONE collapsed centroid-array row, rank by sorting the tiny
@@ -147,14 +150,55 @@ case class IvfIndex(
       .select(col("__id").as("qid"), col("centroid_id"))
     val corpus = df.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val queries = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     queryCells.join(corpusCells, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid")).select("qid", "cid").distinct()
       .join(broadcast(queries), Seq("qid")).join(corpus, Seq("cid"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .select("qid", "cid", "cos")
+  }
+
+  /** Probe the `nprobe` nearest cells for each query, exact rerank
+    * within those cells only. */
+  def topK(df: DataFrame, centroids: DataFrame, k: Int, nprobe: Int,
+      queryPred: Column): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    candidateCosines(df, centroids, nprobe, queryPred)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "cid", "cos", "rn")
+  }
+}
+
+/** Hard-negative mining for contrastive training (the selection step
+  * behind CLIP-style and retrieval-model training data): for each
+  * anchor, the k most-similar OTHER rows whose cosine falls in
+  * [lo, hi) — similar enough to be informative negatives, strictly
+  * below the near-dup threshold so positives and leaked duplicates
+  * never become negatives (the classic false-negative poison).
+  *
+  * Scale shape = [[IvfIndex.candidateCosines]]: map-only cell
+  * assignment, candidates from the cell equi-join, band filter BEFORE
+  * the per-anchor ranking window (the window ranks only the banded
+  * survivors). Brute force over anchors is never evaluated. */
+case class HardNegativeMiner(
+    lo: Double = 0.0,
+    hi: Double = 0.95,
+    k: Int = 3,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+  require(lo < hi, "need lo < hi")
+
+  /** (anchor_id, negative_id, cos, rnk) — up to k banded negatives
+    * per anchor, ranked by similarity (desc, id tiebreak). */
+  def mine(df: DataFrame, centroids: DataFrame, nprobe: Int = 2,
+      anchorPred: Column = lit(true)): DataFrame = {
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("negative_id").asc)
+    IvfIndex(idCol, vecCol).candidateCosines(df, centroids, nprobe, anchorPred)
+      .filter(col("cos") >= lo && col("cos") < hi)
+      .select(col("qid").as("anchor_id"), col("cid").as("negative_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 }
 

@@ -448,6 +448,23 @@ object OperatorRegistry {
         graft.operators.image.AudioKernels.audioFingerprint(
           org.apache.spark.sql.functions.col(str(p, "audio_field", "audio")))))),
 
+    // hard-negative mining (B43): per anchor, the k most similar
+    // in-band rows (hi bound keeps near-dups out of the negatives);
+    // centroids train in-op via MLlib k-means on the frame itself
+    "hard_negative_miner" -> (p => RefineOp("hard_negative_miner",
+      df => {
+        val cents = graft.operators.vector.KMeansOps.train(
+          df, int(p, "k_centroids", 64),
+          vecCol = str(p, "vec_field", "embedding"))
+        graft.operators.vector.HardNegativeMiner(
+          lo = dbl(p, "lo", 0.0),
+          hi = dbl(p, "hi", 0.95),
+          k = int(p, "k", 3),
+          idCol = str(p, "id_field", "vec_id"),
+          vecCol = str(p, "vec_field", "embedding"))
+          .mine(df, cents, nprobe = int(p, "nprobe", 2))
+      })),
+
     // unicode normalization + mojibake repair (B42): run FIRST in a
     // crawl pipeline — encoding damage fractures dedup/shingles/langid
     "unicode_normalizer" -> (p => RefineOp("unicode_normalizer",

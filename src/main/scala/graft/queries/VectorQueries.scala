@@ -32,6 +32,18 @@ object VectorQueries {
       IvfIndex().topK(emb, centroids, k = 3, nprobe = 2, col("vec_id") < 8)
     }),
 
+    "hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: per anchor the 2 most
+      // similar in-band (< 0.95, so near-dups never become negatives)
+      // rows from its 2 probed IVF cells
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      HardNegativeMiner(lo = 0.0, hi = 0.95, k = 2)
+        .mine(emb, centroids, nprobe = 2, anchorPred = col("vec_id") < 200)
+    }),
+
     "kmeans_assign" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") < 8)
@@ -137,6 +149,38 @@ object VectorQueries {
          |  FROM joined)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin
     },
+
+    "hard_negatives" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |corpus_cells AS (
+         |  SELECT cid, centroid_id FROM (
+         |    SELECT v.vec_id AS cid, cent.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+         |        cent.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent) t WHERE rn = 1),
+         |query_cells AS (
+         |  SELECT qid, centroid_id FROM (
+         |    SELECT v.vec_id AS qid, cent.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+         |        cent.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent WHERE v.vec_id < 200) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.cid FROM query_cells q
+         |  JOIN corpus_cells c ON q.centroid_id = c.centroid_id
+         |  WHERE q.qid != c.cid),
+         |scored AS (
+         |  SELECT cand.qid, cand.cid, $cosSql AS cos
+         |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |            JOIN embeddings c ON cand.cid = c.vec_id),
+         |banded AS (SELECT qid, cid, cos FROM scored WHERE cos >= 0.0 AND cos < 0.95),
+         |r AS (SELECT qid AS anchor_id, cid AS negative_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rnk
+         |  FROM banded)
+         |SELECT anchor_id, negative_id, cos, rnk FROM r WHERE rnk <= 2""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH cent AS (

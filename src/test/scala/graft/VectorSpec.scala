@@ -208,4 +208,30 @@ class VectorSpec extends SparkSpec {
     assert(next.count() <= 4 && next.count() > 0)
     assert(next.select($"cvec").as[Seq[Double]].head().size == 4)
   }
+
+  test("hard-negative miner: near-dups excluded, in-band ranked, k-bounded") {
+    // anchor 10; 11 is a verbatim duplicate (cos 1.0 -> NOT a negative);
+    // 12/13 are in-band hard negatives at decreasing similarity; 14 is
+    // orthogonal (cos 0 stays in [0, 0.95) and may rank last)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0)),              // centroid row
+      (10L, v(1, 0.2, 0, 0)),
+      (11L, v(1, 0.2, 0, 0)),           // duplicate of 10
+      (12L, v(1, 0.5, 0, 0)),           // cos 0.965 -> above hi, excluded
+      (13L, v(1, 1.2, 0, 0)),           // cos 0.778 -> the hard negative
+      (14L, v(0, 0, 1, 0))              // cos ~0.2 -> weak negative
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 0.0))).toDF("centroid_id", "cvec")
+    val out = HardNegativeMiner(lo = 0.0, hi = 0.95, k = 2)
+      .mine(rows, cents, nprobe = 1, anchorPred = $"vec_id" === 10L)
+      .collect().map(r => (r.getAs[Long]("negative_id"), r.getAs[Int]("rnk")))
+    // 11 (cos 1.0) and 12 (cos 0.965) excluded by the hi bound — the
+    // near-dup/near-positive guard; the two in-band rows survive
+    assert(!out.map(_._1).contains(11L) && !out.map(_._1).contains(12L))
+    assert(out.length == 2)
+    // ranking is by similarity desc: 13 (0.778) outranks 14 (~0.2)
+    val ranks = out.toMap.map(_.swap)
+    assert(ranks(1) == 13L && ranks(2) == 14L)
+  }
 }
