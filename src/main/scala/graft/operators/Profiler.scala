@@ -36,3 +36,33 @@ case class TableProfiler(round6: Boolean = true) {
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
   }
 }
+
+/** Corpus datacard: the per-source "datasheet for datasets" summary a
+  * curation run publishes next to its output (counts, token volume,
+  * blank rate, language spread) — Gebru et al. 2021's transparency
+  * artifact, computed as ONE rollup aggregate pass: every metric is an
+  * algebraic aggregate with map-side combine, `ROLLUP(source)` adds
+  * the corpus-total row in the same shuffle, and the output is
+  * |sources|+1 rows — trivially collectable at any corpus size. */
+case class CorpusDatacard(
+    sourceCol: String = "source",
+    textCol: String = "text",
+    langCol: String = "lang") {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def apply(df: DataFrame): DataFrame = {
+    val toks = graft.functions.TextFns.wsTokenCount(col(textCol)).cast("long")
+    df.select(col(sourceCol), col(langCol), col(textCol))
+      .rollup(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"),
+        round(avg(toks), 4).as("avg_tokens"),
+        round(avg(length(col(textCol))), 4).as("avg_chars"),
+        round(avg(when(length(trim(col(textCol))) === 0, 1.0).otherwise(0.0)), 6)
+          .as("blank_frac"),
+        countDistinct(col(langCol)).as("n_langs"))
+      .withColumn(sourceCol, coalesce(col(sourceCol), lit("ALL")))
+  }
+}

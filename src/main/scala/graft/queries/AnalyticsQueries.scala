@@ -99,6 +99,12 @@ object AnalyticsQueries {
       graft.operators.TableProfiler().profile(docs)
     }),
 
+    // per-source datasheet + corpus-total row, one ROLLUP pass
+    "corpus_datacard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.CorpusDatacard()(docs)
+    }),
+
     // TPC-H Q6 shape: scan-only predicate aggregate — everything pushes
     // to the parquet scan
     "q6_forecast_revenue" -> ((s, dir) => {
@@ -239,6 +245,20 @@ object AnalyticsQueries {
       """SELECT floor(o_totalprice / 25000.0) * 25000.0 AS bucket_lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "corpus_datacard" -> {
+      val toks = """CASE WHEN length(trim(text)) = 0 THEN 0
+                   | ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+      s"""SELECT coalesce(source, 'ALL') AS source,
+         |  count(*) AS n_docs,
+         |  CAST(sum($toks) AS BIGINT) AS n_tokens,
+         |  round(avg($toks), 4) AS avg_tokens,
+         |  round(avg(length(text)), 4) AS avg_chars,
+         |  round(avg(CASE WHEN length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END), 6)
+         |    AS blank_frac,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY ROLLUP(source)""".stripMargin
+    },
 
     "table_profile" -> {
       val cols = Seq("doc_id" -> true, "text" -> false, "lang" -> false,

@@ -159,4 +159,21 @@ class CurationOpsSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(h.size == 1)
   }
+
+  test("corpus datacard: per-source rows + ALL rollup agree") {
+    import graft.operators.CorpusDatacard
+    val docs = Seq(
+      (1L, "a", "en", "one two three"),
+      (2L, "a", "de", "vier"),
+      (3L, "b", "en", ""),
+      (4L, "b", "en", "five six")
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = CorpusDatacard()(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("blank_frac"), r.getAs[Long]("n_langs")))).toMap
+    assert(card("a") == ((2L, 4L, 0.0, 2L)))
+    assert(card("b") == ((2L, 2L, 0.5, 1L)))
+    assert(card("ALL") == ((4L, 6L, 0.25, 2L)))
+  }
 }
