@@ -193,8 +193,18 @@ case class PhashHammingDedup(
       .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= radius)
   }
 
-  /** Every input row + `keep` flag (keep-first within hamming radius). */
+  /** Every input row + `keep` flag (keep-first within hamming radius).
+    * Rows with a NULL hash (an undecodable payload, a too-short audio
+    * clip) pass through kept — a null key would otherwise silently
+    * vanish through the rep join, and "no signature" must never mean
+    * "dropped". */
   def flagged(df: DataFrame): DataFrame = {
+    val nulls = df.filter(col(phashCol).isNull).withColumn("keep", lit(true))
+    val nn = df.filter(col(phashCol).isNotNull)
+    flaggedNonNull(nn).unionByName(nulls)
+  }
+
+  private def flaggedNonNull(df: DataFrame): DataFrame = {
     val r = reps(df)
     val pairs = repPairs(r)
     val m = r.select(col(phashCol), col("keep_id"))

@@ -6,7 +6,7 @@ import graft.operators.image._
 import graft.operators.ml.QualityClassifier
 import graft.operators.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, min}
+import org.apache.spark.sql.functions.{col, min, repeat}
 import scala.jdk.CollectionConverters._
 
 /** YAML-config-driven pipeline construction — reference parity with
@@ -204,6 +204,18 @@ object OperatorRegistry {
     "synthetic_image_column" -> (p => RefineOp("synthetic_image_column",
       df => df.withColumn(str(p, "image_field", "image"),
         col(str(p, "text_field", "text")).cast("binary")))),
+
+    // test-corpus helper like synthetic_image_column: derive audio (a
+    // real WAV container whose samples are the text bytes) and video
+    // (repeated payload) columns so multimodal configs run end to end
+    // on the text corpus
+    "synthetic_media_columns" -> (p => RefineOp("synthetic_media_columns",
+      df => df
+        .withColumn(str(p, "audio_field", "audio"),
+          graft.operators.image.AudioKernels.textWav(
+            col(str(p, "text_field", "text"))))
+        .withColumn(str(p, "video_field", "video"),
+          repeat(col(str(p, "text_field", "text")), 4).cast("binary")))),
 
     "image_metadata_refiner" -> (p => RefineOp("image_metadata_refiner",
       ImageMetadata(str(p, "image_field", "image"))(_))),

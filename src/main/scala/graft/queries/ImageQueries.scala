@@ -97,11 +97,10 @@ object ImageQueries {
       val copies = base.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("audio_fp"))
       val all = base.unionByName(copies)
+      // flagged() passes null-fingerprint rows through kept
       PhashHammingDedup(radius = 1, bands = 4, nbits = 16,
           phashCol = "audio_fp")
-        .flagged(all.filter(col("audio_fp").isNotNull))
-        .unionByName(all.filter(col("audio_fp").isNull)
-          .withColumn("keep", lit(true)))
+        .flagged(all)
         .select("doc_id", "audio_fp", "keep")
     }),
 
