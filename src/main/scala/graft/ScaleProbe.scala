@@ -61,7 +61,9 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ops = if (args.isEmpty) Set("boilerplate", "mixture", "embedding",
-      "bloom", "incremental", "token_budget", "span", "dsir", "clip", "bpe")
+      "bloom", "incremental", "token_budget", "span", "dsir", "clip", "bpe",
+      "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
+      "datacard", "hardneg")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,10 +81,20 @@ object ScaleProbe {
 
     if (ops("boilerplate") || ops("mixture") || ops("bloom") ||
         ops("incremental") || ops("token_budget") || ops("span") ||
-        ops("dsir") || ops("dsir_fast") || ops("clip") || ops("bpe")) {
+        ops("dsir") || ops("dsir_fast") || ops("clip") || ops("bpe") ||
+        ops("topq") || ops("cards") || ops("normalize") ||
+        ops("phash_hamming") || ops("video") || ops("audiofp") ||
+        ops("datacard")) {
       // materialize once so each probe times its operator, not the
-      // corpus replication
+      // corpus replication. REPARTITIONED to the core count: the
+      // replicated corpus inherits the single sf-parquet file's 1-2
+      // input partitions, which starves every map-only probe stage
+      // down to ~1 core — a real 1M-doc corpus arrives as thousands
+      // of files. (Probes whose first step is a shuffle were
+      // unaffected; map-only probes before this fix measured
+      // near-single-core numbers.)
       val corpus = docs1m(spark, sfDir)
+        .repartition(cpus.toInt)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val n = corpus.count()
       if (ops("boilerplate")) {
@@ -155,6 +167,63 @@ object ScaleProbe {
         probe("bpe_train_5merges", n)(
           graft.operators.text.DistributedBpeTrainer.fit(corpus, 5).count())
       }
+      if (ops("topq"))
+        // exact per-source top 20% by token count at 1M — the histogram
+        // path; integer scores force the boundary tie machinery
+        probe("quality_topq", n)(
+          graft.operators.text.TopFractionByGroup(frac = 0.2)(
+            corpus.withColumn("score",
+              graft.functions.TextFns.wsTokenCount(col("text")).cast("long")))
+            .count())
+      if (ops("cards"))
+        // Luhn verification at 1M: every doc carries one card-shaped
+        // number (half valid, half failing the checksum)
+        probe("pii_credit_card", n)(
+          graft.operators.text.CreditCardRedactor()(
+            corpus.withColumn("text", concat(col("text"),
+              when(col("doc_id") % 2 === 0, lit(" 4111 1111 1111 1111"))
+                .otherwise(lit(" 4111-1111-1111-1112")))))
+            .agg(sum(col("n_cards")) + sum(length(col("text"))))
+            .head().getLong(0))
+      if (ops("normalize"))
+        probe("text_normalize", n)(
+          graft.operators.text.UnicodeNormalizer()(
+            corpus.withColumn("text", concat(col("text"),
+              lit(" cafÃ© éclair"))))
+            .agg(sum(col("n_mojibake_chars")) + sum(length(col("text"))))
+            .head().getLong(0))
+      if (ops("phash_hamming"))
+        // 1M 60-bit hashes, every doc with a planted flipped-bits twin
+        // (the key's recipe at 2000x the rows)
+        probe("dedup_phash_hamming", n * 2) {
+          val base = corpus.select(col("doc_id"),
+            conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+              .as("phash"))
+          val nf = pmod(col("doc_id"), lit(4L))
+          val mask = (0 until 3).map { i =>
+            val pos = pmod(pmod(col("doc_id"), lit(47L)) + lit(i * 13), lit(60L))
+            when(nf >= i + 1, pow(lit(2.0), pos).cast("long")).otherwise(lit(0L))
+          }.reduce(_ bitwiseOR _)
+          val copies = base.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            col("phash").bitwiseXOR(mask).as("phash"))
+          graft.operators.image.PhashHammingDedup(radius = 2)
+            .flagged(base.unionByName(copies)).filter(col("keep")).count()
+        }
+      if (ops("video"))
+        probe("dedup_video_frames", n)(
+          graft.operators.image.VideoFrameDedup()(
+            corpus.withColumn("video", repeat(col("text"), 4).cast("binary")))
+            .count())
+      if (ops("audiofp"))
+        // the decode-UDF kernel at 1M clips: WAV construct + parse +
+        // integer-window fingerprint per row
+        probe("audio_fingerprint", n)(
+          corpus.select(graft.operators.image.AudioKernels.audioFingerprint(
+              graft.operators.image.AudioKernels.textWav(col("text"))).as("fp"))
+            .agg(count(col("fp"))).head().getLong(0))
+      if (ops("datacard"))
+        probe("corpus_datacard", n)(
+          graft.operators.CorpusDatacard(langCol = "source")(corpus).count())
       if (ops("incremental")) {
         // daily-ingest shape: 60% of the corpus is already indexed (the
         // narrow band-bucket table is materialized — at 100 TB it lives
@@ -171,22 +240,39 @@ object ScaleProbe {
       }
       corpus.unpersist()
     }
-    if (ops("embedding")) {
+    if (ops("embedding") || ops("hardneg")) {
+      // same repartition rationale as the docs corpus above: the
+      // replicated vectors inherit the single parquet file's input
+      // partitioning, starving map-only stages (the broadcast-argmin
+      // assign) to ~1 core
       val vecs = vectors1m(spark, sfDir)
+        .repartition(cpus.toInt)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val n = vecs.count()
+      if (ops("hardneg")) {
+        // 1024 deterministic first-k centroids (the √n rule at 1M);
+        // anchors = a 10k query batch, the training-loop shape
+        val cents = vecs.filter(col("vec_id") < 1024)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        probe("hard_negatives", n)(
+          graft.operators.vector.HardNegativeMiner(lo = 0.0, hi = 0.95, k = 3)
+            .mine(vecs, cents, nprobe = 2,
+              anchorPred = col("vec_id") % 100 === 0).count())
+      }
       // the registered toy-scale banding (4-bit digests = 16 buckets per
       // band) floods at 1M vectors — Σ C(n/B,2)·B·bands joined rows is
       // quadratic in n for ANY fixed banding, so the 100 TB shape is
       // exact-collapse first (10 bit-identical copies per vector here →
       // 100k reps), then LSH with scale banding (12-bit digests, recall
       // at cos 0.95 = 1-(1-0.899^12)^16 ≈ 99.4%) on the reps only
-      probe("dedup_embedding_collapsed", n) {
-        val (repPairs, members) = EmbeddingNearDup(threshold = 0.95,
-          bands = 16, bitsPerBand = 12, maxBucketSize = 1000)
-          .collapsedLshPairs(vecs)
-        repPairs.count() + members.count()
-      }
+      if (ops("embedding"))
+        probe("dedup_embedding_collapsed", n) {
+          val (repPairs, members) = EmbeddingNearDup(threshold = 0.95,
+            bands = 16, bitsPerBand = 12, maxBucketSize = 1000)
+            .collapsedLshPairs(vecs)
+          repPairs.count() + members.count()
+        }
       vecs.unpersist()
     }
     spark.stop()
