@@ -55,8 +55,12 @@ class PlanAuditSpec extends SparkSpec {
     // average grows with part — which is why the structural rule below
     // accepts only GLOBAL aggregates and these are exemptions
     // rather than a blanket Aggregate pass.
+    // hard_negatives: the hinted side is the ANCHOR BATCH (an ANN
+    // query set — bounded by construction like ann_ivf's query side;
+    // a training loop mines negatives for one batch at a time)
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
-      "mixture_sample", "perplexity", "decontaminate", "dsir_select")
+      "mixture_sample", "perplexity", "decontaminate", "dsir_select",
+      "hard_negatives")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -239,10 +243,13 @@ class PlanAuditSpec extends SparkSpec {
     //   the corpus side is a map-only exists() fold over it
     // - dsir_select: 1-row broadcast attach of the two global feature
     //   totals onto the ≤`buckets`-row λ table (the perplexity shape)
+    // - hard_negatives: ann_ivf's 1-row centroid-array attach via the
+    //   shared candidateCosines (candidates themselves are hash
+    //   equi-joins on centroid_id)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
-      "dsir_select")
+      "dsir_select", "hard_negatives")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
