@@ -51,9 +51,10 @@ case class DsirSelector(
     * the bucketing, which is what the oracle checks). `fastHash`
     * switches to the native codegen'd xxhash64 — statistically
     * equivalent bucketing (any uniform hash serves the hashed n-gram
-    * model identically), JVM-only, measured 1.7× on the whole 1M-doc
-    * selection (SURVEY §14: the per-occurrence md5 dominates the
-    * md5 path's cost) — the production recipe at 100 TB. */
+    * model identically), JVM-only, measured 8.7× on the whole 1M-doc
+    * selection (303 → 35 s — SURVEY §14: with the probe corpus
+    * properly partitioned, the per-occurrence md5 IS the md5 path's
+    * cost) — the production recipe at 100 TB. */
   private def bucketOf(feat: Column): Column =
     if (fastHash)
       pmod(xxhash64(feat, lit(":" + seed)), lit(buckets.toLong))
