@@ -454,6 +454,47 @@ object CreditCardRedactor {
   val cardPat = "\\b\\d(?:[ -]?\\d){12,18}\\b"
 }
 
+/** Code detection — the mix-decision signal (how much of a page is
+  * source code) that corpus pipelines use to route documents between
+  * natural-language and code processing (StarCoder-style corpora
+  * filter ON it; C4 filtered code OUT with its `{` rule — both need
+  * the signal first). Three per-line indicators, all RE2-portable:
+  * indentation (≥4 spaces or a tab), code punctuation (trimmed line
+  * ending in `;` `{` `}`), and a keyword head (`def`/`class`/
+  * `import`/`return`/`function`/...). A line is code-like when any
+  * fires; the doc score is the code-like fraction of NON-BLANK lines.
+  * One pass over the split-line array with higher-order `filter`/
+  * `size` — map-only, no explode, no shuffle. */
+case class CodeDetector(threshold: Double = 0.3, textCol: String = "text") {
+  import CodeDetector._
+
+  private def nonBlank(lines: Column): Column =
+    filter(lines, l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines that look like code (6 dp), null for
+    * documents with no non-blank lines. */
+  def codeLineFrac(t: Column): Column = {
+    val lines = nonBlank(split(t, "\n"))
+    when(size(lines) === 0, lit(null).cast("double"))
+      .otherwise(round(
+        size(filter(lines, l =>
+          l.rlike(indentPat) || trim(l).rlike(punctPat) || l.rlike(keywordPat)))
+          .cast("double") / size(lines), 6))
+  }
+
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("code_line_frac", codeLineFrac(col(textCol)))
+      .withColumn("is_code",
+        coalesce(col("code_line_frac") >= threshold, lit(false)))
+}
+
+object CodeDetector {
+  val indentPat = "^(    |\\t)"
+  val punctPat = "[;{}]$"
+  val keywordPat =
+    "(^|[ \\t])(def|class|import|return|function|var|val|let|const|public|private|void|int|for|while|if)([ \\t(]|$)"
+}
+
 /** Unicode normalization + mojibake repair — the CCNet-style encoding
   * cleanup a web crawl needs before any token-level operator (the same
   * page crawled twice often differs ONLY in encoding damage, so exact

@@ -477,6 +477,13 @@ object OperatorRegistry {
           .mine(df, cents, nprobe = int(p, "nprobe", 2))
       })),
 
+    // code detection (B45): attaches code_line_frac + is_code — the
+    // mix-decision signal routing docs between NL and code processing
+    "code_detector" -> (p => RefineOp("code_detector",
+      df => graft.operators.text.CodeDetector(
+        threshold = dbl(p, "threshold", 0.3),
+        textCol = str(p, "text_field", "text"))(df))),
+
     // unicode normalization + mojibake repair (B42): run FIRST in a
     // crawl pipeline — encoding damage fractures dedup/shingles/langid
     "unicode_normalizer" -> (p => RefineOp("unicode_normalizer",

@@ -222,6 +222,21 @@ object TextQueries {
 
     // synthesize PII-bearing text (both engines build the identical
     // string), then redact + count — proves the masking actually fires
+    // code detection: derived multi-line pages where every third doc
+    // carries injected code lines — the per-line indicators and the
+    // fraction replay in DuckDB over the same derivation
+    "code_detect" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", concat_ws("\n",
+          substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit("def process(x):")),
+          when(col("doc_id") % 3 === 0, lit("    return x * 2;")),
+          when(col("doc_id") % 3 === 1, lit("just some plain prose here")),
+          lit("another prose line")))
+      CodeDetector(threshold = 0.3)(docs)
+        .select("doc_id", "code_line_frac", "is_code")
+    }),
+
     // encoding cleanup: planted UTF-8-as-Latin-1 mojibake + an
     // NFD-decomposed accent per doc; odd docs add curly-quote
     // artifacts — the oracle rebuilds the damage and replays the
@@ -927,6 +942,35 @@ object TextQueries {
          |      doc_id ASC) AS INT) AS rnk
          |  FROM sc)
          |SELECT doc_id, dsir_score, rnk FROM ranked WHERE rnk <= 100""".stripMargin,
+
+    "code_detect" -> {
+      import graft.operators.text.CodeDetector.{indentPat, punctPat, keywordPat}
+      val isCode = s"regexp_matches(l, '$indentPat') OR " +
+        s"regexp_matches(trim(l), '$punctPat') OR " +
+        s"regexp_matches(l, '$keywordPat')"
+      s"""WITH t AS (
+         |  SELECT doc_id, concat_ws(chr(10),
+         |    substr(text, 1, 40),
+         |    CASE WHEN doc_id % 3 = 0 THEN 'def process(x):' END,
+         |    CASE WHEN doc_id % 3 = 0 THEN '    return x * 2;' END,
+         |    CASE WHEN doc_id % 3 = 1 THEN 'just some plain prose here' END,
+         |    'another prose line') AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> length(trim(l)) > 0) AS ls
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ls) = 0 THEN NULL
+         |         ELSE round(CAST(len(list_filter(ls, l -> $isCode)) AS DOUBLE)
+         |                    / len(ls), 6) END AS code_line_frac
+         |  FROM f)
+         |SELECT doc_id, code_line_frac,
+         |  coalesce(code_line_frac >= 0.3, FALSE) AS is_code
+         |FROM s""".stripMargin
+    },
 
     "text_normalize" -> {
       import graft.operators.text.UnicodeNormalizer.mojibakeTable

@@ -176,4 +176,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(card("b") == ((2L, 2L, 0.5, 1L)))
     assert(card("ALL") == ((4L, 6L, 0.25, 2L)))
   }
+
+  test("code detector: indicators, fraction, blank handling") {
+    import graft.operators.text.CodeDetector
+    val rows = Seq(
+      (1L, "def f(x):\n    return x;\nplain words here\nmore prose"),
+      (2L, "just prose\nnothing else"),
+      (3L, "int main() {\n\treturn 0;\n}"),
+      (4L, "\n\n"),
+      (5L, "public void run()\nconst x = 1;\nimport os")
+    ).toDF("doc_id", "text")
+    val out = CodeDetector(threshold = 0.3)(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Double]("code_line_frac")).map(_.toDouble),
+          r.getAs[Boolean]("is_code")))).toMap
+    assert(out(1L) == ((Some(0.5), true)))      // 2 of 4 lines
+    assert(out(2L) == ((Some(0.0), false)))
+    assert(out(3L) == ((Some(1.0), true)))      // {, indent-tab+;, }
+    assert(out(4L) == ((None, false)))          // no non-blank lines
+    assert(out(5L) == ((Some(1.0), true)))      // keyword heads
+  }
 }
