@@ -48,6 +48,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("map-only r11 refiners run unchanged in a file stream == batch") {
+    val sq = spark
+    import sq.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_r11").toString
+    val in = s"$dir/in"
+    Seq(
+      (1L, "caf\u00c3\u00a9 menu\ndef f(x):\n    return x;"),
+      (2L, "pay 4111 1111 1111 1111 now\nplain prose line"),
+      (3L, "it\u00e2\u20ac\u2122s prose\nmore prose"))
+      .toDF("doc_id", "text").write.parquet(in)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.text.CodeDetector()(
+        graft.operators.text.CreditCardRedactor()(
+          graft.operators.text.UnicodeNormalizer()(df)))
+    val stream = graft.streaming.StreamingOps.parquetStream(spark, in,
+      spark.read.parquet(in).schema)
+    val q = curate(stream).writeStream.format("memory")
+      .queryName("r11_stream_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("r11_stream_test")
+        .select("doc_id", "text", "n_mojibake_chars", "n_cards", "code_line_frac")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+      val batch = curate(spark.read.parquet(in))
+        .select("doc_id", "text", "n_mojibake_chars", "n_cards", "code_line_frac")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+      assert(got == batch)                      // replay equivalence
+      assert(got(1L)._2 == 1 && got(1L)._4 == 0.666667)  // mojibake fixed, 2 of 3 lines code (6 dp)
+      assert(got(2L)._1.contains("<CC>") && got(2L)._3 == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     val sq = spark
     import sq.implicits._
