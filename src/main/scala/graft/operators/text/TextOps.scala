@@ -454,6 +454,31 @@ object CreditCardRedactor {
   val cardPat = "\\b\\d(?:[ -]?\\d){12,18}\\b"
 }
 
+/** URL-level dedup — the crawl-frontier step that runs BEFORE any
+  * content processing: two fetches of one page usually differ only in
+  * tracking params, host/scheme case, default ports, or a fragment,
+  * and [[graft.functions.UrlFns.canonicalizeUrl]] collapses exactly
+  * those. Keep-first on the canonical form — a composition of two
+  * existing pieces (the canonicalizer + [[graft.operators.dedup.KeepFirst]]'s
+  * narrow (key, id) groupBy + semi-join), map-only except the one
+  * narrow shuffle. */
+case class UrlDedup(urlCol: String = "url", idCol: String = "doc_id") {
+  def canonical: Column = graft.functions.UrlFns.canonicalizeUrl(col(urlCol))
+
+  /** Survivors. The canonicalization chain (a dozen regexps) is the
+    * expensive leg, so it evaluates EXACTLY once — winners come from a
+    * narrow (id, canonical) projection and survivors semi-join back on
+    * the id alone (winner ids are unique, so the string key never
+    * becomes a join key and never re-evaluates on the probe side;
+    * KeepFirst's generic (key, id) join re-ran the chain per side —
+    * measured 3× on this key). */
+  def apply(df: DataFrame): DataFrame = {
+    val winners = df.select(col(idCol), canonical.as("__canon"))
+      .groupBy("__canon").agg(min(col(idCol)).as(idCol))
+    df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+}
+
 /** Code detection — the mix-decision signal (how much of a page is
   * source code) that corpus pipelines use to route documents between
   * natural-language and code processing (StarCoder-style corpora

@@ -477,6 +477,12 @@ object OperatorRegistry {
           .mine(df, cents, nprobe = int(p, "nprobe", 2))
       })),
 
+    // crawl-frontier URL dedup (B46): keep-first on the canonical URL
+    "url_deduplicator" -> (p => RefineOp("url_deduplicator",
+      df => graft.operators.text.UrlDedup(
+        urlCol = str(p, "url_field", "url"),
+        idCol = str(p, "id_field", "doc_id"))(df))),
+
     // code detection (B45): attaches code_line_frac + is_code — the
     // mix-decision signal routing docs between NL and code processing
     "code_detector" -> (p => RefineOp("code_detector",

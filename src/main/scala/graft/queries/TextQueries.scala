@@ -89,6 +89,27 @@ object TextQueries {
       docs.select(col("doc_id"), canonicalizeUrl(messy).as("canonical"))
     }),
 
+    // crawl-frontier URL dedup: every doc's URL also arrives as a
+    // re-crawl variant (different case, tracking params, fragment)
+    // that canonicalizes identically — keep-first drops the variants
+    "dedup_url" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.select(col("doc_id"), concat(
+        lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/Docs/"), col("doc_id"),
+        lit("/?utm_source=feed&ref=rss&q="), col("doc_id") % 7,
+        lit("&utm_campaign=x#sec"), col("doc_id") % 3).as("url"))
+      val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          lit("https://WWW."), upper(col("source")),
+          lit(".EXAMPLE.com/Docs/"), col("doc_id"),
+          lit("/?utm_medium=email&q="), col("doc_id") % 7,
+          lit("&fbclid=abc#other")).as("url"))
+      val d = UrlDedup()
+      d(base.unionByName(variants))
+        .select(col("doc_id"), d.canonical.as("canonical"))
+    }),
+
     // within-doc line dedup (words→lines so the synthetic corpus has
     // genuine repeats); keeps first occurrence in order
     "line_dedup" -> ((s, dir) => {
@@ -636,6 +657,40 @@ object TextQueries {
          |  WHERE len(ws) >= 2)
          |SELECT bigram, count(*) AS n FROM bi GROUP BY 1
          |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "dedup_url" -> {
+      val sh = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' ||
+         |    CAST(doc_id AS VARCHAR) || '/?utm_source=feed&ref=rss&q=' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x#sec' ||
+         |    CAST(doc_id % 3 AS VARCHAR) AS u
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    'https://WWW.' || upper(source) || '.EXAMPLE.com/Docs/' ||
+         |    CAST(doc_id AS VARCHAR) || '/?utm_medium=email&q=' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || '&fbclid=abc#other' AS u
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '', 'g') AS u FROM raw),
+         |s2 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '$sh', 0)) || regexp_replace(u, '$sh', '', 'g') AS u
+         |  FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(
+         |  replace(replace(replace(replace(u, ':443/', '/'), ':80/', '/'),
+         |    ':443?', '?'), ':80?', '?'), ':(80|443)$$', '', 'g') AS u FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\\?', '&', 'g'),
+         |  '${graft.functions.UrlFns.trackingParamPat}', '', 'g') AS u FROM s3),
+         |s5 AS (SELECT doc_id, regexp_extract(u, '^[^&]*', 0) AS base,
+         |  regexp_replace(u, '^[^&]*&?', '', 'g') AS rest FROM s4),
+         |c AS (SELECT doc_id, regexp_replace(
+         |  CASE WHEN rest = '' THEN base ELSE base || '?' || rest END,
+         |  '/$$', '', 'g') AS canonical
+         |FROM s5)
+         |SELECT doc_id, canonical FROM c
+         |QUALIFY row_number() OVER (PARTITION BY canonical ORDER BY doc_id) = 1""".stripMargin
+    },
 
     "url_canonicalize" -> {
       val sh = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"

@@ -196,4 +196,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((None, false)))          // no non-blank lines
     assert(out(5L) == ((Some(1.0), true)))      // keyword heads
   }
+
+  test("url dedup: re-crawl variants collapse, distinct pages survive") {
+    import graft.operators.text.UrlDedup
+    val rows = Seq(
+      (1L, "https://example.com/page?q=1&utm_source=x"),
+      (2L, "HTTPS://EXAMPLE.com:443/page?utm_medium=y&q=1#frag"), // same page
+      (3L, "https://example.com/other?q=1")                        // different
+    ).toDF("doc_id", "url")
+    val kept = UrlDedup()(rows).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
 }
