@@ -62,7 +62,13 @@ case class CorpusDatacard(
         round(avg(length(col(textCol))), 4).as("avg_chars"),
         round(avg(when(length(trim(col(textCol))) === 0, 1.0).otherwise(0.0)), 6)
           .as("blank_frac"),
-        countDistinct(col(langCol)).as("n_langs"))
-      .withColumn(sourceCol, coalesce(col(sourceCol), lit("ALL")))
+        countDistinct(col(langCol)).as("n_langs"),
+        // grouping() distinguishes the ROLLUP total row from a data row
+        // whose source is genuinely NULL — coalesce alone would label
+        // both 'ALL' and make them indistinguishable
+        grouping(col(sourceCol)).as("__total"))
+      .withColumn(sourceCol, when(col("__total") === 1, lit("ALL"))
+        .otherwise(coalesce(col(sourceCol), lit("UNKNOWN"))))
+      .drop("__total")
   }
 }

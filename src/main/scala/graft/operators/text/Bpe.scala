@@ -22,12 +22,45 @@ object BpeTokenizer {
   val EndOfWord = "</w>"
 
   /** Split to pre-tokens: lowercased word runs; punctuation dropped
-    * (mirrors the `\w+` half of the B11 regex tokenizer). */
+    * (mirrors the `\w+` half of the B11 regex tokenizer). Lowercasing
+    * is Locale.ROOT — locale-INdependent, like Spark's `lower()` — so
+    * a Turkish default locale can't diverge the driver trainer from
+    * [[DistributedBpeTrainer.wordFreq]] (dotless-ı vs i). */
   def preTokens(text: String): Seq[String] =
-    "[\\p{L}\\p{N}]+".r.findAllIn(text.toLowerCase).toSeq
+    "[\\p{L}\\p{N}]+".r.findAllIn(
+      text.toLowerCase(java.util.Locale.ROOT)).toSeq
 
-  private def symbolize(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ EndOfWord
+  /** UTF-8 binary string order (= codepoint order) — Spark's default
+    * string collation. The driver trainer tiebreaks with THIS ordering
+    * rather than Java's UTF-16 code-unit compareTo, so merge sequences
+    * agree with [[DistributedBpeTrainer]] even when candidate pairs
+    * contain supplementary-plane symbols (emoji, rare CJK), where the
+    * two orders genuinely differ. */
+  private[text] val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var r = 0
+    while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
+  /** One symbol per CODE POINT (not UTF-16 code unit) — a surrogate
+    * pair like 𝕒 stays one symbol, matching Spark's `split(w, "")`
+    * in [[DistributedBpeTrainer.wordFreq]] (Java regex splits between
+    * code points); `word.map(_.toString)` would shear supplementary
+    * chars into two unpaired surrogates and diverge the two trainers. */
+  private def symbolize(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (b += EndOfWord).result()
+  }
 
   /** Greedy merge learning over a word-frequency dict. Deterministic:
     * ties on pair count break lexicographically. */
@@ -45,7 +78,10 @@ object BpeTokenizer {
       if (pairCounts.isEmpty) k = numMerges
       else {
         val best = pairCounts.toVector
-          .maxBy { case ((a, b), n) => (n, a, b) } // count, then lexicographic
+          // count, then UTF-8-binary lexicographic — the exact
+          // ordering of the distributed trainer's orderBy
+          .maxBy { case ((a, b), n) => (n, a, b) }(
+            Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
           ._1
         merges += best
         val merged = best._1 + best._2
@@ -118,7 +154,9 @@ object BpeTokenizer {
   * flat across iterations. The corpus is read once — everything after
   * `wordFreq` touches only the distinct-word table, which shrinks as
   * merges land. Spec'd merge-for-merge equal to the driver-side
-  * [[BpeTokenizer.train]]. */
+  * [[BpeTokenizer.train]]: both paths lowercase locale-independently
+  * and tiebreak in UTF-8 binary order, so the parity holds beyond the
+  * BMP and under any JVM default locale. */
 object DistributedBpeTrainer {
 
   /** (syms array<string>, n): the word-frequency dictionary,

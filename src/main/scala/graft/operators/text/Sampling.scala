@@ -283,8 +283,14 @@ case class TopFractionByGroup(
     // projection and survivors semi-join back — the wide payload never
     // sorts or shuffles for the selection (measured 5x at 1M docs:
     // the full frame rode the (group, score) sort-merge join with its
-    // text column attached)
+    // text column attached).
+    // NULL-score rows are deliberately excluded BEFORE the histogram:
+    // a quality gate admits only affirmatively-scored rows, and an
+    // unscored row must not inflate the group's quota (it can never
+    // survive the score equi-join anyway). Score rows upstream, or
+    // coalesce to a sentinel, if unscored rows should compete.
     val narrow = df.select(col(idCol), col(groupCol), col(scoreCol))
+      .where(col(scoreCol).isNotNull)
     val hist = narrow.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
     val byScoreDesc = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc)

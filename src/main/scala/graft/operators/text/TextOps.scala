@@ -471,11 +471,19 @@ case class UrlDedup(urlCol: String = "url", idCol: String = "doc_id") {
     * the id alone (winner ids are unique, so the string key never
     * becomes a join key and never re-evaluates on the probe side;
     * KeepFirst's generic (key, id) join re-ran the chain per side —
-    * measured 3× on this key). */
+    * measured 3× on this key).
+    *
+    * Family convention (same as PhashHammingDedup): NO SIGNATURE MUST
+    * NEVER MEAN DROPPED. Rows whose URL (or canonical form) is null
+    * carry no dedup key — they all pass through instead of collapsing
+    * into one null-key group. */
   def apply(df: DataFrame): DataFrame = {
-    val winners = df.select(col(idCol), canonical.as("__canon"))
+    val narrow = df.select(col(idCol), canonical.as("__canon"))
+    val winners = narrow.where(col("__canon").isNotNull)
       .groupBy("__canon").agg(min(col(idCol)).as(idCol))
-    df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
+    val unkeyed = narrow.where(col("__canon").isNull).select(col(idCol))
+    df.join(winners.select(col(idCol)).unionByName(unkeyed),
+      Seq(idCol), "left_semi")
   }
 }
 
@@ -538,15 +546,32 @@ object CodeDetector {
   *      become byte-identical, so content hashes agree. DuckDB's
   *      nfc_normalize replays it exactly.
   *
-  * Emits `n_mojibake_chars` (characters removed by the repair — a
-  * per-doc encoding-damage signal usable as a quality feature) and
-  * `was_changed`. Map-only, no shuffle. */
+  * Emits `n_mojibake_chars` (total ARTIFACT characters the repair
+  * consumed, counted per table entry at its step in the chain — so a
+  * same-length repair like "â€¦"→"..." still counts its 3 artifact
+  * chars; a pure length delta would score it 0 and understate the
+  * encoding damage) and `was_changed`. Map-only, no shuffle. */
 case class UnicodeNormalizer(textCol: String = "text") {
   import UnicodeNormalizer._
 
   def fixMojibake(t: Column): Column =
     mojibakeTable.foldLeft(t) { case (acc, (bad, good)) =>
       replace(acc, lit(bad), lit(good))
+    }
+
+  /** struct(t: repaired text, c: artifact chars consumed). Each step is
+    * let-bound ([[graft.functions.Cols.bind]]) so the accumulated chain
+    * appears ONCE per step — referencing it thrice naively would grow
+    * the expression tree 3^16. */
+  private def repairFold(t: Column): Column =
+    mojibakeTable.foldLeft(struct(t.as("t"), lit(0).as("c"))) {
+      case (acc, (bad, good)) =>
+        graft.functions.Cols.bind(acc) { a =>
+          struct(
+            replace(a("t"), lit(bad), lit(good)).as("t"),
+            (a("c") + length(a("t")) -
+              length(replace(a("t"), lit(bad), lit("")))).as("c"))
+        }
     }
 
   private val nfcUdf = udf((s: String) =>
@@ -556,13 +581,12 @@ case class UnicodeNormalizer(textCol: String = "text") {
   def normalize(t: Column): Column = nfcUdf(fixMojibake(t))
 
   def apply(df: DataFrame): DataFrame =
-    df.withColumn("__fixed", fixMojibake(col(textCol)))
-      .withColumn("n_mojibake_chars",
-        (length(col(textCol)) - length(col("__fixed"))).cast("int"))
-      .withColumn("__norm", nfcUdf(col("__fixed")))
+    df.withColumn("__r", repairFold(col(textCol)))
+      .withColumn("n_mojibake_chars", col("__r.c").cast("int"))
+      .withColumn("__norm", nfcUdf(col("__r.t")))
       .withColumn("was_changed", col("__norm") =!= col(textCol))
       .withColumn(textCol, col("__norm"))
-      .drop("__fixed", "__norm")
+      .drop("__r", "__norm")
 }
 
 object UnicodeNormalizer {

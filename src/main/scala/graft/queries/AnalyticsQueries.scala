@@ -99,9 +99,13 @@ object AnalyticsQueries {
       graft.operators.TableProfiler().profile(docs)
     }),
 
-    // per-source datasheet + corpus-total row, one ROLLUP pass
+    // per-source datasheet + corpus-total row, one ROLLUP pass; every
+    // 50th doc has its source nulled so the genuine-NULL group
+    // ('UNKNOWN') stays distinguishable from the rollup total ('ALL')
     "corpus_datacard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+        .withColumn("source", when(col("doc_id") % 50 === 0, lit(null))
+          .otherwise(col("source")))
       graft.operators.CorpusDatacard()(docs)
     }),
 
@@ -249,7 +253,12 @@ object AnalyticsQueries {
     "corpus_datacard" -> {
       val toks = """CASE WHEN length(trim(text)) = 0 THEN 0
                    | ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
-      s"""SELECT coalesce(source, 'ALL') AS source,
+      s"""WITH d AS (
+         |  SELECT CASE WHEN doc_id % 50 = 0 THEN NULL ELSE source END AS source,
+         |    text, lang
+         |  FROM documents)
+         |SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+         |            ELSE coalesce(source, 'UNKNOWN') END AS source,
          |  count(*) AS n_docs,
          |  CAST(sum($toks) AS BIGINT) AS n_tokens,
          |  round(avg($toks), 4) AS avg_tokens,
@@ -257,7 +266,7 @@ object AnalyticsQueries {
          |  round(avg(CASE WHEN length(trim(text)) = 0 THEN 1.0 ELSE 0.0 END), 6)
          |    AS blank_frac,
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-         |FROM documents GROUP BY ROLLUP(source)""".stripMargin
+         |FROM d GROUP BY ROLLUP(source)""".stripMargin
     },
 
     "table_profile" -> {

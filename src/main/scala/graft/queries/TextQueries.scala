@@ -105,8 +105,13 @@ object TextQueries {
           lit(".EXAMPLE.com/Docs/"), col("doc_id"),
           lit("/?utm_medium=email&q="), col("doc_id") % 7,
           lit("&fbclid=abc#other")).as("url"))
+      // crawl rows with a missing URL: no dedup key → ALL pass through
+      // (null must never collapse into one group and drop data)
+      val unkeyed = docs.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit(null).cast("string").as("url"))
       val d = UrlDedup()
-      d(base.unionByName(variants))
+      d(base.unionByName(variants).unionByName(unkeyed))
         .select(col("doc_id"), d.canonical.as("canonical"))
     }),
 
@@ -130,10 +135,13 @@ object TextQueries {
 
     // percentile quality gate: per-source top 20% by token count
     // (integer score → heavy ties, so the boundary tie-admission path
-    // is exercised, not just the wholesale-keep path)
+    // is exercised, not just the wholesale-keep path). Every 97th doc
+    // is left UNSCORED (null) — it must neither survive nor inflate
+    // the group quota.
     "quality_topq" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-        .withColumn("score", wsTokenCount(col("text")).cast("long"))
+        .withColumn("score", when(col("doc_id") % 97 === 0, lit(null))
+          .otherwise(wsTokenCount(col("text"))).cast("long"))
       TopFractionByGroup(frac = 0.2)(docs).select("doc_id", "source", "score")
     }),
 
@@ -672,7 +680,10 @@ object TextQueries {
          |    'https://WWW.' || upper(source) || '.EXAMPLE.com/Docs/' ||
          |    CAST(doc_id AS VARCHAR) || '/?utm_medium=email&q=' ||
          |    CAST(doc_id % 7 AS VARCHAR) || '&fbclid=abc#other' AS u
-         |  FROM documents),
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, CAST(NULL AS VARCHAR) AS u
+         |  FROM documents WHERE doc_id % 100 = 0),
          |s1 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '', 'g') AS u FROM raw),
          |s2 AS (SELECT doc_id,
          |  lower(regexp_extract(u, '$sh', 0)) || regexp_replace(u, '$sh', '', 'g') AS u
@@ -687,9 +698,12 @@ object TextQueries {
          |c AS (SELECT doc_id, regexp_replace(
          |  CASE WHEN rest = '' THEN base ELSE base || '?' || rest END,
          |  '/$$', '', 'g') AS canonical
-         |FROM s5)
-         |SELECT doc_id, canonical FROM c
-         |QUALIFY row_number() OVER (PARTITION BY canonical ORDER BY doc_id) = 1""".stripMargin
+         |FROM s5),
+         |keyed AS (SELECT doc_id, canonical FROM c WHERE canonical IS NOT NULL
+         |  QUALIFY row_number() OVER (PARTITION BY canonical ORDER BY doc_id) = 1)
+         |SELECT doc_id, canonical FROM keyed
+         |UNION ALL
+         |SELECT doc_id, canonical FROM c WHERE canonical IS NULL""".stripMargin
     },
 
     "url_canonicalize" -> {
@@ -762,7 +776,8 @@ object TextQueries {
     "quality_topq" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |    CASE WHEN doc_id % 97 = 0 THEN NULL
+         |         WHEN length(trim(text)) = 0 THEN 0
          |         ELSE len($wsToksSql) END AS score
          |  FROM documents),
          |r AS (
@@ -770,7 +785,7 @@ object TextQueries {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY score DESC, doc_id) AS rn,
          |    count(*) OVER (PARTITION BY source) AS n
-         |  FROM scored)
+         |  FROM scored WHERE score IS NOT NULL)
          |SELECT doc_id, source, CAST(score AS BIGINT) AS score
          |FROM r WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)""".stripMargin,
 
@@ -1030,19 +1045,26 @@ object TextQueries {
     "text_normalize" -> {
       import graft.operators.text.UnicodeNormalizer.mojibakeTable
       def q(s: String) = s.replace("'", "''")
-      val chain = mojibakeTable.foldLeft("orig") { case (acc, (bad, good)) =>
-        s"replace($acc, '${q(bad)}', '${q(good)}')"
-      }
-      s"""WITH t AS (
+      // one CTE per repair step carrying (t = text so far, c = artifact
+      // chars consumed so far) — the exact chained fold the operator runs
+      val steps = mojibakeTable.zipWithIndex.map { case ((bad, good), i) =>
+        s"""f${i + 1} AS (SELECT doc_id, orig,
+           |  replace(t, '${q(bad)}', '${q(good)}') AS t,
+           |  c + length(t) - length(replace(t, '${q(bad)}', '')) AS c
+           |  FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val last = s"f${mojibakeTable.size}"
+      s"""WITH t0 AS (
          |  SELECT doc_id,
          |    substr(text, 1, 30) || ' cafÃ© e' || chr(769) || 'clair' ||
          |    CASE WHEN doc_id % 2 = 1 THEN ' â€™dâ€™accordâ€¦' ELSE '' END AS orig
          |  FROM documents),
-         |f AS (SELECT doc_id, orig, $chain AS fixed FROM t)
-         |SELECT doc_id, nfc_normalize(fixed) AS text,
-         |  CAST(length(orig) - length(fixed) AS INT) AS n_mojibake_chars,
-         |  nfc_normalize(fixed) != orig AS was_changed
-         |FROM f""".stripMargin
+         |f0 AS (SELECT doc_id, orig, orig AS t, 0 AS c FROM t0),
+         |$steps
+         |SELECT doc_id, nfc_normalize(t) AS text,
+         |  CAST(c AS INT) AS n_mojibake_chars,
+         |  nfc_normalize(t) != orig AS was_changed
+         |FROM $last""".stripMargin
     },
 
     "pii_credit_card" -> {

@@ -53,6 +53,23 @@ class BpeSpec extends SparkSpec {
     assert(distP == driver)
   }
 
+  test("driver/distributed parity holds beyond the BMP (UTF-8 tiebreak)") {
+    // The divergent case: a high-BMP letter vs a supplementary-plane
+    // letter. UTF-16 code units sort ａ (U+FF41, 0xFF41) ABOVE
+    // 𝕒 (U+1D552, surrogates 0xD835 0xDD52); UTF-8 bytes sort
+    // 𝕒 (F0 9D 95 92) ABOVE ａ (EF BD 81). All four candidate pairs
+    // tie at count 2, so the tiebreak alone decides merge #1 — Java
+    // compareTo would pick (ａ,b); Spark's binary collation (and the
+    // driver's utf8Order) picks (𝕒,c). The two trainers must agree.
+    val texts = Seq("ａb ａb 𝕒c 𝕒c")
+    val driver = graft.operators.text.BpeTokenizer.train(texts, 1)
+    val df = Seq((1L, texts.head)).toDF("doc_id", "text")
+    val dist = graft.operators.text.DistributedBpeTrainer.fitMerges(df, 1)
+    assert(dist == driver, s"dist=$dist driver=$driver")
+    // and the winner is the UTF-8-larger pair (the supplementary char)
+    assert(driver.head == (("𝕒", "c")), driver.toString)
+  }
+
   test("distributed trainer stops when every word is a single symbol") {
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
     val m = graft.operators.text.DistributedBpeTrainer.fit(df, 10).collect()

@@ -147,8 +147,11 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("text"), r.getAs[Int]("n_mojibake_chars"),
           r.getAs[Boolean]("was_changed")))).toMap
-    assert(out(1L) == (("caf\u00e9 is caf\u00e9", 2, true)))
-    assert(out(2L) == (("it's fine...", 2, true)))
+    // counts are ARTIFACT chars consumed: 2 \u00d7 "\u00c3\u00a9" (2 chars each) = 4;
+    // "\u00e2\u20ac\u2122" + "\u00e2\u20ac\u00a6" (3 chars each) = 6 \u2014 the same-length ellipsis
+    // repair counts too (a length delta would score it 0)
+    assert(out(1L) == (("caf\u00e9 is caf\u00e9", 4, true)))
+    assert(out(2L) == (("it's fine...", 6, true)))
     assert(out(3L) == (("plain ascii stays", 0, false)))
     assert(out(4L) == (("\u00e9clair", 0, true)))  // NFC composed, nothing removed
     // the cleanup unifies content hashes of encoding-damaged twins
@@ -166,7 +169,8 @@ class CurationOpsSpec extends SparkSpec {
       (1L, "a", "en", "one two three"),
       (2L, "a", "de", "vier"),
       (3L, "b", "en", ""),
-      (4L, "b", "en", "five six")
+      (4L, "b", "en", "five six"),
+      (5L, null.asInstanceOf[String], "fr", "sept")
     ).toDF("doc_id", "source", "lang", "text")
     val card = CorpusDatacard()(docs).collect()
       .map(r => r.getAs[String]("source") ->
@@ -174,7 +178,11 @@ class CurationOpsSpec extends SparkSpec {
           r.getAs[Double]("blank_frac"), r.getAs[Long]("n_langs")))).toMap
     assert(card("a") == ((2L, 4L, 0.0, 2L)))
     assert(card("b") == ((2L, 2L, 0.5, 1L)))
-    assert(card("ALL") == ((4L, 6L, 0.25, 2L)))
+    // grouping() keeps a genuine NULL-source group ('UNKNOWN')
+    // distinguishable from the rollup total ('ALL')
+    assert(card("UNKNOWN") == ((1L, 1L, 0.0, 1L)))
+    assert(card("ALL") == ((5L, 7L, 0.2, 3L)))
+    assert(card.size == 4)
   }
 
   test("code detector: indicators, fraction, blank handling") {
@@ -202,9 +210,13 @@ class CurationOpsSpec extends SparkSpec {
     val rows = Seq(
       (1L, "https://example.com/page?q=1&utm_source=x"),
       (2L, "HTTPS://EXAMPLE.com:443/page?utm_medium=y&q=1#frag"), // same page
-      (3L, "https://example.com/other?q=1")                        // different
+      (3L, "https://example.com/other?q=1"),                       // different
+      (4L, null.asInstanceOf[String]),                             // no URL →
+      (5L, null.asInstanceOf[String])                              //  both kept
     ).toDF("doc_id", "url")
     val kept = UrlDedup()(rows).select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 3L))
+    // null URLs carry no dedup key: they must ALL pass through, not
+    // collapse into one null-key group
+    assert(kept == Set(1L, 3L, 4L, 5L))
   }
 }

@@ -216,6 +216,25 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 4L))
   }
 
+  test("TopFractionByGroup: null scores neither survive nor inflate the quota") {
+    // group a: 4 scored + 4 unscored rows. The quota must be
+    // ceil(4 * 0.5) = 2 over SCORED rows only — were the nulls counted,
+    // __k would be ceil(8 * 0.5) = 4 and all scored rows would survive.
+    val rows = Seq(
+      (1L, "a", java.lang.Double.valueOf(4.0)),
+      (2L, "a", java.lang.Double.valueOf(3.0)),
+      (3L, "a", java.lang.Double.valueOf(2.0)),
+      (4L, "a", java.lang.Double.valueOf(1.0)),
+      (5L, "a", null.asInstanceOf[java.lang.Double]),
+      (6L, "a", null.asInstanceOf[java.lang.Double]),
+      (7L, "a", null.asInstanceOf[java.lang.Double]),
+      (8L, "a", null.asInstanceOf[java.lang.Double])
+    ).toDF("doc_id", "source", "score")
+    val got = TopFractionByGroup(frac = 0.5)(rows)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("TopFractionByGroup keeps all rows at frac=1 and output schema is input's") {
     val rows = Seq((1L, "a", 2.0), (2L, "a", 1.0)).toDF("doc_id", "source", "score")
     val out = TopFractionByGroup(frac = 1.0)(rows)
