@@ -89,4 +89,18 @@ object ConnectedComponents {
         struct(col("__q"), (-col(idCol)).as("__nid"))).as(idCol))
     df.join(best.select(idCol), Seq(idCol), "left_semi")
   }
+
+  /** Dedup audit report: the cluster-SIZE histogram of a component
+    * labeling — (cluster_size, n_clusters, n_docs, min_component) —
+    * the first thing to eyeball after a near-dup pass (a fat tail of
+    * giant clusters usually means boilerplate, not real duplication;
+    * SlimPajama/FineWeb both publish exactly this table). Two chained
+    * map-side-combinable aggregates over the narrow (id, component)
+    * labels; output rows are bounded by the largest cluster size. */
+  def clusterStats(labels: DataFrame): DataFrame =
+    labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        min("component").as("min_component"))
 }

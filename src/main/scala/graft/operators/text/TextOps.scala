@@ -907,6 +907,31 @@ case class Decontaminator(n: Int = 5, textCol: String = "text",
   def apply(corpus: DataFrame, benchmark: DataFrame): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark), Seq(idCol), "left_anti")
 
+  /** Graded contamination instead of the boolean: per doc, the
+    * fraction of its DISTINCT n-grams present in the benchmark set —
+    * GPT-3 appendix C and PaLM both report/threshold on this overlap
+    * percentage rather than any-hit (a 13-gram quote in a long article
+    * is citation, not leakage). Same broadcast shape as
+    * [[contaminatedIds]]: distinct (id, shingle) pairs stream through
+    * the broadcast benchmark join; two map-side-combinable counts per
+    * id; the corpus payload never shuffles. Docs with no n-grams
+    * (< n words) report 0 overlap. */
+  def overlapStats(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bsh = shingles(benchmark, Seq.empty).distinct()
+    val pairs = shingles(corpus, Seq(col(idCol))).distinct()
+    val counts = pairs
+      .join(broadcast(bsh.withColumn("__hit", lit(1))), Seq("__sh"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+    corpus.select(col(idCol)).join(counts, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared") / col("n_ngrams"), lit(0.0)), 6)
+          .as("overlap_frac"))
+  }
+
   /** 100 TB path: when even the distinct benchmark shingle table is too
     * wide to broadcast-join against every corpus shingle cheaply, build
     * a Bloom filter over the benchmark shingles once and pre-filter

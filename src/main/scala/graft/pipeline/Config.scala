@@ -506,7 +506,40 @@ object OperatorRegistry {
         minMatches = int(p, "min_matches", 5),
         maxFrameGroup = int(p, "max_frame_group", 1000),
         videoCol = str(p, "video_field", "video"),
-        idCol = str(p, "id_field", "doc_id"))(df)))
+        idCol = str(p, "id_field", "doc_id"))(df))),
+
+    // source/domain-level gate (B48): drops every doc of sources whose
+    // dup rate or mean quality fails — content-farm removal
+    "source_quality_gate" -> (p => RefineOp("source_quality_gate",
+      df => graft.operators.text.SourceQualityGate(
+        maxDupFrac = dbl(p, "max_dup_frac", 0.5),
+        minAvgScore = dbl(p, "min_avg_score", 0.0),
+        sourceCol = str(p, "source_field", "source"),
+        textCol = str(p, "text_field", "text"),
+        idCol = str(p, "id_field", "doc_id"))(df))),
+
+    // polyglot detection (B51): per-line language disagreement signal
+    "polyglot_detector" -> (p => RefineOp("polyglot_detector",
+      df => graft.operators.text.PolyglotDetector(
+        maxForeignFrac = dbl(p, "max_foreign_frac", 0.3),
+        textCol = str(p, "text_field", "text"))(df))),
+
+    // CDC/recrawl compaction (C38): keep the latest version per key
+    "snapshot_compactor" -> (p => RefineOp("snapshot_compactor",
+      df => graft.operators.events.SnapshotCompactor(
+        keyCols = str(p, "key_fields", "user_id,event_type")
+          .split(",").map(_.trim).toSeq,
+        versionCol = str(p, "version_field", "ts"),
+        idCol = str(p, "id_field", "event_id"))(df))),
+
+    // robust-stats clipping (C39): winsorize a numeric column to its
+    // nearest-rank [p_lo, p_hi] bounds
+    "winsorizer" -> (p => RefineOp("winsorizer",
+      df => graft.operators.events.Winsorizer(
+        pLo = dbl(p, "p_lo", 0.05),
+        pHi = dbl(p, "p_hi", 0.95),
+        valueCol = str(p, "value_field", "value"),
+        precision = int(p, "precision", 2))(df)))
   )
 
   def build(name: String, params: Params): PipelineOp =

@@ -197,6 +197,28 @@ object AnalyticsQueries {
       ev.select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"), min("event_id").as("min_event"))
+    }),
+
+    // CDC/recrawl compaction: the latest event per (user, type) — one
+    // max_by aggregate + semi-join, no window sort of the wide table
+    "snapshot_compact" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.events.SnapshotCompactor(Seq("user_id", "event_type"))(ev)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // ordered funnel: users reaching view → click → purchase IN ORDER
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.events.FunnelAnalyzer(Seq("view", "click", "purchase"))(ev)
+    }),
+
+    // robust-stats clipping to the [p05, p95] nearest-rank bounds over
+    // the 2dp-rounded value domain (histogram CDF, no global sort)
+    "events_winsorize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.events.Winsorizer(pLo = 0.05, pHi = 0.95)(ev)
+        .select("event_id", "value", "value_clipped")
     })
   )
 
@@ -345,6 +367,41 @@ object AnalyticsQueries {
     "events_json_extract" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n,
         |  min(event_id) AS min_event
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "snapshot_compact" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_users,
+        |  round(CAST(n_users AS DOUBLE) /
+        |    (SELECT n_users FROM c WHERE stage_idx = 1), 6) AS conversion
+        |FROM c""".stripMargin,
+
+    "events_winsorize" ->
+      """WITH h AS (SELECT round(value, 2) AS v, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |  sum(c) OVER () AS n FROM h),
+        |b AS (SELECT
+        |  min(CASE WHEN cum >= ceil(n * 0.05) THEN v END) AS lo,
+        |  min(CASE WHEN cum >= ceil(n * 0.95) THEN v END) AS hi FROM cdf)
+        |SELECT event_id, value,
+        |  least(greatest(value, lo), hi) AS value_clipped
+        |FROM events, b""".stripMargin
   )
 }

@@ -83,6 +83,14 @@ object DedupQueries {
     "dedup_minhash_verified" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       NgramJaccard(n = 3, threshold = 0.5).minhashVerifiedPairs(docs, mh)
+    }),
+
+    // dedup audit: cluster-size histogram of the component labeling
+    // (fat-tailed giant clusters = boilerplate, not duplication)
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ConnectedComponents.clusterStats(
+        ConnectedComponents(mh.candidatePairs(docs), docs.select("doc_id")))
     })
   )
 
@@ -234,7 +242,27 @@ object DedupQueries {
       s"""WITH $shSigSql
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM sig a JOIN sig b
-         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+         |  min(component) AS min_component
+         |FROM sizes GROUP BY 1""".stripMargin
   )
 
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the 16-bit

@@ -429,6 +429,45 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
       val p = PerplexityScorer()
       p.scores(docs, p.model(docs))
+    }),
+
+    // domain-level gate: a synthetic content farm (125 docs, 3
+    // templates → dup_frac 1.0, tiny avg length) joins the 20 clean
+    // sources; only the farm gets flagged
+    "source_flagging" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val farm = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("breaking news "), (col("doc_id") % 3).cast("string"))
+            .as("text"),
+          col("lang"), lit("farm").as("source"), col("n_chars"))
+      SourceQualityGate(maxDupFrac = 0.2, minAvgScore = 50.0)
+        .stats(docs.unionByName(farm))
+    }),
+
+    // graded decontamination: per-doc fraction of distinct 5-grams
+    // shared with the benchmark (same split as `decontaminate`)
+    "contamination_overlap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      Decontaminator(n = 5).overlapStats(docs, bench)
+    }),
+
+    // polyglot detection: every doc gets a planted second line whose
+    // language rotates by doc_id % 3 (de/en/es) — docs whose body
+    // language matches the plant read consistent, the rest mixed
+    "lang_consistency" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(
+          substring(col("text"), 1, 120), lit("\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("der hund und die katze ist nicht ein zu mit von"))
+            .when(col("doc_id") % 3 === 1,
+              lit("the cat and the dog is that for with a"))
+            .otherwise(lit("el perro y la casa es de que un una"))))
+      PolyglotDetector(maxForeignFrac = 0.3)(docs)
+        .select("doc_id", "lang_pred", "n_id_lines", "n_foreign_lines",
+          "foreign_line_frac", "is_polyglot")
     })
   )
 
@@ -441,6 +480,21 @@ object TextQueries {
       .mkString("greatest(", ", ", ")")
     val total = occ.map { case (_, wt, o) => s"CAST($o AS DOUBLE) * $wt" }.mkString(" + ")
     s"(CASE WHEN ($total) = 0.0 THEN 0.0 ELSE least(0.8 * $maxW + least(($total) / 3.0, 0.2), 1.0) END)"
+  }
+
+  /** Per-line language-ID CASE (same generator as the `lang_id` oracle,
+    * parameterized on the text expression so it can run inside a
+    * list_transform lambda). */
+  private def langCaseSql(txt: String): String = {
+    val scores = LanguageId.profiles.map { case (lang, stops) =>
+      val set = stops.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter(string_split_regex(trim(lower($txt)), '\\s+'), w -> w IN ($set)))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (lang, sc) =>
+      s"WHEN $sc = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
   }
 
   def oracles: Map[String, String] = Map(
@@ -1191,6 +1245,75 @@ object TextQueries {
          |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
          |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
          |           JOIN sizes sb ON inter.id_b = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2""".stripMargin
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2""".stripMargin,
+
+    "source_flagging" ->
+      s"""WITH u AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'farm' AS source,
+         |    'breaking news ' || CAST(doc_id % 3 AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |n AS (SELECT source, md5($normSql) AS h,
+         |  CAST(length(text) AS DOUBLE) AS s FROM u),
+         |g AS (SELECT source, h, count(*) AS c, sum(s) AS ss FROM n GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+         |      sum(c), 6) AS dup_frac,
+         |    round(sum(ss) / sum(c), 4) AS avg_score
+         |  FROM g GROUP BY 1)
+         |SELECT source, n_docs, dup_frac, avg_score,
+         |  (dup_frac > 0.2 OR avg_score < 50.0) AS flagged
+         |FROM agg""".stripMargin,
+
+    "contamination_overlap" -> {
+      val n = 5
+      val sh5 = (0 until n).map(j => s"ws[CAST(i AS INT) + $j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+         |    i -> $sh5)) AS sh
+         |  FROM w WHERE len(ws) >= $n),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |cnt AS (
+         |  SELECT s.doc_id, count(*) AS n_ngrams,
+         |    sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+         |  FROM sh s LEFT JOIN bsh b USING (sh) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(coalesce(CAST(n_shared AS DOUBLE) / n_ngrams, 0.0), 6)
+         |    AS overlap_frac
+         |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin
+    },
+
+    "lang_consistency" -> {
+      val plant = """CASE WHEN doc_id % 3 = 0 THEN 'der hund und die katze ist nicht ein zu mit von'
+                    |       WHEN doc_id % 3 = 1 THEN 'the cat and the dog is that for with a'
+                    |       ELSE 'el perro y la casa es de que un una' END""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, substr(text, 1, 120) || chr(10) || $plant AS text
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, ${langCaseSql("text")} AS lang_pred,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |      l -> ${langCaseSql("l")}), x -> x != 'und') AS idl
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, lang_pred, len(idl) AS n_id,
+         |    len(list_filter(idl, x -> x != lang_pred)) AS n_foreign
+         |  FROM per)
+         |SELECT doc_id, lang_pred,
+         |  CAST(n_id AS INT) AS n_id_lines,
+         |  CAST(n_foreign AS INT) AS n_foreign_lines,
+         |  CASE WHEN n_id > 0
+         |    THEN round(CAST(n_foreign AS DOUBLE) / n_id, 6) END AS foreign_line_frac,
+         |  coalesce(CASE WHEN n_id > 0
+         |    THEN round(CAST(n_foreign AS DOUBLE) / n_id, 6) > 0.3 END, FALSE)
+         |    AS is_polyglot
+         |FROM m""".stripMargin
+    }
   )
 }

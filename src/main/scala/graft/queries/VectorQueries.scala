@@ -19,6 +19,25 @@ object VectorQueries {
       BruteForceKnn(k = 5).topK(emb.filter(col("vec_id") < 16), emb)
     }),
 
+    // int8 scalar quantization (FAISS SQ8): per-dim min/max fit, then
+    // map-only encode; exploded to scalars for the oracle hash
+    "embedding_quantize_int8" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val vq = VectorQuantizer()
+      val (mins, maxes) = vq.collectStats(emb)
+      vq.quantize(emb, mins, maxes)
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "q")))
+    }),
+
+    // the compressed-index search path: same brute-force top-k but over
+    // int8-dequantized vectors (what a 100 TB corpus actually keeps in
+    // executor memory; exact float rerank happens on survivors only)
+    "knn_int8" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val c = VectorQuantizer().compressed(emb)
+      BruteForceKnn(k = 5).topK(c.filter(col("vec_id") < 16), c)
+    }),
+
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       LshAnn(dim, nbits = 8).topK(emb, k = 3, col("vec_id") < 16)
@@ -129,6 +148,44 @@ object VectorQueries {
       s"""WITH sims AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cosSql AS cos
          |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 16 AND q.vec_id != c.vec_id),
+         |r AS (SELECT qid, cid, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
+         |  FROM sims)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "embedding_quantize_int8" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS dim
+         |  FROM embeddings),
+         |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1)
+         |SELECT e.vec_id, CAST(e.dim AS INT) AS dim,
+         |  CAST(CASE WHEN mx = mn THEN 0
+         |    ELSE greatest(-128.0, least(127.0,
+         |      floor((v - mn) / (mx - mn) * 255.0 + 0.5) - 128.0))
+         |  END AS INT) AS q
+         |FROM e JOIN s USING (dim)""".stripMargin,
+
+    "knn_int8" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |    unnest(range(len(embedding))) AS dim
+         |  FROM embeddings),
+         |s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+         |d AS (
+         |  SELECT e.vec_id, e.dim,
+         |    (CAST(CASE WHEN mx = mn THEN 0
+         |      ELSE greatest(-128.0, least(127.0,
+         |        floor((v - mn) / (mx - mn) * 255.0 + 0.5) - 128.0))
+         |     END AS INT) + 128.0) / 255.0 * (mx - mn) + mn AS dv
+         |  FROM e JOIN s USING (dim)),
+         |dq AS (SELECT vec_id, list(dv ORDER BY dim) AS embedding FROM d GROUP BY 1),
+         |sims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM dq q, dq c
          |  WHERE q.vec_id < 16 AND q.vec_id != c.vec_id),
          |r AS (SELECT qid, cid, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn

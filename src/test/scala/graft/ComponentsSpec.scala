@@ -37,4 +37,17 @@ class ComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.survivorsBy(docs, none, length($"text"))
       .count() == 6L)
   }
+
+  test("clusterStats histograms component sizes") {
+    // components: {1,2,3} size 3, {10,11} size 2, {20,21} size 2, {99} size 1
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 99L).toDF("doc_id")
+    val stats = ConnectedComponents.clusterStats(ConnectedComponents(edges, nodes))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(stats == Map(
+      3L -> ((1L, 3L, 1L)),   // one 3-cluster holding 3 docs, min component 1
+      2L -> ((2L, 4L, 10L)),  // two 2-clusters holding 4 docs
+      1L -> ((1L, 1L, 99L))))
+  }
 }

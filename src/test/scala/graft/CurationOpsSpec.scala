@@ -205,6 +205,69 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(5L) == ((Some(1.0), true)))      // keyword heads
   }
 
+  test("source quality gate flags the content farm, spares clean sources") {
+    import graft.operators.text.SourceQualityGate
+    val docs = Seq(
+      (1L, "clean", "a genuinely long and unique document body here"),
+      (2L, "clean", "another long and distinct document body right here"),
+      (3L, "farm", "buy now"),
+      (4L, "farm", "buy now"),
+      (5L, "farm", "buy now"),
+      (6L, "farm", "special offer")
+    ).toDF("doc_id", "source", "text")
+    val gate = SourceQualityGate(maxDupFrac = 0.5, minAvgScore = 10.0)
+    val stats = gate.stats(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("dup_frac"),
+          r.getAs[Boolean]("flagged")))).toMap
+    assert(stats("clean") == ((2L, 0.0, false)))
+    assert(stats("farm") == ((4L, 0.75, true)))   // 3 of 4 in a dup group
+    val kept = gate(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("polyglot detector: per-line language disagreement, abstentions") {
+    import graft.operators.text.PolyglotDetector
+    val docs = Seq(
+      // doc lang en; one German line of three → frac 0.333333 > 0.3
+      (1L, "the cat and the dog is that for\nder hund und die katze ist nicht\nthe end of the story is that"),
+      // consistent English
+      (2L, "the cat and the dog\nthe end is that"),
+      // numeric line abstains ('und') and must not count
+      (3L, "the cat and the dog is that\n12345 67890")
+    ).toDF("doc_id", "text")
+    val out = PolyglotDetector(maxForeignFrac = 0.3)(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_id_lines"), r.getAs[Int]("n_foreign_lines"),
+          r.getAs[Boolean]("is_polyglot")))).toMap
+    assert(out(1L) == ((3, 1, true)))
+    assert(out(2L) == ((2, 0, false)))
+    assert(out(3L) == ((1, 0, false)))
+  }
+
+  test("contamination overlap: graded fraction, not the any-hit boolean") {
+    import graft.operators.text.Decontaminator
+    val bench = Seq((90L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares both of its 2 distinct 5-grams ("alpha..epsilon", "beta..zeta")
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // 4 distinct 5-grams, only the first is in the benchmark
+      (2L, "alpha beta gamma delta epsilon nine ten eleven twelve"),
+      // no overlap
+      (3L, "one two three four five six"),
+      // too short for any 5-gram
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Decontaminator(n = 5).overlapStats(corpus, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("overlap_frac")))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((5L, 1L, 0.2)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("url dedup: re-crawl variants collapse, distinct pages survive") {
     import graft.operators.text.UrlDedup
     val rows = Seq(

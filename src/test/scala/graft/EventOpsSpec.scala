@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.events.{FunnelAnalyzer, SnapshotCompactor, Winsorizer}
+import java.sql.Timestamp
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("snapshot compactor keeps the latest version per key, id tiebreak") {
+    val ev = Seq(
+      (1L, 10L, "click", ts(100), 1.0),
+      (2L, 10L, "click", ts(300), 2.0),   // latest click for user 10
+      (3L, 10L, "view", ts(200), 3.0),
+      (4L, 10L, "click", ts(250), 4.0),
+      (5L, 20L, "click", ts(100), 5.0),
+      (6L, 20L, "click", ts(100), 6.0)    // ts tie → larger event_id wins
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val kept = SnapshotCompactor(Seq("user_id", "event_type"))(ev)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 6L))
+  }
+
+  test("funnel counts users completing stages in order only") {
+    val ev = Seq(
+      // u1 completes view → click → buy in order
+      (1L, 1L, "view", ts(10), 0.0), (2L, 1L, "click", ts(20), 0.0),
+      (3L, 1L, "buy", ts(30), 0.0),
+      // u2 clicks BEFORE viewing: stops at stage 1
+      (4L, 2L, "click", ts(5), 0.0), (5L, 2L, "view", ts(10), 0.0),
+      // u3 views and clicks, never buys
+      (6L, 3L, "view", ts(10), 0.0), (7L, 3L, "click", ts(15), 0.0),
+      // u4 only buys: counted nowhere
+      (8L, 4L, "buy", ts(10), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = FunnelAnalyzer(Seq("view", "click", "buy"))(ev)
+      .select("stage_idx", "n_users", "conversion")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 3L, 1.0), (2, 2L, 0.666667), (3, 1L, 0.333333)))
+  }
+
+  test("funnel: a second qualifying event later still counts the stage") {
+    // u1's first click precedes the view, but a later click follows it
+    val ev = Seq(
+      (1L, 1L, "click", ts(5), 0.0), (2L, 1L, "view", ts(10), 0.0),
+      (3L, 1L, "click", ts(20), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = FunnelAnalyzer(Seq("view", "click"))(ev)
+      .select("stage_idx", "n_users").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("winsorizer clips to nearest-rank percentile bounds") {
+    // 20 values 1..20: p10 bound = ceil(0.1*20)=2nd value = 2,
+    // p90 bound = ceil(0.9*20)=18th value = 18
+    val ev = (1L to 20L).map(i => (i, i.toDouble)).toDF("event_id", "value")
+    val out = Winsorizer(pLo = 0.1, pHi = 0.9)(ev)
+      .select("event_id", "value_clipped").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 2.0 && out(2L) == 2.0)
+    assert(out(10L) == 10.0)
+    assert(out(18L) == 18.0 && out(19L) == 18.0 && out(20L) == 18.0)
+  }
+
+  test("winsorizer: duplicate-heavy domain and sub-precision values") {
+    // histogram path must weight duplicates, and clipping compares the
+    // RAW value against the rounded-domain bound
+    val ev = Seq(1.004, 1.004, 1.004, 1.004, 1.004, 1.004, 1.004, 1.004,
+      50.0, 999.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+    val out = Winsorizer(pLo = 0.05, pHi = 0.9)(ev)
+      .select("event_id", "value_clipped").as[(Long, Double)].collect().toMap
+    // p90: ceil(0.9*10)=9th of sorted rounded values → 50.0; the 999 clips
+    assert(out(9L) == 50.0)
+    // p05: ceil(0.05*10)=1st → 1.0 (rounded bound); raw 1.004 > 1.0 stays
+    assert(out(0L) == 1.004)
+  }
+}

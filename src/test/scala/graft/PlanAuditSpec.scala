@@ -58,9 +58,13 @@ class PlanAuditSpec extends SparkSpec {
     // hard_negatives: the hinted side is the ANCHOR BATCH (an ANN
     // query set — bounded by construction like ann_ivf's query side;
     // a training loop mines negatives for one batch at a time)
+    // knn_int8: knn_bruteforce over dequantized vectors — same hinted
+    // query side, bounded by the request batch
+    // contamination_overlap: decontaminate's benchmark shingle set
+    // again (bounded by the eval suite, not the corpus)
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
-      "hard_negatives")
+      "hard_negatives", "knn_int8", "contamination_overlap")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -246,10 +250,15 @@ class PlanAuditSpec extends SparkSpec {
     // - hard_negatives: ann_ivf's 1-row centroid-array attach via the
     //   shared candidateCosines (candidates themselves are hash
     //   equi-joins on centroid_id)
+    // - knn_int8: knn_bruteforce's all-pairs shape over dequantized
+    //   vectors (same broadcast query side; the scale path is quantized
+    //   IVF/LSH via VectorQuantizer.compressed + those indexes)
+    // - events_winsorize: 1-row broadcast attach of the global
+    //   [lo, hi] bounds aggregate (the perplexity/q11 shape)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
-      "dsir_select", "hard_negatives")
+      "dsir_select", "hard_negatives", "knn_int8", "events_winsorize")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

@@ -77,7 +77,9 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) ->
           ((r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
       assert(got == batch)                      // replay equivalence
-      assert(got(1L)._2 == 1 && got(1L)._4 == 0.666667)  // mojibake fixed, 2 of 3 lines code (6 dp)
+      // mojibake counter = artifact chars consumed (one 2-char "Ã©");
+      // 2 of 3 lines code (6 dp)
+      assert(got(1L)._2 == 2 && got(1L)._4 == 0.666667)
       assert(got(2L)._1.contains("<CC>") && got(2L)._3 == 1)
     } finally q.stop()
   }

@@ -234,4 +234,47 @@ class VectorSpec extends SparkSpec {
     val ranks = out.toMap.map(_.swap)
     assert(ranks(1) == 13L && ranks(2) == 14L)
   }
+
+  test("int8 quantizer: endpoints, constant dims, bounded reconstruction") {
+    import graft.operators.vector.VectorQuantizer
+    val rows = Seq(
+      (1L, Seq(0.0f, 5.0f, 2.0f)),
+      (2L, Seq(10.0f, 5.0f, 4.0f)),
+      (3L, Seq(5.0f, 5.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val vq = VectorQuantizer()
+    val (mins, maxes) = vq.collectStats(rows)
+    assert(mins.toSeq == Seq(0.0, 5.0, 2.0) && maxes.toSeq == Seq(10.0, 5.0, 4.0))
+    val q = vq.quantize(rows, mins, maxes)
+      .select("vec_id", "qvec").as[(Long, Seq[Int])].collect().toMap
+    // min → -128, max → 127, midpoint → round(0.5*255)-128 = 0;
+    // constant dim (all 5.0) → 0
+    assert(q(1L) == Seq(-128, 0, -128))
+    assert(q(2L) == Seq(127, 0, 127))
+    assert(q(3L) == Seq(0, 0, 0))
+    // dequantized reconstruction error is bounded by half a step
+    val rec = vq.quantize(rows, mins, maxes)
+      .select($"vec_id", vq.dequantize($"qvec", mins, maxes).as("d"),
+        $"embedding")
+      .as[(Long, Seq[Double], Seq[Float])].collect()
+    for ((_, d, orig) <- rec; (dv, ov) <- d.zip(orig)) {
+      val span = 10.0 // widest dim range
+      assert(math.abs(dv - ov) <= span / 255.0 / 2.0 + 1e-9,
+        s"recon $dv vs $ov")
+    }
+  }
+
+  test("quantized knn ranks like exact knn on well-separated vectors") {
+    import graft.operators.vector.VectorQuantizer
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val c = VectorQuantizer().compressed(rows)
+    val got = BruteForceKnn(k = 1).topK(c.filter($"vec_id" === 0L), c)
+      .select("cid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
 }
