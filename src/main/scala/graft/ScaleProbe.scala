@@ -63,7 +63,8 @@ object ScaleProbe {
     val ops = if (args.isEmpty) Set("boilerplate", "mixture", "embedding",
       "bloom", "incremental", "token_budget", "span", "dsir", "clip", "bpe",
       "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
-      "datacard", "hardneg")
+      "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
+      "compact", "winsorize", "quantize", "pagerank", "percentiles")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,7 +85,9 @@ object ScaleProbe {
         ops("dsir") || ops("dsir_fast") || ops("clip") || ops("bpe") ||
         ops("topq") || ops("cards") || ops("normalize") ||
         ops("phash_hamming") || ops("video") || ops("audiofp") ||
-        ops("datacard")) {
+        ops("datacard") || ops("sourcegate") || ops("overlap") ||
+        ops("polyglot") || ops("compact") || ops("winsorize") ||
+        ops("pagerank") || ops("percentiles")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -224,6 +227,72 @@ object ScaleProbe {
       if (ops("datacard"))
         probe("corpus_datacard", n)(
           graft.operators.CorpusDatacard(langCol = "source")(corpus).count())
+      if (ops("sourcegate"))
+        // domain-level gate at 1M: even-numbered sources keep the fully
+        // replicated text (dup_frac 1.0 → flagged), odd sources salt
+        // each doc unique (dup_frac 0 → pass) — both branches of the
+        // verdict arithmetic run, ~half the corpus survives
+        probe("source_flagging", n)(
+          graft.operators.text.SourceQualityGate(maxDupFrac = 0.5)(
+            corpus.withColumn("text",
+              when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+                col("text"))
+                .otherwise(concat(col("text"), lit(" "), col("doc_id")))))
+            .count())
+      if (ops("overlap")) {
+        // graded overlap with a benchmark-sized right side (bench sets
+        // don't grow with the corpus; group 0 keeps base vocabulary)
+        val bench = Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") % 50 === 0)
+        probe("contamination_overlap", n)(
+          Decontaminator(n = 5).overlapStats(corpus, bench)
+            .agg(sum(col("n_shared")) + sum(col("n_ngrams")))
+            .head().getLong(0))
+      }
+      if (ops("polyglot"))
+        // map-only per-line langid at 1M: every doc gets a German
+        // second line; agg over the signals so nothing prunes away
+        probe("lang_consistency", n)(
+          graft.operators.text.PolyglotDetector()(
+            corpus.withColumn("text", concat(col("text"),
+              lit("\nder hund und die katze ist nicht ein zu"))))
+            .agg(sum(col("n_foreign_lines")) + sum(col("n_id_lines")))
+            .head().getLong(0))
+      if (ops("compact"))
+        // keep-latest over 1M rows, ~50k keys: one max_by aggregate
+        probe("snapshot_compact", n)(
+          graft.operators.events.SnapshotCompactor(
+            Seq("__k", "source"), versionCol = "doc_id", idCol = "doc_id")(
+            corpus.withColumn("__k", pmod(col("doc_id"), lit(50000L))))
+            .count())
+      if (ops("winsorize"))
+        // histogram-CDF clipping at 1M rows over a ~49k-value rounded
+        // domain (the histogram is what the single-partition window
+        // sees — bounded by precision, not corpus size)
+        probe("events_winsorize", n)(
+          graft.operators.events.Winsorizer(valueCol = "__v")(
+            corpus.withColumn("__v",
+              pmod(col("doc_id") * 37L, lit(49000L)) / 100.0))
+            .agg(sum(col("__v_clipped"))).head().getDouble(0).toLong)
+      if (ops("pagerank"))
+        // 5 iterations over a 1M-node 2-out graph: per iteration one
+        // co-partitioned hash join + one map-side-combined sum
+        probe("page_rank", n) {
+          val nodes = corpus.select("doc_id")
+          val edges = nodes.select(col("doc_id").as("src"),
+            explode(array(
+              pmod(col("doc_id") * 131 + 7919, lit(999983L)),
+              pmod(col("doc_id") * 137 + 104729, lit(999983L)))).as("dst"))
+          graft.operators.graph.PageRank(iterations = 5)(edges, nodes)
+            .agg((sum(col("rank")) * 1e6).cast("long")).head().getLong(0)
+        }
+      if (ops("percentiles"))
+        probe("events_percentiles", n)(
+          graft.operators.events.GroupedPercentiles(
+            Seq(0.5, 0.95, 0.99), groupCol = "source", valueCol = "__v")(
+            corpus.withColumn("__v",
+              pmod(col("doc_id") * 37L, lit(49000L)) / 100.0))
+            .count())
       if (ops("incremental")) {
         // daily-ingest shape: 60% of the corpus is already indexed (the
         // narrow band-bucket table is materialized — at 100 TB it lives
@@ -240,7 +309,7 @@ object ScaleProbe {
       }
       corpus.unpersist()
     }
-    if (ops("embedding") || ops("hardneg")) {
+    if (ops("embedding") || ops("hardneg") || ops("quantize")) {
       // same repartition rationale as the docs corpus above: the
       // replicated vectors inherit the single parquet file's input
       // partitioning, starving map-only stages (the broadcast-argmin
@@ -273,6 +342,14 @@ object ScaleProbe {
             .collapsedLshPairs(vecs)
           repPairs.count() + members.count()
         }
+      if (ops("quantize")) {
+        // int8 encode+decode at 1M vectors: one bounded stats pass,
+        // then two map-only transforms; agg a reconstruction checksum
+        val vq = graft.operators.vector.VectorQuantizer()
+        probe("embedding_quantize_int8", n)(
+          vq.compressed(vecs)
+            .agg(sum(element_at(col("embedding"), 1))).head().getDouble(0).toLong)
+      }
       vecs.unpersist()
     }
     spark.stop()

@@ -92,6 +92,44 @@ case class FunnelAnalyzer(
   * the data, no interpolation (interpolated percentiles differ across
   * engines in last-ulp float ops; order statistics cannot). The two
   * bounds broadcast back as a 1-row cross join. */
+/** Per-group percentile report (latency/spend quantiles per endpoint —
+  * the p50/p95/p99 table every event pipeline publishes): NEAREST-RANK
+  * percentiles over the `precision`-dp-rounded value domain, computed
+  * from a per-group histogram CDF like [[Winsorizer]] — exact,
+  * engine-portable (no interpolation), and never sorts the event
+  * table: the only corpus-scale work is one map-side-combinable
+  * (group, rounded value) count; the windows run over that bounded
+  * histogram, partitioned by group. All percentiles come out of ONE
+  * aggregate pass (a min-per-threshold column each, then an unpivot). */
+case class GroupedPercentiles(
+    ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
+    groupCol: String = "event_type",
+    valueCol: String = "value",
+    precision: Int = 2) {
+  require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "ps in (0, 1]")
+
+  /** (groupCol, pct, value). */
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol), round(col(valueCol), precision).as("__v"))
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val byV = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(groupCol)
+    val cdf = hist
+      .withColumn("__cum", sum("__c").over(byV))
+      .withColumn("__n", sum("__c").over(whole))
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(col("__n") * p), col("__v"))).as(s"__p$i")
+    }
+    cdf.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("pct"), col(s"__p$i").as("value"))
+      }: _*)).as("__e"))
+      .select(col(groupCol), col("__e.pct").as("pct"), col("__e.value").as("value"))
+  }
+}
+
 case class Winsorizer(
     pLo: Double = 0.05,
     pHi: Double = 0.95,

@@ -1,0 +1,59 @@
+package graft.operators.graph
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank over a link graph — the URL quality prior web-corpus
+  * pipelines rank crawl frontiers and weight domains with (Common
+  * Crawl publishes harmonic/PageRank centrality per host; RefinedWeb
+  * seeds its quality sources from link-authority lists). Fixed
+  * iteration count (rank_0 = 1/N; rank' = (1−d)/N + d·Σ_in rank/out°)
+  * so any engine replaying the formula converges to identical values —
+  * no convergence-threshold nondeterminism across engines.
+  *
+  * Scale shape: per iteration ONE hash join of the (src, dst) edge
+  * table against the (node, rank) table on src — both sides keyed the
+  * same way every iteration, so Spark reuses the hash partitioning —
+  * and one map-side-combinable sum by dst; out-degrees compute once
+  * and ride the edge table. State is |V| rows, lineage truncated per
+  * iteration (localCheckpoint), exactly the ConnectedComponents loop
+  * discipline. No driver-side graph, no windows.
+  *
+  * Dangling nodes (no out-links) are kept as rank SINKS (their mass
+  * leaks, the "remove dangling mass" convention): engine-portable
+  * without a per-iteration global aggregate; pass a dangling-free
+  * graph (or add self-loops) when conservation matters. */
+case class PageRank(
+    iterations: Int = 5,
+    damping: Double = 0.85,
+    srcCol: String = "src",
+    dstCol: String = "dst") {
+
+  /** @param edges directed (src, dst) links
+    * @param nodes one row per node id (isolated nodes keep base rank)
+    * @return (node, rank) — rank rounded to `roundDp` at OUTPUT only
+    *         (iterations run full double) */
+  def apply(edges: DataFrame, nodes: DataFrame, idCol: String = "doc_id",
+      roundDp: Int = 6): DataFrame = {
+    val n = nodes.count().toDouble
+    val base = (1.0 - damping) / n
+    val withDeg = edges.select(col(srcCol), col(dstCol))
+      .join(edges.groupBy(srcCol).agg(count(lit(1)).as("__deg")), Seq(srcCol))
+      .localCheckpoint(eager = true)
+    var ranks = nodes.select(col(idCol).as("__node"), lit(1.0 / n).as("__r"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = withDeg
+        .join(ranks, withDeg(srcCol) === ranks("__node"))
+        .select(col(dstCol).as("__node"), (col("__r") / col("__deg")).as("__c"))
+        .groupBy("__node").agg(sum("__c").as("__in"))
+      ranks = ranks.select(col("__node"))
+        .join(contribs, Seq("__node"), "left_outer")
+        .select(col("__node"),
+          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("__r"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    ranks.select(col("__node").as(idCol), round(col("__r"), roundDp).as("rank"))
+  }
+}

@@ -219,6 +219,24 @@ object AnalyticsQueries {
       val ev = Tables.load(s, dir, "events")
       graft.operators.events.Winsorizer(pLo = 0.05, pHi = 0.95)(ev)
         .select("event_id", "value", "value_clipped")
+    }),
+
+    // per-type p50/p95/p99 (nearest-rank over the 2dp-rounded domain,
+    // one histogram pass — the latency-quantile report shape)
+    "events_percentiles" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.events.GroupedPercentiles(Seq(0.5, 0.95, 0.99))(ev)
+    }),
+
+    // link-graph centrality (the crawl-frontier URL quality prior):
+    // 5 PageRank iterations over a deterministic 2-out synthetic graph
+    "page_rank" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 131 + 7919) % 500,
+          (col("doc_id") * 137 + 104729) % 500)).as("dst"))
+      graft.operators.graph.PageRank(iterations = 5)(edges, docs)
     })
   )
 
@@ -402,6 +420,48 @@ object AnalyticsQueries {
         |  min(CASE WHEN cum >= ceil(n * 0.95) THEN v END) AS hi FROM cdf)
         |SELECT event_id, value,
         |  least(greatest(value, lo), hi) AS value_clipped
-        |FROM events, b""".stripMargin
+        |FROM events, b""".stripMargin,
+
+    "events_percentiles" -> {
+      val ps = Seq(0.5, 0.95, 0.99)
+      val aggs = ps.zipWithIndex.map { case (p, i) =>
+        s"min(CASE WHEN cum >= ceil(n * $p) THEN v END) AS p$i"
+      }.mkString(", ")
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        s"SELECT event_type, CAST($p AS DOUBLE) AS pct, p$i AS value FROM a"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (SELECT event_type, round(value, 2) AS v, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |cdf AS (SELECT event_type, v,
+         |  sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         |  sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+         |a AS (SELECT event_type, $aggs FROM cdf GROUP BY 1)
+         |$rows""".stripMargin
+    },
+
+    "page_rank" -> {
+      val iters = 5
+      val d = "CAST(0.85 AS DOUBLE)"
+      val rs = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT p.node, (1 - $d) / c.n + $d * coalesce(i.inr, 0.0) AS r
+           |  FROM r${k - 1} p CROSS JOIN cnt c
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p2.r / e.deg) AS inr
+           |    FROM e JOIN r${k - 1} p2 ON e.src = p2.node GROUP BY 1) i
+           |  ON p.node = i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 131 + 7919) % 500 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 137 + 104729) % 500 FROM documents),
+         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+         |r0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / c.n AS r
+         |  FROM documents CROSS JOIN cnt c),
+         |$rs
+         |SELECT node AS doc_id, round(r, 6) AS rank FROM r$iters""".stripMargin
+    }
   )
 }

@@ -340,6 +340,47 @@ class ConfigSpec extends SparkSpec {
     assert(rows(3L)._1 == "card <CC> ok" && rows(3L)._2 == 1)
   }
 
+  test("source gate, polyglot detector, compactor, winsorizer run from YAML") {
+    val yaml =
+      """operators:
+        |  - name: source_quality_gate
+        |    params: {max_dup_frac: 0.5, min_avg_score: 5.0}
+        |  - name: polyglot_detector
+        |    params: {max_foreign_frac: 0.3}
+        |""".stripMargin
+    val docs = Seq(
+      (1L, "clean", "the cat and the dog is that\nder hund und die katze ist"),
+      (2L, "clean", "the end of the story is that for\nthe cat and the dog"),
+      (3L, "farm", "buy now"), (4L, "farm", "buy now"), (5L, "farm", "buy now"))
+      .toDF("doc_id", "source", "text")
+    val out = PipelineConfig.parse(yaml)(docs)
+    val flags = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("is_polyglot")).toMap
+    // the farm (dup_frac 1.0) is gone before the detector runs
+    assert(flags == Map(1L -> true, 2L -> false))
+
+    val evYaml =
+      """operators:
+        |  - name: snapshot_compactor
+        |    params: {key_fields: "user_id,event_type", id_field: event_id}
+        |  - name: winsorizer
+        |    params: {p_lo: 0.25, p_hi: 0.75}
+        |""".stripMargin
+    val ev = Seq(
+      (1L, 7L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 1.0),
+      (2L, 7L, "click", java.sql.Timestamp.valueOf("2026-01-01 00:00:05"), 100.0),
+      (3L, 7L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), 2.0),
+      (4L, 8L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:00:03"), 3.0),
+      (5L, 9L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:00:04"), 4.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = PipelineConfig.parse(evYaml)(ev)
+      .select("event_id", "value_clipped")
+      .as[(Long, Double)].collect().toMap
+    // compactor drops event 1 (stale click); winsorizer then clips the
+    // survivor values {100, 2, 3, 4} to nearest-rank [p25, p75] = [2, 4]
+    assert(got == Map(2L -> 4.0, 3L -> 2.0, 4L -> 3.0, 5L -> 4.0))
+  }
+
   test("CLI index-build + two-day ingest loop: dups stop at the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))

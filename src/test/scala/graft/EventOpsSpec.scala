@@ -62,6 +62,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out(18L) == 18.0 && out(19L) == 18.0 && out(20L) == 18.0)
   }
 
+  test("grouped percentiles: nearest-rank per group, one pass") {
+    import graft.operators.events.GroupedPercentiles
+    // group a: values 1..10 → p50 = 5th = 5, p90 = 9th = 9;
+    // group b: constant 7 → every percentile is 7
+    val ev = ((1L to 10L).map(i => ("a", i.toDouble)) ++
+      (1L to 4L).map(_ => ("b", 7.0))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("event_id", "event_type", "value")
+    val got = GroupedPercentiles(Seq(0.5, 0.9))(ev)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("a", 0.5) -> 5.0, ("a", 0.9) -> 9.0,
+      ("b", 0.5) -> 7.0, ("b", 0.9) -> 7.0))
+  }
+
   test("winsorizer: duplicate-heavy domain and sub-precision values") {
     // histogram path must weight duplicates, and clipping compares the
     // RAW value against the rounded-domain bound
