@@ -64,7 +64,8 @@ object ScaleProbe {
       "bloom", "incremental", "token_budget", "span", "dsir", "clip", "bpe",
       "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
-      "compact", "winsorize", "quantize", "pagerank", "percentiles")
+      "compact", "winsorize", "quantize", "pagerank", "percentiles",
+      "drift")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,7 +88,7 @@ object ScaleProbe {
         ops("phash_hamming") || ops("video") || ops("audiofp") ||
         ops("datacard") || ops("sourcegate") || ops("overlap") ||
         ops("polyglot") || ops("compact") || ops("winsorize") ||
-        ops("pagerank") || ops("percentiles")) {
+        ops("pagerank") || ops("percentiles") || ops("drift")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -274,6 +275,16 @@ object ScaleProbe {
             corpus.withColumn("__v",
               pmod(col("doc_id") * 37L, lit(49000L)) / 100.0))
             .agg(sum(col("__v_clipped"))).head().getDouble(0).toLong)
+      if (ops("drift")) {
+        // release-over-release PSI at 1M vs 1M: per feature two bucket
+        // counts + a tiny joined-histogram sum
+        val a = corpus.withColumn("lang", col("source"))
+        val b = a.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            substring(col("text"), 1, 50)).otherwise(col("text")))
+        probe("corpus_drift", n * 2)(
+          graft.operators.CorpusDrift(threshold = 0.05).report(a, b).count())
+      }
       if (ops("pagerank"))
         // 5 iterations over a 1M-node 2-out graph: per iteration one
         // co-partitioned hash join + one map-side-combined sum

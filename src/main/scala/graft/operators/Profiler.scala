@@ -72,3 +72,49 @@ case class CorpusDatacard(
       .drop("__total")
   }
 }
+
+/** Corpus drift detection: Population Stability Index per feature
+  * between two corpus snapshots — the data-quality regression test a
+  * continuously-rebuilt training corpus runs between releases (did the
+  * crawl's language mix shift? did a filter change shorten documents?).
+  * PSI = Σ_buckets (p_a − p_b)·ln(p_a/p_b); the industry reading is
+  * < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted.
+  *
+  * Scale shape: per feature, ONE map-side-combinable bucket count per
+  * snapshot over a narrow projection; the PSI math runs on the joined
+  * bucket tables (cardinality = distinct buckets, never corpus rows)
+  * and collapses with a global sum. Zero-count buckets smooth to `eps`
+  * so a vanished bucket contributes a large-but-finite term, exactly
+  * like the scorecard-monitoring formulation. */
+case class CorpusDrift(threshold: Double = 0.2, eps: Double = 1e-6) {
+  import org.apache.spark.sql.Column
+
+  /** One row: (feature, psi 6dp, drifted). `bucket` maps a row to its
+    * histogram bucket (a categorical column, or a binned numeric). */
+  def psi(a: DataFrame, b: DataFrame, bucket: Column,
+      feature: String): DataFrame = {
+    def shares(df: DataFrame, out: String) =
+      df.select(bucket.cast("string").as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__c"))
+        .select(col("__b"),
+          (col("__c") / sum("__c").over(
+            org.apache.spark.sql.expressions.Window
+              .rowsBetween(Long.MinValue, Long.MaxValue))).as(out))
+    shares(a, "__pa").join(shares(b, "__pb"), Seq("__b"), "full_outer")
+      .select((greatest(coalesce(col("__pa"), lit(0.0)), lit(eps))).as("pa"),
+        (greatest(coalesce(col("__pb"), lit(0.0)), lit(eps))).as("pb"))
+      .agg(round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6)
+        .as("psi"))
+      .select(lit(feature).as("feature"), col("psi"),
+        (col("psi") > threshold).as("drifted"))
+  }
+
+  /** The standard document-corpus report: language mix, source mix,
+    * and length-decade buckets. */
+  def report(a: DataFrame, b: DataFrame): DataFrame = {
+    val lenBucket = floor(length(col("text")) / 100)
+    psi(a, b, col("lang"), "lang")
+      .unionByName(psi(a, b, col("source"), "source"))
+      .unionByName(psi(a, b, lenBucket, "length_x100"))
+  }
+}

@@ -228,6 +228,20 @@ object AnalyticsQueries {
       graft.operators.events.GroupedPercentiles(Seq(0.5, 0.95, 0.99))(ev)
     }),
 
+    // release-over-release drift report: snapshot B drops every 5th
+    // doc, relabels every 7th lang to 'zz', and truncates every 3rd
+    // text — lang and length drift, source stays stable
+    "corpus_drift" -> ((s, dir) => {
+      val a = Tables.load(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang")))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, substring(col("text"), 1, 50))
+            .otherwise(col("text")))
+      graft.operators.CorpusDrift(threshold = 0.05).report(a, b)
+    }),
+
     // link-graph centrality (the crawl-frontier URL quality prior):
     // 5 PageRank iterations over a deterministic 2-out synthetic graph
     "page_rank" -> ((s, dir) => {
@@ -437,6 +451,34 @@ object AnalyticsQueries {
          |  sum(c) OVER (PARTITION BY event_type) AS n FROM h),
          |a AS (SELECT event_type, $aggs FROM cdf GROUP BY 1)
          |$rows""".stripMargin
+    },
+
+    "corpus_drift" -> {
+      def psiSql(bucketA: String, bucketB: String, feature: String) =
+        s"""SELECT '$feature' AS feature,
+           |  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           |  round(sum((pa - pb) * ln(pa / pb)), 6) > 0.05 AS drifted
+           |FROM (
+           |  SELECT greatest(coalesce(sa.p, 0.0), 1e-6) AS pa,
+           |    greatest(coalesce(sb.p, 0.0), 1e-6) AS pb
+           |  FROM (
+           |    SELECT CAST($bucketA AS VARCHAR) AS b,
+           |      CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
+           |    FROM documents GROUP BY 1) sa
+           |  FULL OUTER JOIN (
+           |    SELECT CAST($bucketB AS VARCHAR) AS b,
+           |      CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
+           |    FROM (SELECT doc_id,
+           |        CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS lang,
+           |        source,
+           |        CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 50)
+           |             ELSE text END AS text
+           |      FROM documents WHERE doc_id % 5 != 0) GROUP BY 1) sb
+           |  USING (b))""".stripMargin
+      Seq(psiSql("lang", "lang", "lang"),
+        psiSql("source", "source", "source"),
+        psiSql("floor(length(text) / 100)", "floor(length(text) / 100)",
+          "length_x100")).mkString("\nUNION ALL\n")
     },
 
     "page_rank" -> {

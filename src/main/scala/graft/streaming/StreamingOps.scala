@@ -136,6 +136,41 @@ object StreamingOps {
       .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_value")
   }
 
+  /** Streaming CDC/recrawl compaction — the incremental twin of
+    * [[graft.operators.events.SnapshotCompactor]] (C38): per
+    * (user, type) key, keep the LATEST version seen so far (ties to
+    * the larger id, the batch operator's exact rule) and emit the
+    * winner whenever it improves (Update mode). State per key is one
+    * (version, id, value) triple, partitioned by the groupByKey
+    * shuffle like any keyed state; every emitted row is a monotone
+    * improvement, so the max-(version, id) row ever emitted for a key
+    * IS its final compacted value — replay-equivalent to the batch
+    * operator on any prefix. */
+  case class LatestState(version: Long, id: Long, value: Double)
+  case class LatestOut(user_id: Long, event_type: String, event_id: Long,
+    ts_us: Long, value: Double)
+
+  def compactStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, String, Long, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState[LatestState, LatestOut](
+        GroupStateTimeout.NoTimeout()) {
+        case ((uid, et), rows, state: GroupState[LatestState]) =>
+          var cur = state.getOption
+          rows.foreach { case (_, _, id, ts, v) =>
+            if (cur.forall(s => ts > s.version || (ts == s.version && id > s.id)))
+              cur = Some(LatestState(ts, id, v))
+          }
+          val s = cur.get
+          state.update(s)
+          LatestOut(uid, et, s.id, s.version, s.value)
+      }.toDF()
+  }
+
   /** Streaming exact dedup — the incremental twin of ExactDedup: keep
     * the first document per normalized-content hash, with watermark-
     * bounded state so the dedup map does not grow forever (the streaming

@@ -268,6 +268,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("corpus drift: PSI flags the shifted feature, spares the stable one") {
+    import graft.operators.CorpusDrift
+    val a = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", "web", "x" * 100))
+      .toDF("doc_id", "lang", "source", "text")
+    // lang flips to 90/10, source unchanged, text length unchanged
+    val b = (1L to 100L).map(i =>
+      (i, if (i % 10 == 0) "de" else "en", "web", "x" * 100))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = CorpusDrift(threshold = 0.2).report(a, b)
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("lang")._2, s"lang PSI ${got("lang")._1} should flag")
+    assert(got("source") == ((0.0, false)))
+    assert(got("length_x100") == ((0.0, false)))
+    // identical snapshots → zero drift everywhere
+    val same = CorpusDrift().report(a, a).as[(String, Double, Boolean)]
+      .collect()
+    assert(same.forall(r => r._2 == 0.0 && !r._3))
+    // a vanished bucket (de disappears entirely) smooths to eps, not ∞
+    val c = (1L to 100L).map(i => (i, "en", "web", "x" * 100))
+      .toDF("doc_id", "lang", "source", "text")
+    val psiDe = CorpusDrift().psi(a, c, $"lang", "lang")
+      .as[(String, Double, Boolean)].head()
+    assert(psiDe._2 > 0.2 && !psiDe._2.isInfinite)
+  }
+
   test("url dedup: re-crawl variants collapse, distinct pages survive") {
     import graft.operators.text.UrlDedup
     val rows = Seq(

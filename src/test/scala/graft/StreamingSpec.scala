@@ -128,6 +128,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactStream keep-latest state == batch SnapshotCompactor on replay") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val ev = mem.toDF().toDF("event_id", "user_id", "event_type", "ts", "value")
+    val q = StreamingOps.compactStream(ev).writeStream.format("memory")
+      .queryName("compact_stream_test").outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, 7L, "click", Timestamp.valueOf("2026-01-01 00:00:01"), 1.0),
+        (2L, 7L, "click", Timestamp.valueOf("2026-01-01 00:00:05"), 2.0),
+        (3L, 8L, "view", Timestamp.valueOf("2026-01-01 00:00:02"), 3.0))
+      q.processAllAvailable()
+      mem.addData(
+        // older than event 2 → must NOT displace the state
+        (4L, 7L, "click", Timestamp.valueOf("2026-01-01 00:00:03"), 4.0),
+        // ts tie with event 3 → larger id wins
+        (5L, 8L, "view", Timestamp.valueOf("2026-01-01 00:00:02"), 5.0))
+      q.processAllAvailable()
+      // every emitted row is a monotone improvement, so the final
+      // compacted value per key = its max-(ts, id) emitted row
+      val finals = spark.table("compact_stream_test")
+        .as[(Long, String, Long, Long, Double)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, rows) => k -> rows.maxBy(r => (r._4, r._3))._3 }
+      assert(finals == Map((7L, "click") -> 2L, (8L, "view") -> 5L))
+      // and the batch operator on the same replay agrees
+      val batch = Seq(
+        (1L, 7L, "click", Timestamp.valueOf("2026-01-01 00:00:01"), 1.0),
+        (2L, 7L, "click", Timestamp.valueOf("2026-01-01 00:00:05"), 2.0),
+        (3L, 8L, "view", Timestamp.valueOf("2026-01-01 00:00:02"), 3.0),
+        (4L, 7L, "click", Timestamp.valueOf("2026-01-01 00:00:03"), 4.0),
+        (5L, 8L, "view", Timestamp.valueOf("2026-01-01 00:00:02"), 5.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+      val got = graft.operators.events.SnapshotCompactor(
+        Seq("user_id", "event_type"))(batch)
+        .select("event_id").as[Long].collect().toSet
+      assert(got == Set(2L, 5L))
+    } finally q.stop()
+  }
+
   test("StreamingMetricsListener records per-batch rows and rec/s") {
     val sq = spark
     import sq.implicits._
