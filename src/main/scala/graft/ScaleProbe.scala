@@ -65,7 +65,7 @@ object ScaleProbe {
       "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
-      "drift")
+      "drift", "bm25")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,7 +88,8 @@ object ScaleProbe {
         ops("phash_hamming") || ops("video") || ops("audiofp") ||
         ops("datacard") || ops("sourcegate") || ops("overlap") ||
         ops("polyglot") || ops("compact") || ops("winsorize") ||
-        ops("pagerank") || ops("percentiles") || ops("drift")) {
+        ops("pagerank") || ops("percentiles") || ops("drift") ||
+        ops("bm25")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -275,6 +276,16 @@ object ScaleProbe {
             corpus.withColumn("__v",
               pmod(col("doc_id") * 37L, lit(49000L)) / 100.0))
             .agg(sum(col("__v_clipped"))).head().getDouble(0).toLong)
+      if (ops("bm25"))
+        // 100 queries against the 1M-doc inverted index: index build
+        // (two map-side aggregates) + broadcast query join + top-5
+        probe("bm25_search", n) {
+          val queries = Tables.load(spark, sfDir, "documents")
+            .filter(col("doc_id") % 5 === 0).limit(100)
+            .select(col("doc_id").as("query_id"),
+              substring(col("text"), 1, 40).as("text"))
+          graft.operators.text.Bm25().search(corpus, queries, k = 5).count()
+        }
       if (ops("drift")) {
         // release-over-release PSI at 1M vs 1M: per feature two bucket
         // counts + a tiny joined-histogram sum

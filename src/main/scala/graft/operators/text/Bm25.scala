@@ -1,0 +1,102 @@
+package graft.operators.text
+
+import graft.functions.TextFns.{normalizeText, wsTokens}
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text ranking (Robertson/Spärck Jones; the Lucene-variant
+  * idf) — lexical retrieval over the corpus: the standard tool for
+  * mining in-domain documents by keyword, building retrieval-eval
+  * candidate sets, and the lexical leg of hybrid (BM25 + vector)
+  * search next to [[graft.operators.vector.BruteForceKnn]].
+  *
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+  *
+  * Scale shape: the inverted index ((term, doc, tf) postings + (term,
+  * df) vocabulary + (doc, dl) lengths) is built with map-side-combined
+  * aggregates and is the natural thing to PERSIST between query
+  * batches (parquet bucketed by term at 100 TB). A query batch is
+  * bounded (a request, not a corpus), so it broadcasts into the
+  * postings hash join on term; scoring is one map-side-combinable sum
+  * per (query, doc); ranking pays a per-query window with group-limit
+  * pushdown — the BruteForceKnn discipline (round to 6 dp BEFORE
+  * ranking, ties to the smaller doc id, so results are engine-exact).
+  * The two corpus scalars (N, avgdl numerator) collect to the driver
+  * once — bounded like KMeans' k-row action, avoiding a 1-row
+  * nested-loop attach. */
+case class Bm25(
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    idCol: String = "doc_id",
+    textCol: String = "text") {
+
+  private def terms(t: org.apache.spark.sql.Column) =
+    wsTokens(normalizeText(t))
+
+  /** (term, doc, tf) — one row per distinct term per doc. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(terms(col(textCol))).as("term"))
+      .groupBy("term", idCol).agg(count(lit(1)).as("tf"))
+
+  /** (doc, dl) token lengths. */
+  def docLens(docs: DataFrame): DataFrame =
+    docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+
+  /** Top-k docs per query by BM25. `queries` = (query_id, text). */
+  def search(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = postings(docs)
+    val dls = docLens(docs)
+    val stats = dls.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(terms(col(textCol)))).as("term"))
+    val perTerm = broadcast(qt)
+      .join(post, "term")
+      .join(dfT, "term")
+      .join(dls, idCol)
+      .withColumn("__idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum("__s"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}
+
+/** Reciprocal-rank fusion (Cormack 2009) — the standard hybrid-search
+  * combiner for a lexical ([[Bm25]]) and a semantic
+  * ([[graft.operators.vector.BruteForceKnn]]/IVF/LSH) rank list:
+  * rrf(q, d) = Σ_lists 1/(c + rank). Rank-based, so the two scores
+  * never need calibrating against each other.
+  *
+  * Pure composition: a full-outer join of the two (query, doc, rank)
+  * tables — each already top-k, so the join input is bounded by
+  * k·|queries|, never the corpus — then one re-rank window per query
+  * (tiny: ≤ 2k rows per query). Missing-from-one-list docs contribute
+  * only their present list's term, the standard convention. */
+case class RrfFusion(c: Int = 60, k: Int = 5) {
+  def fuse(lex: DataFrame, sem: DataFrame,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rnk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, out: String) =
+      df.select(col(queryCol), col(docCol),
+        (lit(1.0) / (lit(c) + col(rankCol))).as(out))
+    val joined = side(lex, "__lex").join(side(sem, "__sem"),
+      Seq(queryCol, docCol), "full_outer")
+      .select(col(queryCol), col(docCol),
+        round(coalesce(col("__lex"), lit(0.0)) +
+          coalesce(col("__sem"), lit(0.0)), 6).as("rrf"))
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("rrf").desc, col(docCol).asc)
+    joined.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}

@@ -453,6 +453,32 @@ object TextQueries {
       Decontaminator(n = 5).overlapStats(docs, bench)
     }),
 
+    // lexical retrieval: BM25 top-5 per query, queries = 40-char
+    // prefixes of every 125th doc (so real term matches exist)
+    "bm25_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 125 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      Bm25().search(docs, queries, k = 5)
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 top-5 and
+    // the cosine top-5 (documents and embeddings align on id)
+    "hybrid_search_rrf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = docs.filter(col("doc_id") % 125 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val lex = Bm25().search(docs, queries, k = 5)
+      val sem = graft.operators.vector.BruteForceKnn(k = 5)
+        .topK(emb.filter(col("vec_id") % 125 === 0), emb)
+        .select(col("qid").as("query_id"), col("cid").as("doc_id"),
+          col("rn").as("rnk"))
+      RrfFusion(c = 60, k = 5).fuse(lex, sem)
+    }),
+
     // polyglot detection: every doc gets a planted second line whose
     // language rotates by doc_id % 3 (de/en/es) — docs whose body
     // language matches the plant read consistent, the rest mixed
@@ -480,6 +506,47 @@ object TextQueries {
       .mkString("greatest(", ", ", ")")
     val total = occ.map { case (_, wt, o) => s"CAST($o AS DOUBLE) * $wt" }.mkString(" + ")
     s"(CASE WHEN ($total) = 0.0 THEN 0.0 ELSE least(0.8 * $maxW + least(($total) / 3.0, 0.2), 1.0) END)"
+  }
+
+  /** Shared BM25 pipeline CTEs ending in `lex` = (query_id, doc_id,
+    * score, rnk ≤ 5). Constants embed via Double.toString (shortest
+    * round-trip repr), so DuckDB parses the exact doubles the Scala
+    * side uses. */
+  private def bm25CteSql: String = {
+    val k1 = 1.2; val b = 0.75
+    val k1p1 = (k1 + 1.0).toString
+    val oneMb = (1.0 - b).toString
+    s"""toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+       |post AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, len(ws) AS dl FROM toks),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls),
+       |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |qt AS (
+       |  SELECT query_id, unnest(list_distinct(qws)) AS term FROM (
+       |    SELECT doc_id AS query_id,
+       |      string_split(lower(trim(regexp_replace(substr(text, 1, 40),
+       |        '\\s+', ' ', 'g'))), ' ') AS qws
+       |    FROM documents WHERE doc_id % 125 = 0)),
+       |per AS (
+       |  SELECT qt.query_id, post.doc_id,
+       |    ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+       |      (post.tf * $k1p1) /
+       |      (post.tf + $k1 * ($oneMb + $b * dls.dl / s.avgdl)) AS sc
+       |  FROM qt JOIN post USING (term)
+       |  JOIN dft USING (term)
+       |  JOIN dls ON post.doc_id = dls.doc_id
+       |  CROSS JOIN stats s),
+       |bm25agg AS (SELECT query_id, doc_id, round(sum(sc), 6) AS score
+       |  FROM per GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+       |  FROM bm25agg QUALIFY rnk <= 5)""".stripMargin
   }
 
   /** Per-line language-ID CASE (same generator as the `lang_id` oracle,
@@ -1287,6 +1354,36 @@ object TextQueries {
          |  round(coalesce(CAST(n_shared AS DOUBLE) / n_ngrams, 0.0), 6)
          |    AS overlap_frac
          |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin
+    },
+
+    "bm25_search" ->
+      s"""WITH $bm25CteSql
+         |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
+
+    "hybrid_search_rrf" -> {
+      val cos = "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+        "CAST(c.embedding AS DOUBLE[])), 6)"
+      s"""WITH $bm25CteSql,
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id, $cos AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id % 125 = 0 AND q.vec_id != c.vec_id),
+         |sem AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id ASC) AS INT) AS rnk
+         |  FROM sims QUALIFY rnk <= 5),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rnk), 0.0) +
+         |      coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rnk), 0.0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+         |SELECT query_id, doc_id, rrf,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rnk
+         |FROM fused QUALIFY rnk <= 5""".stripMargin
     },
 
     "lang_consistency" -> {

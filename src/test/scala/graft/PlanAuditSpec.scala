@@ -62,9 +62,12 @@ class PlanAuditSpec extends SparkSpec {
     // query side, bounded by the request batch
     // contamination_overlap: decontaminate's benchmark shingle set
     // again (bounded by the eval suite, not the corpus)
+    // bm25_search: the hinted side is the QUERY BATCH (a request,
+    // bounded by construction like the knn family's query side)
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
-      "hard_negatives", "knn_int8", "contamination_overlap")
+      "hard_negatives", "knn_int8", "contamination_overlap",
+      "bm25_search", "hybrid_search_rrf")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -258,7 +261,8 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
-      "dsir_select", "hard_negatives", "knn_int8", "events_winsorize")
+      "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
+      "hybrid_search_rrf")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
