@@ -65,7 +65,7 @@ object ScaleProbe {
       "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
-      "drift", "bm25")
+      "drift", "bm25", "dedupeval", "fertility")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,7 +89,7 @@ object ScaleProbe {
         ops("datacard") || ops("sourcegate") || ops("overlap") ||
         ops("polyglot") || ops("compact") || ops("winsorize") ||
         ops("pagerank") || ops("percentiles") || ops("drift") ||
-        ops("bm25")) {
+        ops("bm25") || ops("dedupeval") || ops("fertility")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -286,6 +286,25 @@ object ScaleProbe {
               substring(col("text"), 1, 40).as("text"))
           graft.operators.text.Bm25().search(corpus, queries, k = 5).count()
         }
+      if (ops("dedupeval")) {
+        // recall/precision harness at 2M docs (1M + 1M planted twins),
+        // on top of the replica structure's 20-copy clusters — the
+        // candidate set is the pair-explosion stress case
+        val mh2 = MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3)
+        val base = corpus.select("doc_id", "text")
+        val twins = base.select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(col("text"), lit(" planted twin suffix")).as("text"))
+        val truth = base.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 2000000000L).as("id_b"))
+        probe("dedup_eval_minhash", n * 2)(
+          graft.operators.dedup.DedupEval
+            .prf(mh2.candidatePairs(base.unionByName(twins)), truth)
+            .head().getAs[Long]("n_hits"))
+      }
+      if (ops("fertility"))
+        probe("tokenizer_fertility", n)(
+          graft.operators.TokenizerFertility(langCol = "source")(corpus)
+            .count())
       if (ops("drift")) {
         // release-over-release PSI at 1M vs 1M: per feature two bucket
         // counts + a tiny joined-histogram sum

@@ -73,6 +73,34 @@ case class CorpusDatacard(
   }
 }
 
+/** Tokenizer fertility report: corpus-level characters-per-token by
+  * language, for both the whitespace and the BPE-ish tokenizer — the
+  * standard check that a tokenizer serves every language in the mix
+  * (high fertility = a language pays more tokens per character of
+  * content, inflating its training cost and shrinking its effective
+  * context; multilingual tokenizer papers report exactly this table).
+  * ONE map-side-combinable aggregate over a narrow projection;
+  * corpus-level ratios (Σ chars / Σ tokens), not averages of per-doc
+  * ratios, so short docs don't dominate. */
+case class TokenizerFertility(langCol: String = "lang",
+    textCol: String = "text") {
+  import graft.functions.TextFns.{bpeTokenCount, wsTokenCount}
+
+  def apply(df: DataFrame): DataFrame =
+    df.select(col(langCol),
+      length(col(textCol)).cast("long").as("__chars"),
+      wsTokenCount(col(textCol)).cast("long").as("__ws"),
+      bpeTokenCount(col(textCol)).cast("long").as("__bpe"))
+      .groupBy(langCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__chars").as("n_chars"),
+        sum("__ws").as("n_ws_tokens"),
+        sum("__bpe").as("n_bpe_tokens"),
+        round(sum("__chars") / sum("__ws"), 4).as("chars_per_ws_token"),
+        round(sum("__chars") / sum("__bpe"), 4).as("chars_per_bpe_token"))
+}
+
 /** Corpus drift detection: Population Stability Index per feature
   * between two corpus snapshots — the data-quality regression test a
   * continuously-rebuilt training corpus runs between releases (did the

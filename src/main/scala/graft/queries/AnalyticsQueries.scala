@@ -228,6 +228,13 @@ object AnalyticsQueries {
       graft.operators.events.GroupedPercentiles(Seq(0.5, 0.95, 0.99))(ev)
     }),
 
+    // tokenizer fit per language: corpus-level chars-per-token for the
+    // whitespace and BPE-ish tokenizers
+    "tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerFertility()(docs)
+    }),
+
     // release-over-release drift report: snapshot B drops every 5th
     // doc, relabels every 7th lang to 'zz', and truncates every 3rd
     // text — lang and length drift, source stays stable
@@ -452,6 +459,22 @@ object AnalyticsQueries {
          |a AS (SELECT event_type, $aggs FROM cdf GROUP BY 1)
          |$rows""".stripMargin
     },
+
+    "tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS bpe
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(chars) AS DOUBLE) / sum(ws), 4) AS chars_per_ws_token,
+         |  round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 4) AS chars_per_bpe_token
+         |FROM t GROUP BY 1""".stripMargin,
 
     "corpus_drift" -> {
       def psiSql(bucketA: String, bucketB: String, feature: String) =

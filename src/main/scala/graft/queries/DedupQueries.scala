@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.dedup.{ConnectedComponents, IncrementalMinHashDedup, MinHashLSH, NgramJaccard, SimHash}
+import graft.operators.dedup.{ConnectedComponents, DedupEval, IncrementalMinHashDedup, MinHashLSH, NgramJaccard, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,18 @@ object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
       ConnectedComponents.clusterStats(
         ConnectedComponents(mh.candidatePairs(docs), docs.select("doc_id")))
+    }),
+
+    // recipe evaluation: plant one suffix-perturbed twin per doc and
+    // score MinHash candidate generation against the known pairs —
+    // the banding-tuning harness (recall < 1 is the S-curve showing)
+    "dedup_eval_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" planted twin suffix")).as("text"))
+      val truth = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      DedupEval.prf(mh.candidatePairs(docs.unionByName(twins)), truth)
     })
   )
 
@@ -98,15 +110,18 @@ object DedupQueries {
 
   /** Shared CTE: minhash signatures per doc (docs with ≥ shingleSize
     * words). Base hash = 28-bit md5 prefix; permutations a·x+b mod
-    * 2^31−1 with the same coefficients as the Scala side. */
-  private def mhSigSql: String = {
+    * 2^31−1 with the same coefficients as the Scala side.
+    * `src` = the table/CTE the corpus reads from. */
+  private def mhSigSql: String = mhSigSqlFrom("documents")
+
+  private def mhSigSqlFrom(src: String): String = {
     val sigCols = (0 until mh.numHashes).map(i =>
       s"list_min(list_transform(base, x -> (x * ${mh.coefA(i)} + ${mh.coefB(i)}) % ${mh.prime})) AS sig_$i")
       .mkString(",\n    ")
     s"""shing AS (
        |  SELECT doc_id, list_transform(range(1, len(ws) - 1),
        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]) AS sh
-       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents)
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM $src)
        |  WHERE len(ws) >= 3),
        |based AS (
        |  SELECT doc_id,
@@ -262,7 +277,36 @@ object DedupQueries {
          |SELECT cluster_size, count(*) AS n_clusters,
          |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
          |  min(component) AS min_component
-         |FROM sizes GROUP BY 1""".stripMargin
+         |FROM sizes GROUP BY 1""".stripMargin,
+
+    "dedup_eval_minhash" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' planted twin suffix' AS text
+         |  FROM documents),
+         |${mhSigSqlFrom("u")},
+         |$bandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_id AS lo, doc_id + 1000000 AS hi FROM documents),
+         |j AS (
+         |  SELECT CASE WHEN c.lo IS NOT NULL THEN 1 ELSE 0 END AS is_c,
+         |    CASE WHEN t.lo IS NOT NULL THEN 1 ELSE 0 END AS is_t
+         |  FROM cand c FULL OUTER JOIN truth t
+         |    ON c.lo = t.lo AND c.hi = t.hi),
+         |agg AS (
+         |  SELECT CAST(sum(is_c) AS BIGINT) AS n_candidates,
+         |    CAST(sum(is_t) AS BIGINT) AS n_truth,
+         |    CAST(sum(is_c * is_t) AS BIGINT) AS n_hits
+         |  FROM j)
+         |SELECT n_candidates, n_truth, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
+         |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+         |FROM agg""".stripMargin
   )
 
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the 16-bit

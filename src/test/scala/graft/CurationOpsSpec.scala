@@ -291,6 +291,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(q10.values.toSet.subsetOf(Set(1L, 2L, 4L)))
   }
 
+  test("tokenizer fertility: corpus-level ratios, not per-doc averages") {
+    import graft.operators.TokenizerFertility
+    val docs = Seq(
+      (1L, "en", "ab cd"),        // 5 chars, 2 ws tokens, 2 bpe tokens
+      (2L, "en", "a b c"),        // 5 chars, 3 ws, 3 bpe
+      (3L, "de", "abc,def")       // 7 chars, 1 ws, 3 bpe (abc , def)
+    ).toDF("doc_id", "lang", "text")
+    val got = TokenizerFertility()(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Double]("chars_per_ws_token"),
+          r.getAs[Double]("chars_per_bpe_token")))).toMap
+    assert(got("en") == ((5L, 5L, 2.0, 2.0)))       // 10 chars / 5 tokens
+    assert(got("de") == ((1L, 3L, 7.0, 2.3333)))
+  }
+
   test("rrf fusion: both-list docs outrank single-list, missing side = 0") {
     import graft.operators.text.RrfFusion
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))

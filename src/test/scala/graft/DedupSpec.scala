@@ -203,4 +203,19 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.survivors(emptyIndex, batch).select("doc_id")
       .as[Long].collect().toSet == Set(1L))
   }
+
+  test("DedupEval: confusion counts, orientation-normalized, dedup'd pairs") {
+    import graft.operators.dedup.DedupEval
+    // candidates: (1,2) hit, (2,3) reversed hit, (4,5) false positive,
+    // (1,2) duplicated — must count once
+    val cand = Seq((1L, 2L), (3L, 2L), (4L, 5L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val r = DedupEval.prf(cand, truth).head()
+    assert(r.getAs[Long]("n_candidates") == 3L)
+    assert(r.getAs[Long]("n_truth") == 3L)
+    assert(r.getAs[Long]("n_hits") == 2L)
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 0.666667)
+  }
 }
