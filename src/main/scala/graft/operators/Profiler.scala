@@ -118,11 +118,15 @@ case class CorpusDrift(threshold: Double = 0.2, eps: Double = 1e-6) {
   import org.apache.spark.sql.Column
 
   /** One row: (feature, psi 6dp, drifted). `bucket` maps a row to its
-    * histogram bucket (a categorical column, or a binned numeric). */
+    * histogram bucket (a categorical column, or a binned numeric).
+    * NULL buckets coalesce to a sentinel so the null population is ONE
+    * bucket matched across both snapshots — bare nulls never meet in
+    * an equi-join, which would split one population into two
+    * eps-smoothed phantom buckets and overstate drift. */
   def psi(a: DataFrame, b: DataFrame, bucket: Column,
       feature: String): DataFrame = {
     def shares(df: DataFrame, out: String) =
-      df.select(bucket.cast("string").as("__b"))
+      df.select(coalesce(bucket.cast("string"), lit("__null__")).as("__b"))
         .groupBy("__b").agg(count(lit(1)).as("__c"))
         .select(col("__b"),
           (col("__c") / sum("__c").over(

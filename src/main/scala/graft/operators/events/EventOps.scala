@@ -108,10 +108,13 @@ case class GroupedPercentiles(
     precision: Int = 2) {
   require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "ps in (0, 1]")
 
-  /** (groupCol, pct, value). */
+  /** (groupCol, pct, value). NULL values are excluded before the
+    * histogram — an unmeasured row must not shift a rank threshold
+    * (same rule as [[Winsorizer]]/TopFractionByGroup). */
   def apply(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.select(col(groupCol), round(col(valueCol), precision).as("__v"))
+    val hist = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), round(col(valueCol), precision).as("__v"))
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
     val byV = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -137,11 +140,15 @@ case class Winsorizer(
     precision: Int = 2) {
   require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
 
-  /** Adds `<valueCol>_clipped`. */
+  /** Adds `<valueCol>_clipped`. NULL values are excluded from the
+    * histogram (they must not shift the rank thresholds) and pass
+    * through with a null clipped value — the caller decides their
+    * fate, the clipper never invents a number. */
   def apply(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rv = round(col(valueCol), precision)
-    val hist = df.select(rv.as("__v")).groupBy("__v")
+    val hist = df.where(col(valueCol).isNotNull)
+      .select(rv.as("__v")).groupBy("__v")
       .agg(count(lit(1)).as("__c"))
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -152,8 +159,12 @@ case class Winsorizer(
       min(when(col("__cum") >= ceil(col("__n") * pLo), col("__v"))).as("__lo"),
       min(when(col("__cum") >= ceil(col("__n") * pHi), col("__v"))).as("__hi"))
     df.crossJoin(broadcast(bounds))
+      // explicit null branch: Spark's least/greatest SKIP nulls, so a
+      // bare least(greatest(null, lo), hi) would silently clip a null
+      // to the lower bound instead of passing it through
       .withColumn(s"${valueCol}_clipped",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

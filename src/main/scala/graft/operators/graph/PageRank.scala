@@ -36,21 +36,47 @@ case class PageRank(
   def apply(edges: DataFrame, nodes: DataFrame, idCol: String = "doc_id",
       roundDp: Int = 6): DataFrame = {
     val n = nodes.count().toDouble
-    val base = (1.0 - damping) / n
+    val tele = nodes.select(col(idCol).as("__node"), lit(1.0 / n).as("__t"))
+    run(edges, tele, idCol, roundDp)
+  }
+
+  /** Personalized PageRank / TrustRank (Gyöngyi 2004): teleport mass
+    * restricted to a SEED set — the actual quality-source propagation
+    * pipelines use (seed trusted domains, let authority flow outward;
+    * RefinedWeb's quality-source lists are exactly such seeds). Same
+    * loop, teleport vector 1/|S| on seeds and 0 elsewhere; non-seed
+    * pages earn rank only through links from trusted neighborhoods. */
+  def personalized(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      idCol: String = "doc_id", roundDp: Int = 6): DataFrame = {
+    val nS = seeds.count().toDouble
+    val tele = nodes.select(col(idCol).as("__node"))
+      .join(seeds.select(col(idCol).as("__node"))
+          .withColumn("__s", lit(1.0 / nS)),
+        Seq("__node"), "left_outer")
+      .select(col("__node"), coalesce(col("__s"), lit(0.0)).as("__t"))
+    run(edges, tele, idCol, roundDp)
+  }
+
+  /** Shared loop: rank' = (1−d)·teleport + d·Σ_in rank/out°;
+    * rank_0 = teleport. */
+  private def run(edges: DataFrame, tele: DataFrame, idCol: String,
+      roundDp: Int): DataFrame = {
     val withDeg = edges.select(col(srcCol), col(dstCol))
       .join(edges.groupBy(srcCol).agg(count(lit(1)).as("__deg")), Seq(srcCol))
       .localCheckpoint(eager = true)
-    var ranks = nodes.select(col(idCol).as("__node"), lit(1.0 / n).as("__r"))
+    val teleC = tele.localCheckpoint(eager = true)
+    var ranks = teleC.select(col("__node"), col("__t").as("__r"))
     var i = 0
     while (i < iterations) {
       val contribs = withDeg
         .join(ranks, withDeg(srcCol) === ranks("__node"))
         .select(col(dstCol).as("__node"), (col("__r") / col("__deg")).as("__c"))
         .groupBy("__node").agg(sum("__c").as("__in"))
-      ranks = ranks.select(col("__node"))
+      ranks = teleC
         .join(contribs, Seq("__node"), "left_outer")
         .select(col("__node"),
-          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("__r"))
+          (lit(1.0 - damping) * col("__t") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("__r"))
         .localCheckpoint(eager = false)
       i += 1
     }

@@ -214,9 +214,13 @@ object AnalyticsQueries {
     }),
 
     // robust-stats clipping to the [p05, p95] nearest-rank bounds over
-    // the 2dp-rounded value domain (histogram CDF, no global sort)
+    // the 2dp-rounded value domain (histogram CDF, no global sort);
+    // every 97th value arrives NULL — excluded from the thresholds,
+    // passed through unclipped
     "events_winsorize" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
+        .withColumn("value", when(col("event_id") % 97 === 0, lit(null))
+          .otherwise(col("value")))
       graft.operators.events.Winsorizer(pLo = 0.05, pHi = 0.95)(ev)
         .select("event_id", "value", "value_clipped")
     }),
@@ -237,9 +241,13 @@ object AnalyticsQueries {
 
     // release-over-release drift report: snapshot B drops every 5th
     // doc, relabels every 7th lang to 'zz', and truncates every 3rd
-    // text — lang and length drift, source stays stable
+    // text — lang and length drift, source stays stable. Every 11th
+    // doc has a NULL lang in BOTH snapshots: one matched null bucket,
+    // not two phantom eps-smoothed ones
     "corpus_drift" -> ((s, dir) => {
       val a = Tables.load(s, dir, "documents")
+        .withColumn("lang", when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(col("lang")))
       val b = a.filter(col("doc_id") % 5 =!= 0)
         .withColumn("lang",
           when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang")))
@@ -258,8 +266,50 @@ object AnalyticsQueries {
           (col("doc_id") * 131 + 7919) % 500,
           (col("doc_id") * 137 + 104729) % 500)).as("dst"))
       graft.operators.graph.PageRank(iterations = 5)(edges, docs)
+    }),
+
+    // TrustRank: same graph, teleport restricted to every 50th doc
+    // (the seeded quality-source set) — authority flows outward
+    "page_rank_personalized" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 131 + 7919) % 500,
+          (col("doc_id") * 137 + 104729) % 500)).as("dst"))
+      graft.operators.graph.PageRank(iterations = 5)
+        .personalized(edges, docs, docs.filter(col("doc_id") % 50 === 0))
     })
   )
+
+  /** 5 unrolled PageRank iterations over the deterministic 2-out
+    * graph, parameterized on the teleport CTE (`tele(node, t)`):
+    * rank_0 = t, rank' = (1 − d)·t + d·Σ_in rank/out° — the exact
+    * float op sequence of PageRank.run, so rounding at 6 dp agrees. */
+  private def pageRankSql(teleCte: String): String = {
+    val iters = 5
+    val d = "CAST(0.85 AS DOUBLE)"
+    val rs = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT p.node, (1 - $d) * p.t + $d * coalesce(i.inr, 0.0) AS r,
+         |    p.t
+         |  FROM r${k - 1} p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p2.r / e.deg) AS inr
+         |    FROM e JOIN r${k - 1} p2 ON e.src = p2.node GROUP BY 1) i
+         |  ON p.node = i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * 131 + 7919) % 500 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 137 + 104729) % 500 FROM documents),
+       |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+       |$teleCte,
+       |r0 AS (SELECT node, t AS r, t FROM tele),
+       |$rs
+       |SELECT node AS doc_id, round(r, 6) AS rank FROM r$iters""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -432,16 +482,20 @@ object AnalyticsQueries {
         |FROM c""".stripMargin,
 
     "events_winsorize" ->
-      """WITH h AS (SELECT round(value, 2) AS v, count(*) AS c
-        |  FROM events GROUP BY 1),
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |h AS (SELECT round(value, 2) AS v, count(*) AS c
+        |  FROM e WHERE value IS NOT NULL GROUP BY 1),
         |cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
         |  sum(c) OVER () AS n FROM h),
         |b AS (SELECT
         |  min(CASE WHEN cum >= ceil(n * 0.05) THEN v END) AS lo,
         |  min(CASE WHEN cum >= ceil(n * 0.95) THEN v END) AS hi FROM cdf)
         |SELECT event_id, value,
-        |  least(greatest(value, lo), hi) AS value_clipped
-        |FROM events, b""".stripMargin,
+        |  CASE WHEN value IS NULL THEN NULL
+        |       ELSE least(greatest(value, lo), hi) END AS value_clipped
+        |FROM e, b""".stripMargin,
 
     "events_percentiles" -> {
       val ps = Seq(0.5, 0.95, 0.99)
@@ -485,14 +539,17 @@ object AnalyticsQueries {
            |  SELECT greatest(coalesce(sa.p, 0.0), 1e-6) AS pa,
            |    greatest(coalesce(sb.p, 0.0), 1e-6) AS pb
            |  FROM (
-           |    SELECT CAST($bucketA AS VARCHAR) AS b,
+           |    SELECT coalesce(CAST($bucketA AS VARCHAR), '__null__') AS b,
            |      CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
-           |    FROM documents GROUP BY 1) sa
+           |    FROM (SELECT doc_id, source, text,
+           |        CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang
+           |      FROM documents) GROUP BY 1) sa
            |  FULL OUTER JOIN (
-           |    SELECT CAST($bucketB AS VARCHAR) AS b,
+           |    SELECT coalesce(CAST($bucketB AS VARCHAR), '__null__') AS b,
            |      CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
            |    FROM (SELECT doc_id,
-           |        CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS lang,
+           |        CASE WHEN doc_id % 7 = 0 THEN 'zz'
+           |             WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
            |        source,
            |        CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 50)
            |             ELSE text END AS text
@@ -504,29 +561,18 @@ object AnalyticsQueries {
           "length_x100")).mkString("\nUNION ALL\n")
     },
 
-    "page_rank" -> {
-      val iters = 5
-      val d = "CAST(0.85 AS DOUBLE)"
-      val rs = (1 to iters).map { k =>
-        s"""r$k AS (
-           |  SELECT p.node, (1 - $d) / c.n + $d * coalesce(i.inr, 0.0) AS r
-           |  FROM r${k - 1} p CROSS JOIN cnt c
-           |  LEFT JOIN (
-           |    SELECT e.dst AS node, sum(p2.r / e.deg) AS inr
-           |    FROM e JOIN r${k - 1} p2 ON e.src = p2.node GROUP BY 1) i
-           |  ON p.node = i.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
-         |e0 AS (
-         |  SELECT doc_id AS src, (doc_id * 131 + 7919) % 500 AS dst FROM documents
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 137 + 104729) % 500 FROM documents),
-         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
-         |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
-         |r0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / c.n AS r
-         |  FROM documents CROSS JOIN cnt c),
-         |$rs
-         |SELECT node AS doc_id, round(r, 6) AS rank FROM r$iters""".stripMargin
-    }
+    "page_rank" -> pageRankSql(
+      """tele AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / c.n AS t
+        |  FROM documents CROSS JOIN cnt c)""".stripMargin),
+
+    "page_rank_personalized" -> pageRankSql(
+      """seeds AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |ns AS (SELECT count(*) AS n FROM seeds),
+        |tele AS (
+        |  SELECT d.doc_id AS node,
+        |    CASE WHEN s.doc_id IS NOT NULL
+        |      THEN CAST(1.0 AS DOUBLE) / ns.n ELSE 0.0 END AS t
+        |  FROM documents d LEFT JOIN seeds s USING (doc_id)
+        |  CROSS JOIN ns)""".stripMargin)
   )
 }

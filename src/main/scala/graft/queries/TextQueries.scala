@@ -433,16 +433,29 @@ object TextQueries {
 
     // domain-level gate: a synthetic content farm (125 docs, 3
     // templates → dup_frac 1.0, tiny avg length) joins the 20 clean
-    // sources; only the farm gets flagged
+    // sources; only the farm gets flagged. Every 77th doc loses its
+    // source — the null group shows in stats and must survive the gate
     "source_flagging" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+        .withColumn("source", when(col("doc_id") % 77 === 0, lit(null))
+          .otherwise(col("source")))
       val farm = docs.where(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("breaking news "), (col("doc_id") % 3).cast("string"))
             .as("text"),
           col("lang"), lit("farm").as("source"), col("n_chars"))
-      SourceQualityGate(maxDupFrac = 0.2, minAvgScore = 50.0)
-        .stats(docs.unionByName(farm))
+      val gate = SourceQualityGate(maxDupFrac = 0.2, minAvgScore = 50.0)
+      val corpus = docs.unionByName(farm)
+      // null-safe survivor join (a bare equi-join would zero the
+      // null-source row's survivor count even though its docs survive)
+      val surv = gate(corpus)
+        .groupBy(coalesce(col("source"), lit("__null__")).as("__k"))
+        .agg(count(lit(1)).as("n_survivors"))
+      gate.stats(corpus)
+        .withColumn("__k", coalesce(col("source"), lit("__null__")))
+        .join(surv, Seq("__k"), "left_outer")
+        .drop("__k")
+        .withColumn("n_survivors", coalesce(col("n_survivors"), lit(0L)))
     }),
 
     // graded decontamination: per-doc fraction of distinct 5-grams
@@ -1316,7 +1329,9 @@ object TextQueries {
 
     "source_flagging" ->
       s"""WITH u AS (
-         |  SELECT source, text FROM documents
+         |  SELECT CASE WHEN doc_id % 77 = 0 THEN NULL ELSE source END AS source,
+         |    text
+         |  FROM documents
          |  UNION ALL
          |  SELECT 'farm' AS source,
          |    'breaking news ' || CAST(doc_id % 3 AS VARCHAR) AS text
@@ -1329,10 +1344,15 @@ object TextQueries {
          |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
          |      sum(c), 6) AS dup_frac,
          |    round(sum(ss) / sum(c), 4) AS avg_score
-         |  FROM g GROUP BY 1)
-         |SELECT source, n_docs, dup_frac, avg_score,
-         |  (dup_frac > 0.2 OR avg_score < 50.0) AS flagged
-         |FROM agg""".stripMargin,
+         |  FROM g GROUP BY 1),
+         |flags AS (
+         |  SELECT source, n_docs, dup_frac, avg_score,
+         |    (dup_frac > 0.2 OR avg_score < 50.0) AS flagged
+         |  FROM agg)
+         |SELECT f.source, f.n_docs, f.dup_frac, f.avg_score, f.flagged,
+         |  CASE WHEN f.source IS NULL THEN f.n_docs
+         |       WHEN f.flagged THEN 0 ELSE f.n_docs END AS n_survivors
+         |FROM flags f""".stripMargin,
 
     "contamination_overlap" -> {
       val n = 5

@@ -224,6 +224,14 @@ class CurationOpsSpec extends SparkSpec {
     assert(stats("farm") == ((4L, 0.75, true)))   // 3 of 4 in a dup group
     val kept = gate(docs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
+    // null-source rows carry no domain signature: visible in stats,
+    // NEVER dropped by the gate (family convention)
+    val withNull = docs.unionByName(Seq(
+      (7L, null.asInstanceOf[String], "short"))
+      .toDF("doc_id", "source", "text"))
+    assert(gate.stats(withNull).where($"source".isNull).count() == 1)
+    assert(gate(withNull).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 7L))
   }
 
   test("polyglot detector: per-line language disagreement, abstentions") {
@@ -346,6 +354,15 @@ class CurationOpsSpec extends SparkSpec {
     val psiDe = CorpusDrift().psi(a, c, $"lang", "lang")
       .as[(String, Double, Boolean)].head()
     assert(psiDe._2 > 0.2 && !psiDe._2.isInfinite)
+    // nulls form ONE matched bucket: identical null populations on
+    // both sides → zero drift (bare-null join keys would split them
+    // into two phantom eps buckets and report drift)
+    val withNulls = (1L to 100L).map(i =>
+      (i, if (i % 4 == 0) null.asInstanceOf[String] else "en", "web", "x"))
+      .toDF("doc_id", "lang", "source", "text")
+    val psiNull = CorpusDrift().psi(withNulls, withNulls, $"lang", "lang")
+      .as[(String, Double, Boolean)].head()
+    assert(psiNull._2 == 0.0 && !psiNull._3)
   }
 
   test("url dedup: re-crawl variants collapse, distinct pages survive") {

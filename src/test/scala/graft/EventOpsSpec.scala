@@ -78,6 +78,34 @@ class EventOpsSpec extends SparkSpec {
       ("b", 0.5) -> 7.0, ("b", 0.9) -> 7.0))
   }
 
+  test("winsorizer: null values don't shift thresholds, pass through null") {
+    val ev = ((1L to 20L).map(i => (i, java.lang.Double.valueOf(i.toDouble))) ++
+      Seq((21L, null.asInstanceOf[java.lang.Double]),
+        (22L, null.asInstanceOf[java.lang.Double])))
+      .toDF("event_id", "value")
+    val out = Winsorizer(pLo = 0.1, pHi = 0.9)(ev)
+      .select("event_id", "value_clipped").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // thresholds computed over the 20 NON-NULL values (2 and 18, as in
+    // the all-non-null test) — the nulls neither shrink nor grow n
+    assert(out(1L) == Some(2.0) && out(20L) == Some(18.0))
+    // nulls pass through unclipped (least/greatest would have silently
+    // clipped them to the lower bound)
+    assert(out(21L).isEmpty && out(22L).isEmpty)
+  }
+
+  test("grouped percentiles: null values excluded from the histogram") {
+    import graft.operators.events.GroupedPercentiles
+    val ev = ((1L to 10L).map(i => (i, "a", java.lang.Double.valueOf(i.toDouble))) ++
+      Seq((11L, "a", null.asInstanceOf[java.lang.Double])))
+      .toDF("event_id", "event_type", "value")
+    val got = GroupedPercentiles(Seq(0.5))(ev)
+      .as[(String, Double, Double)].collect().head
+    // p50 of the 10 scored rows = 5; a null-counted n of 11 would
+    // move the rank to ceil(5.5) = 6
+    assert(got == (("a", 0.5, 5.0)))
+  }
+
   test("winsorizer: duplicate-heavy domain and sub-precision values") {
     // histogram path must weight duplicates, and clipping compares the
     // RAW value against the rounded-domain bound

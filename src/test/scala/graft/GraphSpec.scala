@@ -25,6 +25,21 @@ class GraphSpec extends SparkSpec {
     for ((_, r) <- ranks) assert(math.abs(r - 1.0 / 3) < 1e-6)
   }
 
+  test("personalized pagerank: authority flows only from the seed set") {
+    // 0 (seed) → 1 → 2; 3 is disconnected from the seed, linked from 4
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (4L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("doc_id")
+    val seeds = Seq(0L).toDF("doc_id")
+    val ranks = PageRank(iterations = 20)
+      .personalized(edges, nodes, seeds)
+      .as[(Long, Double)].collect().toMap
+    // seed neighborhood holds all the mass, ordered by distance
+    assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L) && ranks(2L) > 0)
+    // the component unreachable from any seed gets exactly zero
+    assert(ranks(3L) == 0.0 && ranks(4L) == 0.0)
+  }
+
   test("pagerank: out-degree splits contribution; isolates keep base rank") {
     // 0 links to both 1 and 2 (each gets r0/2); 3 is isolated
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")

@@ -64,10 +64,14 @@ class PlanAuditSpec extends SparkSpec {
     // again (bounded by the eval suite, not the corpus)
     // bm25_search: the hinted side is the QUERY BATCH (a request,
     // bounded by construction like the knn family's query side)
+    // source_flagging: the verdict-table broadcast is GUARDED by a
+    // bounded driver count (SourceQualityGate.apply broadcasts only
+    // when |sources| <= threshold — the SemanticDedup plan-shape
+    // precedent), which the static plan can't show
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
-      "bm25_search", "hybrid_search_rrf")
+      "bm25_search", "hybrid_search_rrf", "source_flagging")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -258,11 +262,17 @@ class PlanAuditSpec extends SparkSpec {
     //   IVF/LSH via VectorQuantizer.compressed + those indexes)
     // - events_winsorize: 1-row broadcast attach of the global
     //   [lo, hi] bounds aggregate (the perplexity/q11 shape)
+    // - source_flagging: the synthetic farm branch carries a LITERAL
+    //   source, so Catalyst constant-folds the semi-join key away and
+    //   rewrites it as a LocalLimit-1 existence probe (build side is
+    //   literally one row) — an artifact of the literal-keyed test
+    //   corpus, not of the operator (real sources are data-dependent
+    //   and keep the hash semi-join)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
-      "hybrid_search_rrf")
+      "hybrid_search_rrf", "source_flagging")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
