@@ -74,3 +74,27 @@ case class VectorQuantizer(
       .withColumn(vecCol, dequantize(col("qvec"), mins, maxes))
   }
 }
+
+/** ANN-recipe evaluation: recall@k of an approximate top-k against the
+  * exact one — how nbits/nprobe tune before an index build over the
+  * full corpus (the vector twin of the dedup-banding harness,
+  * [[graft.operators.dedup.DedupEval]]). Both lists are (query, id,
+  * rank) tables already bounded by k·|queries|; they meet in one
+  * left-outer hash join and a per-query count — never the corpus. */
+object AnnEval {
+
+  /** Per query: (qid, n_exact, n_hit, recall 6dp). `exact` and
+    * `approx` are top-k tables keyed (qidCol, idCol). */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      qidCol: String = "qid", idCol: String = "cid"): DataFrame = {
+    val hit = approx.select(col(qidCol), col(idCol))
+      .withColumn("__hit", lit(1L))
+    exact.select(col(qidCol), col(idCol))
+      .join(hit, Seq(qidCol, idCol), "left_outer")
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / col("n_exact"), 6))
+  }
+}

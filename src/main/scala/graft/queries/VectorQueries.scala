@@ -43,6 +43,15 @@ object VectorQueries {
       LshAnn(dim, nbits = 8).topK(emb, k = 3, col("vec_id") < 16)
     }),
 
+    // recall@3 of the LSH index against exact brute force — the
+    // nbits-tuning harness (the ANN twin of dedup_eval_minhash)
+    "ann_eval_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      AnnEval.recallAtK(
+        BruteForceKnn(k = 3).topK(emb.filter(col("vec_id") < 16), emb),
+        LshAnn(dim, nbits = 8).topK(emb, k = 3, col("vec_id") < 16))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") < 8)
@@ -153,6 +162,38 @@ object VectorQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
          |  FROM sims)
          |SELECT qid, cid, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "ann_eval_recall" -> {
+      val sig = (0 until 8).map(i =>
+        s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(i)}) >= 0.0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH sims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cosSql AS cos
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 16 AND q.vec_id != c.vec_id),
+         |exact AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+         |    FROM sims) t WHERE rn <= 3),
+         |b AS (SELECT vec_id, embedding, $sig AS bucket FROM embeddings),
+         |lsims AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cosSql AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 16 AND q.vec_id != c.vec_id),
+         |approx AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+         |    FROM lsims) t WHERE rn <= 3)
+         |SELECT e.qid, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+         |GROUP BY 1""".stripMargin
+    },
 
     "embedding_quantize_int8" ->
       s"""WITH e AS (

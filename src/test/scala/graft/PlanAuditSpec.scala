@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
-      "bm25_search", "hybrid_search_rrf", "source_flagging")
+      "bm25_search", "hybrid_search_rrf", "source_flagging",
+      "ann_eval_recall")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -272,7 +273,7 @@ class PlanAuditSpec extends SparkSpec {
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
-      "hybrid_search_rrf", "source_flagging")
+      "hybrid_search_rrf", "source_flagging", "ann_eval_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

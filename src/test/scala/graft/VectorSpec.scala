@@ -235,6 +235,19 @@ class VectorSpec extends SparkSpec {
     assert(ranks(1) == 13L && ranks(2) == 14L)
   }
 
+  test("AnnEval recall@k: per-query hit counting against exact top-k") {
+    import graft.operators.vector.AnnEval
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "cid")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 30L))
+      .toDF("qid", "cid")
+    val got = AnnEval.recallAtK(exact, approx)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2L, 0.666667)))  // 11, 12 found; 10 missed
+    assert(got(2L) == ((2L, 0L, 0.0)))       // approx found nothing real
+  }
+
   test("int8 quantizer: endpoints, constant dims, bounded reconstruction") {
     import graft.operators.vector.VectorQuantizer
     val rows = Seq(
