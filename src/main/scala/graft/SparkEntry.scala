@@ -34,11 +34,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextQueries.queries ++ AnalyticsQueries.queries ++
       DedupQueries.queries ++ VectorQueries.queries ++ ImageQueries.queries ++
-      PipelineQueries.queries ++ JoinQueries.queries ++ TpchQueries.queries
+      PipelineQueries.queries ++ JoinQueries.queries ++ TpchQueries.queries ++
+      CurationQueries.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     TextQueries.oracles ++ AnalyticsQueries.oracles ++
       DedupQueries.oracles ++ VectorQueries.oracles ++ ImageQueries.oracles ++
-      PipelineQueries.oracles ++ JoinQueries.oracles ++ TpchQueries.oracles
+      PipelineQueries.oracles ++ JoinQueries.oracles ++ TpchQueries.oracles ++
+      CurationQueries.oracles
 }

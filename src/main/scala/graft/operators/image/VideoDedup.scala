@@ -3,56 +3,84 @@ package graft.operators.image
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Video near-dup via aligned frame-hash matching — the video leg of
+/** Video near-dup via aligned frame-pHash matching — the video leg of
   * the multimodal dedup triad (image: [[ImagePhashDedup]] /
   * [[PhashHammingDedup]]; audio: [[AudioKernels.fingerprint]]): two
   * videos are near-duplicates when ≥ `minMatches` of their `n`
-  * deterministically sampled frames hash identically AT THE SAME
-  * frame index (temporal alignment — a re-encode keeps the timeline,
-  * so aligned comparison is the cheap high-precision test; clipped or
-  * re-cut videos are a different operator's problem).
+  * deterministically sampled frames land within hamming `radius` of
+  * each other AT THE SAME frame index (temporal alignment — a
+  * re-encode keeps the timeline, so aligned comparison is the cheap
+  * high-precision test; clipped or re-cut videos are a different
+  * operator's problem).
+  *
+  * Frames hash with the REAL DCT kernel ([[DctKernels.dctPhash]]:
+  * quantized-integer 8×8 DCT, median threshold) — a re-encode's bit
+  * flips move a hash a few hamming bits where the old md5 content hash
+  * lost every affected frame, and a uniform brightness shift doesn't
+  * move it at all. Frames holding decodable image bytes can use
+  * [[ImageKernels.phash64]] through the same column instead; the
+  * matching machinery below is hash-agnostic.
   *
   * Scale shape — never pairwise over videos:
-  *   1. frame stream: explode [[VideoOps.frameSample]]'s n
-  *      frames per video, hash each (stub 60-bit content hash; a real
-  *      DCT pHash slots into the same column);
-  *   2. candidate pairs come from a hash equi-join on (frame_idx,
-  *      frame_hash) — only videos sharing an aligned identical frame
-  *      ever meet;
-  *   3. UBIQUITOUS frames (black frames, station logos — shared by
-  *      more videos than `maxFrameGroup`) are dropped from the join
-  *      first, the stop-word move: they are non-discriminative and
-  *      their C(k,2) fan-out is the skew bomb at corpus scale (a
-  *      `groupBy` count + broadcastable filter, mirroring
-  *      EmbeddingNearDup's bucket cap);
-  *   4. per-pair match counting is one aggregate over the joined
-  *      narrow stream; ≥ minMatches pairs feed the family's
-  *      keep-first collapse (drop the larger id of each pair).
+  *   1. frame stream: explode [[VideoOps.frameSample]]'s n frames per
+  *      video, DCT-hash each;
+  *   2. UBIQUITOUS frames (black frames, station logos — shared by
+  *      more videos than `maxFrameGroup`) are dropped first, the
+  *      stop-word move: non-discriminative, and their C(k,2) fan-out
+  *      is the skew bomb at corpus scale;
+  *   3. collapse to DISTINCT (frame_idx, hash) reps, then find
+  *      neighbor rep pairs with the [[PhashHammingDedup]] pigeonhole:
+  *      split the hash into `bands` disjoint bit-bands — a pair within
+  *      hamming radius < bands agrees exactly on some band, so a
+  *      per-band equi-join finds every candidate (EXACT recall, no LSH
+  *      S-curve), verified by one codegen'd `bit_count(xor) ≤ radius`.
+  *      Equal hashes pair at distance 0 through the same join. The
+  *      rep join is bounded by the HASH SPACE, not the corpus — but
+  *      that cuts both ways: at corpus scale use `nbits = 60` (rep
+  *      buckets stay sparse); `nbits = 16` exists for oracle-replay
+  *      compactness and saturates beyond ~10^4 distinct frames;
+  *   4. matched frames come from joining the rep pairs back to the
+  *      capped frame stream on (frame_idx, hash); per-pair match
+  *      counting is one aggregate; ≥ minMatches pairs feed the
+  *      family's keep-first collapse (drop the larger id).
   *
-  * The dropped-frame approximation is documented: a pair whose every
-  * shared frame is ubiquitous is missed — by construction such videos
-  * agree only on boilerplate frames. */
+  * Dropped-frame approximation (documented): a pair whose every shared
+  * frame is ubiquitous is missed — by construction such videos agree
+  * only on boilerplate frames. */
 case class VideoFrameDedup(
     n: Int = 8,
-    frameBytes: Int = 32,
+    frameBytes: Int = 64,
     minMatches: Int = 5,
+    radius: Int = 2,
+    bands: Int = 4,
+    nbits: Int = 16,
     maxFrameGroup: Int = 1000,
     videoCol: String = "video",
     idCol: String = "doc_id") {
   require(n >= 1 && minMatches >= 1 && minMatches <= n,
     "need 1 <= minMatches <= n")
+  require(radius >= 0 && radius < bands,
+    s"pigeonhole exactness needs radius < bands (got $radius >= $bands)")
+  require(nbits % bands == 0, "bands must divide nbits")
 
-  /** (idCol, frame_idx, frame_hash) — the narrow frame stream. */
+  private val width = nbits / bands
+
+  /** (idCol, frame_idx, frame_hash) — the narrow frame stream. Frames
+    * too short/empty to hash carry a null (no near-dup signal). */
   def frameHashes(df: DataFrame): DataFrame =
     df.select(col(idCol),
         explode(VideoOps.frameSample(col(videoCol), n, frameBytes))
           .as("__f"))
       .select(col(idCol), col("__f.frame_idx").as("frame_idx"),
-        conv(substring(md5(col("__f.frame")), 1, 15), 16, 10).cast("long")
-          .as("frame_hash"))
+        DctKernels.framePhash(col("__f.frame"), nbits).as("frame_hash"))
+      .filter(col("frame_hash").isNotNull)
+
+  private def bandKeys(h: Column): Column =
+    array((0 until bands).map(j =>
+      shiftrightunsigned(h, j * width).bitwiseAND(lit((1L << width) - 1))): _*)
 
   /** (id_a, id_b, n_matched) for pairs with ≥ minMatches aligned
-    * identical frames, after the ubiquitous-frame cut. */
+    * frames within hamming `radius`, after the ubiquitous-frame cut. */
   def candidatePairs(df: DataFrame): DataFrame = {
     val fh = frameHashes(df)
     val common = fh.groupBy("frame_idx", "frame_hash")
@@ -60,11 +88,27 @@ case class VideoFrameDedup(
       .filter(col("__k") > maxFrameGroup)
       .select("frame_idx", "frame_hash")
     val kept = fh.join(common, Seq("frame_idx", "frame_hash"), "left_anti")
-    kept.select(col("frame_idx"), col("frame_hash"), col(idCol).as("id_a"))
-      .join(kept.select(col("frame_idx"), col("frame_hash"),
-        col(idCol).as("id_b")), Seq("frame_idx", "frame_hash"))
+    // rep level: distinct hashes per frame index
+    val reps = kept.select("frame_idx", "frame_hash").distinct()
+    val banded = reps.select(col("frame_idx"), col("frame_hash"),
+      posexplode(bandKeys(col("frame_hash"))).as(Seq("__band", "__key")))
+    val repPairs = banded
+      .select(col("frame_idx"), col("__band"), col("__key"),
+        col("frame_hash").as("ha"))
+      .join(banded.select(col("frame_idx"), col("__band"), col("__key"),
+        col("frame_hash").as("hb")), Seq("frame_idx", "__band", "__key"))
+      .filter(col("ha") <= col("hb"))
+      .select("frame_idx", "ha", "hb").distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= radius)
+    // back to videos: every (a, b) sharing a neighbor-rep aligned frame
+    val matched = repPairs
+      .join(kept.select(col("frame_idx"), col("frame_hash").as("ha"),
+        col(idCol).as("id_a")), Seq("frame_idx", "ha"))
+      .join(kept.select(col("frame_idx"), col("frame_hash").as("hb"),
+        col(idCol).as("id_b")), Seq("frame_idx", "hb"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+      .select("id_a", "id_b", "frame_idx").distinct()
+    matched.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatches)
   }

@@ -6,7 +6,7 @@ import graft.operators.image._
 import graft.operators.ml.QualityClassifier
 import graft.operators.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, min, repeat}
+import org.apache.spark.sql.functions.{col, concat, lit, min, repeat}
 import scala.jdk.CollectionConverters._
 
 /** YAML-config-driven pipeline construction — reference parity with
@@ -523,6 +523,27 @@ object OperatorRegistry {
       df => graft.operators.text.PolyglotDetector(
         maxForeignFrac = dbl(p, "max_foreign_frac", 0.3),
         textCol = str(p, "text_field", "text"))(df))),
+
+    // n-gram decontamination (B20) as a pipeline stage: drop corpus
+    // docs sharing any n-gram with the benchmark suite at
+    // benchmark_path (parquet carrying text_field). The benchmark side
+    // is broadcast (bench suites are small by construction).
+    "decontaminator" -> (p => RefineOp("decontaminator",
+      df => {
+        val bench = df.sparkSession.read.parquet(p("benchmark_path").toString)
+        graft.operators.text.Decontaminator(
+          n = int(p, "n", 5),
+          textCol = str(p, "text_field", "text"),
+          idCol = str(p, "id_field", "doc_id"))(df, bench)
+      })),
+
+    // test-corpus helper like synthetic_image_column: derive a url
+    // column from (source, id) so URL-stage configs run end to end on
+    // the url-less synthetic documents table
+    "synthetic_url_column" -> (p => RefineOp("synthetic_url_column",
+      df => df.withColumn(str(p, "url_field", "url"),
+        concat(lit("https://www."), col(str(p, "source_field", "source")),
+          lit(".example.com/docs/"), col(str(p, "id_field", "doc_id")))))),
 
     // CDC/recrawl compaction (C38): keep the latest version per key
     "snapshot_compactor" -> (p => RefineOp("snapshot_compactor",

@@ -86,34 +86,61 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     cur
   }
 
-  /** Diagnostic per-operator profiling: each stage is persisted and
-    * timed as its own materialization — the reference's execution model
-    * (one actor-pool batch per stage), reproduced so per-op wall time
-    * and rec/s are measurable. Production runs should use [[observed]]
-    * instead: Catalyst fuses the whole pipeline into one pass, so per-op
-    * wall time *does not exist* there — which is the optimization. Use
+  /** Diagnostic per-operator profiling: each stage is materialized and
+    * timed on its own — the reference's execution model (one actor-pool
+    * batch per stage), reproduced so per-op wall time and rec/s are
+    * measurable. Production runs should use [[observed]] instead:
+    * Catalyst fuses the whole pipeline into one pass, so per-op wall
+    * time *does not exist* there — which is the optimization. Use
     * profile() on a sample to find the slow operator, then run fused.
-    * The returned frame is left persisted; caller unpersists. */
+    *
+    * Stages are cut with `localCheckpoint(eager = true)`, NOT
+    * `persist`: self-referencing stages (winners ⋈ input dedups)
+    * expand the shared upstream subtree once per reference, so a
+    * cumulatively-composed chain's *printed* tree grows exponentially
+    * with stage count even though the in-memory DAG is shared — and
+    * `persist` renders exactly that tree for the cache name
+    * (InMemoryRelation's cachedName), which at stage 8+ of the
+    * curation capstone is an OOM, not a string. The checkpoint
+    * replaces each stage's plan with a compact LogicalRDD, bounding
+    * every downstream plan by ONE stage's ops. Checkpointed blocks are
+    * released by the ContextCleaner as stage references drop. */
   def profile(df: DataFrame): (DataFrame, Seq[StageMetrics]) = {
-    import org.apache.spark.storage.StorageLevel
-    var cur = df.persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = df.localCheckpoint(true)
     var rows = cur.count()
     val metrics = ops.map { op =>
+      val t0 = System.nanoTime()
       val next = (op match {
         case FilterOp(_, p) => cur.filter(p(cur))
         case RefineOp(_, f) => f(cur)
         case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
-      }).persist(StorageLevel.MEMORY_AND_DISK)
-      val t0 = System.nanoTime()
+      }).localCheckpoint(true)
       val outRows = next.count()
       val wall = (System.nanoTime() - t0) / 1e9
-      cur.unpersist()
       val m = StageMetrics(op.name, rows, outRows, wall)
       cur = next
       rows = outRows
       m
     }
     (cur, metrics)
+  }
+
+  /** Per-stage funnel as a DataFrame (step_idx, step, n_rows) —
+    * computed the staged way ([[profile]]: each stage checkpointed
+    * once, counted, previous stage released), NOT via `observe`: dedup
+    * operators reference their input twice (winners ⋈ input), and a
+    * CollectMetrics node inside a self-referenced subtree would count
+    * every row once per reference. Counts are a handful of driver longs
+    * (one per stage) — bounded regardless of corpus size. */
+  def funnelStaged(df: DataFrame): DataFrame = {
+    val (_, metrics) = profile(df)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val steps = ("input", metrics.headOption.map(_.rowsIn).getOrElse(0L)) +:
+      metrics.map(m => (m.op, m.rowsOut))
+    steps.zipWithIndex
+      .map { case ((name, n), i) => (i, name, n) }
+      .toDF("step_idx", "step", "n_rows")
   }
 
   /** Reference-style stage summary with per-op wall time + rec/s
@@ -168,20 +195,34 @@ case class Pipeline(ops: Seq[PipelineOp]) {
       case (d, RefineOp(_, f)) => f(d)
       case (d, _) => d
     }
+    // Project each stage's predicate/dedup-key expression ONCE as a
+    // column; the aggregate below then conjoins cheap slot reads.
+    // Embedding the raw predicates directly would re-inline predicates
+    // 1..k into stage k's agg expression — O(stages² · |predicate|)
+    // generated code inside ONE hashAgg doConsume, which whole-stage
+    // codegen cannot split (inputs are Java locals) and janino then
+    // fails to compile, silently dropping the plan to interpreted.
+    // Multi-referenced non-cheap columns also block CollapseProject, so
+    // the projection genuinely survives into the physical plan.
+    val staged = ops.zipWithIndex.map {
+      case (FilterOp(n, p), i) => (s"__funnel_p$i", p(refined))
+      case (DedupOp(_, k, _), i) => (s"__funnel_k$i", k(refined))
+      case (RefineOp(_, _), i) => (s"__funnel_r$i", lit(true))
+    }
+    val projected = refined.select(col("*") +: staged.map {
+      case (c, e) => e.as(c) }: _*)
     var cum: Column = lit(true)
     var aggs = Vector[(String, Column)]("input" -> count(lit(1)))
-    var dedupKeys = Vector.empty[Column]
-    ops.foreach {
-      case FilterOp(n, p) =>
-        cum = cum && p(refined)
+    ops.zipWithIndex.foreach {
+      case (FilterOp(n, _), i) =>
+        cum = cum && col(s"__funnel_p$i")
         aggs :+= n -> sum(when(cum, 1L).otherwise(0L))
-      case RefineOp(n, _) =>
+      case (RefineOp(n, _), _) =>
         aggs :+= n -> sum(when(cum, 1L).otherwise(0L))
-      case DedupOp(n, k, _) =>
-        val key = k(refined)
-        aggs :+= n -> countDistinct(when(cum, key))
+      case (DedupOp(n, _, _), i) =>
+        aggs :+= n -> countDistinct(when(cum, col(s"__funnel_k$i")))
     }
-    val row = refined.agg(aggs.head._2.as("c0"),
+    val row = projected.agg(aggs.head._2.as("c0"),
       aggs.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"c${i + 1}") }: _*)
     val steps = aggs.map(_._1).zipWithIndex.map { case (n, i) =>
       struct(lit(i).as("step_idx"), lit(n).as("step"), col(s"c$i").cast("long").as("n_rows"))

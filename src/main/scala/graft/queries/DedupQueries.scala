@@ -114,7 +114,7 @@ object DedupQueries {
     * `src` = the table/CTE the corpus reads from. */
   private def mhSigSql: String = mhSigSqlFrom("documents")
 
-  private def mhSigSqlFrom(src: String): String = {
+  private[queries] def mhSigSqlFrom(src: String): String = {
     val sigCols = (0 until mh.numHashes).map(i =>
       s"list_min(list_transform(base, x -> (x * ${mh.coefA(i)} + ${mh.coefB(i)}) % ${mh.prime})) AS sig_$i")
       .mkString(",\n    ")
@@ -135,7 +135,7 @@ object DedupQueries {
 
   /** Band digests from the signature CTE, matching
     * MinHashLSH.bandDigests (md5 over comma-joined slice + ":band"). */
-  private def bandsSql: String = {
+  private[queries] def bandsSql: String = {
     val rows = mh.numHashes / mh.bands
     val bandSelects = (0 until mh.bands).map { b =>
       val cols = (b * rows until (b + 1) * rows)

@@ -105,19 +105,32 @@ object ImageQueries {
     }),
 
     "dedup_video_frames" -> ((s, dir) => {
-      // aligned frame-hash video near-dup: every even doc also ships a
-      // "re-encoded" twin with one byte spliced mid-stream — ≥ 6 of 8
-      // sampled frames still hash identically at the same index, so
-      // minMatches=5 groups them; the oracle rebuilds the identical
-      // videos and replays the frame formula + brute-force keep rule
+      // aligned frame-pHash video near-dup over the REAL quantized-DCT
+      // kernel (DctKernels), two planted re-encode families:
+      //   - noise twins (+1e6, even ids): ONE byte overwritten
+      //     mid-stream — the affected sampled frames drift a few
+      //     hamming bits, the untouched ones match at distance 0, and
+      //     ≥5 aligned matches still group the pair;
+      //   - brightness twins (+2e6, odd ids): EVERY byte shifted +1
+      //     (uniform re-encode brightness shift) — zero bytes in
+      //     common, the md5 stub matched nothing, the DCT hash is
+      //     EXACTLY invariant (quantized cosine columns cancel).
+      // The oracle rebuilds the videos and replays frame sampling, the
+      // integer DCT, median bits and the brute-force hamming keep rule.
       val docs = Tables.load(s, dir, "documents")
       val base = docs.select(col("doc_id"),
         repeat(col("text"), 4).cast("binary").as("video"))
-      val copies = base.filter(col("doc_id") % 2 === 0)
+      val noisy = base.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(substring(col("video"), 1, 40), lit("X").cast("binary"),
             substring(col("video"), 42, 1000000000)).as("video"))
-      VideoFrameDedup().flagged(base.unionByName(copies))
+      val bright = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          repeat(translate(col("text"),
+            " abcdefghijklmnopqrstuvwxyz",
+            "!bcdefghijklmnopqrstuvwxyz{"), 4).cast("binary").as("video"))
+      VideoFrameDedup().flagged(
+        base.unionByName(noisy).unionByName(bright))
         .select(col("doc_id"), col("keep"))
     }),
 
@@ -282,28 +295,61 @@ object ImageQueries {
         |  END AS keep
         |FROM h a""".stripMargin,
 
-    "dedup_video_frames" ->
-      """WITH base AS (SELECT doc_id, repeat(text, 4) AS video FROM documents),
-        |cops AS (
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    substr(video, 1, 40) || 'X' || substr(video, 42, 1000000000) AS video
-        |  FROM base WHERE doc_id % 2 = 0),
-        |v AS (SELECT doc_id, video FROM base
-        |      UNION ALL SELECT doc_id, video FROM cops),
-        |fr AS (
-        |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
-        |    CAST(('0x' || substr(md5(substr(video,
-        |      CAST(floor(i * greatest((length(video) - 32) / 7.0, 1.0) + 1) AS INT),
-        |      32)), 1, 15)) AS BIGINT) AS fh
-        |  FROM v, range(0, 8) r(i)),
-        |pairs AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS m
-        |  FROM fr a JOIN fr b
-        |    ON a.frame_idx = b.frame_idx AND a.fh = b.fh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 5)
-        |SELECT v.doc_id,
-        |  NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ib = v.doc_id) AS keep
-        |FROM v""".stripMargin,
+    "dedup_video_frames" -> {
+      // the quantized-DCT pHash, replayed coefficient by coefficient:
+      // coef_i = Σ_j px[j] · W_i[j] with the SAME integer weight rows
+      // the Scala kernel uses (DctKernels.weights16), bit_i set iff
+      // 2·coef_i exceeds the doubled median of the 16 coefs
+      val ws = graft.operators.image.DctKernels.weights16
+      val coefExprs = ws.map(row =>
+        row.zipWithIndex.filter(_._1 != 0L)
+          .map { case (w, j) => s"p[${j + 1}]*($w)" }.mkString(" + "))
+        .mkString("[", ",\n      ", "]")
+      val bitSum = (0 until 16).map(i =>
+        s"CASE WHEN 2*c[${i + 1}] > m2 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, repeat(text, 4) AS video FROM documents),
+         |noisy AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    substr(video, 1, 40) || 'X' || substr(video, 42, 1000000000) AS video
+         |  FROM base WHERE doc_id % 2 = 0),
+         |bright AS (
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    repeat(translate(text, ' abcdefghijklmnopqrstuvwxyz',
+         |      '!bcdefghijklmnopqrstuvwxyz{'), 4) AS video
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |v AS MATERIALIZED (SELECT doc_id, video FROM base
+         |      UNION ALL SELECT doc_id, video FROM noisy
+         |      UNION ALL SELECT doc_id, video FROM bright),
+         |fr AS (
+         |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |    substr(video,
+         |      CAST(i * greatest((length(video) - 64) // 7, 1) + 1 AS INT),
+         |      64) AS f
+         |  FROM v, range(0, 8) r(i)),
+         |px AS (
+         |  SELECT doc_id, frame_idx,
+         |    list_transform(range(1, 65), j -> CASE WHEN j <= length(f)
+         |      THEN CAST(ascii(substr(f, CAST(j AS INT), 1)) AS BIGINT)
+         |      ELSE 0 END) AS p
+         |  FROM fr),
+         |cf AS (
+         |  SELECT doc_id, frame_idx, $coefExprs AS c
+         |  FROM px),
+         |fh AS MATERIALIZED (
+         |  SELECT doc_id, frame_idx, CAST($bitSum AS BIGINT) AS fh
+         |  FROM (SELECT doc_id, frame_idx, c,
+         |          list_sort(c)[8] + list_sort(c)[9] AS m2 FROM cf)),
+         |pairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS m
+         |  FROM fh a JOIN fh b
+         |    ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.fh, b.fh)) <= 2
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT v.doc_id,
+         |  NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ib = v.doc_id) AS keep
+         |FROM v""".stripMargin
+    },
 
     "audio_metadata" ->
       """WITH chars AS (

@@ -122,6 +122,11 @@ class ConfigSpec extends SparkSpec {
   }
 
   test("every shipped example config parses, builds, and runs end to end") {
+    // the fineweb capstone config documents that benchmark_path must be
+    // written first (a parquet of benchmark text rows) — provide it
+    graft.queries.CurationQueries
+      .benchmarkFrame(Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .write.mode("overwrite").parquet("/tmp/graft_out/capstone_bench")
     val dir = new java.io.File("configs")
     val files = dir.listFiles().filter(_.getName.endsWith(".yaml"))
     assert(files.nonEmpty)

@@ -129,4 +129,38 @@ class ImageOpsSpec extends SparkSpec {
       Seq((1L, a)).toDF("doc_id", "video")).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("DctKernels: brightness invariance, perturbation locality, null safety") {
+    val s = ("pack my box with five dozen liquor jugs " * 4).getBytes("UTF-8")
+    // uniform +1 shift on every byte (the re-encode brightness family):
+    // EXACT hash invariance — the quantized cosine columns cancel, so
+    // only the DC coefficient moves and the median ranks are unchanged
+    val shifted = s.map(b => (b + 1).toByte)
+    assert(DctKernels.dctPhash(s, 16) == DctKernels.dctPhash(shifted, 16))
+    assert(DctKernels.dctPhash(s, 60) == DctKernels.dctPhash(shifted, 60))
+    // a single-byte edit moves the hash a FEW bits (only coefficients
+    // near the median flip) — the md5 stub lost the whole frame
+    val noisy = s.clone(); noisy(10) = 'X'.toByte
+    val d = java.lang.Long.bitCount(
+      DctKernels.dctPhash(s, 16).get ^ DctKernels.dctPhash(noisy, 16).get)
+    assert(d >= 1 && d <= 4, s"one-byte edit moved $d bits")
+    // unrelated content is far away
+    val other = ("zzzz completely different recording bytes here " * 4)
+      .getBytes("UTF-8")
+    assert(java.lang.Long.bitCount(
+      DctKernels.dctPhash(s, 16).get ^ DctKernels.dctPhash(other, 16).get) > 2)
+    assert(DctKernels.dctPhash(null, 16).isEmpty)
+    assert(DctKernels.dctPhash(Array.emptyByteArray, 60).isEmpty)
+  }
+
+  test("VideoFrameDedup: brightness-shifted re-encode dedups at hamming 0") {
+    def vid(s: String): Array[Byte] = (s * 40).getBytes("UTF-8")
+    val a = vid("the quick brown fox jumps over the lazy dog ")
+    val bright = a.map(b => (b + 1).toByte) // zero bytes in common with a
+    val got = VideoFrameDedup().flagged(
+      Seq((1L, a), (2L, bright)).toDF("doc_id", "video"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
 }
