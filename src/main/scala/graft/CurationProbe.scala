@@ -41,7 +41,16 @@ object CurationProbe {
         .withColumn("lang", lit("en"))
       else Tables.load(spark, sfDir, "documents")
 
-    val input = CurationQueries.preppedInput(docs)
+    // materialize the prepped corpus ONCE before any timed run: a real
+    // crawl arrives as stored pages, but preppedInput DERIVES pages
+    // with regexp chains — and Catalyst's filter pushdown substitutes
+    // a derived column's full expression into every predicate
+    // reference below it, so an un-materialized input makes every
+    // fused-mode filter re-run the derivation per reference (measured:
+    // the k=4 fused prefix went 47 s → 259 s on the raw expressions).
+    // The checkpoint makes the probe measure the pipeline, not the
+    // test-corpus synthesis.
+    val input = CurationQueries.preppedInput(docs).localCheckpoint(true)
     val benchDir = java.nio.file.Files
       .createTempDirectory("graft_capstone_bench").toString
     CurationQueries.benchmarkFrame(
@@ -53,7 +62,7 @@ object CurationProbe {
       p.collect { case n =>
         n.expressions.map(e => e.collect { case _ => 1 }.size.toLong).sum
       }.sum
-    var cur = input.localCheckpoint(true)
+    var cur = input // already checkpointed above
     var rows = cur.count()
     val t00 = System.nanoTime()
     CurationCapstone.ops(benchDir).foreach { case (name, params) =>
@@ -68,6 +77,18 @@ object CurationProbe {
       rows = out
     }
     println(f"CAPSTONE_STAGED total ${(System.nanoTime() - t00) / 1e9}%.1f s")
+
+    // --- fused-prefix breakdown: count() of the first k ops as one
+    // lazy DAG — localizes which composed segment pays recompute ---
+    if (sys.env.get("SPARK_GRAFT_FUSED_STEPS").contains("1")) {
+      val allOps = CurationCapstone.ops(benchDir)
+      for (k <- 1 to allOps.size) {
+        val tk = System.nanoTime()
+        val nk = Pipeline(allOps.take(k)
+          .map { case (nm, p) => OperatorRegistry.build(nm, p) })(input).count()
+        println(f"FUSED_PREFIX k=$k%2d through=${allOps(k - 1)._1}%-30s rows=$nk ${(System.nanoTime() - tk) / 1e9}%.1f s")
+      }
+    }
 
     // --- fused run: one lazy DAG, single action ---
     val t1 = System.nanoTime()

@@ -16,6 +16,7 @@ import graft.pipeline.{MetricsSink, PipelineConfig}
   * graft.Main profile pipeline.yaml [--metrics-path m/]  # per-op wall + rec/s
   * graft.Main index-build <docs.parquet> <index-dir>     # build the near-dup index
   * graft.Main ingest <batch.parquet> <index-dir> <out>   # delta dedup + roll index
+  * graft.Main compact-index <index-dir>                  # fold committed batch= dirs
   * graft.Main load-shards <globs> <state> <out>          # resumable bulk load
   * }}}
   *
@@ -181,6 +182,82 @@ object Main {
       s"survivors -> $outPath, index committed as batch=$batchId")
   }
 
+  /** Index lifecycle compaction: fold every COMMITTED `batch=<id>`
+    * partition (plus `batch=base`) into one consolidated
+    * `batch=c<digest>` partition. Daily [[runIngest]] commits append a
+    * directory per batch forever; past a few hundred batches the
+    * partition listing itself becomes the index-read cost, and each
+    * probe job plans one input leaf dir per batch. Compaction restores
+    * O(1) layout without changing a single probe result.
+    *
+    * Protocol (same commit discipline as ingest): merge → stage under
+    * an underscore dir → ONE rename to `batch=<digest>` → marker write
+    * → THEN delete the source partitions. Torn-compaction windows are
+    * all safe:
+    *   - crash before the rename: the staging dir is parquet-invisible;
+    *     re-run overwrites it.
+    *   - crash after the rename, before the source deletes: the index
+    *     temporarily holds every row twice — semantically benign (the
+    *     ingest probe is a LEFT SEMI existence check; duplicate
+    *     (id, band, bucket) rows cannot change any survivor set) — and
+    *     the re-run converges: the merge `distinct()`s the doubled rows
+    *     and the digest folds the half-compacted partition in.
+    * Uncommitted partitions (no `_batch_committed_<id>` marker — e.g. a
+    * torn object-store ingest) are left untouched for their own
+    * ingest's re-run. Not concurrency-safe with a live ingest, like
+    * [[migrateFlatIndex]].
+    *
+    * After compaction a PAST batch id can no longer be re-ingested
+    * idempotently (its rows now live in the consolidated partition, so
+    * the re-run's self-exclusion filter no longer sees them) — compact
+    * finalizes history; re-ingest a path under a NEW --batch-id. */
+  def runCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val indexP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = indexP.getFileSystem(conf)
+    migrateFlatIndex(fs, indexP)
+    def marker(id: String) =
+      new org.apache.hadoop.fs.Path(indexPath, s"_batch_committed_$id")
+    val all = fs.listStatus(indexP).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=")).toSeq.sorted
+    val committed = all.filter(id => id == "base" || fs.exists(marker(id)))
+    if (committed.size < 2) {
+      println(s"[graft] compact-index: ${committed.size} committed " +
+        "partition(s) — nothing to compact")
+      return
+    }
+    val digest = "c" + graft.operators.vector.DeterministicPlanes
+      .md5Hex(committed.mkString(",")).take(12)
+    val merged = spark.read
+      // basePath: the listed dirs are sibling partitions of ONE table;
+      // without it Spark infers a partition root per path and throws
+      // CONFLICTING_DIRECTORY_STRUCTURES
+      .option("basePath", indexPath)
+      .parquet(committed.map(id => s"$indexPath/batch=$id"): _*)
+      .drop("batch") // re-partitioned under the new consolidated id
+      .distinct() // doubled rows from a torn prior compaction collapse here
+    val staging = s"$indexPath/_staging_compact_$digest"
+    merged.write.mode("overwrite").partitionBy("band").parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
+    val target = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$digest")
+    fs.delete(marker(digest), false)
+    if (fs.exists(target)) fs.delete(target, true) // crashed prior attempt
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target))
+      throw new java.io.IOException(s"compact rename failed: $staging -> $target")
+    fs.create(marker(digest), true).close()
+    // sources go LAST — every crash before this line leaves a readable,
+    // correct (if temporarily doubled) index
+    committed.filterNot(_ == digest).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/batch=$id"), true)
+      fs.delete(marker(id), false)
+    }
+    println(s"[graft] compact-index: ${committed.size} partitions " +
+      s"(${committed.mkString(", ")}) -> batch=$digest")
+  }
+
   /** Resumable bulk load (the reference loader worker's per-shard
     * cursor, framework/loader_worker.py:30-60): expands the comma-
     * separated shard globs, then [[graft.sources.ShardedLoader]]
@@ -225,6 +302,11 @@ object Main {
       try runIngest(spark, args(1), args(2), args(3), args) finally spark.stop()
       return
     }
+    if (args.length >= 2 && args(0) == "compact-index") {
+      val spark = GraftSession.local("graft-cli")
+      try runCompactIndex(spark, args(1)) finally spark.stop()
+      return
+    }
     if (args.length >= 4 && args(0) == "load-shards") {
       val spark = GraftSession.local("graft-cli")
       try runLoadShards(spark, args(1), args(2), args(3), args)
@@ -236,6 +318,7 @@ object Main {
         "usage: graft.Main run|profile <config.yaml> [--no-report] [--metrics-path <dir>]\n" +
         "       graft.Main index-build <docs.parquet> <index-dir> [lsh opts]\n" +
         "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]\n" +
+        "       graft.Main compact-index <index-dir>\n" +
         "       graft.Main load-shards <shard-glob[,glob...]> <state-dir> <out-dir> [--chunk-records N] [--max-chunks N]")
       sys.exit(2)
     }

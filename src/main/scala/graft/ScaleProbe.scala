@@ -65,7 +65,7 @@ object ScaleProbe {
       "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
-      "drift", "bm25", "dedupeval", "fertility")
+      "drift", "bm25", "dedupeval", "fertility", "hardneg100k")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -267,15 +267,23 @@ object ScaleProbe {
             Seq("__k", "source"), versionCol = "doc_id", idCol = "doc_id")(
             corpus.withColumn("__k", pmod(col("doc_id"), lit(50000L))))
             .count())
-      if (ops("winsorize"))
+      if (ops("winsorize")) {
         // histogram-CDF clipping at 1M rows over a ~49k-value rounded
-        // domain (the histogram is what the single-partition window
-        // sees — bounded by precision, not corpus size)
+        // domain (precision-bounded histogram)
         probe("events_winsorize", n)(
           graft.operators.events.Winsorizer(valueCol = "__v")(
             corpus.withColumn("__v",
               pmod(col("doc_id") * 37L, lit(49000L)) / 100.0))
             .agg(sum(col("__v_clipped"))).head().getDouble(0).toLong)
+        // the heavy-tail case the two-phase HistCdf cumsum exists for:
+        // EVERY row a distinct rounded value (10⁶-row histogram) — the
+        // old Window.orderBy cumsum funneled all of it through one
+        // partition; now no window sees more than one range span
+        probe("events_winsorize_1m_distinct", n)(
+          graft.operators.events.Winsorizer(valueCol = "__v", precision = 6)(
+            corpus.withColumn("__v", col("doc_id").cast("double") / 1000000.0))
+            .agg(sum(col("__v_clipped"))).head().getDouble(0).toLong)
+      }
       if (ops("bm25"))
         // 100 queries against the 1M-doc inverted index: index build
         // (two map-side aggregates) + broadcast query join + top-5
@@ -359,16 +367,37 @@ object ScaleProbe {
         .repartition(cpus.toInt)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val n = vecs.count()
-      if (ops("hardneg")) {
+      if (ops("hardneg") || ops("hardneg100k")) {
         // 1024 deterministic first-k centroids (the √n rule at 1M);
         // anchors = a 10k query batch, the training-loop shape
         val cents = vecs.filter(col("vec_id") < 1024)
           .select(col("vec_id").cast("int").as("centroid_id"),
             transform(col("embedding"), x => x.cast("double")).as("cvec"))
-        probe("hard_negatives", n)(
-          graft.operators.vector.HardNegativeMiner(lo = 0.0, hi = 0.95, k = 3)
-            .mine(vecs, cents, nprobe = 2,
-              anchorPred = col("vec_id") % 100 === 0).count())
+        if (ops("hardneg"))
+          probe("hard_negatives", n)(
+            graft.operators.vector.HardNegativeMiner(lo = 0.0, hi = 0.95, k = 3)
+              .mine(vecs, cents, nprobe = 2,
+                anchorPred = col("vec_id") % 100 === 0).count())
+        if (ops("hardneg100k")) {
+          // the real contrastive-training shape: EVERY 10th vector is an
+          // anchor (100k). Track the straggler explicitly — per-anchor
+          // candidate volume is cell-size-bound, so a skewed cell shows
+          // up as one long rank-window task before it shows up in wall
+          val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskInfo != null)
+                maxTask.updateAndGet(m => math.max(m, te.taskInfo.duration))
+          }
+          spark.sparkContext.addSparkListener(listener)
+          probe("hard_negatives_100k", n)(
+            graft.operators.vector.HardNegativeMiner(lo = 0.0, hi = 0.95, k = 3)
+              .mine(vecs, cents, nprobe = 2,
+                anchorPred = col("vec_id") % 10 === 0).count())
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"PROBE_DETAIL hard_negatives_100k max_task=${maxTask.get / 1000.0}%.1f s")
+        }
       }
       // the registered toy-scale banding (4-bit digests = 16 buckets per
       // band) floods at 1M vectors — Σ C(n/B,2)·B·bands joined rows is

@@ -27,7 +27,14 @@ case class SnapshotCompactor(
       .select((keyCols.map(col) :+ col(versionCol) :+ col(idCol)): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(col(idCol), struct(col(versionCol), col(idCol))).as(idCol))
-    df.join(winners.select(idCol), Seq(idCol), "left_semi")
+    // semi-join on key AND id (not id alone): if idCol repeats across
+    // different keys, an id-only join would retain every row sharing a
+    // winner's id instead of one row per key. Keys use null-safe
+    // equality — a null group key is a real group upstream and its
+    // winner must survive the join.
+    val cond = keyCols.map(k => df(k) <=> winners(k))
+      .reduce(_ && _) && df(idCol) === winners(idCol)
+    df.join(winners, cond, "left_semi")
   }
 }
 
@@ -57,9 +64,14 @@ case class FunnelAnalyzer(
     val spark = df.sparkSession
     import spark.implicits._
     val narrow = df.select(col(userCol), col(typeCol), col(tsCol))
-    // reached(k): per-user earliest time of completing stages 0..k in order
+    // reached(k): per-user earliest time of completing stages 0..k in
+    // order. Each step is localCheckpointed (eager) before its count —
+    // without the cut, stage k's count() action re-runs the whole
+    // cascade 1..k-1 and the event table is scanned O(stages²) times;
+    // the checkpointed state is the narrow (user, ts) survivors only.
     var reached = narrow.filter(col(typeCol) === stages.head)
       .groupBy(userCol).agg(min(tsCol).as("__t"))
+      .localCheckpoint(true)
     val counts = Vector.newBuilder[(Int, String, Long)]
     counts += ((1, stages.head, reached.count()))
     for ((st, i) <- stages.zipWithIndex.drop(1)) {
@@ -67,6 +79,7 @@ case class FunnelAnalyzer(
         .join(reached.withColumnRenamed("__t", "__prev"), Seq(userCol))
         .filter(col(tsCol) > col("__prev"))
         .groupBy(userCol).agg(min(tsCol).as("__t"))
+        .localCheckpoint(true)
       counts += ((i + 1, st, reached.count()))
     }
     val rows = counts.result()
@@ -86,10 +99,12 @@ case class FunnelAnalyzer(
   * Percentiles are NEAREST-RANK over the value domain rounded to
   * `precision` dp — an exact, engine-portable definition computed from
   * a histogram CDF (the TopFractionByGroup trick): one groupBy over
-  * the ROUNDED values (distinct-bounded, map-side combined), a cumsum
-  * over that tiny histogram, and the bound is the smallest rounded
-  * value whose cumulative count reaches ceil(p·n). No global sort of
-  * the data, no interpolation (interpolated percentiles differ across
+  * the ROUNDED values (distinct-bounded, map-side combined), the
+  * [[HistCdf]] two-phase cumsum over that histogram (no
+  * single-partition window even when a heavy tail pushes the distinct
+  * domain to 10⁷+ values), and the bound is the smallest rounded value
+  * whose cumulative count reaches ceil(p·n). No global sort of the
+  * data, no interpolation (interpolated percentiles differ across
   * engines in last-ulp float ops; order statistics cannot). The two
   * bounds broadcast back as a 1-row cross join. */
 /** Per-group percentile report (latency/spend quantiles per endpoint —
@@ -98,9 +113,11 @@ case class FunnelAnalyzer(
   * from a per-group histogram CDF like [[Winsorizer]] — exact,
   * engine-portable (no interpolation), and never sorts the event
   * table: the only corpus-scale work is one map-side-combinable
-  * (group, rounded value) count; the windows run over that bounded
-  * histogram, partitioned by group. All percentiles come out of ONE
-  * aggregate pass (a min-per-threshold column each, then an unpivot). */
+  * (group, rounded value) count; the cumsum is the [[HistCdf]]
+  * two-phase form, so even one group with a 10⁷-value domain never
+  * funnels into a single window partition. All percentiles come out of
+  * ONE aggregate pass (a min-per-threshold column each, then an
+  * unpivot). */
 case class GroupedPercentiles(
     ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
     groupCol: String = "event_type",
@@ -112,16 +129,10 @@ case class GroupedPercentiles(
     * histogram — an unmeasured row must not shift a rank threshold
     * (same rule as [[Winsorizer]]/TopFractionByGroup). */
   def apply(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hist = df.where(col(valueCol).isNotNull)
       .select(col(groupCol), round(col(valueCol), precision).as("__v"))
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
-    val byV = Window.partitionBy(groupCol).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val whole = Window.partitionBy(groupCol)
-    val cdf = hist
-      .withColumn("__cum", sum("__c").over(byV))
-      .withColumn("__n", sum("__c").over(whole))
+    val cdf = HistCdf.withCdf(hist, Seq(groupCol), "__v", "__c")
     val aggs = ps.zipWithIndex.map { case (p, i) =>
       min(when(col("__cum") >= ceil(col("__n") * p), col("__v"))).as(s"__p$i")
     }
@@ -130,6 +141,57 @@ case class GroupedPercentiles(
         struct(lit(p).as("pct"), col(s"__p$i").as("value"))
       }: _*)).as("__e"))
       .select(col(groupCol), col("__e.pct").as("pct"), col("__e.value").as("value"))
+  }
+}
+
+/** Distributed histogram-CDF: running count ordered by value (within
+  * optional groups) with NO unpartitioned window — the two-phase
+  * cumsum (the `pack_sequences` prefix-offset idiom, kept entirely in
+  * DataFrame land). The naive `Window.orderBy(v)` cumsum funnels the
+  * whole distinct-value histogram through ONE partition; bounded by
+  * the value domain at `precision` dp, which a heavy-tailed double
+  * column over 100 TB can push to 10⁷–10⁸ rows — that partition then
+  * IS the job. Here:
+  *
+  *   1. range-partition the histogram by (group, value) — B contiguous
+  *      spans, each sorted locally;
+  *   2. per-(group, physical-partition) subtotals (one small agg);
+  *   3. per-group offsets via a window over the subtotal table — its
+  *      partitions hold ≤ B rows by construction (the bounded
+  *      "driver-state" of the prefix-sum, kept distributed);
+  *   4. local cumsum per (group, partition) + offset join.
+  *
+  * Every window is bounded (≤ B rows or ≤ one range-span), everything
+  * shuffles at most |histogram| rows, and no row ever collects to the
+  * driver. Physical partition ids only order the spans — the cumsum
+  * result is exact wherever the range sampler drops the boundaries. */
+private[events] object HistCdf {
+  def withCdf(hist0: DataFrame, groupCols: Seq[String],
+      vCol: String, cCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = groupCols.nonEmpty
+    val gCols = if (grouped) groupCols else Seq("__cdf_g")
+    val hist = if (grouped) hist0 else hist0.withColumn("__cdf_g", lit(1))
+    val b = hist.sparkSession.sessionState.conf.numShufflePartitions
+    val rp = hist
+      .repartitionByRange(b, (gCols.map(col) :+ col(vCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val cells = rp.groupBy((gCols :+ "__pid").map(col): _*)
+      .agg(sum(cCol).as("__cell"))
+    val wOff = Window.partitionBy(gCols.map(col): _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gCols.map(col): _*)
+    val offs = cells
+      .withColumn("__off", coalesce(sum("__cell").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__cell").over(wTot))
+      .drop("__cell")
+    val wIn = Window.partitionBy((gCols :+ "__pid").map(col): _*)
+      .orderBy(vCol).rowsBetween(Window.unboundedPreceding, 0)
+    val out = rp.withColumn("__pcum", sum(cCol).over(wIn))
+      .join(offs, gCols :+ "__pid")
+      .withColumn("__cum", col("__pcum") + col("__off"))
+      .drop("__pcum", "__off", "__pid")
+    if (grouped) out else out.drop("__cdf_g")
   }
 }
 
@@ -145,16 +207,11 @@ case class Winsorizer(
     * through with a null clipped value — the caller decides their
     * fate, the clipper never invents a number. */
   def apply(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rv = round(col(valueCol), precision)
     val hist = df.where(col(valueCol).isNotNull)
       .select(rv.as("__v")).groupBy("__v")
       .agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cdf = hist.withColumn("__cum", sum("__c").over(w))
-      .withColumn("__n", sum("__c").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cdf = HistCdf.withCdf(hist, Nil, "__v", "__c")
     val bounds = cdf.agg(
       min(when(col("__cum") >= ceil(col("__n") * pLo), col("__v"))).as("__lo"),
       min(when(col("__cum") >= ceil(col("__n") * pHi), col("__v"))).as("__hi"))

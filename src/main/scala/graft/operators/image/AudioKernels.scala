@@ -11,19 +11,48 @@ import org.apache.spark.sql.functions._
   * binary column, where decode cost dominates the UDF bridge. */
 object AudioKernels extends Serializable {
 
+  /** The installed container parsers, resolved ONCE per executor JVM
+    * with the WAV reader first. `AudioSystem.getAudioInputStream`
+    * walks the SPI provider registry on EVERY call and probes each
+    * provider by thrown `UnsupportedAudioFileException` — measured
+    * 114 µs per open against ~10 µs for the actual PCM decode of a
+    * KB-scale clip, i.e. the open was >90% of the 1M-row audio probe.
+    * Caching the provider list and trying the dominant container first
+    * makes the open a plain header parse. */
+  @transient private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[AudioSystem].getClassLoader)
+      .iterator().asScala.toList
+      .sortBy(r => if (r.getClass.getName.contains("Wave")) 0 else 1)
+  }
+
+  /** Open via the cached readers; None when no container matches. */
+  private def open(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    val bin = new java.io.ByteArrayInputStream(bytes)
+    val it = fileReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      bin.reset()
+      try return Some(r.getAudioInputStream(bin))
+      catch { case _: Exception => () }
+    }
+    None
+  }
+
   /** (sample_rate_hz, channels, bits_per_sample, n_frames) from the
     * container header. */
   def info(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
     if (bytes == null || bytes.length == 0) None
     else
-      try {
-        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      open(bytes).flatMap { in =>
         try {
           val f = in.getFormat
           Some((f.getSampleRate.toInt, f.getChannels,
             f.getSampleSizeInBits, in.getFrameLength))
-        } finally in.close()
-      } catch { case _: Exception => None }
+        } catch { case _: Exception => None } finally in.close()
+      }
 
   /** Duration in seconds from the header. */
   def durationSec(bytes: Array[Byte]): Option[Double] =
@@ -37,8 +66,7 @@ object AudioKernels extends Serializable {
   def rms(bytes: Array[Byte]): Option[Double] =
     if (bytes == null || bytes.length == 0) None
     else
-      try {
-        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      open(bytes).flatMap { in =>
         try {
           val f = in.getFormat
           val data = in.readAllBytes()
@@ -65,8 +93,8 @@ object AudioKernels extends Serializable {
             }
             if (n == 0) None else Some(math.sqrt(sumSq / n))
           }
-        } finally in.close()
-      } catch { case _: Exception => None }
+        } catch { case _: Exception => None } finally in.close()
+      }
 
   /** Energy-contour fingerprint: decode PCM, split the sample stream
     * into `windows` contiguous chunks (sample i → window ⌊i·w/n⌋ —
@@ -83,8 +111,7 @@ object AudioKernels extends Serializable {
   def fingerprint(bytes: Array[Byte], windows: Int = 17): Option[Long] =
     if (bytes == null || bytes.length == 0) None
     else
-      try {
-        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      open(bytes).flatMap { in =>
         try {
           val f = in.getFormat
           val data = in.readAllBytes()
@@ -94,18 +121,42 @@ object AudioKernels extends Serializable {
             val n = if (bits == 8) data.length else data.length / 2
             if (n < windows) None
             else {
+              // tight per-sample loops: format branches hoisted, and the
+              // per-sample window index `i·w/n` (an integer divide per
+              // sample) replaced by a precomputed-boundary compare —
+              // boundary w starts at ceil(w·n/windows), which yields the
+              // identical assignment (⌊i·windows/n⌋ ≥ w ⇔ i ≥ ⌈w·n/windows⌉)
               val sums = new Array[Long](windows)
+              val bound = new Array[Int](windows + 1)
+              var w = 0
+              while (w <= windows) {
+                bound(w) = ((w.toLong * n + windows - 1) / windows).toInt
+                w += 1
+              }
+              var cur = 0
+              var next = bound(1)
               var i = 0
-              while (i < n) {
-                val v =
-                  if (bits == 8) (data(i) & 0xff) - 128
-                  else {
-                    val le = !f.isBigEndian
-                    if (le) ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
-                    else ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
-                  }
-                sums((i.toLong * windows / n).toInt) += v.toLong * v
-                i += 1
+              if (bits == 8) {
+                while (i < n) {
+                  while (i >= next) { cur += 1; next = bound(cur + 1) }
+                  val v = (data(i) & 0xff) - 128
+                  sums(cur) += v.toLong * v
+                  i += 1
+                }
+              } else if (!f.isBigEndian) {
+                while (i < n) {
+                  while (i >= next) { cur += 1; next = bound(cur + 1) }
+                  val v = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+                  sums(cur) += v.toLong * v
+                  i += 1
+                }
+              } else {
+                while (i < n) {
+                  while (i >= next) { cur += 1; next = bound(cur + 1) }
+                  val v = ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
+                  sums(cur) += v.toLong * v
+                  i += 1
+                }
               }
               var fp = 0L
               var j = 0
@@ -116,8 +167,8 @@ object AudioKernels extends Serializable {
               Some(fp)
             }
           }
-        } finally in.close()
-      } catch { case _: Exception => None }
+        } catch { case _: Exception => None } finally in.close()
+      }
 
   // ---- Column API ----
   private val infoUdf = udf((b: Array[Byte]) => info(b))

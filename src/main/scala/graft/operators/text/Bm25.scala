@@ -59,8 +59,15 @@ case class Bm25(
     * plan with the cached lengths runs 66 → 37.5 s, 1.76×.) */
   def search(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // eager localCheckpoint, not persist: the narrow (doc, dl) table is
+    // consumed twice (stats action below + the scoring join) and must
+    // be shared, but a persist() here would leak a cache entry per
+    // search() call in a long-lived session (the returned frame is
+    // lazy, so there is no safe in-operator unpersist point).
+    // Checkpointed blocks are released by the ContextCleaner when the
+    // returned plan is dropped.
     val dls = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val stats = dls.agg(count(lit(1)), sum(col("dl"))).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n.toDouble
@@ -74,6 +81,87 @@ case class Bm25(
       .join(post, "term")
       .join(dfT, "term")
       .join(dls, idCol)
+      .withColumn("__idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    perTerm.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum("__s"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Persist the inverted index as the artifact the scale story
+    * promises: catalog tables bucketed (and sorted) by `term` —
+    * `<name>_postings` (term, doc, tf), `<name>_vocab` (term, df),
+    * `<name>_lens` (doc, dl — from the corpus, so zero-token docs keep
+    * their row and N stays the corpus count), `<name>_stats` (1 row:
+    * n, sum_dl). Pay the (term, doc) shuffle ONCE at build; every
+    * query batch after that reads its matching-term postings without
+    * re-tokenizing the corpus, and postings⋈vocab is a zero-Exchange,
+    * zero-Sort merge join (same bucketing, sorted by term — the
+    * BucketedSearchSpec plan audit). df is a build-time aggregate of
+    * the bucketed postings (no shuffle). */
+  def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    import graft.sources.Sinks.bucketedTable
+    // rebuild semantics: drop any prior index of this name, including a
+    // warehouse directory left by ANOTHER session's build (the catalog
+    // entry dies with its session, the files do not — saveAsTable then
+    // refuses the location)
+    val spark0 = docs.sparkSession
+    val wh = spark0.conf.get("spark.sql.warehouse.dir")
+    for (t <- Seq("postings", "vocab", "lens", "stats")) {
+      spark0.sql(s"DROP TABLE IF EXISTS ${name}_$t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/${name.toLowerCase}_$t")
+      val fs = p.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // repartition(buckets, term) before the bucketed save: Spark's
+    // bucket hash IS HashPartitioning's, so each write task then holds
+    // exactly one bucket and each bucket lands in ONE file — the
+    // precondition for the scan to expose its sortBy ordering (multiple
+    // files per bucket force a Sort back into every downstream merge
+    // join; one file per bucket makes postings⋈vocab Exchange- AND
+    // Sort-free, which BucketedSearchSpec audits).
+    bucketedTable(postings(docs).repartition(buckets, col("term")),
+      s"${name}_postings", Seq("term"), buckets, Seq("term"))
+    val spark = docs.sparkSession
+    bucketedTable(
+      spark.table(s"${name}_postings").groupBy("term")
+        .agg(count(lit(1)).as("df")).repartition(buckets, col("term")),
+      s"${name}_vocab", Seq("term"), buckets, Seq("term"))
+    val dls = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+    bucketedTable(dls.repartition(buckets, col(idCol)),
+      s"${name}_lens", Seq(idCol), buckets)
+    dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_stats")
+  }
+
+  /** [[search]] against a [[buildIndex]]-persisted index — identical
+    * results (same formula, same rounding, same tiebreaks), none of
+    * the per-batch corpus work: the corpus tokenize/aggregate passes
+    * are replaced by reads of the bucketed postings/vocab/lens tables,
+    * the query-term set broadcasts into the postings scan, and the only
+    * corpus-proportional cost left is the pruned matching-term postings
+    * themselves. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = spark.table(s"${name}_stats").head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(terms(col(textCol)))).as("term"))
+    val post = spark.table(s"${name}_postings")
+      .join(broadcast(qt.select("term").distinct()), "term")
+    val dfT = spark.table(s"${name}_vocab")
+    val perTerm = broadcast(qt)
+      .join(post, "term")
+      .join(dfT, "term")
+      .join(spark.table(s"${name}_lens"), idCol)
       .withColumn("__idf",
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("__s", col("__idf") * (col("tf") * lit(k1 + 1.0)) /

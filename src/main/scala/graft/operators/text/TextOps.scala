@@ -476,8 +476,28 @@ case class UrlDedup(urlCol: String = "url", idCol: String = "doc_id") {
     * Family convention (same as PhashHammingDedup): NO SIGNATURE MUST
     * NEVER MEAN DROPPED. Rows whose URL (or canonical form) is null
     * carry no dedup key — they all pass through instead of collapsing
-    * into one null-key group. */
-  def apply(df: DataFrame): DataFrame = {
+    * into one null-key group.
+    *
+    * Batch inputs are cut with a LAZY localCheckpoint before the two
+    * references: composed after expression-deriving stages (the
+    * capstone's normalizer), the double reference would re-run the
+    * upstream chain per branch AND let downstream filters push below
+    * the semi-join and substitute the derivation into every predicate
+    * reference — measured 1.8× on the whole 2.25M-row fused capstone
+    * at 8 cores. The cut shares one materialized input and stops
+    * substitution at the LogicalRDD; on a raw scan input it costs one
+    * stored pass of what the dedup reads anyway. Streams can't
+    * checkpoint, and neither can an OBSERVED plan (`Pipeline.observed`
+    * funnels): a checkpoint would bury the upstream CollectMetrics
+    * nodes inside an opaque RDD and their Observations would read 0 —
+    * both fall back to the plain double-reference, which diagnostic
+    * modes accept (same trade as `Pipeline.profile`). */
+  def apply(df0: DataFrame): DataFrame = {
+    val observed = df0.queryExecution.analyzed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+    }.nonEmpty
+    val df =
+      if (df0.isStreaming || observed) df0 else df0.localCheckpoint(false)
     val narrow = df.select(col(idCol), canonical.as("__canon"))
     val winners = narrow.where(col("__canon").isNotNull)
       .groupBy("__canon").agg(min(col(idCol)).as(idCol))

@@ -696,21 +696,35 @@ object KMeansOps {
     * map-side combine, and the loop state is k localCheckpointed rows,
     * so lineage stays flat no matter how many iterations run.
     *
-    * Deterministic end to end: init is the k lowest-id rows
-    * (centroid_id 0..k−1 in id order), per-dim means round to 6 dp
-    * each iteration, empty clusters keep their previous centroid, and
+    * Deterministic end to end: init is the k rows ranked lowest by a
+    * salted md5 of the id (a fixed pseudo-random draw — id order would
+    * seed all k centroids from one corner of insertion order, and the
+    * resulting near-duplicate centroids feed cell skew into every IVF
+    * / semantic-dedup / hard-negatives consumer; the salted hash is
+    * equally deterministic and SQL-replayable but spreads the draw
+    * uniformly over the corpus), per-dim means round to 6 dp each
+    * iteration, empty clusters keep their previous centroid, and
     * assignment tiebreaks by centroid id — so a fixed-iteration run is
     * reproducible by any engine evaluating the same formulas (the
-    * kmeans_lloyd_assign oracle replays two iterations in SQL).
-    * Stops when no centroid moves more than `tol` (L2) or at
-    * `maxIter`. */
+    * kmeans_lloyd_assign oracle replays the init draw and two
+    * iterations in SQL). Stops when no centroid moves more than `tol`
+    * (L2) or at `maxIter`.
+    *
+    * The init draw is a TakeOrdered top-k (no global sort, no
+    * single-partition window); the k (id, vector) winners are bounded
+    * driver rows (k·dim doubles), numbered on the driver. */
   def fit(df: DataFrame, k: Int, tol: Double = 1e-4, maxIter: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && maxIter >= 1, "k and maxIter must be positive")
-    var cents = df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
-      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
-        transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val drawn = df
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("cvec"))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":kmeans_init"))), col(idCol))
+      .limit(k)
+      .select("cvec").as[Seq[Double]].collect()
+    var cents = drawn.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("centroid_id", "cvec")
       .localCheckpoint()
     var moved = Double.MaxValue
     var it = 0

@@ -35,11 +35,34 @@ case class StageMetrics(op: String, rowsIn: Long, rowsOut: Long, wallSec: Double
 
 case class Pipeline(ops: Seq[PipelineOp]) {
 
-  /** Apply all ops; purely lazy, no instrumentation. */
+  /** Apply all ops; lazy (one action materializes the whole chain),
+    * with one lineage cut per dedup stage — see [[dedupCut]]. */
   def apply(df: DataFrame): DataFrame = ops.foldLeft(df) {
     case (d, FilterOp(_, p)) => d.filter(p(d))
     case (d, RefineOp(_, f)) => f(d)
-    case (d, DedupOp(_, k, id)) => graft.operators.dedup.KeepFirst(d, k(d), id)
+    case (d, DedupOp(_, k, id)) =>
+      val c = dedupCut(d)
+      graft.operators.dedup.KeepFirst(c, k(c), id)
+  }
+
+  /** A dedup references its input twice (winners ⋈ input). Composed
+    * naively, every dedup stage doubles the number of upstream
+    * evaluations — the fused capstone chain (3 dedup layers over a
+    * regexp-heavy 2.25M-row prefix) re-ran its prefix ~8× and took
+    * >10 min where staged execution took 114 s — and the *printed*
+    * plan tree grows exponentially with dedup count. A LAZY
+    * `localCheckpoint(eager = false)` shares ONE cached-on-first-use
+    * RDD between the two branches (and every later stage) while the
+    * job stays a single action, and compacts the plan to a LogicalRDD.
+    * Streaming plans cannot checkpoint; there the double-reference is
+    * per-micro-batch and bounded by the trigger size. Observed plans
+    * cannot either — the checkpoint would bury upstream CollectMetrics
+    * nodes and their Observations would read 0. */
+  private def dedupCut(d: DataFrame): DataFrame = {
+    val observed = d.queryExecution.analyzed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+    }.nonEmpty
+    if (d.isStreaming || observed) d else d.localCheckpoint(false)
   }
 
   /** Apply with an `observe` row-counter after the input and after every
@@ -53,6 +76,11 @@ case class Pipeline(ops: Seq[PipelineOp]) {
       cur = (op match {
         case FilterOp(_, p) => cur.filter(p(cur))
         case RefineOp(_, f) => f(cur)
+        // NO dedupCut here: a localCheckpoint would bury the upstream
+        // observe nodes inside an opaque RDD whose CollectMetrics never
+        // reach the action's Observation listener (counts read 0).
+        // Operators with an internal cut (UrlDedup) keep it — their
+        // own observe nodes sit above the checkpoint.
         case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
       })
       val o = new Observation()

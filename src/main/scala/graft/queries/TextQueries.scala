@@ -420,6 +420,26 @@ object TextQueries {
       nj.minhashVerifiedPairs(docs, nj.lowTauBanding(2))
     }),
 
+    // the measured exact-collapse recipe (SURVEY §5: 296 s -> 12 s at
+    // 10x-replicated sf0.1, byte-identical pair set) as a driver-gated
+    // key: a corpus with planted exact copies (+1e6 for every 3rd doc,
+    // +2e6 for every 6th -> content classes up to size 3) runs through
+    // countJoinPairs, which collapses each class to one representative
+    // BEFORE the quadratic jaccard and expands class pairs after
+    // (inter-class: rep jaccard; intra-class: 1.0). The oracle is the
+    // UNCOLLAPSED exact count-join over the same corpus — pair-set
+    // equality is the gate, so the 100 TB recipe's first step (collapse
+    // exact dups, then near-dup) is checked, not prose.
+    "dedup_jaccard_collapsed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      NgramJaccard(3, 0.2).countJoinPairs(corpus)
+    }),
+
     "repetition_scores" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       RepetitionScorer().scores(docs)
@@ -474,6 +494,20 @@ object TextQueries {
         .select(col("doc_id").as("query_id"),
           substring(col("text"), 1, 40).as("text"))
       Bm25().search(docs, queries, k = 5)
+    }),
+
+    // the same ranking served from the PERSISTED index (postings/
+    // vocab/lens bucketed+sorted by their join keys): build once, then
+    // search with zero corpus re-tokenization. Must be byte-identical
+    // to bm25_search — the oracle below is literally the same SQL.
+    "bm25_search_indexed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 125 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val bm = Bm25()
+      bm.buildIndex(docs, "graft_bm25_vfy")
+      bm.searchIndexed(s, "graft_bm25_vfy", queries, k = 5)
     }),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 top-5 and
@@ -1308,6 +1342,33 @@ object TextQueries {
          |           JOIN sizes sb ON inter.id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2""".stripMargin,
 
+    // same exact count-join, over the dup-planted corpus — the
+    // collapsed path must reproduce it byte for byte
+    "dedup_jaccard_collapsed" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($normSql, ' ')) - 1, 1)),
+         |    i -> string_split($normSql, ' ')[CAST(i AS INT)] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 1] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 2]))) AS sh
+         |  FROM corpus WHERE len(string_split($normSql, ' ')) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+         |           JOIN sizes sb ON inter.id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1377,6 +1438,12 @@ object TextQueries {
     },
 
     "bm25_search" ->
+      s"""WITH $bm25CteSql
+         |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
+
+    // identical ranking contract as bm25_search: the persisted-index
+    // path must reproduce the from-scratch scores exactly
+    "bm25_search_indexed" ->
       s"""WITH $bm25CteSql
          |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
 

@@ -96,9 +96,10 @@ object VectorQueries {
 
     "kmeans_lloyd_assign" -> ((s, dir) => {
       // the CONVERGENCE-loop path (KMeansOps.fit): two deterministic
-      // Lloyd iterations from the first-4-rows init, then assignment.
-      // tol=0 pins the iteration count so the SQL oracle can replay
-      // the identical trajectory (round-6 means, id tiebreaks).
+      // Lloyd iterations from the salted-md5 spread init, then
+      // assignment. tol=0 pins the iteration count so the SQL oracle
+      // can replay the identical trajectory (init draw, round-6 means,
+      // id tiebreaks).
       val emb = Tables.load(s, dir, "embeddings")
       val cents = KMeansOps.fit(emb, k = 4, tol = 0.0, maxIter = 2)
       IvfIndex().assign(emb, cents)
@@ -339,8 +340,11 @@ object VectorQueries {
 
     "kmeans_lloyd_assign" ->
       """WITH c0 AS (
-        |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-        |  FROM embeddings WHERE vec_id < 4),
+        |  SELECT CAST(rn - 1 AS INT) AS cid, cvec FROM (
+        |    SELECT row_number() OVER (ORDER BY
+        |        md5(CAST(vec_id AS VARCHAR) || ':kmeans_init'), vec_id) AS rn,
+        |      CAST(embedding AS DOUBLE[]) AS cvec
+        |    FROM embeddings) t WHERE rn <= 4),
         |a1 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT v.vec_id, c.cid,

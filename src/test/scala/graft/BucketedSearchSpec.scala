@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.text.Bm25
+import org.apache.spark.sql.functions._
+
+/** The persisted BM25 index artifact: result parity with the
+  * from-scratch search, and the layout claim itself — postings⋈vocab
+  * joins with NO Exchange and NO Sort (bucketed + sorted by term, one
+  * file per bucket). */
+class BucketedSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana plum"),
+    (2L, "apple cherry cherry plus some extra words here"),
+    (3L, "durian and a longer tail of words to vary lengths"),
+    (4L, "apple apple apple apple banana"),
+    (5L, "cherry banana durian apple")
+  ).toDF("doc_id", "text")
+
+  private val q = Seq((10L, "apple cherry"), (11L, "durian banana"))
+    .toDF("query_id", "text")
+
+  test("searchIndexed reproduces search exactly from the persisted tables") {
+    val bm = Bm25()
+    bm.buildIndex(docs, "graft_bm25_spec", buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(bm.searchIndexed(spark, "graft_bm25_spec", q, k = 5)) ==
+      rows(bm.search(docs, q, k = 5)))
+  }
+
+  test("postings ⋈ vocab on the persisted index is Exchange- and Sort-free") {
+    val bm = Bm25()
+    bm.buildIndex(docs, "graft_bm25_plan", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // sorted-bucket scans only expose their ordering behind this flag
+    // (off by default since Spark 3.0 because multi-file buckets would
+    // need a merge; buildIndex writes exactly one file per bucket)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j = spark.table("graft_bm25_plan_postings")
+        .join(spark.table("graft_bm25_plan_vocab"), "term")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketing not used:\n$plan")
+      val sorts = plan.split("\n")
+        .count(l => l.contains("Sort ") && !l.contains("SortMergeJoin"))
+      assert(sorts == 0, s"sorted-bucket scan not used:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+}

@@ -491,6 +491,86 @@ class ConfigSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/index/_batch_committed_d1")))
   }
 
+  test("compact-index folds committed batches into one; probes unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Main.runIndexBuild(spark, s"$dir/corpus", s"$dir/index",
+      Array("--bands", "6", "--num-hashes", "12"))
+    Seq((12L, "a genuinely new document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d1"))
+    Seq((22L, "day two adds another brand new document to keep things fresh"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day2")
+    Main.runIngest(spark, s"$dir/day2", s"$dir/index", s"$dir/day2_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d2"))
+    val before = spark.read.parquet(s"$dir/index")
+      .select("doc_id", "band", "bucket").collect().toSet
+    Main.runCompactIndex(spark, s"$dir/index")
+    val idx = spark.read.parquet(s"$dir/index")
+    val batches = idx.select("batch").distinct().as[String].collect().toSet
+    assert(batches.size == 1 && batches.head.startsWith("c"), batches)
+    assert(idx.select("doc_id", "band", "bucket").collect().toSet == before)
+    // dups of EVERY era still stop at the compacted index
+    Seq((31L, "the QUICK brown fox jumps over the lazy dog again and again"),
+        (32L, "a genuinely NEW document that day one brings into the corpus"),
+        (33L, "day two adds another BRAND new document to keep things fresh"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day3")
+    Main.runIngest(spark, s"$dir/day3", s"$dir/index", s"$dir/day3_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d3"))
+    assert(spark.read.parquet(s"$dir/day3_out").isEmpty)
+    // single committed partition (after d3 there are two again): a
+    // second compact folds them; a third is a no-op
+    Main.runCompactIndex(spark, s"$dir/index")
+    val once = spark.read.parquet(s"$dir/index").select("batch")
+      .distinct().as[String].collect().toSet
+    assert(once.size == 1)
+    Main.runCompactIndex(spark, s"$dir/index") // prints nothing-to-compact
+    assert(spark.read.parquet(s"$dir/index").select("batch")
+      .distinct().as[String].collect().toSet == once)
+  }
+
+  test("compact-index recovers from a torn compaction (sources not deleted)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidxtorn").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Main.runIndexBuild(spark, s"$dir/corpus", s"$dir/index",
+      Array("--bands", "6", "--num-hashes", "12"))
+    Seq((12L, "a genuinely new document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "d1"))
+    val cleanRows = spark.read.parquet(s"$dir/index")
+      .select("doc_id", "band", "bucket").collect().toSet
+    // simulate the crash window AFTER the compaction rename+marker and
+    // BEFORE the source deletes: a consolidated copy exists NEXT TO the
+    // sources, so every row is present twice
+    def copyDir(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyDir(s"$dir/index/batch=d1", s"$dir/index/batch=chalfdone")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/index/_batch_committed_chalfdone"))
+    // the doubled window is semantically benign: a dup is still rejected
+    Seq((41L, "a genuinely NEW document that day one brings into the corpus"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/dup")
+    Main.runIngest(spark, s"$dir/dup", s"$dir/index", s"$dir/dup_out",
+      Array("--bands", "6", "--num-hashes", "12", "--batch-id", "dd"))
+    assert(spark.read.parquet(s"$dir/dup_out").isEmpty)
+    // the re-run converges: one partition, rows exactly the clean set
+    Main.runCompactIndex(spark, s"$dir/index")
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.select("batch").distinct().count() == 1)
+    assert(idx.select("doc_id", "band", "bucket").collect().toSet == cleanRows)
+  }
+
   test("BucketedDataWriter declares the shuffle-free layout from YAML") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bktw").toString
     (1L to 100L).map(i => (i, s"doc body number $i with enough text"))

@@ -218,4 +218,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("precision") == 0.666667)
     assert(r.getAs[Double]("recall") == 0.666667)
   }
+
+  test("DedupEval: empty pair tables yield 0 counts and 0.0 metrics, not null") {
+    import graft.operators.dedup.DedupEval
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // over-tight banding: zero candidates — the case a tuning sweep
+    // reads, so precision must be 0.0 (getDouble-safe), not null
+    val r1 = DedupEval.prf(empty, truth).head()
+    assert(r1.getAs[Long]("n_candidates") == 0L)
+    assert(r1.getAs[Double]("precision") == 0.0)
+    assert(r1.getAs[Double]("recall") == 0.0)
+    // both sides empty: the full-outer join aggregates zero rows
+    val r2 = DedupEval.prf(empty, empty).head()
+    assert(r2.getAs[Long]("n_truth") == 0L &&
+      r2.getAs[Double]("recall") == 0.0)
+  }
 }

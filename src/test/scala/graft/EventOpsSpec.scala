@@ -22,6 +22,22 @@ class EventOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 6L))
   }
 
+  test("snapshot compactor is safe under ids that repeat across keys") {
+    // event_id 1 appears under BOTH (10, click) and (20, view); it wins
+    // only the second key — an id-only semi-join would also retain the
+    // losing (10, click) copy. Null group keys form a real group.
+    val ev = Seq(
+      (1L, Some(10L), "click", ts(100), 1.0),
+      (2L, Some(10L), "click", ts(300), 2.0),  // (10, click) winner
+      (1L, Some(20L), "view", ts(500), 3.0),   // (20, view) winner, same id
+      (5L, None, "click", ts(100), 4.0),
+      (6L, None, "click", ts(200), 5.0)        // (null, click) winner
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val kept = SnapshotCompactor(Seq("user_id", "event_type"))(ev)
+      .select("event_id", "user_id").as[(Long, Option[Long])].collect().toSet
+    assert(kept == Set((2L, Some(10L)), (1L, Some(20L)), (6L, None)))
+  }
+
   test("funnel counts users completing stages in order only") {
     val ev = Seq(
       // u1 completes view → click → buy in order

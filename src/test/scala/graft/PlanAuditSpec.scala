@@ -62,8 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     // query side, bounded by the request batch
     // contamination_overlap: decontaminate's benchmark shingle set
     // again (bounded by the eval suite, not the corpus)
-    // bm25_search: the hinted side is the QUERY BATCH (a request,
-    // bounded by construction like the knn family's query side)
+    // bm25_search (+ _indexed): the hinted side is the QUERY BATCH (a
+    // request, bounded by construction like the knn family's query side)
     // source_flagging: the verdict-table broadcast is GUARDED by a
     // bounded driver count (SourceQualityGate.apply broadcasts only
     // when |sources| <= threshold — the SemanticDedup plan-shape
@@ -71,8 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
-      "bm25_search", "hybrid_search_rrf", "source_flagging",
-      "ann_eval_recall")
+      "bm25_search", "bm25_search_indexed", "hybrid_search_rrf",
+      "source_flagging", "ann_eval_recall")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
