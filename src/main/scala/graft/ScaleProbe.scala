@@ -358,7 +358,8 @@ object ScaleProbe {
       }
       corpus.unpersist()
     }
-    if (ops("embedding") || ops("hardneg") || ops("quantize")) {
+    if (ops("embedding") || ops("hardneg") || ops("hardneg100k") ||
+        ops("quantize")) {
       // same repartition rationale as the docs corpus above: the
       // replicated vectors inherit the single parquet file's input
       // partitioning, starving map-only stages (the broadcast-argmin

@@ -104,20 +104,24 @@ case class Bm25(
     * zero-Sort merge join (same bucketing, sorted by term — the
     * BucketedSearchSpec plan audit). df is a build-time aggregate of
     * the bucketed postings (no shuffle). */
-  def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
-    import graft.sources.Sinks.bucketedTable
-    // rebuild semantics: drop any prior index of this name, including a
-    // warehouse directory left by ANOTHER session's build (the catalog
-    // entry dies with its session, the files do not — saveAsTable then
-    // refuses the location)
-    val spark0 = docs.sparkSession
-    val wh = spark0.conf.get("spark.sql.warehouse.dir")
+  /** Drop a prior index of this name, including a warehouse directory
+    * left by ANOTHER session's build (the catalog entry dies with its
+    * session, the files do not — saveAsTable then refuses the
+    * location). */
+  private def dropIndexTables(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
     for (t <- Seq("postings", "vocab", "lens", "stats")) {
-      spark0.sql(s"DROP TABLE IF EXISTS ${name}_$t")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
       val p = new org.apache.hadoop.fs.Path(s"$wh/${name.toLowerCase}_$t")
-      val fs = p.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
+  }
+
+  def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    import graft.sources.Sinks.bucketedTable
+    dropIndexTables(docs.sparkSession, name)
     // repartition(buckets, term) before the bucketed save: Spark's
     // bucket hash IS HashPartitioning's, so each write task then holds
     // exactly one bucket and each bucket lands in ONE file — the
@@ -138,6 +142,48 @@ case class Bm25(
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_stats")
+  }
+
+  /** Roll a persisted index forward with a NEW batch of documents (ids
+    * disjoint from the indexed corpus — the incremental-ingest
+    * contract, same as IncrementalMinHashDedup) WITHOUT re-tokenizing
+    * the indexed corpus: the old side contributes its narrow
+    * postings/lens tables (read back bucketed), only the batch pays
+    * tokenize+aggregate, df per term re-derives from the merged
+    * postings with a zero-shuffle bucketed aggregate, and stats add
+    * one bounded row. The merged index writes under `newName` — the
+    * versioned-artifact convention (readers flip to the new name after
+    * the write completes; the old version stays intact, so a crashed
+    * refresh never corrupts a live index — the Sinks snapshot-commit
+    * pointer discipline applied to catalog tables). At 100 TB the
+    * postings read+rewrite is the cost of a narrow (term, doc, tf)
+    * table, not of the corpus text. */
+  def refreshIndex(newDocs: DataFrame, name: String, newName: String,
+      buckets: Int = 8): Unit = {
+    require(newName != name,
+      "refresh writes a new index version; flip readers after the write")
+    import graft.sources.Sinks.bucketedTable
+    val spark = newDocs.sparkSession
+    dropIndexTables(spark, newName)
+    bucketedTable(
+      spark.table(s"${name}_postings").unionByName(postings(newDocs))
+        .repartition(buckets, col("term")),
+      s"${newName}_postings", Seq("term"), buckets, Seq("term"))
+    bucketedTable(
+      spark.table(s"${newName}_postings").groupBy("term")
+        .agg(count(lit(1)).as("df")).repartition(buckets, col("term")),
+      s"${newName}_vocab", Seq("term"), buckets, Seq("term"))
+    val newLens = newDocs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+    bucketedTable(
+      spark.table(s"${name}_lens").unionByName(newLens)
+        .repartition(buckets, col(idCol)),
+      s"${newName}_lens", Seq(idCol), buckets)
+    spark.table(s"${name}_stats")
+      .unionByName(newLens.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
+      .agg(sum("n").as("n"), sum("sum_dl").as("sum_dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${newName}_stats")
   }
 
   /** [[search]] against a [[buildIndex]]-persisted index — identical

@@ -91,6 +91,37 @@ case class MixtureSampler(idCol: String = "doc_id",
     df.join(broadcast(rates(df, weights, budget).select(col(sourceCol), col("rate"))),
         Seq(sourceCol))
       .filter(u01 < col("rate"))
+
+  /** Temperature-scaled mixture (the multilingual-corpus standard —
+    * mC4/XLM-R exponential smoothing, UniMax's motivation): target
+    * share p_s ∝ n_s^(1/T), so T = 1 reproduces natural proportions and
+    * growing T flattens toward uniform — the lever against head-domain
+    * dominance that needs NO hand-tuned weight map; the weights derive
+    * from the corpus itself.
+    *
+    * One narrow per-source count aggregate, the Σ n^(1/T) normalizer
+    * attached as a 1-row broadcast (the Winsorizer bounds pattern — no
+    * driver collect, no unbounded window), per-source rates rounded to
+    * 6 dp so any engine replays the keep decision, and the sample is
+    * the same deterministic hash filter as [[sample]]. The rate join is
+    * UNhinted: source cardinality is data-driven (millions of domains
+    * at 100 TB), so the broadcast decision belongs to the cost model /
+    * AQE, not a hint. Null sources form a real group (null-safe join),
+    * matching CorpusGates. */
+  def sampleTemperature(df: DataFrame, temperature: Double,
+      budget: Long): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__p", pow(col("__n").cast("double"), lit(1.0 / temperature)))
+    val tot = counts.agg(sum("__p").as("__tot"))
+    val rateTab = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol).as("__src"),
+        least(lit(1.0), round(lit(budget.toDouble) * col("__p") /
+          col("__tot") / col("__n").cast("double"), 6)).as("rate"))
+    df.join(rateTab, df(sourceCol) <=> rateTab("__src"))
+      .filter(u01 < col("rate"))
+      .drop("__src", "rate")
+  }
 }
 
 /** Token-budget sampling: fill each source's TOKEN budget (not document

@@ -100,21 +100,19 @@ case class IvfIndex(
   def assign(df: DataFrame, centroids: DataFrame,
       cidCol: String = "centroid_id", cvecCol: String = "cvec"): DataFrame = {
     val cents = centroids.agg(array_sort(collect_list(
-      struct(col(cidCol).as("cid"), col(cvecCol).as("cvec")))).as("__cents"))
-    def bestOf(c: Column): Column = struct(
-      round(l2Dist(col(vecCol), c.getField("cvec")), 6).as("dist"),
-      c.getField("cid").as("cid"))
-    val folded = aggregate(
-      slice(col("__cents"), lit(2), greatest(size(col("__cents")) - 1, lit(0))),
-      bestOf(element_at(col("__cents"), 1)),
-      (acc, c) => graft.functions.Cols.bind(bestOf(c)) { cand =>
-        // struct comparison = lexicographic (dist, cid): min of the two
-        when(cand < acc, cand).otherwise(acc)
-      })
+      struct(col(cidCol).cast("int").as("cid"),
+        col(cvecCol).as("cvec")))).as("__cents"))
+    // the argmin itself is the native NearestCentroids expression —
+    // the declarative aggregate() fold over the same array evaluated
+    // its lambda interpreted per centroid (9.2 ms/row at 1024 cells,
+    // 9,183 executor-seconds for one 1M-row assignment stage); the
+    // native loop with hoisted rounding is ~25 µs/row, values identical
+    val best = element_at(graft.plans.VectorExpressions
+      .nearestCentroidsNative(col(vecCol), col("__cents"), 1), 1)
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))
-      .select(col(idCol), folded.getField("cid").as(cidCol),
-        folded.getField("dist").as("dist"))
+      .select(col(idCol), best.getField("cid").as(cidCol),
+        best.getField("dist").as("dist"))
   }
 
   /** Candidate (qid, cid, cos) stream behind [[topK]] and
@@ -133,17 +131,21 @@ case class IvfIndex(
     // = orderBy(dist asc, cid asc) exactly, so results are identical.
     val cellsOf = { (in: DataFrame, n: Int) =>
       val cents = centroids.agg(array_sort(collect_list(
-        struct(col("centroid_id").as("cid"), col("cvec")))).as("__cents"))
+        struct(col("centroid_id").cast("int").as("cid"),
+          col("cvec")))).as("__cents"))
+      // native top-n (see [[assign]]): the transform+array_sort form
+      // built and sorted 1024 interpreted structs per query row
+      // (measured ~4 ms/row — 395 executor-seconds per 100k queries)
       in.select(col(idCol).as("__id"), col(vecCol).as("__v"))
         .crossJoin(broadcast(cents))
-        .select(col("__id"), explode(slice(array_sort(transform(col("__cents"),
-            c => struct(round(l2Dist(col("__v"), c.getField("cvec")), 6).as("dist"),
-              c.getField("cid").as("cid")))), 1, n)).as("__cell"))
+        .select(col("__id"), explode(graft.plans.VectorExpressions
+          .nearestCentroidsNative(col("__v"), col("__cents"), n)).as("__cell"))
         .select(col("__id"), col("__cell").getField("cid").as("centroid_id"))
     }
     // corpus side (the big one) assigns map-only via [[assign]]; the
     // query side ranks map-only too — zero shuffles before the
-    // candidate join
+    // candidate join.
+    //
     val corpusCells = assign(df, centroids)
       .select(col(idCol).as("cid"), col("centroid_id"))
     val queryCells = cellsOf(df.filter(queryPred), nprobe)
@@ -158,7 +160,18 @@ case class IvfIndex(
     // every candidate before the corpus SMJ and sorted ~wide-row GBs
     // (measured 788 s → re-measured after this swap at 1M vectors ×
     // 10k anchors, §14).
-    queryCells.join(corpusCells, Seq("centroid_id"))
+    // BROADCAST the query-cell list (bounded: anchors are a request
+    // batch × nprobe ints) so the candidate fan-out happens MAP-SIDE
+    // over the uniform corpus-cells partitions. As a shuffle join this
+    // stage is pathological at scale in a way no generic knob fixes:
+    // its INPUT is narrow (~MBs of id pairs) so AQE coalesces it to a
+    // handful of tasks, while its OUTPUT is cells × anchors (measured:
+    // 196.5M pairs from 1M rows erupting inside 8 coalesced tasks,
+    // 1,040 executor-seconds — the 270 s straggler of the 100k-anchor
+    // probe; pinning partitions or salting the cell key just moved the
+    // skew). Map-side, every corpus partition fans out its own rows —
+    // uniformly, with no shuffle for AQE to mis-size.
+    broadcast(queryCells).join(corpusCells, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid")).select("qid", "cid").distinct()
       .join(corpus, Seq("cid")).join(broadcast(queries), Seq("qid"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
@@ -197,14 +210,31 @@ case class HardNegativeMiner(
   require(lo < hi, "need lo < hi")
 
   /** (anchor_id, negative_id, cos, rnk) — up to k banded negatives
-    * per anchor, ranked by similarity (desc, id tiebreak). */
+    * per anchor, ranked by similarity (desc, id tiebreak).
+    *
+    * Ranking is an EXACT two-level top-k: candidates first rank within
+    * (anchor, salt-of-negative) sub-partitions and only each bucket's
+    * top k survive to the true per-anchor window — top-k of per-bucket
+    * top-ks is the global top-k, so results are identical, but no sort
+    * partition ever exceeds ~1/S of an anchor's candidate list. The
+    * single-level window made the 100k-anchor 1M-vector probe's
+    * straggler: an anchor probing a hot IVF cell drags that cell's
+    * entire membership into one window partition (measured: max task
+    * 280.7 s of an 862.8 s job). */
   def mine(df: DataFrame, centroids: DataFrame, nprobe: Int = 2,
       anchorPred: Column = lit(true)): DataFrame = {
+    val salts = 16
+    val wSalt = Window.partitionBy("anchor_id", "__salt")
+      .orderBy(col("cos").desc, col("negative_id").asc)
     val w = Window.partitionBy("anchor_id")
       .orderBy(col("cos").desc, col("negative_id").asc)
     IvfIndex(idCol, vecCol).candidateCosines(df, centroids, nprobe, anchorPred)
       .filter(col("cos") >= lo && col("cos") < hi)
       .select(col("qid").as("anchor_id"), col("cid").as("negative_id"), col("cos"))
+      .withColumn("__salt", pmod(xxhash64(col("negative_id")), lit(salts)))
+      .withColumn("__r1", row_number().over(wSalt))
+      .filter(col("__r1") <= k)
+      .drop("__salt", "__r1")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

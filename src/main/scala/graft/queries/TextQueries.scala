@@ -197,6 +197,17 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // temperature-scaled mixture (p_s ∝ n_s^(1/T), T=3): weights derive
+    // from the corpus counts themselves — every 77th doc loses its
+    // source so the null group is exercised through the null-safe join
+    "mixture_temperature" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("source",
+          when(col("doc_id") % 77 === 0, lit(null)).otherwise(col("source")))
+      MixtureSampler().sampleTemperature(docs, temperature = 3.0, budget = 120)
+        .select("doc_id", "source")
+    }),
+
     // token-budget fill per source: greedy in salted-hash order, the
     // budget is counted in tokens (what training consumes), not docs
     "token_budget_sample" -> ((s, dir) => {
@@ -508,6 +519,23 @@ object TextQueries {
       val bm = Bm25()
       bm.buildIndex(docs, "graft_bm25_vfy")
       bm.searchIndexed(s, "graft_bm25_vfy", queries, k = 5)
+    }),
+
+    // the incremental-ingest path: index built over 60% of the corpus,
+    // rolled forward with the other 40% (refreshIndex — old corpus
+    // never re-tokenized, df/stats re-derived from merged narrow
+    // tables, new version under a new name), then searched. Must equal
+    // a from-scratch search of the FULL corpus — same oracle SQL again.
+    "bm25_search_refreshed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 125 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val bm = Bm25()
+      bm.buildIndex(docs.filter(col("doc_id") % 5 < 3), "graft_bm25_v0")
+      bm.refreshIndex(docs.filter(col("doc_id") % 5 >= 3),
+        "graft_bm25_v0", "graft_bm25_v1")
+      bm.searchIndexed(s, "graft_bm25_v1", queries, k = 5)
     }),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 top-5 and
@@ -1015,6 +1043,24 @@ object TextQueries {
         |FROM documents d JOIN rates r ON d.source = r.source
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456.0 < r.rate""".stripMargin,
 
+    "mixture_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 77 = 0 THEN NULL ELSE source END AS source
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, count(*) AS n,
+        |    pow(CAST(count(*) AS DOUBLE), 1.0 / 3.0) AS p
+        |  FROM d GROUP BY source),
+        |t AS (SELECT sum(p) AS tot FROM c),
+        |r AS (
+        |  SELECT source,
+        |    least(1.0, round(120.0 * p / tot / CAST(n AS DOUBLE), 6)) AS rate
+        |  FROM c, t)
+        |SELECT d.doc_id, d.source
+        |FROM d JOIN r ON d.source IS NOT DISTINCT FROM r.source
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456.0 < r.rate""".stripMargin,
+
     "token_budget_sample" ->
       s"""WITH t AS (
         |  SELECT doc_id, source,
@@ -1444,6 +1490,12 @@ object TextQueries {
     // identical ranking contract as bm25_search: the persisted-index
     // path must reproduce the from-scratch scores exactly
     "bm25_search_indexed" ->
+      s"""WITH $bm25CteSql
+         |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
+
+    // and the refreshed (60% built + 40% rolled-forward) index too —
+    // the merge must be indistinguishable from indexing the full corpus
+    "bm25_search_refreshed" ->
       s"""WITH $bm25CteSql
          |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
 

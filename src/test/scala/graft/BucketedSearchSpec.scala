@@ -31,6 +31,26 @@ class BucketedSearchSpec extends SparkSpec {
       rows(bm.search(docs, q, k = 5)))
   }
 
+  test("refreshIndex: rolled-forward index ≡ full rebuild; old version intact") {
+    val bm = Bm25()
+    bm.buildIndex(docs.filter($"doc_id" <= 3), "graft_bm25_r0", buckets = 4)
+    val oldRows = bm.searchIndexed(spark, "graft_bm25_r0", q, k = 5)
+      .collect().toSet
+    bm.refreshIndex(docs.filter($"doc_id" > 3), "graft_bm25_r0",
+      "graft_bm25_r1", buckets = 4)
+    def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    bm.buildIndex(docs, "graft_bm25_full", buckets = 4)
+    assert(rows("graft_bm25_r1") == rows("graft_bm25_full"))
+    // a crashed refresh can never corrupt the live index: v0 unchanged
+    assert(bm.searchIndexed(spark, "graft_bm25_r0", q, k = 5)
+      .collect().toSet == oldRows)
+    intercept[IllegalArgumentException] {
+      bm.refreshIndex(docs, "graft_bm25_r0", "graft_bm25_r0")
+    }
+  }
+
   test("postings ⋈ vocab on the persisted index is Exchange- and Sort-free") {
     val bm = Bm25()
     bm.buildIndex(docs, "graft_bm25_plan", buckets = 4)

@@ -71,8 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
-      "bm25_search", "bm25_search_indexed", "hybrid_search_rrf",
-      "source_flagging", "ann_eval_recall")
+      "bm25_search", "bm25_search_indexed", "bm25_search_refreshed",
+      "hybrid_search_rrf", "source_flagging", "ann_eval_recall")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -269,11 +269,14 @@ class PlanAuditSpec extends SparkSpec {
     //   literally one row) — an artifact of the literal-keyed test
     //   corpus, not of the operator (real sources are data-dependent
     //   and keep the hash semi-join)
+    // - mixture_temperature: the Σ n^(1/T) normalizer attaches as the
+    //   same deliberate 1-row broadcast (the Winsorizer bounds shape)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
-      "hybrid_search_rrf", "source_flagging", "ann_eval_recall")
+      "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
+      "mixture_temperature")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
