@@ -1,0 +1,69 @@
+package graft
+
+import graft.pipeline.{MultimodalCapstone, OperatorRegistry, Pipeline}
+import graft.queries.MultimodalQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multimodal capstone scale probe: the image/audio/video curation
+  * chain ([[graft.pipeline.MultimodalCapstone]]) end to end on the sf
+  * corpus (`mode=sf`) or the 1M replicated corpus (`mode=1m`:
+  * [[ScaleProbe.docs1m]] plus the capstone's three twin families —
+  * 1.75M prepped rows).
+  *
+  * {{{
+  * SPARK_GRAFT_CPUS=32 tools/jrun.sh -JXmx48g graft.MultimodalProbe 1m
+  * SPARK_GRAFT_CPUS=8  tools/jrun.sh -JXmx48g graft.MultimodalProbe 1m
+  * }}}
+  *
+  * Prints one `STAGE` line per operator (staged execution: per-stage
+  * checkpoint + count) and one `MULTIMODAL_FUSED` line (the same chain
+  * as ONE lazy DAG, single count — the production mode; the
+  * self-referencing dedup ops carry their own internal lineage cuts,
+  * so fusion stays linear). */
+object MultimodalProbe {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("sf")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs =
+      if (mode == "1m") ScaleProbe.docs1m(spark, sfDir).repartition(cpus.toInt)
+      else Tables.load(spark, sfDir, "documents")
+
+    // materialize the prepped corpus once before any timed run (same
+    // reasoning as CurationProbe: measure the pipeline, not the
+    // test-corpus synthesis)
+    val input = MultimodalQueries.preppedInput(docs).localCheckpoint(true)
+    println(s"INPUT rows=${input.count()}")
+
+    // --- staged run: per-stage wall ---
+    var cur = input
+    var rows = cur.count()
+    val t00 = System.nanoTime()
+    MultimodalCapstone.ops.foreach { case (name, params) =>
+      val t0 = System.nanoTime()
+      val next = Pipeline(Seq(OperatorRegistry.build(name, params)))(cur)
+        .localCheckpoint(true)
+      val out = next.count()
+      println(f"STAGE $name%-32s rows_in=$rows rows_out=$out ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      cur = next
+      rows = out
+    }
+    println(f"MULTIMODAL_STAGED total ${(System.nanoTime() - t00) / 1e9}%.1f s")
+
+    // --- fused run: one lazy DAG, single action ---
+    val t1 = System.nanoTime()
+    val fused = MultimodalCapstone.pipeline(input).count()
+    println(f"MULTIMODAL_FUSED rows=$fused ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

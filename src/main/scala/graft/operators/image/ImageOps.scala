@@ -197,8 +197,12 @@ case class PhashHammingDedup(
     * Rows with a NULL hash (an undecodable payload, a too-short audio
     * clip) pass through kept — a null key would otherwise silently
     * vanish through the rep join, and "no signature" must never mean
-    * "dropped". */
-  def flagged(df: DataFrame): DataFrame = {
+    * "dropped". The input is lineage-cut first ([[graft.operators.Lineage]]):
+    * this operator references it four times (null split + reps + back
+    * join), which composed lazily after expression-deriving stages
+    * re-runs the whole upstream per reference. */
+  def flagged(df0: DataFrame): DataFrame = {
+    val df = graft.operators.Lineage.cut(df0)
     val nulls = df.filter(col(phashCol).isNull).withColumn("keep", lit(true))
     val nn = df.filter(col(phashCol).isNotNull)
     flaggedNonNull(nn).unionByName(nulls)

@@ -82,7 +82,11 @@ case class VideoFrameDedup(
   /** (id_a, id_b, n_matched) for pairs with ≥ minMatches aligned
     * frames within hamming `radius`, after the ubiquitous-frame cut. */
   def candidatePairs(df: DataFrame): DataFrame = {
-    val fh = frameHashes(df)
+    // narrow (id, frame_idx, hash) stream, lineage-cut: the ubiquitous
+    // cut, the rep set and both sides of the back join all read it —
+    // without the cut the frame sampling + DCT would re-run per
+    // reference
+    val fh = graft.operators.Lineage.cut(frameHashes(df))
     val common = fh.groupBy("frame_idx", "frame_hash")
       .agg(count(lit(1)).as("__k"))
       .filter(col("__k") > maxFrameGroup)
@@ -114,8 +118,14 @@ case class VideoFrameDedup(
   }
 
   /** Every input row + `keep` (keep-first: a row drops iff a
-    * smaller-id near-dup exists). */
-  def flagged(df: DataFrame): DataFrame = {
+    * smaller-id near-dup exists). The input is lineage-cut first
+    * ([[graft.operators.Lineage]]): the pair search references it
+    * three times (frame stream feeds the ubiquitous cut, the rep set
+    * and both sides of the back join) plus the verdict join — composed
+    * lazily after expression-deriving stages, each reference would
+    * re-run the whole upstream. */
+  def flagged(df0: DataFrame): DataFrame = {
+    val df = graft.operators.Lineage.cut(df0)
     val drops = candidatePairs(df).select(col("id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
     df.join(drops, Seq(idCol), "left_outer")

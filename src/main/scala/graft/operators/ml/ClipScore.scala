@@ -38,13 +38,20 @@ case class CrossModalAlignment(
           col("b_embedding")), 6).as("clip_score"))
       .withColumn("clip_keep", col("clip_score") >= threshold)
 
-  /** df + (clip_score, clip_keep) — the refine form. */
-  def flag(df: DataFrame): DataFrame =
+  /** df + (clip_score, clip_keep) — the refine form. Input lineage-cut
+    * first ([[graft.operators.Lineage]]): the verdict join references
+    * it twice. */
+  def flag(df0: DataFrame): DataFrame = {
+    val df = graft.operators.Lineage.cut(df0)
     df.join(scored(df), Seq(idCol))
+  }
 
   /** Aligned pairs only (full rows; semi join on the kept ids, so the
-    * wide payload never shuffles for the verdict). */
-  def apply(df: DataFrame): DataFrame =
+    * wide payload never shuffles for the verdict). Input lineage-cut
+    * first — see [[flag]]. */
+  def apply(df0: DataFrame): DataFrame = {
+    val df = graft.operators.Lineage.cut(df0)
     df.join(scored(df).filter(col("clip_keep")).select(idCol),
       Seq(idCol), "left_semi")
+  }
 }

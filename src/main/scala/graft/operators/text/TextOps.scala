@@ -493,11 +493,7 @@ case class UrlDedup(urlCol: String = "url", idCol: String = "doc_id") {
     * both fall back to the plain double-reference, which diagnostic
     * modes accept (same trade as `Pipeline.profile`). */
   def apply(df0: DataFrame): DataFrame = {
-    val observed = df0.queryExecution.analyzed.collectFirst {
-      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
-    }.nonEmpty
-    val df =
-      if (df0.isStreaming || observed) df0 else df0.localCheckpoint(false)
+    val df = graft.operators.Lineage.cut(df0)
     val narrow = df.select(col(idCol), canonical.as("__canon"))
     val winners = narrow.where(col("__canon").isNotNull)
       .groupBy("__canon").agg(min(col(idCol)).as(idCol))

@@ -6,7 +6,7 @@ import graft.operators.image._
 import graft.operators.ml.QualityClassifier
 import graft.operators.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, min, repeat}
+import org.apache.spark.sql.functions.{col, concat, lit, min, repeat, reverse}
 import scala.jdk.CollectionConverters._
 
 /** YAML-config-driven pipeline construction — reference parity with
@@ -209,13 +209,35 @@ object OperatorRegistry {
     // real WAV container whose samples are the text bytes) and video
     // (repeated payload) columns so multimodal configs run end to end
     // on the text corpus
+    // per-modality source columns: a real multimodal row's audio and
+    // video come from different payloads, so each derivation names its
+    // own source (both default to text_field)
     "synthetic_media_columns" -> (p => RefineOp("synthetic_media_columns",
       df => df
         .withColumn(str(p, "audio_field", "audio"),
           graft.operators.image.AudioKernels.textWav(
-            col(str(p, "text_field", "text"))))
+            col(str(p, "audio_text_field", str(p, "text_field", "text")))))
         .withColumn(str(p, "video_field", "video"),
-          repeat(col(str(p, "text_field", "text")), 4).cast("binary")))),
+          repeat(col(str(p, "video_text_field", str(p, "text_field", "text"))), 4)
+            .cast("binary")))),
+
+    // test-corpus helper: a deterministic caption RELATED to the image
+    // payload but not identical (reverse keeps the global byte
+    // statistics, permutes the positional quarters), so the dual-tower
+    // clip_score_filter genuinely splits the corpus instead of scoring
+    // every self-pair 1.0
+    "synthetic_caption_column" -> (p => RefineOp("synthetic_caption_column",
+      df => df.withColumn(str(p, "caption_field", "caption"),
+        reverse(col(str(p, "text_field", "text")))))),
+
+    // attaches the 60-bit content phash column phash_hamming_dedup
+    // consumes (the synthetic-payload stand-in hash; columns holding
+    // decodable image bytes use image_real_phash_deduplicator's
+    // ImageKernels.realPhash through the same field instead)
+    "image_phash_refiner" -> (p => RefineOp("image_phash_refiner",
+      df => df.withColumn(str(p, "phash_field", "phash"),
+        ImagePhashDedup(str(p, "image_field", "image"))
+          .phash(col(str(p, "image_field", "image")))))),
 
     "image_metadata_refiner" -> (p => RefineOp("image_metadata_refiner",
       ImageMetadata(str(p, "image_field", "image"))(_))),

@@ -58,12 +58,7 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     * per-micro-batch and bounded by the trigger size. Observed plans
     * cannot either — the checkpoint would bury upstream CollectMetrics
     * nodes and their Observations would read 0. */
-  private def dedupCut(d: DataFrame): DataFrame = {
-    val observed = d.queryExecution.analyzed.collectFirst {
-      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
-    }.nonEmpty
-    if (d.isStreaming || observed) d else d.localCheckpoint(false)
-  }
+  private def dedupCut(d: DataFrame): DataFrame = graft.operators.Lineage.cut(d)
 
   /** Apply with an `observe` row-counter after the input and after every
     * op. Returns the result plus the Observation handles; read them with

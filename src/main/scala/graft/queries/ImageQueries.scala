@@ -235,10 +235,10 @@ object ImageQueries {
   )
 
   /** `CAST(('0x' || substr(md5(text || tag), 1, n)) AS BIGINT)` */
-  private def hexInt(expr: String, n: Int): String =
+  private[queries] def hexInt(expr: String, n: Int): String =
     s"CAST(('0x' || substr(md5($expr), 1, $n)) AS BIGINT)"
 
-  private def u01(tag: String): String =
+  private[queries] def u01(tag: String): String =
     s"(CAST(${hexInt(s"text || '$tag'", 6)} AS DOUBLE) / 16777216.0)"
 
   def oracles: Map[String, String] = Map(
@@ -656,7 +656,7 @@ object ImageQueries {
     * per-quarter entropy & gradient, quarter = ((i-1)*4)//len;
     * boundary-straddling pairs count only for the global gradient,
     * matching EmbeddingFeatures.fromValues. */
-  private def embArrCtes(src: String, pfx: String): String = {
+  private[queries] def embArrCtes(src: String, pfx: String): String = {
     val p = graft.operators.ml.TrainedEmbedding.projection
     def lit(v: Double): String = f"($v%.12fe0)"
     val zs = (0 until 12).map(j => s"((f$j - ${lit(p.mean(j))}) / ${lit(p.std(j))})")

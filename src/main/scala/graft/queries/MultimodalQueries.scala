@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.MultimodalCapstone
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The multimodal curation capstone key: the image/audio/video chain
+  * ([[graft.pipeline.MultimodalCapstone]]) run as one registry-built
+  * pipeline, gated on PER-STAGE survivor counts against a DuckDB
+  * replay of the entire chain — metadata dims, artifact blend, byte
+  * entropy, content phash keep-first, the dual-tower embedding cosine,
+  * the energy-contour audio fingerprint and the frame-DCT video match
+  * all replayed in one CTE chain. A wrong constant anywhere in the
+  * composition moves some stage's count.
+  *
+  * Three planted twin families, each caught by ITS dedup stage (the
+  * funnel proves all three dedup layers do distinct work):
+  *
+  *   - image twins (+1e6, doc_id%4=0): byte-identical payloads — the
+  *     exact-collapse leg of the hamming dedup removes them at stage 6
+  *     before the audio/video stages ever see them (radius>0 matching
+  *     is oracle-gated separately in `dedup_phash_hamming`, where bit
+  *     masks CAN be planted — a content hash scrambles under any byte
+  *     edit, so no derived payload can sit at hamming 1-2);
+  *   - audio twins (+2e6, doc_id%4=1): the LAST character bumped one
+  *     code — the image hash scrambles (no stage-6 match) but only the
+  *     final energy window moves, flipping ≤1 delta-sign bit, so the
+  *     radius-1 audio dedup at stage 10 catches them (and it runs
+  *     BEFORE video, which would also match on the ≥5 untouched
+  *     frames);
+  *   - video twins (+3e6, doc_id%4=2): text REVERSED (image hash
+  *     scrambles; the audio contour's window energies reverse too, so
+  *     the delta-sign fingerprint lands ≥2 bits away for any
+  *     non-palindromic contour) while the row's VIDEO SOURCE column
+  *     keeps the base text — the same video re-served under a new
+  *     caption/doc identity, the re-post shape — so stage 11 matches
+  *     all 8 aligned frames at distance 0 and nothing earlier can.
+  *     (The uniform brightness-shift invariance of the DCT kernel is
+  *     oracle-gated separately in `dedup_video_frames`; a first cut of
+  *     this capstone planted brightness twins here and measured the
+  *     audio stage eating them — word-soup energy contours are
+  *     space-count-dominated and survive a uniform +1 shift — which is
+  *     why the video family diverges text and video source instead.)
+  *
+  * Twins pass or fail the image-quality gate independently of their
+  * base (md5-derived dims), so only pairs whose BOTH sides survive
+  * stages 4-7 reach their dedup — the oracle replays the whole
+  * composition, so the funnel stays exact either way. (The reversed
+  * video twin's clip score EQUALS its base's — cosine is symmetric and
+  * its caption is the un-reversed base text — so the clip gate keeps
+  * or drops a video pair together.)
+  */
+object MultimodalQueries {
+
+  /** Base rows + the three twin families (see scaladoc). `video_src`
+    * is each row's video payload source — its own text everywhere
+    * except the video-twin family, which re-serves the BASE video
+    * under reversed text. */
+  def preppedInput(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      col("text").as("video_src"))
+    val imgTwins = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text"), col("text").as("video_src"))
+    val audioTwins = base.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        expr("concat(substring(text, 1, length(text)-1), " +
+          "char(ascii(substring(text, length(text), 1)) + 1))").as("text"))
+      .withColumn("video_src", col("text"))
+    val videoTwins = base.filter(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+        reverse(col("text")).as("text"), col("text").as("video_src"))
+    base.unionByName(imgTwins).unionByName(audioTwins)
+      .unionByName(videoTwins)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_curation_funnel" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      MultimodalCapstone.pipeline.funnelStaged(preppedInput(docs))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The quantized-DCT frame pHash replayed coefficient by coefficient
+    * (same generation as the `dedup_video_frames` oracle — single
+    * source of truth is [[graft.operators.image.DctKernels.weights16]]). */
+  private def dctCoefExprs: String = {
+    val ws = graft.operators.image.DctKernels.weights16
+    ws.map(row =>
+      row.zipWithIndex.filter(_._1 != 0L)
+        .map { case (w, j) => s"p[${j + 1}]*($w)" }.mkString(" + "))
+      .mkString("[", ",\n      ", "]")
+  }
+
+  private def dctBitSum: String =
+    (0 until 16).map(i =>
+      s"CASE WHEN 2*c[${i + 1}] > m2 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "multimodal_curation_funnel" -> {
+      val hex15 = ImageQueries.hexInt("text", 15)
+      val hexW = ImageQueries.hexInt("text || ':w'", 6)
+      val hexH = ImageQueries.hexInt("text || ':h'", 6)
+      val u01Block = ImageQueries.u01(":block")
+      // dual towers over the stage-7 input — generated from the SAME
+      // frozen projection every other embedding oracle uses
+      val towers = ImageQueries.embArrCtes("s6", "mi") + ",\n" +
+        ImageQueries.embArrCtes("mcap", "mc")
+      s"""WITH inp AS MATERIALIZED (
+         |  SELECT doc_id, source, text, text AS video_src FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, source, text, text AS video_src
+         |  FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, source,
+         |    substr(text, 1, length(text) - 1) ||
+         |      chr(ascii(substr(text, length(text), 1)) + 1) AS text,
+         |    substr(text, 1, length(text) - 1) ||
+         |      chr(ascii(substr(text, length(text), 1)) + 1) AS video_src
+         |  FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, source,
+         |    reverse(text) AS text, text AS video_src
+         |  FROM documents WHERE doc_id % 4 = 2),
+         |meta AS (
+         |  SELECT doc_id, text,
+         |    CAST($hexW % 4096 + 1 AS INT) AS w,
+         |    CAST($hexH % 4096 + 1 AS INT) AS h
+         |  FROM inp),
+         |mchars AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+         |        FROM inp)),
+         |mcounts AS (SELECT doc_id, c, count(*) AS n FROM mchars GROUP BY 1, 2),
+         |mtot AS (SELECT doc_id, sum(n) AS total FROM mcounts GROUP BY 1),
+         |ment AS (
+         |  SELECT mcounts.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / total) * log2(CAST(n AS DOUBLE) / total)), 6) AS e
+         |  FROM mcounts JOIN mtot ON mcounts.doc_id = mtot.doc_id
+         |  GROUP BY mcounts.doc_id),
+         |mart AS (
+         |  SELECT doc_id, w, h,
+         |    round(least(greatest(
+         |      $u01Block * 0.6 +
+         |      (1.0 - least(CAST(strlen(text) AS DOUBLE) /
+         |        (CAST(w AS DOUBLE) * h * 3.0) * 2.0, 1.0)) * 0.4,
+         |      0.0), 1.0), 6) AS a
+         |  FROM meta),
+         |s4 AS MATERIALIZED (
+         |  SELECT inp.* FROM inp
+         |  JOIN mart USING (doc_id) JOIN ment USING (doc_id)
+         |  WHERE mart.w >= 512 AND mart.h >= 512
+         |    AND mart.a <= 0.85 AND ment.e >= 3.0),
+         |ph AS MATERIALIZED (SELECT doc_id, $hex15 AS phash FROM s4),
+         |s6 AS MATERIALIZED (
+         |  SELECT s4.* FROM s4 JOIN ph a USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM ph b WHERE b.doc_id < a.doc_id
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2)),
+         |mcap AS (SELECT doc_id, reverse(text) AS text FROM s6),
+         |$towers,
+         |s7 AS MATERIALIZED (
+         |  SELECT s6.* FROM s6
+         |  JOIN miarr i ON s6.doc_id = i.doc_id
+         |  JOIN mcarr c ON s6.doc_id = c.doc_id
+         |  WHERE round(list_cosine_similarity(i.arr, c.arr), 6) >= 0.99),
+         |ach AS (
+         |  SELECT doc_id, length(text) AS n, CAST(i - 1 AS BIGINT) AS i0,
+         |    ascii(substr(text, CAST(i AS INT), 1)) AS c
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+         |        FROM s7)),
+         |ae AS (
+         |  SELECT doc_id, (i0 * 17) // n AS w,
+         |    sum(CAST((c - 128) * (c - 128) AS BIGINT)) AS s
+         |  FROM ach GROUP BY doc_id, (i0 * 17) // n),
+         |afp0 AS (
+         |  SELECT a.doc_id,
+         |    CAST(sum(CASE WHEN b.s > a.s
+         |        THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT)) ELSE 0 END)
+         |      AS BIGINT) AS fp
+         |  FROM ae a JOIN ae b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         |  GROUP BY a.doc_id),
+         |afp AS MATERIALIZED (
+         |  SELECT s7.doc_id,
+         |    CASE WHEN length(s7.text) >= 17 THEN afp0.fp ELSE NULL END AS fp
+         |  FROM s7 LEFT JOIN afp0 ON s7.doc_id = afp0.doc_id),
+         |s10 AS MATERIALIZED (
+         |  SELECT s7.* FROM s7 JOIN afp a ON s7.doc_id = a.doc_id
+         |  WHERE a.fp IS NULL OR NOT EXISTS (
+         |    SELECT 1 FROM afp b WHERE b.fp IS NOT NULL
+         |      AND b.doc_id < a.doc_id AND bit_count(xor(a.fp, b.fp)) <= 1)),
+         |v AS MATERIALIZED (SELECT doc_id, repeat(video_src, 4) AS video FROM s10),
+         |vfr AS (
+         |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |    substr(video,
+         |      CAST(i * greatest((length(video) - 64) // 7, 1) + 1 AS INT),
+         |      64) AS f
+         |  FROM v, range(0, 8) r(i)),
+         |vpx AS (
+         |  SELECT doc_id, frame_idx,
+         |    list_transform(range(1, 65), j -> CASE WHEN j <= length(f)
+         |      THEN CAST(ascii(substr(f, CAST(j AS INT), 1)) AS BIGINT)
+         |      ELSE 0 END) AS p
+         |  FROM vfr),
+         |vcf AS (
+         |  SELECT doc_id, frame_idx, $dctCoefExprs AS c
+         |  FROM vpx),
+         |vfh AS MATERIALIZED (
+         |  SELECT doc_id, frame_idx, CAST($dctBitSum AS BIGINT) AS fh
+         |  FROM (SELECT doc_id, frame_idx, c,
+         |          list_sort(c)[8] + list_sort(c)[9] AS m2 FROM vcf)),
+         |vpairs AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS m
+         |  FROM vfh a JOIN vfh b
+         |    ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.fh, b.fh)) <= 2
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |s11 AS MATERIALIZED (
+         |  SELECT s10.* FROM s10
+         |  WHERE NOT EXISTS (SELECT 1 FROM vpairs p WHERE p.ib = s10.doc_id))
+         |SELECT 0 AS step_idx, 'input' AS step, count(*) AS n_rows FROM inp
+         |UNION ALL SELECT 1, 'synthetic_image_column', count(*) FROM inp
+         |UNION ALL SELECT 2, 'synthetic_caption_column', count(*) FROM inp
+         |UNION ALL SELECT 3, 'image_technical_quality_refiner', count(*) FROM inp
+         |UNION ALL SELECT 4, 'image_quality_filter', count(*) FROM s4
+         |UNION ALL SELECT 5, 'image_phash_refiner', count(*) FROM s4
+         |UNION ALL SELECT 6, 'phash_hamming_dedup', count(*) FROM s6
+         |UNION ALL SELECT 7, 'clip_score_filter', count(*) FROM s7
+         |UNION ALL SELECT 8, 'synthetic_media_columns', count(*) FROM s7
+         |UNION ALL SELECT 9, 'audio_fingerprint', count(*) FROM s7
+         |UNION ALL SELECT 10, 'phash_hamming_dedup', count(*) FROM s10
+         |UNION ALL SELECT 11, 'video_frame_dedup', count(*) FROM s11
+         |UNION ALL SELECT 12, 'training_shard_assigner', count(*) FROM s11""".stripMargin
+    }
+  )
+}
