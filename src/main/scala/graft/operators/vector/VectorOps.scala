@@ -188,6 +188,86 @@ case class IvfIndex(
       .filter(col("rn") <= k)
       .select("qid", "cid", "cos", "rn")
   }
+
+  /** Drop a prior persisted index of this name (catalog entry + any
+    * warehouse directory a previous session left behind — same
+    * discipline as Bm25's index tables). */
+  private def dropIndexTables(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for (t <- Seq("cells", "centroids")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/${name.toLowerCase}_$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Persist the IVF index as catalog tables — the vector twin of
+    * [[graft.operators.text.Bm25.buildIndex]]'s artifact story:
+    * `<name>_cells` (idCol, centroid_id, vecCol — the corpus
+    * assignment WITH its vectors, bucketed by centroid_id so a query
+    * batch's probed-cell reads BUCKET-PRUNE the scan) and
+    * `<name>_centroids`. Pay the corpus argmin pass ONCE at build;
+    * every query batch after that reads only its probed cells' rows —
+    * per-batch cost ∝ the probed fraction of the corpus, with the
+    * corpus embeddings never re-scanned through the assignment. */
+  def buildIndex(df: DataFrame, centroids: DataFrame, name: String,
+      buckets: Int = 8): Unit = {
+    import graft.sources.Sinks.bucketedTable
+    val spark = df.sparkSession
+    dropIndexTables(spark, name)
+    // assignment with the vector retained (assign() projects it away)
+    val cents = centroids.agg(array_sort(collect_list(
+      struct(col("centroid_id").cast("int").as("cid"),
+        col("cvec").as("cvec")))).as("__cents"))
+    val best = element_at(graft.plans.VectorExpressions
+      .nearestCentroidsNative(col(vecCol), col("__cents"), 1), 1)
+    val cells = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), best.getField("cid").as("centroid_id"), col(vecCol))
+    bucketedTable(cells.repartition(buckets, col("centroid_id")),
+      s"${name}_cells", Seq("centroid_id"), buckets, Seq("centroid_id"))
+    centroids.select(col("centroid_id").cast("int").as("centroid_id"),
+        col("cvec"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_centroids")
+  }
+
+  /** [[topK]] against a [[buildIndex]]-persisted index — identical
+    * results (same argmin, same rounding, same tiebreaks), none of the
+    * per-batch corpus work: the corpus-side assignment is replaced by
+    * reads of the bucketed cells table, restricted to the batch's
+    * probed cells with an IN predicate over the bucket column so the
+    * scan prunes to the matching buckets (the probed-cell id list is a
+    * bounded driver collect: |batch| × nprobe ints). Queries are the
+    * (idCol, vecCol) rows of `queries`; a candidate equal to the query
+    * id is excluded, the corpus-query convention. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.table(s"${name}_centroids")
+    val cents = centroids.agg(array_sort(collect_list(
+      struct(col("centroid_id").as("cid"), col("cvec")))).as("__cents"))
+    val queryCells = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("__id"), explode(graft.plans.VectorExpressions
+        .nearestCentroidsNative(col("__v"), col("__cents"), nprobe)).as("__cell"))
+      .select(col("__id").as("qid"), col("__cell").getField("cid").as("centroid_id"))
+    val probed = queryCells.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.table(s"${name}_cells")
+      .filter(col("centroid_id").isin(probed: _*))
+      .select(col(idCol).as("cid"), col("centroid_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(queryCells).join(cells, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
 }
 
 /** Hard-negative mining for contrastive training (the selection step

@@ -60,6 +60,21 @@ object VectorQueries {
       IvfIndex().topK(emb, centroids, k = 3, nprobe = 2, col("vec_id") < 8)
     }),
 
+    "ann_ivf_indexed" -> ((s, dir) => {
+      // the persisted-index twin of ann_ivf (same oracle — results must
+      // be identical): buildIndex pays the corpus argmin once into
+      // bucketed catalog tables, searchIndexed serves the batch from
+      // the probed cells' buckets only
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val ivf = IvfIndex()
+      ivf.buildIndex(emb, centroids, "graft_ivf_idx")
+      ivf.searchIndexed(s, "graft_ivf_idx",
+        emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+    }),
+
     "hard_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: per anchor the 2 most
       // similar in-band (< 0.95, so near-dups never become negatives)
@@ -282,6 +297,39 @@ object VectorQueries {
          |SELECT anchor_id, negative_id, cos, rnk FROM r WHERE rnk <= 2""".stripMargin,
 
     "ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |corpus_cells AS (
+         |  SELECT cid, centroid_id FROM (
+         |    SELECT v.vec_id AS cid, cent.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+         |        cent.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent) t WHERE rn = 1),
+         |query_cells AS (
+         |  SELECT qid, centroid_id FROM (
+         |    SELECT v.vec_id AS qid, cent.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+         |        cent.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent WHERE v.vec_id < 8) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.cid FROM query_cells q
+         |  JOIN corpus_cells c ON q.centroid_id = c.centroid_id
+         |  WHERE q.qid != c.cid),
+         |scored AS (
+         |  SELECT cand.qid, cand.cid, $cosSql AS cos
+         |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+         |            JOIN embeddings c ON cand.cid = c.vec_id),
+         |r AS (SELECT qid, cid, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // the indexed serve path must return BYTE-IDENTICAL rankings to the
+    // direct ann_ivf plan — one oracle, two execution strategies
+    "ann_ivf_indexed" ->
       s"""WITH cent AS (
          |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
          |  FROM embeddings WHERE vec_id < 8),
