@@ -150,3 +150,84 @@ case class CorpusDrift(threshold: Double = 0.2, eps: Double = 1e-6) {
       .unionByName(psi(a, b, lenBucket, "length_x100"))
   }
 }
+
+/** Corpus-overlap estimation from bottom-k (KMV / k-minimum-values)
+  * sketches — the 100 TB answer to "how much of crawl N+1 is already
+  * in crawl N" WITHOUT the corpus-scale content join the exact
+  * `overlapStats` pays. Each corpus reduces to its k smallest distinct
+  * content-hash values (a TakeOrdered: k bounded driver rows, one
+  * narrow pass over each corpus, no cross-corpus shuffle at all); the
+  * bottom-k of the UNION is computable from the two sketches alone
+  * (min-merge property), and the classic KMV estimate
+  *
+  *   Ĵ = |{h ∈ bottomK(A ∪ B)} ∩ sketch(A) ∩ sketch(B)| / k
+  *
+  * is a DETERMINISTIC function of the corpora — the estimator is
+  * approximate with respect to true Jaccard (±1/√k), but its VALUE is
+  * exactly replayable, so the oracle gates it exactly (the same
+  * discipline as `events_approx_bounds`). Containment estimates for
+  * each side come from the same three sets. */
+case class CorpusOverlapSketch(k: Int = 256,
+    idCol: String = "doc_id", textCol: String = "text") {
+
+  // md5-prefix hash (not xxhash64): the oracle replays the exact
+  // estimator value, and DuckDB can rebuild this hash bit for bit
+  private def hash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The k smallest distinct content hashes of a corpus — one narrow
+    * distinct + TakeOrdered; never wider than (hash) and never more
+    * than k driver rows. */
+  def sketch(df: DataFrame): DataFrame =
+    df.select(hash(col(textCol)).as("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+
+  /** One row: (k, n_a, n_b — the sketch sizes actually used —
+    * jaccard_est, containment_a, containment_b), all 6 dp. Exact on
+    * corpora with ≤ k distinct documents (the sketch IS the hash set);
+    * ±1/√k beyond. */
+  def estimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val sa = sketch(a).withColumn("__ina", lit(true))
+    val sb = sketch(b).withColumn("__inb", lit(true))
+    val merged = sa.join(sb, Seq("h"), "full_outer")
+      .orderBy(col("h").asc).limit(k)
+    merged.agg(
+      lit(k).as("k"),
+      sum(when(col("__ina"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__inb"), 1L).otherwise(0L)).as("n_b"),
+      round(sum(when(col("__ina") && col("__inb"), 1L).otherwise(0L)) /
+        count(lit(1)).cast("double"), 6).as("jaccard_est"),
+      round(sum(when(col("__ina") && col("__inb"), 1L).otherwise(0L)) /
+        sum(when(col("__ina"), 1L).otherwise(0L)).cast("double"), 6)
+        .as("containment_a"),
+      round(sum(when(col("__ina") && col("__inb"), 1L).otherwise(0L)) /
+        sum(when(col("__inb"), 1L).otherwise(0L)).cast("double"), 6)
+        .as("containment_b"))
+  }
+}
+
+/** Corpus snapshot diff — the changelog between two versions of a
+  * corpus (yesterday's crawl vs today's): per-id status
+  * added / removed / changed / unchanged by content hash. One
+  * full-outer join on the id over NARROW (id, hash) projections — the
+  * payloads never shuffle; at 100 TB this is the id-keyed merge any
+  * incremental pipeline already pays, and the status breakdown feeds
+  * the ingest decision (re-process only added+changed). */
+case class CorpusDiff(idCol: String = "doc_id", textCol: String = "text") {
+
+  /** (idCol, status) for every id present in either snapshot. */
+  def diff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val o = old.select(col(idCol), md5(col(textCol)).as("__ho"))
+    val n = neu.select(col(idCol), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Bounded rollup: one row per status. */
+  def summary(old: DataFrame, neu: DataFrame): DataFrame =
+    diff(old, neu).groupBy("status").agg(count(lit(1)).as("n"))
+}

@@ -257,6 +257,33 @@ object AnalyticsQueries {
       graft.operators.CorpusDrift(threshold = 0.05).report(a, b)
     }),
 
+    // cross-snapshot overlap WITHOUT the content join: bottom-k KMV
+    // sketches of two overlapping snapshots (A = ids %3<2, B = %3>0 →
+    // true overlap is the %3=1 third, plus every 50th B text rewritten
+    // so content, not ids, drives the estimate). The estimator is
+    // approximate vs true Jaccard (±1/√k) but a deterministic function
+    // of the corpora, so the oracle gates its exact value
+    "corpus_overlap_sketch" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 < 2)
+      val b = docs.filter(col("doc_id") % 3 > 0)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.CorpusOverlapSketch(k = 256).estimate(a, b)
+    }),
+
+    // snapshot changelog: per-id added/removed/changed/unchanged by
+    // content hash over narrow (id, hash) projections — the ingest
+    // decision input (re-process only added+changed)
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      graft.operators.CorpusDiff().diff(old, neu)
+    }),
+
     // link-graph centrality (the crawl-frontier URL quality prior):
     // 5 PageRank iterations over a deterministic 2-out synthetic graph
     "page_rank" -> ((s, dir) => {
@@ -560,6 +587,43 @@ object AnalyticsQueries {
         psiSql("floor(length(text) / 100)", "floor(length(text) / 100)",
           "length_x100")).mkString("\nUNION ALL\n")
     },
+
+    "corpus_overlap_sketch" ->
+      """WITH a AS (SELECT text FROM documents WHERE doc_id % 3 < 2),
+        |b AS (SELECT CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 3 > 0),
+        |sa AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |       FROM a ORDER BY h ASC LIMIT 256),
+        |sb AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |       FROM b ORDER BY h ASC LIMIT 256),
+        |merged AS (
+        |  SELECT h, ina, inb FROM (
+        |    SELECT coalesce(sa.h, sb.h) AS h,
+        |      sa.h IS NOT NULL AS ina, sb.h IS NOT NULL AS inb
+        |    FROM sa FULL OUTER JOIN sb ON sa.h = sb.h)
+        |  ORDER BY h ASC LIMIT 256)
+        |SELECT 256 AS k,
+        |  CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  round(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS jaccard_est,
+        |  round(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) /
+        |    CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS DOUBLE), 6) AS containment_a,
+        |  round(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) /
+        |    CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS DOUBLE), 6) AS containment_b
+        |FROM merged""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 4 = 0 THEN text || ' edited' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 != 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     "page_rank" -> pageRankSql(
       """tele AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / c.n AS t

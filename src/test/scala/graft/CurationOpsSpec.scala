@@ -379,4 +379,38 @@ class CurationOpsSpec extends SparkSpec {
     // collapse into one null-key group
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
+
+  test("overlap sketch: exact below k, within KMV error above, merge-safe") {
+    import graft.operators.CorpusOverlapSketch
+    def corpus(ids: Range) =
+      ids.map(i => (i.toLong, s"document body number $i")).toDF("doc_id", "text")
+    // |A ∪ B| = 150 ≤ k: the sketch IS the hash set → estimate exact.
+    // A = 0..99, B = 50..149 → J = 50/150, cont_a = cont_b = 0.5
+    val small = CorpusOverlapSketch(k = 256)
+      .estimate(corpus(0 until 100), corpus(50 until 150))
+      .head()
+    assert(small.getAs[Double]("jaccard_est") == math.floor(1e6 / 3) / 1e6)
+    assert(small.getAs[Double]("containment_a") == 0.5)
+    // above k: estimator within the ±3/√k ≈ 0.19 KMV band of truth
+    // (deterministic for this corpus — the assertion pins behavior,
+    // the band just documents WHY the value is near 1/3)
+    val big = CorpusOverlapSketch(k = 256)
+      .estimate(corpus(0 until 2000), corpus(1000 until 3000))
+      .head().getAs[Double]("jaccard_est")
+    assert(math.abs(big - 1.0 / 3.0) < 0.19, s"estimate $big vs true 1/3")
+  }
+
+  test("corpus diff: added/removed/changed/unchanged by content, not id") {
+    import graft.operators.CorpusDiff
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = CorpusDiff().diff(old, neu)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val sums = CorpusDiff().summary(old, neu)
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
 }

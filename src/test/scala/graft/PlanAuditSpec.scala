@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
       "bm25_search", "bm25_search_indexed", "bm25_search_refreshed",
-      "hybrid_search_rrf", "source_flagging", "ann_eval_recall")
+      "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
+      // ann_ivf_indexed: hinted sides are the query batch (a request,
+      // bounded by construction) and its probed-cell list
+      "ann_ivf_indexed")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -276,7 +279,10 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
       "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
-      "mixture_temperature")
+      "mixture_temperature",
+      // ann_ivf_indexed: the same deliberate 1-row centroid-array
+      // attach as ann_ivf, on both the build path and the query side
+      "ann_ivf_indexed")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
