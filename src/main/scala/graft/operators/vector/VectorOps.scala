@@ -234,6 +234,40 @@ case class IvfIndex(
       .saveAsTable(s"${name}_centroids")
   }
 
+  /** Roll a persisted IVF index forward with a NEW batch of vectors
+    * (ids disjoint from the indexed corpus — the incremental-ingest
+    * contract) WITHOUT re-assigning the indexed corpus: only the batch
+    * pays the argmin pass, the old cells read back bucketed and merge
+    * by union, and the merged index writes under `newName` — the same
+    * versioned-artifact convention as [[graft.operators.text.Bm25.refreshIndex]]
+    * (readers flip after the write completes; a crashed refresh never
+    * corrupts the live index). Centroids are the FROZEN build-time
+    * ones: an IVF index's cells are defined by its centroids, so a
+    * refresh extends the population, it does not re-train (re-train =
+    * a new buildIndex). */
+  def refreshIndex(newVecs: DataFrame, name: String, newName: String,
+      buckets: Int = 8): Unit = {
+    require(newName != name,
+      "refresh writes a new index version; flip readers after the write")
+    import graft.sources.Sinks.bucketedTable
+    val spark = newVecs.sparkSession
+    dropIndexTables(spark, newName)
+    val centroids = spark.table(s"${name}_centroids")
+    val cents = centroids.agg(array_sort(collect_list(
+      struct(col("centroid_id").as("cid"), col("cvec")))).as("__cents"))
+    val best = element_at(graft.plans.VectorExpressions
+      .nearestCentroidsNative(col(vecCol), col("__cents"), 1), 1)
+    val newCells = newVecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), best.getField("cid").as("centroid_id"), col(vecCol))
+    bucketedTable(
+      spark.table(s"${name}_cells").unionByName(newCells)
+        .repartition(buckets, col("centroid_id")),
+      s"${newName}_cells", Seq("centroid_id"), buckets, Seq("centroid_id"))
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${newName}_centroids")
+  }
+
   /** [[topK]] against a [[buildIndex]]-persisted index — identical
     * results (same argmin, same rounding, same tiebreaks), none of the
     * per-batch corpus work: the corpus-side assignment is replaced by

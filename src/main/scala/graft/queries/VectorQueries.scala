@@ -75,6 +75,23 @@ object VectorQueries {
         emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
 
+    "ann_ivf_refreshed" -> ((s, dir) => {
+      // incremental-ingest twin: build on the even half, roll forward
+      // with the odd half, serve — results must equal a full build
+      // (same oracle as ann_ivf_indexed)
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val ivf = IvfIndex()
+      ivf.buildIndex(emb.filter(col("vec_id") % 2 === 0), centroids,
+        "graft_ivf_r0")
+      ivf.refreshIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivf_r0", "graft_ivf_r1")
+      ivf.searchIndexed(s, "graft_ivf_r1",
+        emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+    }),
+
     "hard_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: per anchor the 2 most
       // similar in-band (< 0.95, so near-dups never become negatives)
@@ -167,6 +184,37 @@ object VectorQueries {
 
   private val cosSql =
     "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)"
+
+  private lazy val annIvfSql: String =
+    s"""WITH cent AS (
+           |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+           |  FROM embeddings WHERE vec_id < 8),
+           |corpus_cells AS (
+           |  SELECT cid, centroid_id FROM (
+           |    SELECT v.vec_id AS cid, cent.centroid_id,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+           |        cent.centroid_id ASC) AS rn
+           |    FROM embeddings v, cent) t WHERE rn = 1),
+           |query_cells AS (
+           |  SELECT qid, centroid_id FROM (
+           |    SELECT v.vec_id AS qid, cent.centroid_id,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+           |        cent.centroid_id ASC) AS rn
+           |    FROM embeddings v, cent WHERE v.vec_id < 8) t WHERE rn <= 2),
+           |cand AS (
+           |  SELECT DISTINCT q.qid, c.cid FROM query_cells q
+           |  JOIN corpus_cells c ON q.centroid_id = c.centroid_id
+           |  WHERE q.qid != c.cid),
+           |scored AS (
+           |  SELECT cand.qid, cand.cid, $cosSql AS cos
+           |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
+           |            JOIN embeddings c ON cand.cid = c.vec_id),
+           |r AS (SELECT qid, cid, cos,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
+           |  FROM scored)
+           |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "knn_bruteforce" ->
@@ -296,69 +344,13 @@ object VectorQueries {
          |  FROM banded)
          |SELECT anchor_id, negative_id, cos, rnk FROM r WHERE rnk <= 2""".stripMargin,
 
-    "ann_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM embeddings WHERE vec_id < 8),
-         |corpus_cells AS (
-         |  SELECT cid, centroid_id FROM (
-         |    SELECT v.vec_id AS cid, cent.centroid_id,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
-         |        cent.centroid_id ASC) AS rn
-         |    FROM embeddings v, cent) t WHERE rn = 1),
-         |query_cells AS (
-         |  SELECT qid, centroid_id FROM (
-         |    SELECT v.vec_id AS qid, cent.centroid_id,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
-         |        cent.centroid_id ASC) AS rn
-         |    FROM embeddings v, cent WHERE v.vec_id < 8) t WHERE rn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT q.qid, c.cid FROM query_cells q
-         |  JOIN corpus_cells c ON q.centroid_id = c.centroid_id
-         |  WHERE q.qid != c.cid),
-         |scored AS (
-         |  SELECT cand.qid, cand.cid, $cosSql AS cos
-         |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
-         |            JOIN embeddings c ON cand.cid = c.vec_id),
-         |r AS (SELECT qid, cid, cos,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
-         |  FROM scored)
-         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    // the indexed/refreshed serve paths must return BYTE-IDENTICAL
+    // rankings to the direct ann_ivf plan — ONE oracle, three
+    // execution strategies (direct / persisted / rolled-forward)
+    "ann_ivf" -> annIvfSql,
+    "ann_ivf_indexed" -> annIvfSql,
+    "ann_ivf_refreshed" -> annIvfSql,
 
-    // the indexed serve path must return BYTE-IDENTICAL rankings to the
-    // direct ann_ivf plan — one oracle, two execution strategies
-    "ann_ivf_indexed" ->
-      s"""WITH cent AS (
-         |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-         |  FROM embeddings WHERE vec_id < 8),
-         |corpus_cells AS (
-         |  SELECT cid, centroid_id FROM (
-         |    SELECT v.vec_id AS cid, cent.centroid_id,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
-         |        cent.centroid_id ASC) AS rn
-         |    FROM embeddings v, cent) t WHERE rn = 1),
-         |query_cells AS (
-         |  SELECT qid, centroid_id FROM (
-         |    SELECT v.vec_id AS qid, cent.centroid_id,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
-         |        cent.centroid_id ASC) AS rn
-         |    FROM embeddings v, cent WHERE v.vec_id < 8) t WHERE rn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT q.qid, c.cid FROM query_cells q
-         |  JOIN corpus_cells c ON q.centroid_id = c.centroid_id
-         |  WHERE q.qid != c.cid),
-         |scored AS (
-         |  SELECT cand.qid, cand.cid, $cosSql AS cos
-         |  FROM cand JOIN embeddings q ON cand.qid = q.vec_id
-         |            JOIN embeddings c ON cand.cid = c.vec_id),
-         |r AS (SELECT qid, cid, cos,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rn
-         |  FROM scored)
-         |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
 
     "dedup_semantic_inc" ->
       """WITH cent AS (

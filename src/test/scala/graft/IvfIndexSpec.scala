@@ -50,6 +50,27 @@ class IvfIndexSpec extends SparkSpec {
       s"scan read all ${m.get.group(2)} buckets")
   }
 
+  test("refreshIndex: rolled-forward index ≡ full rebuild; old version intact") {
+    val ivf = IvfIndex()
+    ivf.buildIndex(corpus.filter($"vec_id" < 20), centroids,
+      "graft_ivf_v0", buckets = 4)
+    val queries = corpus.filter($"vec_id" < 4)
+    val oldRows = ivf.searchIndexed(spark, "graft_ivf_v0", queries,
+      k = 3, nprobe = 2).collect().toSet
+    ivf.refreshIndex(corpus.filter($"vec_id" >= 20),
+      "graft_ivf_v0", "graft_ivf_v1", buckets = 4)
+    ivf.buildIndex(corpus, centroids, "graft_ivf_full", buckets = 4)
+    def rows(name: String) = ivf.searchIndexed(spark, name, queries,
+      k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_ivf_v1") == rows("graft_ivf_full"))
+    // a crashed refresh can never corrupt the live index: v0 unchanged
+    assert(ivf.searchIndexed(spark, "graft_ivf_v0", queries,
+      k = 3, nprobe = 2).collect().toSet == oldRows)
+    intercept[IllegalArgumentException] {
+      ivf.refreshIndex(corpus, "graft_ivf_v0", "graft_ivf_v0")
+    }
+  }
+
   test("index serves queries that are not corpus rows") {
     val ivf = IvfIndex()
     ivf.buildIndex(corpus, centroids, "graft_ivf_ext", buckets = 4)

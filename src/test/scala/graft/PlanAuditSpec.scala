@@ -73,9 +73,9 @@ class PlanAuditSpec extends SparkSpec {
       "hard_negatives", "knn_int8", "contamination_overlap",
       "bm25_search", "bm25_search_indexed", "bm25_search_refreshed",
       "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
-      // ann_ivf_indexed: hinted sides are the query batch (a request,
-      // bounded by construction) and its probed-cell list
-      "ann_ivf_indexed")
+      // ann_ivf_indexed/_refreshed: hinted sides are the query batch
+      // (a request, bounded by construction) and its probed-cell list
+      "ann_ivf_indexed", "ann_ivf_refreshed")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
@@ -280,9 +280,9 @@ class PlanAuditSpec extends SparkSpec {
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
       "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
       "mixture_temperature",
-      // ann_ivf_indexed: the same deliberate 1-row centroid-array
-      // attach as ann_ivf, on both the build path and the query side
-      "ann_ivf_indexed")
+      // ann_ivf_indexed/_refreshed: the same deliberate 1-row
+      // centroid-array attach as ann_ivf, on build and query sides
+      "ann_ivf_indexed", "ann_ivf_refreshed")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
