@@ -73,8 +73,66 @@ object VecProbe {
     spark.stop()
   }
 
+  /** `ivfserve` mode: the persisted-index amortization claim with
+    * numbers — build the cells/centroids tables once over a 1M corpus
+    * (timed), then serve `batches` query batches of `batchN` through
+    * [[IvfIndex.searchIndexed]] vs the direct [[IvfIndex.topK]] (which
+    * re-assigns the corpus per batch). The claim under test: per-batch
+    * serve cost tracks the probed cells' size, direct cost tracks the
+    * corpus.
+    *
+    * {{{ graft.VecProbe ivfserve <sfDir> <k> <batchN> <batches> }}}
+    */
+  def ivfServeMain(args: Array[String]): Unit = {
+    require(args.length == 5,
+      "usage: VecProbe ivfserve <sfDir> <k> <buckets> <batchN> <batches>")
+    val Array(dir, kS, bS, batchNS, batchesS) = args
+    val (k, buckets) = (kS.toInt, bS.toInt)
+    val (batchN, batches) = (batchNS.toInt, batchesS.toInt)
+    val spark = GraftSession.local("graft-vecprobe-ivfserve")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // BOTH strategies start from stored tables (the deployment shape):
+    // the direct path re-reads + re-assigns the stored corpus per
+    // batch, the indexed path reads its probed slice of the cells table
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("ivfserve_corpus").toString
+    ScaleProbe.vectors1m(spark, dir).repartition(cpus)
+      .write.mode("overwrite").parquet(corpusPath)
+    val emb = spark.read.parquet(corpusPath)
+    println(s"CORPUS rows=${emb.count()}")
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    val ivf = IvfIndex()
+    def wall[A](label: String)(f: => A): A = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"IVFSERVE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    wall("build_index")(
+      ivf.buildIndex(emb, cents, "graft_ivf_probe", buckets))
+    for (i <- 0 until batches) {
+      val q = emb.filter(col("vec_id") % 9973 === i).limit(batchN)
+        .localCheckpoint(true)
+      val ids = q.select("vec_id")
+      wall(s"serve_indexed_b$i")(
+        ivf.searchIndexed(spark, "graft_ivf_probe", q, k = 5, nprobe = 2)
+          .selectExpr("count(*)", "sum(cid)").collect())
+      wall(s"direct_topk_b$i")(
+        ivf.topK(emb, cents, k = 5, nprobe = 2,
+          col("vec_id").isInCollection(
+            ids.collect().map(_.getLong(0)).toSeq))
+          .selectExpr("count(*)", "sum(cid)").collect())
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("inc")) return incMain(args.drop(1))
+    if (args.headOption.contains("ivfserve")) return ivfServeMain(args.drop(1))
     require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k[:cap]>...")
     val dir = args(0)
     val threshold = args(1).toDouble
