@@ -538,6 +538,27 @@ object TextQueries {
       bm.searchIndexed(s, "graft_bm25_v1", queries, k = 5)
     }),
 
+    // retrieval-eval harness: nDCG@5 of the BM25 ranking against
+    // graded shared-distinct-term relevance (rel = |q_terms ∩ d_terms|
+    // capped at 3 — deterministic judgments both engines derive from
+    // the corpus; the trec_eval-shaped qrels table is the operator's
+    // real input at scale)
+    "search_eval_ndcg" -> ((s, dir) => {
+      import graft.functions.TextFns.{normalizeText, wsTokens}
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 125 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val results = Bm25().search(docs, queries, k = 5)
+      val qt = queries.select(col("query_id"),
+        explode(array_distinct(wsTokens(normalizeText(col("text"))))).as("term"))
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(wsTokens(normalizeText(col("text"))))).as("term"))
+      val qrels = qt.join(dt, "term").groupBy("query_id", "doc_id")
+        .agg(least(count(lit(1)), lit(3L)).cast("double").as("rel"))
+      graft.operators.text.SearchEval.ndcgAtK(results, qrels, k = 5)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 top-5 and
     // the cosine top-5 (documents and embeddings align on id)
     "hybrid_search_rrf" -> ((s, dir) => {
@@ -1498,6 +1519,31 @@ object TextQueries {
     "bm25_search_refreshed" ->
       s"""WITH $bm25CteSql
          |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
+
+    "search_eval_ndcg" ->
+      s"""WITH $bm25CteSql,
+         |qrels AS (
+         |  SELECT qt.query_id, d.doc_id,
+         |    CAST(least(count(*), 3) AS DOUBLE) AS rel
+         |  FROM qt JOIN (
+         |    SELECT doc_id, unnest(list_distinct(ws)) AS term FROM toks) d
+         |  USING (term)
+         |  GROUP BY 1, 2),
+         |dcg AS (
+         |  SELECT l.query_id,
+         |    sum(coalesce(q.rel, 0.0) / log2(l.rnk + 1)) AS dcg
+         |  FROM lex l LEFT JOIN qrels q
+         |    ON l.query_id = q.query_id AND l.doc_id = q.doc_id
+         |  GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, rel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id ASC) AS r
+         |  FROM qrels WHERE rel > 0 QUALIFY r <= 5),
+         |idcg AS (SELECT query_id, sum(rel / log2(r + 1)) AS idcg
+         |  FROM ideal GROUP BY 1)
+         |SELECT i.query_id, round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin,
 
     "hybrid_search_rrf" -> {
       val cos = "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +

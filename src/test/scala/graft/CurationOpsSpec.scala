@@ -400,6 +400,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(big - 1.0 / 3.0) < 0.19, s"estimate $big vs true 1/3")
   }
 
+  test("ndcg: perfect ranking scores 1, inversions cost, absent queries 0") {
+    import graft.operators.text.SearchEval
+    val qrels = Seq((1L, 10L, 3.0), (1L, 11L, 2.0), (1L, 12L, 1.0),
+      (2L, 20L, 1.0), (3L, 30L, 2.0)).toDF("query_id", "doc_id", "rel")
+    // q1 ranked ideally; q2 returns an unjudged doc first (rel 0 at
+    // rank 1 costs); q3 has judgments but no results at all
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 99L, 1), (2L, 20L, 2)).toDF("query_id", "doc_id", "rnk")
+    val got = SearchEval.ndcgAtK(results, qrels, k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    // q2: DCG = 1/log2(3), IDCG = 1/log2(2) = 1 → ndcg = log(2)/log(3)
+    assert(math.abs(got(2L) - math.log(2) / math.log(3)) < 1e-6)
+    assert(got(3L) == 0.0)
+  }
+
   test("corpus diff: added/removed/changed/unchanged by content, not id") {
     import graft.operators.CorpusDiff
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
