@@ -65,7 +65,8 @@ object ScaleProbe {
       "topq", "cards", "normalize", "phash_hamming", "video", "audiofp",
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
-      "drift", "bm25", "dedupeval", "fertility", "hardneg100k")
+      "drift", "bm25", "dedupeval", "fertility", "hardneg100k",
+      "overlapsketch", "corpusdiff")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,7 +90,8 @@ object ScaleProbe {
         ops("datacard") || ops("sourcegate") || ops("overlap") ||
         ops("polyglot") || ops("compact") || ops("winsorize") ||
         ops("pagerank") || ops("percentiles") || ops("drift") ||
-        ops("bm25") || ops("dedupeval") || ops("fertility")) {
+        ops("bm25") || ops("dedupeval") || ops("fertility") ||
+        ops("overlapsketch") || ops("corpusdiff")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -294,6 +296,26 @@ object ScaleProbe {
               substring(col("text"), 1, 40).as("text"))
           graft.operators.text.Bm25().search(corpus, queries, k = 5).count()
         }
+      if (ops("overlapsketch")) {
+        // crawl-over-crawl overlap at 1M vs 1M: two narrow
+        // distinct+TakeOrdered passes and a 2k-row driver merge —
+        // the exact overlapStats content join never happens
+        val b = corpus.withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        probe("corpus_overlap_sketch", n * 2)(
+          graft.operators.CorpusOverlapSketch(k = 1024)
+            .estimate(corpus, b).count())
+      }
+      if (ops("corpusdiff")) {
+        // 1M-vs-1M changelog: narrow (id, md5) full-outer merge
+        val b = corpus.filter(col("doc_id") % 20 =!= 0).withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        probe("corpus_diff", n * 2)(
+          graft.operators.CorpusDiff().summary(corpus, b)
+            .agg(sum("n")).head().getLong(0))
+      }
       if (ops("dedupeval")) {
         // recall/precision harness at 2M docs (1M + 1M planted twins),
         // on top of the replica structure's 20-copy clusters — the

@@ -150,6 +150,39 @@ object StreamingOps {
   case class LatestOut(user_id: Long, event_type: String, event_id: Long,
     ts_us: Long, value: Double)
 
+  /** Streaming search-index maintenance: roll a persisted index
+    * (BM25's postings/vocab/lens or IVF's cells — anything with a
+    * batch `refreshIndex(newRows, fromName, toName)`) forward one
+    * micro-batch at a time under the versioned-artifact convention.
+    * Each non-empty batch refreshes the CURRENT version into
+    * `<base>_v<batchId+1>` and flips the in-memory pointer; readers of
+    * an old version are never disturbed, and a crashed refresh leaves
+    * the prior version intact (the batch refreshIndex contract). A
+    * replayed micro-batch after restart rewrites its target version
+    * from scratch (refresh drops the target first), so the
+    * foreachBatch at-least-once contract composes to effectively-once
+    * index versions. At deployment the live pointer would persist via
+    * the Sinks snapshot-commit discipline; here it is process-local
+    * (`currentVersion`).
+    *
+    * Returns the DataStreamWriter (caller adds checkpoint options and
+    * starts) plus the live-version handle. */
+  def indexMaintenance(docs: DataFrame, base: String, startVersion: String,
+      refresh: (DataFrame, String, String) => Unit)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         java.util.concurrent.atomic.AtomicReference[String]) = {
+    val live = new java.util.concurrent.atomic.AtomicReference[String](startVersion)
+    val writer = docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val to = s"${base}_v${id + 1}"
+          refresh(batch, live.get, to)
+          live.set(to)
+        }
+    }
+    (writer, live)
+  }
+
   def compactStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
