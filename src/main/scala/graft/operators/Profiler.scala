@@ -177,9 +177,12 @@ case class CorpusOverlapSketch(k: Int = 256,
 
   /** The k smallest distinct content hashes of a corpus — one narrow
     * distinct + TakeOrdered; never wider than (hash) and never more
-    * than k driver rows. */
+    * than k driver rows. Null texts carry no content hash and are
+    * excluded (they would also sort engine-dependently: Spark puts
+    * nulls first ascending, DuckDB last). */
   def sketch(df: DataFrame): DataFrame =
-    df.select(hash(col(textCol)).as("h")).distinct()
+    df.filter(col(textCol).isNotNull)
+      .select(hash(col(textCol)).as("h")).distinct()
       .orderBy(col("h").asc).limit(k)
 
   /** One row: (k, n_a, n_b — the sketch sizes actually used —
@@ -215,15 +218,22 @@ case class CorpusOverlapSketch(k: Int = 256,
   * the ingest decision (re-process only added+changed). */
 case class CorpusDiff(idCol: String = "doc_id", textCol: String = "text") {
 
-  /** (idCol, status) for every id present in either snapshot. */
+  /** (idCol, status) for every id present in either snapshot.
+    * Presence travels as its own flag — a null TEXT also hashes to
+    * null, and reading hash-null as "absent" would mislabel a row
+    * whose text is null in both snapshots as added/removed; the
+    * null-safe hash comparison then treats two null texts as
+    * unchanged. */
   def diff(old: DataFrame, neu: DataFrame): DataFrame = {
-    val o = old.select(col(idCol), md5(col(textCol)).as("__ho"))
-    val n = neu.select(col(idCol), md5(col(textCol)).as("__hn"))
+    val o = old.select(col(idCol), md5(col(textCol)).as("__ho"),
+      lit(true).as("__po"))
+    val n = neu.select(col(idCol), md5(col(textCol)).as("__hn"),
+      lit(true).as("__pn"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__ho").isNull, "added")
-          .when(col("__hn").isNull, "removed")
-          .when(col("__ho") === col("__hn"), "unchanged")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__ho") <=> col("__hn"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

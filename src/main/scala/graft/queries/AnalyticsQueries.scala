@@ -614,14 +614,16 @@ object AnalyticsQueries {
         |FROM merged""".stripMargin,
 
     "corpus_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0),
+      """WITH o AS (SELECT doc_id, md5(text) AS h, TRUE AS p
+        |  FROM documents WHERE doc_id % 7 != 0),
         |n AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 4 = 0 THEN text || ' edited' ELSE text END) AS h
+        |    md5(CASE WHEN doc_id % 4 = 0 THEN text || ' edited' ELSE text END) AS h,
+        |    TRUE AS p
         |  FROM documents WHERE doc_id % 5 != 0)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        |  CASE WHEN o.h IS NULL THEN 'added'
-        |       WHEN n.h IS NULL THEN 'removed'
-        |       WHEN o.h = n.h THEN 'unchanged'
+        |  CASE WHEN o.p IS NULL THEN 'added'
+        |       WHEN n.p IS NULL THEN 'removed'
+        |       WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 

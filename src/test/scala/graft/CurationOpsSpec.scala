@@ -428,5 +428,13 @@ class CurationOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sums == Map("removed" -> 1L, "unchanged" -> 1L,
       "changed" -> 1L, "added" -> 1L))
+    // null text is content, not absence: null→null is unchanged,
+    // null→"x" is changed — never added/removed
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("doc_id", "text")
+    val g2 = CorpusDiff().diff(o2, n2).as[(Long, String)].collect().toMap
+    assert(g2 == Map(1L -> "unchanged", 2L -> "changed"))
   }
 }
