@@ -225,3 +225,44 @@ case class Winsorizer(
       .drop("__lo", "__hi")
   }
 }
+
+/** Cohort retention matrix — the standard product-analytics view (and
+  * a corpus-ops one: "of the users/sources first seen in period P, how
+  * many were still active k periods later"): cohort = the period of a
+  * user's FIRST event, one output row per (cohort, period offset) with
+  * the distinct-user count still active at that offset.
+  *
+  * Scale shape: the corpus collapses IMMEDIATELY to two narrow tables —
+  * per-user first-period (one map-side-combined min) and distinct
+  * (user, period) activity pairs (bounded by users × periods, not
+  * events) — joined on the user id; the matrix itself is a tiny
+  * aggregate over that join. The event payload never shuffles. Periods
+  * truncate with `date_trunc(period)` (Monday-start weeks in both
+  * engines, session-UTC), and offsets divide exactly because both ends
+  * are truncated to the same grain. */
+case class CohortRetention(period: String = "week",
+    userCol: String = "user_id", tsCol: String = "ts") {
+
+  private val periodDays = period match {
+    case "week" => 7
+    case "day" => 1
+    case other => throw new IllegalArgumentException(
+      s"unsupported cohort period '$other' (use week or day)")
+  }
+
+  /** (cohort_start TIMESTAMP — the truncated period start, the
+    * engine-portable form — period_offset INT, n_users BIGINT). */
+  def matrix(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(date_trunc(period, col(tsCol))).as("__cw"))
+    val active = events
+      .select(col(userCol), date_trunc(period, col(tsCol)).as("__w"))
+      .distinct()
+    active.join(firsts, Seq(userCol))
+      .select(col("__cw").as("cohort_start"),
+        (datediff(col("__w"), col("__cw")) / periodDays).cast("int")
+          .as("period_offset"))
+      .groupBy("cohort_start", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -284,6 +284,14 @@ object AnalyticsQueries {
       graft.operators.CorpusDiff().diff(old, neu)
     }),
 
+    // weekly cohort retention matrix: of the users first seen in week
+    // W, how many were active W+k — two narrow aggregates + one
+    // user-keyed join; the event payload never shuffles
+    "events_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.events.CohortRetention("week").matrix(ev)
+    }),
+
     // link-graph centrality (the crawl-frontier URL quality prior):
     // 5 PageRank iterations over a deterministic 2-out synthetic graph
     "page_rank" -> ((s, dir) => {
@@ -587,6 +595,17 @@ object AnalyticsQueries {
         psiSql("floor(length(text) / 100)", "floor(length(text) / 100)",
           "length_x100")).mkString("\nUNION ALL\n")
     },
+
+    "events_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT f.cw AS cohort_start,
+        |  CAST(datediff('day', f.cw, w.w) // 7 AS INT) AS period_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "corpus_overlap_sketch" ->
       """WITH a AS (SELECT text FROM documents WHERE doc_id % 3 < 2),

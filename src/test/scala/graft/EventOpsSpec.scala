@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.events.{FunnelAnalyzer, SnapshotCompactor, Winsorizer}
+import graft.operators.events.{CohortRetention, FunnelAnalyzer, SnapshotCompactor, Winsorizer}
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, date_format}
 
 class EventOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -134,5 +135,25 @@ class EventOpsSpec extends SparkSpec {
     assert(out(9L) == 50.0)
     // p05: ceil(0.05*10)=1st → 1.0 (rounded bound); raw 1.004 > 1.0 stays
     assert(out(0L) == 1.004)
+  }
+
+  test("cohort retention: cohorts by first event, offsets count returners") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 joins week of Jan 1 (Mon), active weeks 0 and 2; u2 joins
+    // week 0, active week 0 only; u3 joins week 2 (new cohort)
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00")), (1L, t("2024-01-03 10:00:00")),
+      (1L, t("2024-01-16 10:00:00")),
+      (2L, t("2024-01-04 10:00:00")),
+      (3L, t("2024-01-17 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = CohortRetention("week").matrix(ev)
+      .select(date_format(col("cohort_start"), "yyyy-MM-dd"),
+        col("period_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-15", 0, 1L)))
+    intercept[IllegalArgumentException] { CohortRetention("month") }
   }
 }
