@@ -119,6 +119,35 @@ case class Bm25(
     }
   }
 
+  /** Re-register a [[buildIndex]]-written index in a FRESH session's
+    * catalog: the parquet files outlive the session, the (in-memory)
+    * catalog entries do not — without re-attachment a new session
+    * cannot `spark.table()` them at all, let alone recover the bucket
+    * metadata the Exchange-/Sort-free merge join depends on. Schemas
+    * come from the files themselves; bucket/sort specs are re-declared
+    * per table (postings/vocab by term sorted, lens by the id). Works
+    * under any target name, so one on-disk index can serve many
+    * sessions. */
+  def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
+      as: String, buckets: Int = 8): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def attach(suffix: String, bucketCol: String, sorted: Boolean): Unit = {
+      val loc = s"$wh/${dirOfName.toLowerCase}_$suffix"
+      val ddl = spark.read.parquet(loc).schema.toDDL
+      val sortClause = if (sorted) s"SORTED BY ($bucketCol) " else ""
+      spark.sql(s"""CREATE TABLE ${as}_$suffix ($ddl) USING parquet
+        |CLUSTERED BY ($bucketCol) ${sortClause}INTO $buckets BUCKETS
+        |LOCATION '$loc'""".stripMargin)
+    }
+    attach("postings", "term", sorted = true)
+    attach("vocab", "term", sorted = true)
+    attach("lens", idCol, sorted = false)
+    val statsLoc = s"$wh/${dirOfName.toLowerCase}_stats"
+    val statsDdl = spark.read.parquet(statsLoc).schema.toDDL
+    spark.sql(
+      s"CREATE TABLE ${as}_stats ($statsDdl) USING parquet LOCATION '$statsLoc'")
+  }
+
   def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
     import graft.sources.Sinks.bucketedTable
     dropIndexTables(docs.sparkSession, name)

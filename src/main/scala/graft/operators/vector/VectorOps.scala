@@ -234,6 +234,26 @@ case class IvfIndex(
       .saveAsTable(s"${name}_centroids")
   }
 
+  /** Re-register a [[buildIndex]]-written IVF index in a FRESH
+    * session's catalog (the [[graft.operators.text.Bm25.attachIndex]]
+    * story for the vector index): parquet files outlive the session,
+    * in-memory catalog entries do not, and the cells table's bucket
+    * metadata — which the probed-cell pruning reads — only exists as a
+    * catalog declaration. Schemas come from the files. */
+  def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
+      as: String, buckets: Int = 8): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val cellsLoc = s"$wh/${dirOfName.toLowerCase}_cells"
+    val cellsDdl = spark.read.parquet(cellsLoc).schema.toDDL
+    spark.sql(s"""CREATE TABLE ${as}_cells ($cellsDdl) USING parquet
+      |CLUSTERED BY (centroid_id) SORTED BY (centroid_id)
+      |INTO $buckets BUCKETS LOCATION '$cellsLoc'""".stripMargin)
+    val centLoc = s"$wh/${dirOfName.toLowerCase}_centroids"
+    val centDdl = spark.read.parquet(centLoc).schema.toDDL
+    spark.sql(
+      s"CREATE TABLE ${as}_centroids ($centDdl) USING parquet LOCATION '$centLoc'")
+  }
+
   /** Roll a persisted IVF index forward with a NEW batch of vectors
     * (ids disjoint from the indexed corpus — the incremental-ingest
     * contract) WITHOUT re-assigning the indexed corpus: only the batch

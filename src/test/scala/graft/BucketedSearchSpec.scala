@@ -74,4 +74,27 @@ class BucketedSearchSpec extends SparkSpec {
       spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
   }
+
+  test("attachIndex re-registers the on-disk index, merge join stays Exchange-free") {
+    val bm = Bm25()
+    bm.buildIndex(docs, "graft_bm25_att", buckets = 4)
+    bm.attachIndex(spark, "graft_bm25_att", "graft_bm25_att2", buckets = 4)
+    def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_bm25_att2") == rows("graft_bm25_att"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val plan = spark.table("graft_bm25_att2_postings")
+        .join(spark.table("graft_bm25_att2_vocab"), "term")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-declared bucketing not used:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
 }

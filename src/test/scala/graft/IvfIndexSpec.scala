@@ -71,6 +71,29 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("attachIndex re-registers the on-disk index with bucket pruning intact") {
+    val ivf = IvfIndex()
+    ivf.buildIndex(corpus, centroids, "graft_ivf_att", buckets = 4)
+    // a fresh session would have no catalog entry for the files on
+    // disk; attaching under a NEW name exercises exactly that path
+    ivf.attachIndex(spark, "graft_ivf_att", "graft_ivf_att2", buckets = 4)
+    val queries = corpus.filter($"vec_id" < 4)
+    def rows(name: String) = ivf.searchIndexed(spark, name, queries,
+      k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_ivf_att2") == rows("graft_ivf_att"))
+    // the re-declared bucket spec still prunes the scan
+    val plan = ivf.searchIndexed(spark, "graft_ivf_att2",
+      corpus.filter($"vec_id" === 0L), k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.nonEmpty && m.get.group(1).toInt < m.get.group(2).toInt)
+    spark.sql("DROP TABLE graft_ivf_att2_cells")
+    spark.sql("DROP TABLE graft_ivf_att2_centroids")
+    // the attached tables are location-backed: dropping them must not
+    // have deleted the original index's files
+    assert(rows("graft_ivf_att").nonEmpty)
+  }
+
   test("index serves queries that are not corpus rows") {
     val ivf = IvfIndex()
     ivf.buildIndex(corpus, centroids, "graft_ivf_ext", buckets = 4)
