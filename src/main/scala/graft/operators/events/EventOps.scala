@@ -55,11 +55,21 @@ case class FunnelAnalyzer(
     stages: Seq[String],
     userCol: String = "user_id",
     typeCol: String = "event_type",
-    tsCol: String = "ts") {
+    tsCol: String = "ts",
+    maxGapSeconds: Option[Long] = None) {
   require(stages.nonEmpty, "at least one funnel stage")
+  require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
 
   /** (stage_idx, stage, n_users, conversion — fraction of stage-1
-    * users, 6 dp). */
+    * users, 6 dp). With `maxGapSeconds`, stage k counts only when it
+    * happens within the gap of the user's stage-(k-1) completion time —
+    * the standard conversion-window form ("purchased within 7 days of
+    * clicking"). Semantics are GREEDY EARLIEST-COMPLETION, the funnel
+    * convention every windowed-funnel product uses: each stage advances
+    * from the earliest qualifying time, so a user whose earliest path
+    * misses the window is not re-matched against a later slower path
+    * (an optimal re-matcher is a quadratic per-user scan — a different
+    * operator). */
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -75,9 +85,14 @@ case class FunnelAnalyzer(
     val counts = Vector.newBuilder[(Int, String, Long)]
     counts += ((1, stages.head, reached.count()))
     for ((st, i) <- stages.zipWithIndex.drop(1)) {
+      val inWindow = maxGapSeconds match {
+        case Some(g) => col(tsCol) > col("__prev") &&
+          col(tsCol) <= col("__prev") + expr(s"INTERVAL $g SECOND")
+        case None => col(tsCol) > col("__prev")
+      }
       reached = narrow.filter(col(typeCol) === st)
         .join(reached.withColumnRenamed("__t", "__prev"), Seq(userCol))
-        .filter(col(tsCol) > col("__prev"))
+        .filter(inWindow)
         .groupBy(userCol).agg(min(tsCol).as("__t"))
         .localCheckpoint(true)
       counts += ((i + 1, st, reached.count()))

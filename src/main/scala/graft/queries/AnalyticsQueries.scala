@@ -213,6 +213,16 @@ object AnalyticsQueries {
       graft.operators.events.FunnelAnalyzer(Seq("view", "click", "purchase"))(ev)
     }),
 
+    // the conversion-window form: each stage must follow within 6h of
+    // the previous stage's completion (greedy earliest-completion
+    // semantics — the windowed-funnel product convention)
+    "funnel_conversion_windowed" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.events.FunnelAnalyzer(
+        Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(6L * 3600))(ev)
+    }),
+
     // robust-stats clipping to the [p05, p95] nearest-rank bounds over
     // the 2dp-rounded value domain (histogram CDF, no global sort);
     // every 97th value arrives NULL — excluded from the thresholds,
@@ -507,6 +517,26 @@ object AnalyticsQueries {
         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
         |  JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_users,
+        |  round(CAST(n_users AS DOUBLE) /
+        |    (SELECT n_users FROM c WHERE stage_idx = 1), 6) AS conversion
+        |FROM c""".stripMargin,
+
+    "funnel_conversion_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND e.ts <= s1.t + INTERVAL 21600 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND e.ts <= s2.t + INTERVAL 21600 SECOND GROUP BY 1),
         |c AS (
         |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2

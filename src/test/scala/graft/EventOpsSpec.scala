@@ -137,6 +137,27 @@ class EventOpsSpec extends SparkSpec {
     assert(out(0L) == 1.004)
   }
 
+  test("windowed funnel: out-of-gap conversions drop; greedy from earliest") {
+    val ev = Seq(
+      // u1 converts inside the 60 s gap
+      (1L, 1L, "view", ts(0), 0.0), (2L, 1L, "click", ts(30), 0.0),
+      // u2 clicks 100 s after viewing: outside the window
+      (3L, 2L, "view", ts(0), 0.0), (4L, 2L, "click", ts(100), 0.0),
+      // u3: earliest view at 0, click at 90 — greedy matches from the
+      // EARLIEST view, so the later view at 50 (which would put the
+      // click in-window) does not rescue the conversion
+      (5L, 3L, "view", ts(0), 0.0), (6L, 3L, "view", ts(50), 0.0),
+      (7L, 3L, "click", ts(90), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = FunnelAnalyzer(Seq("view", "click"),
+      maxGapSeconds = Some(60L))(ev)
+      .select("stage_idx", "n_users").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 3L, 2 -> 1L))
+    intercept[IllegalArgumentException] {
+      FunnelAnalyzer(Seq("view"), maxGapSeconds = Some(0L))
+    }
+  }
+
   test("cohort retention: cohorts by first event, offsets count returners") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
