@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
       "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
       // ann_ivf_indexed/_refreshed: hinted sides are the query batch
       // (a request, bounded by construction) and its probed-cell list
-      "ann_ivf_indexed", "ann_ivf_refreshed")
+      "ann_ivf_indexed", "ann_ivf_refreshed",
+      // search_eval_ndcg: Bm25.search's query-batch broadcast again —
+      // the results/qrels legs it adds are eval-set-bounded
+      "search_eval_ndcg")
     def boundedLeaf(leaf: LogicalPlan): Boolean = leaf match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall { p =>
