@@ -308,18 +308,51 @@ case class TopFractionByGroup(
     idCol: String = "doc_id") {
   require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame =
+    GroupQuota.select(df,
+      total => ceil(total * frac).cast("long"),
+      groupCol, scoreCol, idCol)
+}
+
+/** Per-group FIXED quota cap — the RefinedWeb/anti-spam "at most n
+  * documents per domain" rule, the fixed-count sibling of
+  * [[TopFractionByGroup]]'s fractional gate (a content farm with 10⁶
+  * pages gets the same ceiling as a blog with 10³; a fraction would
+  * still admit 10⁵ of the farm). Same histogram-quota machinery, so no
+  * per-group sort of the corpus and the payload never shuffles. */
+case class GroupCap(
+    n: Int,
+    groupCol: String = "source",
+    scoreCol: String = "score",
+    idCol: String = "doc_id") {
+  require(n > 0, "cap must be positive")
+
+  def apply(df: DataFrame): DataFrame =
+    GroupQuota.select(df, total => least(lit(n.toLong), total),
+      groupCol, scoreCol, idCol)
+}
+
+/** Shared quota-selection machinery behind [[TopFractionByGroup]] and
+  * [[GroupCap]]: keep, per group, the `quota(groupTotal)` best rows by
+  * score (ties: smallest id).
+  *
+  * Scale shape: the verdict is computed on the NARROW (id, group,
+  * score) projection and survivors semi-join back — the wide payload
+  * never sorts or shuffles for the selection (measured 5× at 1M docs:
+  * the full frame rode the (group, score) sort-merge join with its
+  * text column attached). The per-group work runs over the (group,
+  * score) HISTOGRAM — bounded by distinct scores, not rows — with one
+  * tie-boundary window over just the boundary block.
+  *
+  * NULL-score rows are deliberately excluded BEFORE the histogram: a
+  * quality gate admits only affirmatively-scored rows, and an unscored
+  * row must not inflate the group's quota (it can never survive the
+  * score equi-join anyway). Score rows upstream, or coalesce to a
+  * sentinel, if unscored rows should compete. */
+private[text] object GroupQuota {
+  def select(df: DataFrame, quota: Column => Column,
+      groupCol: String, scoreCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the verdict is computed on the NARROW (id, group, score)
-    // projection and survivors semi-join back — the wide payload never
-    // sorts or shuffles for the selection (measured 5x at 1M docs:
-    // the full frame rode the (group, score) sort-merge join with its
-    // text column attached).
-    // NULL-score rows are deliberately excluded BEFORE the histogram:
-    // a quality gate admits only affirmatively-scored rows, and an
-    // unscored row must not inflate the group's quota (it can never
-    // survive the score equi-join anyway). Score rows upstream, or
-    // coalesce to a sentinel, if unscored rows should compete.
     val narrow = df.select(col(idCol), col(groupCol), col(scoreCol))
       .where(col(scoreCol).isNotNull)
     val hist = narrow.groupBy(col(groupCol), col(scoreCol))
@@ -330,7 +363,7 @@ case class TopFractionByGroup(
     // __take = quota left when this score's tie block starts
     val marks = hist
       .withColumn("__cum", sum(col("__c")).over(byScoreDesc))
-      .withColumn("__k", ceil(sum(col("__c")).over(whole) * frac).cast("long"))
+      .withColumn("__k", quota(sum(col("__c")).over(whole)))
       .withColumn("__take", col("__k") - (col("__cum") - col("__c")))
       .filter(col("__take") > 0)
       .select(col(groupCol), col(scoreCol),

@@ -468,6 +468,16 @@ object OperatorRegistry {
         scoreCol = str(p, "score_field", "score"),
         idCol = str(p, "id_field", "doc_id"))(df))),
 
+    // per-group FIXED quota (anti-spam domain cap): at most n rows per
+    // group by a score column — the fixed-count sibling of
+    // top_fraction_by_group
+    "group_cap" -> (p => RefineOp("group_cap",
+      df => graft.operators.text.GroupCap(
+        n = int(p, "n", 1000),
+        groupCol = str(p, "group_field", "source"),
+        scoreCol = str(p, "score_field", "score"),
+        idCol = str(p, "id_field", "doc_id"))(df))),
+
     // Luhn-verified credit-card redaction (B16 extension): masks only
     // checksum-valid card numbers, counts them in n_cards
     "credit_card_redactor" -> (p => RefineOp("credit_card_redactor",

@@ -145,6 +145,16 @@ object TextQueries {
       TopFractionByGroup(frac = 0.2)(docs).select("doc_id", "source", "score")
     }),
 
+    // anti-spam fixed quota: at most 15 docs per source by quality
+    // (the fixed-count sibling of quality_topq; same null-score and
+    // tie conventions)
+    "domain_cap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("score", when(col("doc_id") % 97 === 0, lit(null))
+          .otherwise(wsTokenCount(col("text"))).cast("long"))
+      GroupCap(n = 15)(docs).select("doc_id", "source", "score")
+    }),
+
     // stratified rebalance: 50% of en, 10% of everything else
     "sample_stratified" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1005,6 +1015,21 @@ object TextQueries {
          |  FROM scored WHERE score IS NOT NULL)
          |SELECT doc_id, source, CAST(score AS BIGINT) AS score
          |FROM r WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)""".stripMargin,
+
+    "domain_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 97 = 0 THEN NULL
+         |         WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($wsToksSql) END AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored WHERE score IS NOT NULL)
+         |SELECT doc_id, source, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn <= 15""".stripMargin,
 
     "hash_sample_split" ->
       """WITH b AS (

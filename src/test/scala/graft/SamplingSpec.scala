@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.text.{CreditCardRedactor, HashSampler, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
+import graft.operators.text.{CreditCardRedactor, GroupCap, HashSampler, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -260,5 +260,18 @@ class SamplingSpec extends SparkSpec {
     assert(out(4L) == ("order 1234567890123456 shipped", 0))
     assert(out(5L) == ("totally clean", 0))
     assert(out(6L) == ("two: <CC> and <CC> !", 2))
+  }
+
+  test("GroupCap: fixed per-group quota, boundary ties by id, small groups intact") {
+    // group a: 5 rows scores 5,4,3,3,3 — cap 3 keeps 5,4 and the
+    // SMALLEST-id member of the tied 3s; group b: 2 rows < cap → all kept
+    val rows = Seq[(Long, String, Option[Double])](
+      (1L, "a", Some(5.0)), (2L, "a", Some(4.0)), (3L, "a", Some(3.0)),
+      (4L, "a", Some(3.0)), (5L, "a", Some(3.0)), (6L, "b", Some(1.0)),
+      (7L, "b", Some(9.0)), (8L, "a", None)
+    ).toDF("doc_id", "source", "score")
+    val kept = GroupCap(n = 3)(rows).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L))
+    intercept[IllegalArgumentException] { GroupCap(0) }
   }
 }
