@@ -148,6 +148,39 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     (cur, metrics)
   }
 
+  /** Per-document rejection audit — the provenance twin of the funnel:
+    * for every INPUT row, which stage dropped it (`rejected_by`, with
+    * its 1-based `stage_idx`) or `kept` (idx 0) — the "why is my
+    * document gone" answer a curation run owes its corpus users, and
+    * the per-stage sample you debug a threshold with.
+    *
+    * Staged like [[profile]] (each stage checkpointed once); each
+    * stage adds ONE left-anti join of the narrow id columns
+    * (stage-in vs stage-out) — no driver-side ids, the audit is a
+    * DataFrame union of those per-stage drop sets. Cost is the staged
+    * run plus an id-keyed anti join per stage, all on checkpointed
+    * narrow inputs. */
+  def rejectionAudit(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    var cur = df.localCheckpoint(true)
+    var audit: Option[DataFrame] = None
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val next = (op match {
+        case FilterOp(_, p) => cur.filter(p(cur))
+        case RefineOp(_, f) => f(cur)
+        case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
+      }).localCheckpoint(true)
+      val lost = cur.select(col(idCol))
+        .join(next.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), lit(i + 1).as("stage_idx"),
+          lit(op.name).as("rejected_by"))
+      audit = Some(audit.fold(lost)(_.unionByName(lost)))
+      cur = next
+    }
+    val kept = cur.select(col(idCol), lit(0).as("stage_idx"),
+      lit("kept").as("rejected_by"))
+    audit.fold(kept)(_.unionByName(kept))
+  }
+
   /** Per-stage funnel as a DataFrame (step_idx, step, n_rows) —
     * computed the staged way ([[profile]]: each stage checkpointed
     * once, counted, previous stage released), NOT via `observe`: dedup

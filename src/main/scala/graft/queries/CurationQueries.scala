@@ -93,6 +93,18 @@ object CurationQueries {
         .createTempDirectory("graft_capstone_bench").toString
       benchmarkFrame(docs).write.mode("overwrite").parquet(benchDir)
       CurationCapstone.pipeline(benchDir).funnelStaged(preppedInput(docs))
+    }),
+
+    // the provenance twin: for EVERY input document, which stage of the
+    // capstone dropped it (or 'kept') — the per-doc "why is my document
+    // gone" audit next to the funnel's per-stage counts, gated against
+    // the same chain replay
+    "curation_rejection_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val benchDir = java.nio.file.Files
+        .createTempDirectory("graft_capstone_bench").toString
+      benchmarkFrame(docs).write.mode("overwrite").parquet(benchDir)
+      CurationCapstone.pipeline(benchDir).rejectionAudit(preppedInput(docs))
     })
   )
 
@@ -125,8 +137,10 @@ object CurationQueries {
       .mkString(" AND ")
   }
 
-  def oracles: Map[String, String] = Map(
-    "pipeline_curation_funnel" -> {
+  /** The full chain as one CTE list (prep → s10) — shared by the
+    * funnel oracle (per-stage counts) and the rejection-audit oracle
+    * (per-id first-missing stage). */
+  private def chainSql: String = {
       val schemeHost = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
       val tracking = graft.functions.UrlFns.trackingParamPat
       // MinHash signature + band CTEs over the stage-7 survivors —
@@ -254,14 +268,20 @@ object CurationQueries {
          |  FROM cws WHERE len(ws) >= 5),
          |contam AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (sh)),
          |s9 AS MATERIALIZED (SELECT * FROM s8 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-         |s10 AS MATERIALIZED (
+         |s10_ AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT s9.*,
          |      row_number() OVER (PARTITION BY source ORDER BY g_word_count DESC, doc_id) AS rn,
          |      count(*) OVER (PARTITION BY source) AS ng
          |    FROM s9) t
-         |  WHERE rn <= CAST(ceil(ng * 0.5) AS BIGINT))
-         |SELECT 0 AS step_idx, 'input' AS step, count(*) AS n_rows FROM inp
+         |  WHERE rn <= CAST(ceil(ng * 0.5) AS BIGINT)),
+         |s10 AS MATERIALIZED (SELECT * FROM s10_)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_curation_funnel" ->
+      (chainSql + "\n" +
+      s"""SELECT 0 AS step_idx, 'input' AS step, count(*) AS n_rows FROM inp
          |UNION ALL SELECT 1, 'unicode_normalizer', count(*) FROM s1
          |UNION ALL SELECT 2, 'url_deduplicator', count(*) FROM s2
          |UNION ALL SELECT 3, 'url_filter', count(*) FROM s3
@@ -272,7 +292,32 @@ object CurationQueries {
          |UNION ALL SELECT 8, 'quality_survivor_deduplicator', count(*) FROM s8
          |UNION ALL SELECT 9, 'decontaminator', count(*) FROM s9
          |UNION ALL SELECT 10, 'top_fraction_by_group', count(*) FROM s10
-         |UNION ALL SELECT 11, 'training_shard_assigner', count(*) FROM s10""".stripMargin
+         |UNION ALL SELECT 11, 'training_shard_assigner', count(*) FROM s10""".stripMargin),
+
+    "curation_rejection_audit" -> {
+      // first-missing stage per input id; refine stages (1, 11) drop
+      // nothing by construction
+      val stages = Seq(
+        (2, "s2", "url_deduplicator"), (3, "s3", "url_filter"),
+        (4, "s4", "text_length_filter"), (5, "s5", "gopher_quality_filter"),
+        (6, "s6", "c4_cleaner"), (7, "s7", "text_exact_deduplicator"),
+        (8, "s8", "quality_survivor_deduplicator"), (9, "s9", "decontaminator"),
+        (10, "s10", "top_fraction_by_group"))
+      val joins = stages.map { case (_, t, _) =>
+        s"LEFT JOIN (SELECT doc_id FROM $t) $t ON i.doc_id = $t.doc_id"
+      }.mkString("\n|")
+      val idxCase = stages.map { case (i, t, _) =>
+        s"WHEN $t.doc_id IS NULL THEN $i"
+      }.mkString(" ")
+      val nameCase = stages.map { case (_, t, n) =>
+        s"WHEN $t.doc_id IS NULL THEN '$n'"
+      }.mkString(" ")
+      chainSql + "\n" +
+        s"""SELECT i.doc_id,
+           |  CAST(CASE $idxCase ELSE 0 END AS INT) AS stage_idx,
+           |  CASE $nameCase ELSE 'kept' END AS rejected_by
+           |FROM inp i
+           |$joins""".stripMargin
     }
   )
 }

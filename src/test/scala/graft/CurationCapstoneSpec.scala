@@ -72,6 +72,29 @@ class CurationCapstoneSpec extends SparkSpec {
       "no re-crawl survivor at all — the quality keep-best rule never fired")
   }
 
+  test("rejection audit partitions the input and reconciles with the funnel") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val inp = CurationQueries.preppedInput(docs)
+    val pipe = CurationCapstone.pipeline(writeBench())
+    val audit = pipe.rejectionAudit(inp)
+      .as[(Long, Int, String)].collect()
+    // every input row appears exactly once
+    assert(audit.length == inp.count())
+    assert(audit.map(_._1).distinct.length == audit.length)
+    // kept set == the chain's actual survivors
+    val keptIds = audit.filter(_._3 == "kept").map(_._1).toSet
+    assert(keptIds == pipe(inp).select("doc_id").as[Long].collect().toSet)
+    // per-stage drop counts reconcile with the funnel deltas
+    val funnel = pipe.funnelStaged(inp).orderBy("step_idx")
+      .as[(Int, String, Long)].collect()
+    val drops = audit.filter(_._3 != "kept")
+      .groupBy(_._2).map { case (i, rows) => i -> rows.length.toLong }
+    funnel.sliding(2).foreach { case Array((_, _, a), (i, _, b)) =>
+      assert(drops.getOrElse(i, 0L) == a - b,
+        s"stage $i: audit says ${drops.getOrElse(i, 0L)} drops, funnel says ${a - b}")
+    }
+  }
+
   test("end-to-end YAML job run writes curated output with shard layout") {
     val docs = Tables.load(spark, sfDir, "documents")
     val inDir = java.nio.file.Files.createTempDirectory("capstone_in").toString
