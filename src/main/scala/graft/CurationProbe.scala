@@ -94,6 +94,18 @@ object CurationProbe {
     val t1 = System.nanoTime()
     val n = CurationCapstone.pipeline(benchDir)(input).count()
     println(f"CAPSTONE_FUSED rows_out=$n ${(System.nanoTime() - t1) / 1e9}%.1f s cores=$cpus")
+
+    // --- per-doc rejection audit: the provenance pass (staged run +
+    // one narrow id anti-join per stage; no driver-side ids) ---
+    if (args.contains("audit")) {
+      val t2 = System.nanoTime()
+      val byStage = CurationCapstone.pipeline(benchDir)
+        .rejectionAudit(input)
+        .groupBy("stage_idx", "rejected_by").count()
+        .orderBy("stage_idx").collect()
+      println(f"CAPSTONE_AUDIT total ${(System.nanoTime() - t2) / 1e9}%.1f s cores=$cpus")
+      byStage.foreach(r => println(s"AUDIT ${r.getInt(0)} ${r.getString(1)} ${r.getLong(2)}"))
+    }
     spark.stop()
   }
 }
