@@ -169,6 +169,7 @@ case class CorpusDrift(threshold: Double = 0.2, eps: Double = 1e-6) {
   * each side come from the same three sets. */
 case class CorpusOverlapSketch(k: Int = 256,
     idCol: String = "doc_id", textCol: String = "text") {
+  require(k > 0, "sketch size k must be positive")
 
   // md5-prefix hash (not xxhash64): the oracle replays the exact
   // estimator value, and DuckDB can rebuild this hash bit for bit
@@ -224,6 +225,9 @@ case class CorpusDiff(idCol: String = "doc_id", textCol: String = "text") {
     * whose text is null in both snapshots as added/removed; the
     * null-safe hash comparison then treats two null texts as
     * unchanged. */
+  /** Snapshots are keyed tables: ids must be unique per snapshot (a
+    * duplicate id would fan the full-outer join out multiplicatively,
+    * as in any keyed merge). */
   def diff(old: DataFrame, neu: DataFrame): DataFrame = {
     val o = old.select(col(idCol), md5(col(textCol)).as("__ho"),
       lit(true).as("__po"))

@@ -266,11 +266,18 @@ case class CohortRetention(period: String = "week",
   }
 
   /** (cohort_start TIMESTAMP — the truncated period start, the
-    * engine-portable form — period_offset INT, n_users BIGINT). */
+    * engine-portable form — period_offset INT, n_users BIGINT).
+    * Rows with a null timestamp carry no activity evidence and are
+    * excluded up front (a null week would otherwise produce a null
+    * cohort/offset row, and `min` skipping nulls would silently cohort
+    * a user by their first NON-null event anyway — this makes the
+    * convention explicit). Null user ids form one real group, the
+    * grouping convention everywhere else in the repo. */
   def matrix(events: DataFrame): DataFrame = {
-    val firsts = events.groupBy(col(userCol))
+    val ev = events.where(col(tsCol).isNotNull)
+    val firsts = ev.groupBy(col(userCol))
       .agg(min(date_trunc(period, col(tsCol))).as("__cw"))
-    val active = events
+    val active = ev
       .select(col(userCol), date_trunc(period, col(tsCol)).as("__w"))
       .distinct()
     active.join(firsts, Seq(userCol))

@@ -22,7 +22,9 @@ object SearchEval {
 
   /** (queryCol, ndcg) per judged query, 6 dp. `results` carries
     * (queryCol, docCol, rankCol); `qrels` carries (queryCol, docCol,
-    * relCol ≥ 0). */
+    * relCol ≥ 0) with ONE row per judged pair (the qrels-file
+    * contract; a duplicate judgment would double its DCG term through
+    * the join). */
   def ndcgAtK(results: DataFrame, qrels: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
       rankCol: String = "rnk", relCol: String = "rel"): DataFrame = {

@@ -159,7 +159,10 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     * (stage-in vs stage-out) — no driver-side ids, the audit is a
     * DataFrame union of those per-stage drop sets. Cost is the staged
     * run plus an id-keyed anti join per stage, all on checkpointed
-    * narrow inputs. */
+    * narrow inputs. `idCol` must be unique per input row (the corpus
+    * contract every dedup in the chain already assumes); the audit's
+    * "exactly one verdict per row" property is the spec's first
+    * assertion. */
   def rejectionAudit(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     var cur = df.localCheckpoint(true)
     var audit: Option[DataFrame] = None
