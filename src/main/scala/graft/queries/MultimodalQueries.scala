@@ -79,6 +79,15 @@ object MultimodalQueries {
     "multimodal_curation_funnel" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       MultimodalCapstone.pipeline.funnelStaged(preppedInput(docs))
+    }),
+
+    // the provenance twin (same pattern as curation_rejection_audit):
+    // which stage dropped each input row, gated against the same chain
+    // replay; the two same-named hamming-dedup stages disambiguate by
+    // stage_idx
+    "multimodal_rejection_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      MultimodalCapstone.pipeline.rejectionAudit(preppedInput(docs))
     })
   )
 
@@ -100,8 +109,9 @@ object MultimodalQueries {
       s"CASE WHEN 2*c[${i + 1}] > m2 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
 
-  def oracles: Map[String, String] = Map(
-    "multimodal_curation_funnel" -> {
+  /** The full chain as one CTE list (inp → s11) — shared by the
+    * funnel oracle and the rejection-audit oracle. */
+  private def chainSql: String = {
       val hex15 = ImageQueries.hexInt("text", 15)
       val hexW = ImageQueries.hexInt("text || ':w'", 6)
       val hexH = ImageQueries.hexInt("text || ':h'", 6)
@@ -220,8 +230,13 @@ object MultimodalQueries {
          |  GROUP BY 1, 2 HAVING count(*) >= 5),
          |s11 AS MATERIALIZED (
          |  SELECT s10.* FROM s10
-         |  WHERE NOT EXISTS (SELECT 1 FROM vpairs p WHERE p.ib = s10.doc_id))
-         |SELECT 0 AS step_idx, 'input' AS step, count(*) AS n_rows FROM inp
+         |  WHERE NOT EXISTS (SELECT 1 FROM vpairs p WHERE p.ib = s10.doc_id))""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "multimodal_curation_funnel" ->
+      (chainSql + "\n" +
+      s"""SELECT 0 AS step_idx, 'input' AS step, count(*) AS n_rows FROM inp
          |UNION ALL SELECT 1, 'synthetic_image_column', count(*) FROM inp
          |UNION ALL SELECT 2, 'synthetic_caption_column', count(*) FROM inp
          |UNION ALL SELECT 3, 'image_technical_quality_refiner', count(*) FROM inp
@@ -233,7 +248,28 @@ object MultimodalQueries {
          |UNION ALL SELECT 9, 'audio_fingerprint', count(*) FROM s7
          |UNION ALL SELECT 10, 'phash_hamming_dedup', count(*) FROM s10
          |UNION ALL SELECT 11, 'video_frame_dedup', count(*) FROM s11
-         |UNION ALL SELECT 12, 'training_shard_assigner', count(*) FROM s11""".stripMargin
+         |UNION ALL SELECT 12, 'training_shard_assigner', count(*) FROM s11""".stripMargin),
+
+    "multimodal_rejection_audit" -> {
+      val stages = Seq(
+        (4, "s4", "image_quality_filter"), (6, "s6", "phash_hamming_dedup"),
+        (7, "s7", "clip_score_filter"), (10, "s10", "phash_hamming_dedup"),
+        (11, "s11", "video_frame_dedup"))
+      val joins = stages.map { case (_, t, _) =>
+        s"LEFT JOIN (SELECT doc_id FROM $t) $t ON i.doc_id = $t.doc_id"
+      }.mkString("\n|")
+      val idxCase = stages.map { case (i, t, _) =>
+        s"WHEN $t.doc_id IS NULL THEN $i"
+      }.mkString(" ")
+      val nameCase = stages.map { case (_, t, n) =>
+        s"WHEN $t.doc_id IS NULL THEN '$n'"
+      }.mkString(" ")
+      chainSql + "\n" +
+        s"""SELECT i.doc_id,
+           |  CAST(CASE $idxCase ELSE 0 END AS INT) AS stage_idx,
+           |  CASE $nameCase ELSE 'kept' END AS rejected_by
+           |FROM inp i
+           |$joins""".stripMargin
     }
   )
 }

@@ -81,6 +81,23 @@ class MultimodalCapstoneSpec extends SparkSpec {
       "a brightness-shift video twin survived the frame-DCT dedup with its base")
   }
 
+  test("rejection audit partitions the input and reconciles with the funnel") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val inp = MultimodalQueries.preppedInput(docs)
+    val pipe = MultimodalCapstone.pipeline
+    val audit = pipe.rejectionAudit(inp).as[(Long, Int, String)].collect()
+    assert(audit.length == inp.count())
+    assert(audit.map(_._1).distinct.length == audit.length)
+    val funnel = pipe.funnelStaged(inp).orderBy("step_idx")
+      .as[(Int, String, Long)].collect()
+    val drops = audit.filter(_._3 != "kept")
+      .groupBy(_._2).map { case (i, rows) => i -> rows.length.toLong }
+    funnel.sliding(2).foreach { case Array((_, _, a), (i, _, b)) =>
+      assert(drops.getOrElse(i, 0L) == a - b,
+        s"stage $i: audit says ${drops.getOrElse(i, 0L)}, funnel says ${a - b}")
+    }
+  }
+
   test("end-to-end YAML job run writes curated output with shard layout") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val inDir = java.nio.file.Files.createTempDirectory("mm_capstone_in").toString
