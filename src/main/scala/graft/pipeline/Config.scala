@@ -572,6 +572,15 @@ object OperatorRegistry {
     // test-corpus helper like synthetic_image_column: derive a url
     // column from (source, id) so URL-stage configs run end to end on
     // the url-less synthetic documents table
+    // test-corpus page shaping (SyntheticPages.pageText): gives the
+    // single-line synthetic soup the multi-line punctuated structure
+    // the page-level cleaners act on — a real crawl arrives as pages
+    "synthetic_page_column" -> (p => RefineOp("synthetic_page_column",
+      df => df.withColumn(str(p, "text_field", "text"),
+        graft.operators.text.SyntheticPages.pageText(
+          col(str(p, "text_field", "text")),
+          col(str(p, "id_field", "doc_id")))))),
+
     "synthetic_url_column" -> (p => RefineOp("synthetic_url_column",
       df => df.withColumn(str(p, "url_field", "url"),
         concat(lit("https://www."), col(str(p, "source_field", "source")),

@@ -86,9 +86,19 @@ case class Pipeline(ops: Seq[PipelineOp]) {
   }
 
   /** (step, n_rows) after an action has materialized the observed
-    * DataFrame. */
+    * DataFrame. A stage whose observe node never executed reports -1
+    * (rendered "n/a"): operators with INTERNAL iteration checkpoints —
+    * the MinHash-components survivor dedup's loop state, PageRank —
+    * must cut lineage mid-algorithm regardless of observation (without
+    * the cut their recursive plans explode), and that cut buries every
+    * upstream CollectMetrics inside an opaque RDD. Exact per-stage
+    * counts for such chains come from the staged paths
+    * ([[funnelStaged]] / `graft.Main profile`), which this report
+    * points at instead of crashing the run. */
   def funnelReport(obs: Seq[(String, Observation)]): Seq[(String, Long)] =
-    obs.map { case (name, o) => name -> o.get("n").asInstanceOf[Long] }
+    obs.map { case (name, o) =>
+      name -> o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(-1L)
+    }
 
   /** Streaming twin of [[observed]]: NAMED observe nodes, which the
     * engine reports per micro-batch through
@@ -228,15 +238,25 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     sb.append("=" * 60).append('\n')
     val input = funnel.headOption.map(_._2).getOrElse(0L)
     val output = funnel.lastOption.map(_._2).getOrElse(0L)
-    val pct = if (input > 0) 100.0 * output / input else 0.0
-    sb.append(f"Input: $input%,d -> Output: $output%,d ($pct%.1f%% pass)%n")
-    if (wallSeconds > 0) {
-      sb.append(f"Total time: $wallSeconds%.2fs  Throughput: ${input / wallSeconds}%,.0f records/sec%n")
+    if (input >= 0) {
+      val pct = if (input > 0) 100.0 * output / input else 0.0
+      sb.append(f"Input: $input%,d -> Output: $output%,d ($pct%.1f%% pass)%n")
+      if (wallSeconds > 0)
+        sb.append(f"Total time: $wallSeconds%.2fs  Throughput: ${input / wallSeconds}%,.0f records/sec%n")
+    } else {
+      sb.append(f"Output: $output%,d (input count not observable — run `profile` for exact counts)%n")
+      if (wallSeconds > 0) sb.append(f"Total time: $wallSeconds%.2fs%n")
     }
     funnel.sliding(2).foreach {
       case Seq((_, in), (op, out)) =>
-        val p = if (in > 0) 100.0 * out / in else 0.0
-        sb.append(f"  $op%-32s $out%,12d ($p%.1f%% pass)%n")
+        if (out < 0)
+          sb.append(f"  $op%-32s ${"n/a"}%12s (stage not observable here — run `profile` for exact counts)%n")
+        else if (in < 0)
+          sb.append(f"  $op%-32s $out%,12d (pass rate n/a — previous stage not observable)%n")
+        else {
+          val p = if (in > 0) 100.0 * out / in else 0.0
+          sb.append(f"  $op%-32s $out%,12d ($p%.1f%% pass)%n")
+        }
       case _ =>
     }
     sb.append("=" * 60)

@@ -38,18 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  /** The `c4_clean`-style page derivation + capstone plantings. */
+  /** The `c4_clean`-style page derivation + capstone plantings
+    * (shared: [[graft.operators.text.SyntheticPages.pageText]] — the
+    * registry's `synthetic_page_column` op uses the same formula). */
   private def pageText(text: Column, id: Column): Column =
-    regexp_replace(
-      concat(
-        regexp_replace(
-          regexp_replace(text,
-            "(table|value|part|row|data|join|key|hash)", "$1."),
-          "spark", "javascript"),
-        when(id % 10 === 0, lit(" donâ€™t stop.")).otherwise(lit("")),
-        when(id % 11 === 0, lit(" lorem ipsum")).otherwise(lit("")),
-        when(id % 13 === 0, lit(" {")).otherwise(lit(""))),
-      "((?:\\S+ ){4}\\S+) ", "$1\n")
+    graft.operators.text.SyntheticPages.pageText(text, id)
 
   private def urlOf(path: String): Column =
     concat(lit("https://www."), col("source"), lit(s".example.com/$path/"),

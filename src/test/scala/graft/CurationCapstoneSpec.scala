@@ -28,11 +28,12 @@ class CurationCapstoneSpec extends SparkSpec {
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("configs/example_fineweb_curation.yaml")), "UTF-8")
     val parsed = PipelineConfig.parseJob(yaml)
-    // the YAML prepends the test-corpus url derivation; from there on
-    // the op chain must match the canonical capstone ops exactly
+    // the YAML prepends the test-corpus page + url derivations; from
+    // there on the op chain must match the canonical capstone ops
     val yamlOps = parsed.pipeline.ops.map(_.name)
-    assert(yamlOps.head == "synthetic_url_column")
-    assert(yamlOps.tail == CurationCapstone.ops("ignored").map(_._1))
+    assert(yamlOps.take(2) ==
+      Seq("synthetic_page_column", "synthetic_url_column"))
+    assert(yamlOps.drop(2) == CurationCapstone.ops("ignored").map(_._1))
   }
 
   test("capstone funnel is monotone and every dedup layer does distinct work") {
@@ -98,12 +99,10 @@ class CurationCapstoneSpec extends SparkSpec {
   test("end-to-end YAML job run writes curated output with shard layout") {
     val docs = Tables.load(spark, sfDir, "documents")
     val inDir = java.nio.file.Files.createTempDirectory("capstone_in").toString
-    // the YAML job reads page-shaped rows (a real crawl arrives as
-    // pages; the synthetic corpus is single-line soup, so the oracle
-    // key's derivation stands in) — url re-derived by the config's
-    // synthetic_url_column stage
-    CurationQueries.preppedInput(docs).drop("url")
-      .write.mode("overwrite").parquet(s"$inDir/in")
+    // the YAML job is self-contained on the RAW corpus: its
+    // synthetic_page_column / synthetic_url_column prep stages derive
+    // the page shape and url the cleaners act on
+    docs.write.mode("overwrite").parquet(s"$inDir/in")
     val outDir = java.nio.file.Files.createTempDirectory("capstone_out").toString
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("configs/example_fineweb_curation.yaml")), "UTF-8")
