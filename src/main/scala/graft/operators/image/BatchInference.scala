@@ -122,14 +122,19 @@ object VideoOps {
   /** Deterministically sample `n` equally-spaced byte windows of
     * `frameBytes` from the payload — the shape of frame sampling
     * (replace the slice with a real decoder's frame fetch). Output:
-    * array<struct<frame_idx:int, frame:binary>>. */
+    * array<struct<frame_idx:int, frame:binary>>.
+    *
+    * The stride is an INTEGER (floor of the even spacing, min 1) so an
+    * oracle can replay offsets with plain integer division — a
+    * fractional stride truncated per-frame diverges from `//`-style
+    * replay whenever (len - frameBytes) is not a multiple of n-1. */
   def frameSample(video: Column, n: Int, frameBytes: Int = 256): Column = {
     val len = octet_length(video)
+    val stride = greatest(
+      floor((len - frameBytes) / math.max(n - 1, 1).toDouble).cast("int"), lit(1))
     transform(sequence(lit(0), lit(n - 1)), i => struct(
       i.cast("int").as("frame_idx"),
-      substring(video,
-        (i * greatest((len - frameBytes) / math.max(n - 1, 1), lit(1)) + 1).cast("int"),
-        lit(frameBytes)).as("frame")))
+      substring(video, (i * stride + 1).cast("int"), lit(frameBytes)).as("frame")))
   }
 
   /** Stub resize: real implementation decodes + scales; the stub keeps

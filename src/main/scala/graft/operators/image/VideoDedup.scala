@@ -104,14 +104,20 @@ case class VideoFrameDedup(
       .filter(col("ha") <= col("hb"))
       .select("frame_idx", "ha", "hb").distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= radius)
-    // back to videos: every (a, b) sharing a neighbor-rep aligned frame
+    // back to videos: every (a, b) sharing a neighbor-rep aligned frame.
+    // repPairs is canonicalized ha <= hb, so the back join's (id_a, id_b)
+    // orientation is HASH order, not id order — canonicalize with
+    // least/greatest (a plain id_a < id_b filter would drop every
+    // radius>0 match where the smaller-id video holds the larger hash)
     val matched = repPairs
       .join(kept.select(col("frame_idx"), col("frame_hash").as("ha"),
         col(idCol).as("id_a")), Seq("frame_idx", "ha"))
       .join(kept.select(col("frame_idx"), col("frame_hash").as("hb"),
         col(idCol).as("id_b")), Seq("frame_idx", "hb"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "frame_idx").distinct()
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("frame_idx"))
+      .distinct()
     matched.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatches)

@@ -153,6 +153,37 @@ class ImageOpsSpec extends SparkSpec {
     assert(DctKernels.dctPhash(Array.emptyByteArray, 60).isEmpty)
   }
 
+  test("VideoFrameDedup: match counting is orientation-free (r13 ADVICE high)") {
+    // regression: repPairs is canonicalized ha <= hb, and the old
+    // id_a < id_b filter after the back join dropped every nonzero-
+    // distance match where the smaller-ID video held the LARGER hash —
+    // half the aligned matches of a real re-encode
+    // aperiodic deterministic bytes (a repeated phrase collapses to 2
+    // distinct frames and may land one orientation only)
+    val a = Array.tabulate(1800)(j => (33 + (j * 131 + 7) % 90).toByte)
+    val b = a.clone()
+    // one-byte edit inside every sampled frame window (integer stride,
+    // matching VideoOps.frameSample): each moves that frame's DCT hash
+    // a few bits in a content-dependent direction
+    val stride = math.max((a.length - 64) / 7, 1)
+    (0 until 8).foreach(i => b(i * stride + 10) = ('A' + i).toByte)
+    val d = VideoFrameDedup(minMatches = 1)
+    def hashes(id: Long, v: Array[Byte]): Map[Int, Long] =
+      d.frameHashes(Seq((id, v)).toDF("doc_id", "video"))
+        .select($"frame_idx", $"frame_hash").as[(Int, Long)].collect().toMap
+    val (fa, fb) = (hashes(1L, a), hashes(2L, b))
+    val within = (0 until 8).filter(i =>
+      java.lang.Long.bitCount(fa(i) ^ fb(i)) <= d.radius)
+    // the planted corpus must exercise BOTH orientations among matched
+    // frames, else this test proves nothing
+    assert(within.exists(i => fa(i) < fb(i)) && within.exists(i => fa(i) > fb(i)),
+      s"edits gave one orientation only: ${within.map(i => (fa(i), fb(i)))}")
+    val pairs = d.candidatePairs(Seq((1L, a), (2L, b)).toDF("doc_id", "video"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, within.size.toLong)),
+      s"expected all ${within.size} in-radius aligned frames counted, got $pairs")
+  }
+
   test("VideoFrameDedup: brightness-shifted re-encode dedups at hamming 0") {
     def vid(s: String): Array[Byte] = (s * 40).getBytes("UTF-8")
     val a = vid("the quick brown fox jumps over the lazy dog ")
