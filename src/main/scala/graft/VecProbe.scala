@@ -81,13 +81,15 @@ object VecProbe {
     * serve cost tracks the probed cells' size, direct cost tracks the
     * corpus.
     *
-    * {{{ graft.VecProbe ivfserve <sfDir> <k> <batchN> <batches> }}}
+    * {{{ graft.VecProbe ivfserve <sfDir> <nCentroids> <buckets> <batchN> <batches> }}}
+    * (`nCentroids` sizes the index's cell count; the search k itself is
+    * fixed at 5, the registry key's value)
     */
   def ivfServeMain(args: Array[String]): Unit = {
     require(args.length == 5,
-      "usage: VecProbe ivfserve <sfDir> <k> <buckets> <batchN> <batches>")
-    val Array(dir, kS, bS, batchNS, batchesS) = args
-    val (k, buckets) = (kS.toInt, bS.toInt)
+      "usage: VecProbe ivfserve <sfDir> <nCentroids> <buckets> <batchN> <batches>")
+    val Array(dir, ncS, bS, batchNS, batchesS) = args
+    val (nCentroids, buckets) = (ncS.toInt, bS.toInt)
     val (batchN, batches) = (batchNS.toInt, batchesS.toInt)
     val spark = GraftSession.local("graft-vecprobe-ivfserve")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -100,7 +102,7 @@ object VecProbe {
       .write.mode("overwrite").parquet(corpusPath)
     val emb = spark.read.parquet(corpusPath)
     println(s"CORPUS rows=${emb.count()}")
-    val cents = emb.filter(col("vec_id") < k)
+    val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
       .localCheckpoint(true)

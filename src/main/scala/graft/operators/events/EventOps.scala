@@ -280,7 +280,11 @@ case class CohortRetention(period: String = "week",
     val active = ev
       .select(col(userCol), date_trunc(period, col(tsCol)).as("__w"))
       .distinct()
-    active.join(firsts, Seq(userCol))
+    // null-safe equality: null user ids form ONE real group (the repo's
+    // grouping convention, and what groupBy above already did) — a plain
+    // equi-join would silently drop their activity from the matrix
+    active.as("a").join(firsts.as("f"),
+        col(s"a.$userCol") <=> col(s"f.$userCol"))
       .select(col("__cw").as("cohort_start"),
         (datediff(col("__w"), col("__cw")) / periodDays).cast("int")
           .as("period_offset"))

@@ -634,7 +634,7 @@ object AnalyticsQueries {
         |SELECT f.cw AS cohort_start,
         |  CAST(datediff('day', f.cw, w.w) // 7 AS INT) AS period_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
-        |FROM w JOIN f USING (user_id)
+        |FROM w JOIN f ON w.user_id IS NOT DISTINCT FROM f.user_id
         |GROUP BY 1, 2""".stripMargin,
 
     "corpus_overlap_sketch" ->

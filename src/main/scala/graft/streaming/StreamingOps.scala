@@ -155,15 +155,25 @@ object StreamingOps {
     * batch `refreshIndex(newRows, fromName, toName)`) forward one
     * micro-batch at a time under the versioned-artifact convention.
     * Each non-empty batch refreshes the CURRENT version into
-    * `<base>_v<batchId+1>` and flips the in-memory pointer; readers of
-    * an old version are never disturbed, and a crashed refresh leaves
-    * the prior version intact (the batch refreshIndex contract). A
-    * replayed micro-batch after restart rewrites its target version
-    * from scratch (refresh drops the target first), so the
-    * foreachBatch at-least-once contract composes to effectively-once
-    * index versions. At deployment the live pointer would persist via
-    * the Sinks snapshot-commit discipline; here it is process-local
-    * (`currentVersion`).
+    * `<base>_v<batchId+1>` and flips the pointer; readers of an old
+    * version are never disturbed, and a crashed refresh leaves the
+    * prior version intact (the batch refreshIndex contract).
+    *
+    * Effectively-once across RESTARTS via the [[graft.sources.Sinks]]
+    * write-marker-after-data discipline, not a process-local pointer:
+    * after a refresh completes, a commit record `c<batchId>` naming the
+    * new version lands (tmp + atomic rename) in
+    * `<warehouse>/<base>__index_log/`. On start the live pointer
+    * recovers from the HIGHEST committed record ([[recoverIndexState]];
+    * `startVersion` is only the empty-log fallback), and a replayed
+    * micro-batch (id ≤ last committed id) is SKIPPED — without the
+    * log, a replay would refresh from the original base version and
+    * silently drop every earlier committed batch's documents. A crash
+    * MID-refresh leaves no record, so the replay rebuilds that version
+    * from the recovered pointer (refresh drops a torn target first).
+    * Caller contract: restarts must reuse the stream checkpoint (batch
+    * ids monotone — standard Structured Streaming); a fresh checkpoint
+    * against an existing base needs a fresh base or a cleared log.
     *
     * Returns the DataStreamWriter (caller adds checkpoint options and
     * starts) plus the live-version handle. */
@@ -171,16 +181,71 @@ object StreamingOps {
       refresh: (DataFrame, String, String) => Unit)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
          java.util.concurrent.atomic.AtomicReference[String]) = {
-    val live = new java.util.concurrent.atomic.AtomicReference[String](startVersion)
+    val spark = docs.sparkSession
+    val (recovered, committedId) = recoverIndexState(spark, base, startVersion)
+    val live = new java.util.concurrent.atomic.AtomicReference[String](recovered)
+    val lastCommitted = new java.util.concurrent.atomic.AtomicLong(committedId)
     val writer = docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
+        if (id > lastCommitted.get && !batch.isEmpty) {
           val to = s"${base}_v${id + 1}"
           refresh(batch, live.get, to)
+          writeIndexCommit(spark, base, id, to)
           live.set(to)
+          lastCommitted.set(id)
         }
     }
     (writer, live)
+  }
+
+  private def indexLogDir(spark: org.apache.spark.sql.SparkSession,
+      base: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${base.toLowerCase(java.util.Locale.ROOT)}__index_log")
+
+  /** (live version, last committed batch id) from the commit log;
+    * (`startVersion`, -1) when no batch ever committed. */
+  def recoverIndexState(spark: org.apache.spark.sql.SparkSession,
+      base: String, startVersion: String): (String, Long) = {
+    val dir = indexLogDir(spark, base)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = "^c(\\d+)$".r
+    val recs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+        case pat(n) => Some(n.toLong -> st.getPath)
+        case _ => None
+      })
+    if (recs.isEmpty) (startVersion, -1L)
+    else {
+      val (id, p) = recs.maxBy(_._1)
+      val in = fs.open(p)
+      val ver =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      (ver, id)
+    }
+  }
+
+  /** Clear the commit log — a NEW deployment over a reused base name
+    * (fresh checkpoint, batch ids restarting at 0). */
+  def clearIndexLog(spark: org.apache.spark.sql.SparkSession,
+      base: String): Unit = {
+    val dir = indexLogDir(spark, base)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  private def writeIndexCommit(spark: org.apache.spark.sql.SparkSession,
+      base: String, id: Long, version: String): Unit = {
+    val dir = indexLogDir(spark, base)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"c$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"c$id"))
   }
 
   def compactStream(events: DataFrame): DataFrame = {

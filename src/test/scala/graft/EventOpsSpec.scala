@@ -176,5 +176,19 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Set(("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
       ("2024-01-15", 0, 1L)))
     intercept[IllegalArgumentException] { CohortRetention("month") }
+
+    // null user ids form ONE real group (r13 ADVICE: the equi-join was
+    // silently dropping their activity): one anonymous "user" first
+    // seen week 0, returning week 1
+    val withNull = Seq(
+      (Some(1L), t("2024-01-02 10:00:00")),
+      (Option.empty[Long], t("2024-01-02 11:00:00")),
+      (Option.empty[Long], t("2024-01-09 11:00:00")))
+      .toDF("user_id", "ts")
+    val gotNull = CohortRetention("week").matrix(withNull)
+      .select(date_format(col("cohort_start"), "yyyy-MM-dd"),
+        col("period_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(gotNull == Set(("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L)))
   }
 }

@@ -14,6 +14,7 @@ class IndexStreamSpec extends SparkSpec {
 
   test("streamed BM25 refreshes converge to the full-corpus build") {
     implicit val ctx = spark.sqlContext
+    StreamingOps.clearIndexLog(spark, "graft_bm25s")
     val bm = Bm25()
     val d0 = Seq((1L, "apple banana plum"), (2L, "cherry apple words here"))
       .toDF("doc_id", "text")
@@ -47,8 +48,53 @@ class IndexStreamSpec extends SparkSpec {
       .count() >= 0)
   }
 
+  test("index maintenance recovers the live pointer across restarts") {
+    // r13 ADVICE: the pointer was process-local, so a restart replaying
+    // a micro-batch refreshed from the ORIGINAL base version and the
+    // new version silently dropped every earlier committed batch's
+    // documents. Now the commit log recovers (version, last batch id):
+    // replayed ids skip, new batches refresh from the recovered tip.
+    implicit val ctx = spark.sqlContext
+    StreamingOps.clearIndexLog(spark, "graft_bm25rc")
+    val bm = Bm25()
+    val d0 = Seq((1L, "apple banana plum"), (2L, "cherry apple words here"))
+      .toDF("doc_id", "text")
+    bm.buildIndex(d0, "graft_bm25rc_v0", buckets = 4)
+    val b0 = Seq((3L, "durian and a tail of words"))
+    val b1 = Seq((4L, "apple apple banana"), (5L, "cherry banana durian"))
+    def run(batches: Seq[Seq[(Long, String)]]): String = {
+      val mem = MemoryStream[(Long, String)]
+      val (writer, live) = StreamingOps.indexMaintenance(
+        mem.toDF().toDF("doc_id", "text"), "graft_bm25rc", "graft_bm25rc_v0",
+        (batch, from, to) => bm.refreshIndex(batch, from, to, buckets = 4))
+      val ckpt = java.nio.file.Files.createTempDirectory("bm25rc_ckpt").toString
+      val q = writer.option("checkpointLocation", ckpt).start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      live.get
+    }
+    assert(run(Seq(b0, b1)) == "graft_bm25rc_v2")
+    // "restart": recovered pointer is the last flipped version, the two
+    // replayed micro-batches (ids 0 and 1 again) are skipped — they are
+    // already folded into v2 — and only the genuinely new third batch
+    // rolls the index forward
+    assert(StreamingOps.recoverIndexState(spark, "graft_bm25rc",
+      "graft_bm25rc_v0") == ("graft_bm25rc_v2", 1L))
+    val b2 = Seq((6L, "plum words and a new tail"))
+    assert(run(Seq(b0, b1, b2)) == "graft_bm25rc_v3")
+    val all = d0.unionByName((b0 ++ b1 ++ b2).toDF("doc_id", "text"))
+    bm.buildIndex(all, "graft_bm25rc_full", buckets = 4)
+    val queries = Seq((10L, "apple cherry"), (11L, "durian plum"))
+      .toDF("query_id", "text")
+    def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_bm25rc_v3") == rows("graft_bm25rc_full"))
+  }
+
   test("streamed IVF refreshes converge to the full-corpus build") {
     implicit val ctx = spark.sqlContext
+    StreamingOps.clearIndexLog(spark, "graft_ivfs")
     def vec(axis: Int, i: Int): Array[Float] = {
       val v = Array.fill(8)(0.0f); v(axis) = 1.0f + 0.001f * i; v
     }
