@@ -35,12 +35,14 @@ object SparkEntry {
     TextQueries.queries ++ AnalyticsQueries.queries ++
       DedupQueries.queries ++ VectorQueries.queries ++ ImageQueries.queries ++
       PipelineQueries.queries ++ JoinQueries.queries ++ TpchQueries.queries ++
-      CurationQueries.queries ++ MultimodalQueries.queries
+      CurationQueries.queries ++ MultimodalQueries.queries ++
+      RecrawlQueries.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
     TextQueries.oracles ++ AnalyticsQueries.oracles ++
       DedupQueries.oracles ++ VectorQueries.oracles ++ ImageQueries.oracles ++
       PipelineQueries.oracles ++ JoinQueries.oracles ++ TpchQueries.oracles ++
-      CurationQueries.oracles ++ MultimodalQueries.oracles
+      CurationQueries.oracles ++ MultimodalQueries.oracles ++
+      RecrawlQueries.oracles
 }

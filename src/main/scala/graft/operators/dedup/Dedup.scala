@@ -236,9 +236,22 @@ case class IncrementalMinHashDedup(lsh: MinHashLSH = MinHashLSH()) {
   def survivors(index: DataFrame, batch: DataFrame): DataFrame =
     batch.join(rejectedIds(index, batch), Seq(idCol), "left_anti")
 
-  /** Bucket rows to append to the index for the surviving batch docs. */
+  /** Bucket rows to append to the index for the surviving batch docs —
+    * "corpus membership" state: the index mirrors the kept corpus.
+    * Under this roll a LATER batch doc colliding ONLY with a dropped
+    * doc survives (the dropped doc's non-matching bands never entered
+    * the index). */
   def indexRows(index: DataFrame, batch: DataFrame): DataFrame =
     lsh.buckets(survivors(index, batch))
+
+  /** Bucket rows of the ENTIRE batch — append these instead of
+    * [[indexRows]] for strict stream-order equality with the batch
+    * operator across many batches: [[MinHashLSH.apply]] on the
+    * concatenated corpus drops a doc that collides with ANY smaller-id
+    * doc reaching the stage, surviving or not, so the cross-batch
+    * index must carry every reaching doc's buckets (the day-2 re-crawl
+    * capstone's rebuild-equality oracle is gated on exactly this). */
+  def indexRowsAll(batch: DataFrame): DataFrame = lsh.buckets(batch)
 }
 
 /** SimHash (Charikar 2002) n-bit signature as a pure Column expression:
