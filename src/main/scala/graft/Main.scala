@@ -17,6 +17,8 @@ import graft.pipeline.{MetricsSink, PipelineConfig}
   * graft.Main index-build <docs.parquet> <index-dir>     # build the near-dup index
   * graft.Main ingest <batch.parquet> <index-dir> <out>   # delta dedup + roll index
   * graft.Main compact-index <index-dir>                  # fold committed batch= dirs
+  * graft.Main recrawl-init <config.yaml>                 # day-1 re-crawl state build
+  * graft.Main recrawl-ingest <config.yaml> [--batch-id]  # day-2 delta batch
   * graft.Main load-shards <globs> <state> <out>          # resumable bulk load
   * }}}
   *
@@ -161,25 +163,36 @@ object Main {
     val nIn = batch.count()
     val nOut = survivors.count()
     survivors.write.mode("overwrite").parquet(outPath)
-    // stage, then one rename is the commit (atomic on HDFS/local; see
-    // the storage assumption in the scaladoc for object stores)
-    val staging = s"$indexPath/_staging_$batchId"
-    lsh.buckets(survivors).write.mode("overwrite").partitionBy("band").parquet(staging)
-    val stagingP = new org.apache.hadoop.fs.Path(staging)
-    val target = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$batchId")
-    val marker = new org.apache.hadoop.fs.Path(indexPath, s"_batch_committed_$batchId")
+    commitBatchPartition(fs, indexPath, batchId, staging =>
+      lsh.buckets(survivors).write.mode("overwrite")
+        .partitionBy("band").parquet(staging))
+    println(s"[graft] ingest: $nIn in, $nOut kept (${nIn - nOut} near-dups); " +
+      s"survivors -> $outPath, index committed as batch=$batchId")
+  }
+
+  /** The batch-partition commit discipline [[runIngest]] introduced,
+    * shared by every per-batch recrawl artifact: stage under an
+    * underscore-prefixed dir (parquet-invisible), ONE rename to
+    * `batch=<id>/`, then the `_batch_committed_<id>` marker written
+    * LAST (atomic on HDFS/local; on copy+delete-rename object stores a
+    * reader requiring the marker never observes a half-copied
+    * partition). Re-runs are idempotent: the marker and any prior
+    * target are invalidated first, and readers exclude the in-flight
+    * batch id. */
+  private[graft] def commitBatchPartition(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, batchId: String, write: String => Unit): Unit = {
+    val staging = s"$root/_staging_$batchId"
+    write(staging)
+    val target = new org.apache.hadoop.fs.Path(s"$root/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_batch_committed_$batchId")
     fs.delete(marker, false) // a re-run invalidates the old commit first
     if (fs.exists(target)) fs.delete(target, true) // idempotent re-run replaces
     // the staged dir carries Spark's _SUCCESS marker; drop it so the
     // committed partition holds only data files
     fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
-    if (!fs.rename(stagingP, target))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target))
       throw new java.io.IOException(s"commit rename failed: $staging -> $target")
-    // written LAST: on copy+delete-rename stores, readers that require
-    // this marker never observe a half-copied batch partition
     fs.create(marker, true).close()
-    println(s"[graft] ingest: $nIn in, $nOut kept (${nIn - nOut} near-dups); " +
-      s"survivors -> $outPath, index committed as batch=$batchId")
   }
 
   /** Index lifecycle compaction: fold every COMMITTED `batch=<id>`
@@ -240,7 +253,11 @@ object Main {
       .drop("batch") // re-partitioned under the new consolidated id
       .distinct() // doubled rows from a torn prior compaction collapse here
     val staging = s"$indexPath/_staging_compact_$digest"
-    merged.write.mode("overwrite").partitionBy("band").parquet(staging)
+    // sub-partition by band when the artifact has one (the minhash
+    // index); curated / exact-hash stores compact without it
+    val w = merged.write.mode("overwrite")
+    (if (merged.columns.contains("band")) w.partitionBy("band") else w)
+      .parquet(staging)
     fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
     val target = new org.apache.hadoop.fs.Path(s"$indexPath/batch=$digest")
     fs.delete(marker(digest), false)
@@ -256,6 +273,191 @@ object Main {
     }
     println(s"[graft] compact-index: ${committed.size} partitions " +
       s"(${committed.mkString(", ")}) -> batch=$digest")
+  }
+
+  private def lshFromSection(m: Map[String, Any], idCol: String,
+      textCol: String): graft.operators.dedup.MinHashLSH =
+    graft.operators.dedup.MinHashLSH(
+      numHashes = m.getOrElse("num_hashes", 12).toString.toInt,
+      bands = m.getOrElse("bands", 4).toString.toInt,
+      shingleSize = m.getOrElse("shingle_size", 3).toString.toInt,
+      textCol = textCol, idCol = idCol)
+
+  /** The curated-artifact column contract: the id and text columns
+    * plus `keep_fields` (default source, lang) where present — NOT
+    * "whatever the snapshot carries": old and new snapshots can differ
+    * in auxiliary columns (a derived stats column, a crawl header),
+    * and per-batch partitions of one artifact must share a schema. */
+  private def stableColumns(rc: Map[String, Any], idCol: String,
+      textCol: String, available: Seq[String]): Seq[String] = {
+    val keep = rc.get("keep_fields") match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case Some(s) => s.toString.split(",").map(_.trim).toSeq
+      case None => Seq("source", "lang")
+    }
+    Seq(idCol) ++ keep.filter(available.contains) ++ Seq(textCol)
+  }
+
+  /** Highest committed BM25 version under the warehouse for `base`
+    * (scanning for `<base>_v<N>_postings` dirs), attached into this
+    * session's catalog if absent. -1 when no version exists. */
+  private def bm25CurrentVersion(spark: org.apache.spark.sql.SparkSession,
+      base: String): Int = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = ("^" + java.util.regex.Pattern.quote(
+      base.toLowerCase(java.util.Locale.ROOT)) + "_v(\\d+)_postings$").r
+    if (!fs.exists(wh)) -1
+    else fs.listStatus(wh).flatMap(st => st.getPath.getName match {
+      case pat(n) => Some(n.toInt)
+      case _ => None
+    }).reduceOption(_ max _).getOrElse(-1)
+  }
+
+  /** Day-1 state build for the re-crawl lifecycle
+    * ([[graft.pipeline.RecrawlOps]]): run the config's per-document
+    * chain plus the batch exact+minhash dedups over `old_path`, and
+    * persist the three state artifacts under `state_dir` in the
+    * `batch=base` layout every later `recrawl-ingest` commits into:
+    * `curated/` (the corpus, input schema only), `exact_hashes/`
+    * (every reaching doc's content hash) and `minhash_index/`
+    * (band-partitioned buckets of every doc reaching the minhash
+    * stage). With `bm25_base` configured, also builds `<base>_v0`. */
+  def runRecrawlInit(spark: org.apache.spark.sql.SparkSession,
+      yaml: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rc = graft.pipeline.PipelineConfig.parseSection(yaml, "recrawl")
+    require(rc.nonEmpty, "config has no recrawl: section")
+    val stateDir = rc("state_dir").toString
+    val idCol = rc.getOrElse("id_field", "doc_id").toString
+    val textCol = rc.getOrElse("text_field", "text").toString
+    val job = graft.pipeline.PipelineConfig.parseJob(yaml)
+    val old = spark.read.parquet(rc("old_path").toString)
+    val state = graft.pipeline.RecrawlOps.init(old, job.pipeline,
+      lshFromSection(rc, idCol, textCol), idCol, textCol)
+    def writeBase(df: org.apache.spark.sql.DataFrame, sub: String,
+        parts: Seq[String]): Unit =
+      df.withColumn("batch", lit("base")).write.mode("overwrite")
+        .partitionBy("batch" +: parts: _*).parquet(s"$stateDir/$sub")
+    writeBase(state.curated.select(
+      stableColumns(rc, idCol, textCol, old.columns).map(col): _*),
+      "curated", Nil)
+    writeBase(state.exactIndex, "exact_hashes", Nil)
+    writeBase(state.bandIndex, "minhash_index", Seq("band"))
+    val nCur = spark.read.parquet(s"$stateDir/curated").count()
+    rc.get("bm25_base").foreach { b =>
+      graft.operators.text.Bm25(idCol = idCol, textCol = textCol).buildIndex(
+        spark.read.parquet(s"$stateDir/curated").select(idCol, textCol),
+        s"${b}_v0", rc.getOrElse("bm25_buckets", 8).toString.toInt)
+    }
+    println(s"[graft] recrawl-init: ${old.count()} old docs -> " +
+      s"$nCur curated; state in $stateDir (batch=base)" +
+      rc.get("bm25_base").map(b => s"; bm25 index ${b}_v0").getOrElse(""))
+  }
+
+  /** One day-2 batch of the re-crawl lifecycle: diff the snapshots,
+    * route only added+changed pages through the config's chain, dedup
+    * them incrementally against the persisted state, then commit —
+    * with [[commitBatchPartition]]'s staging-rename discipline, one
+    * `batch=<id>` partition per artifact (curated survivors, reaching
+    * content hashes, reaching band buckets, and `shards/` when
+    * `shards` is configured) — and roll the optional BM25 index one
+    * version forward. Idempotent per batch id: every state read
+    * excludes the in-flight id, so a crashed run just re-runs.
+    * `compact-index` folds any of the three batch-partitioned state
+    * dirs once their listing grows. */
+  def runRecrawlIngest(spark: org.apache.spark.sql.SparkSession,
+      yaml: String, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rc = graft.pipeline.PipelineConfig.parseSection(yaml, "recrawl")
+    require(rc.nonEmpty, "config has no recrawl: section")
+    val stateDir = rc("state_dir").toString
+    val idCol = rc.getOrElse("id_field", "doc_id").toString
+    val textCol = rc.getOrElse("text_field", "text").toString
+    val newPath = rc("new_path").toString
+    val batchId = args.indexOf("--batch-id") match {
+      case i if i >= 0 && i + 1 < args.length => validateBatchId(args(i + 1))
+      case _ => graft.operators.vector.DeterministicPlanes.md5Hex(newPath).take(12)
+    }
+    val job = graft.pipeline.PipelineConfig.parseJob(yaml)
+    val old = spark.read.parquet(rc("old_path").toString)
+    val neu = spark.read.parquet(newPath)
+    val deltaDocs = graft.pipeline.RecrawlOps.delta(old, neu,
+      rc.getOrElse("changed_offset", "4000000").toString.toLong,
+      idCol, textCol)
+    val exclude = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("batch") =!= batchId).drop("batch")
+    val state = graft.pipeline.RecrawlOps.State(
+      curated = spark.emptyDataFrame, // ingest never reads the payload
+      exactIndex = exclude(spark.read.parquet(s"$stateDir/exact_hashes")),
+      bandIndex = exclude(spark.read.parquet(s"$stateDir/minhash_index")))
+    val lsh = lshFromSection(rc, idCol, textCol)
+    val batch = graft.pipeline.RecrawlOps.ingest(state, deltaDocs,
+      job.pipeline, lsh, idCol, textCol)
+    // materialize everything BEFORE committing into the dirs we read
+    val survivors = batch.survivors.localCheckpoint()
+    val newHashes = batch.newExactHashes.localCheckpoint()
+    val newBands = batch.newBandRows.localCheckpoint()
+    val (nIn, nOut) = (deltaDocs.count(), survivors.count())
+    job.writer.foreach(_(survivors))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
+    val stable = survivors.select(
+      stableColumns(rc, idCol, textCol, survivors.columns).map(col): _*)
+    commitBatchPartition(fs, s"$stateDir/curated", batchId, st =>
+      stable.write.mode("overwrite").parquet(st))
+    commitBatchPartition(fs, s"$stateDir/exact_hashes", batchId, st =>
+      newHashes.write.mode("overwrite").parquet(st))
+    commitBatchPartition(fs, s"$stateDir/minhash_index", batchId, st =>
+      newBands.write.mode("overwrite").partitionBy("band").parquet(st))
+    rc.get("shards").foreach { n =>
+      val layout = graft.operators.text.TrainingShardLayout(
+        n.toString.toInt, idCol)
+      commitBatchPartition(fs, s"$stateDir/shards", batchId, st =>
+        layout.write(stable, st))
+    }
+    rc.get("bm25_base").foreach { b =>
+      val bm = graft.operators.text.Bm25(idCol = idCol, textCol = textCol)
+      val buckets = rc.getOrElse("bm25_buckets", 8).toString.toInt
+      // idempotent per batch id, the versioned-artifact way: the
+      // (from, to) pair is pinned in a marker BEFORE the refresh, and
+      // `to` is complete iff its _stats table (written LAST by
+      // refreshIndex) carries parquet's _SUCCESS — a re-run of a
+      // finished batch skips, a re-run of a torn refresh rebuilds the
+      // same target from the same source (refresh drops it first)
+      val marker = new org.apache.hadoop.fs.Path(stateDir,
+        s"_bm25_refresh_$batchId")
+      val (from, to) =
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+          val Array(f, t) = s.split("\n"); (f, t)
+        } else {
+          val cur = bm25CurrentVersion(spark, b.toString)
+          require(cur >= 0,
+            s"no bm25 index versions for base '$b' — run recrawl-init")
+          val ft = (s"${b}_v$cur", s"${b}_v${cur + 1}")
+          val out = fs.create(marker, true)
+          try out.write(s"${ft._1}\n${ft._2}".getBytes("UTF-8"))
+          finally out.close()
+          ft
+        }
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val done = new org.apache.hadoop.fs.Path(
+        s"$wh/${to.toLowerCase(java.util.Locale.ROOT)}_stats/_SUCCESS")
+      if (fs.exists(done))
+        println(s"[graft] recrawl-ingest: bm25 $to already committed — skipping")
+      else {
+        if (!spark.catalog.tableExists(s"${from}_postings"))
+          bm.attachIndex(spark, from, from, buckets)
+        bm.refreshIndex(stable.select(idCol, textCol), from, to, buckets)
+        println(s"[graft] recrawl-ingest: bm25 $from -> $to")
+      }
+    }
+    println(s"[graft] recrawl-ingest: $nIn delta docs in, $nOut kept " +
+      s"(${nIn - nOut} filtered/deduped); state batch=$batchId committed")
   }
 
   /** Resumable bulk load (the reference loader worker's per-shard
@@ -307,6 +509,18 @@ object Main {
       try runCompactIndex(spark, args(1)) finally spark.stop()
       return
     }
+    if (args.length >= 2 && args(0) == "recrawl-init") {
+      val yaml = java.nio.file.Files.readString(java.nio.file.Path.of(args(1)))
+      val spark = GraftSession.local("graft-cli")
+      try runRecrawlInit(spark, yaml) finally spark.stop()
+      return
+    }
+    if (args.length >= 2 && args(0) == "recrawl-ingest") {
+      val yaml = java.nio.file.Files.readString(java.nio.file.Path.of(args(1)))
+      val spark = GraftSession.local("graft-cli")
+      try runRecrawlIngest(spark, yaml, args) finally spark.stop()
+      return
+    }
     if (args.length >= 4 && args(0) == "load-shards") {
       val spark = GraftSession.local("graft-cli")
       try runLoadShards(spark, args(1), args(2), args(3), args)
@@ -319,6 +533,8 @@ object Main {
         "       graft.Main index-build <docs.parquet> <index-dir> [lsh opts]\n" +
         "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]\n" +
         "       graft.Main compact-index <index-dir>\n" +
+        "       graft.Main recrawl-init <config.yaml>        # day-1 state build\n" +
+        "       graft.Main recrawl-ingest <config.yaml> [--batch-id <id>]  # day-2 batch\n" +
         "       graft.Main load-shards <shard-glob[,glob...]> <state-dir> <out-dir> [--chunk-records N] [--max-chunks N]")
       sys.exit(2)
     }

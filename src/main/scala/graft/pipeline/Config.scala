@@ -170,6 +170,17 @@ object OperatorRegistry {
         }
       })),
 
+    // delta-ingest exact dedup: params {hash_index_path: <parquet dir
+    // of (__h) content-hash rows>} — drop rows whose normalized md5 is
+    // already in the persisted corpus hash set, keep-first within the
+    // frame (the day-2 re-crawl capstone's exact stage)
+    "incremental_exact_deduplicator" -> (p => RefineOp(
+      "incremental_exact_deduplicator",
+      df => RecrawlOps.exactSurvivors(
+        df.sparkSession.read.parquet(p("hash_index_path").toString)
+          .select("__h"),
+        df, str(p, "id_field", "doc_id"), str(p, "text_field", "text")))),
+
     // delta-ingest near-dup dedup: params {index_path: <parquet dir of
     // (doc_id, band, bucket) rows>} — the incoming frame dedups against
     // the persisted corpus index without re-reading corpus text
@@ -650,6 +661,16 @@ object PipelineConfig {
       })
   }
 
+  /** One top-level YAML section as a plain map — e.g. the `recrawl:`
+    * block `graft.Main recrawl-init`/`recrawl-ingest` read for state
+    * paths (empty map when absent). */
+  def parseSection(yaml: String, key: String): Map[String, Any] = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val root = toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+    root.getOrElse(key, Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+  }
+
   /** Parse a full job config — `data_loader:` + `stages:` +
     * `data_writer:` (config.py PipelineConfig shape). Loader/writer
     * `type` names follow the reference registry where one exists. */
@@ -677,6 +698,15 @@ object PipelineConfig {
           case "OrcLoader" => s => graft.sources.Sources.orc(s, path)
           case "WarcLoader" | "CommonCrawlLoader" =>
             s => graft.sources.Sources.warcText(s, path)
+          // day-2 re-crawl routing: diff the two snapshots, emit only
+          // added+changed pages (changed re-keyed above all prior ids)
+          case "RecrawlDeltaLoader" =>
+            s => RecrawlOps.delta(
+              graft.sources.Sources.parquet(s, p("old_path").toString),
+              graft.sources.Sources.parquet(s, p("new_path").toString),
+              p.getOrElse("changed_offset", "4000000").toString.toLong,
+              p.getOrElse("id_field", "doc_id").toString,
+              p.getOrElse("text_field", "text").toString)
           case other => throw new IllegalArgumentException(s"unknown loader: $other")
         }
     }
