@@ -87,6 +87,7 @@ object ScaleProbe {
         ops("dsir") || ops("dsir_fast") || ops("clip") || ops("bpe") ||
         ops("topq") || ops("cards") || ops("normalize") ||
         ops("phash_hamming") || ops("video") || ops("audiofp") ||
+        ops("audiofp_width") ||
         ops("datacard") || ops("sourcegate") || ops("overlap") ||
         ops("polyglot") || ops("compact") || ops("winsorize") ||
         ops("pagerank") || ops("percentiles") || ops("drift") ||
@@ -228,6 +229,36 @@ object ScaleProbe {
           corpus.select(graft.operators.image.AudioKernels.audioFingerprint(
               graft.operators.image.AudioKernels.textWav(col("text"))).as("fp"))
             .agg(count(col("fp"))).head().getLong(0))
+      if (ops("audiofp_width")) {
+        // the §5.13 width experiment: natural-collision (false-merge)
+        // rate of the 16-bit vs 32-bit contour over the corpus's
+        // DISTINCT clips — replicas are exact copies (true dups), so
+        // only the distinct-text set measures saturation
+        import graft.operators.image.AudioKernels
+        val distinctClips = corpus.dropDuplicates("text")
+          .select(col("doc_id"),
+            AudioKernels.textWav(col("text")).as("audio"))
+          .localCheckpoint()
+        val nClips = distinctClips.count()
+        for (w <- Seq(17, 33)) {
+          // distinct contours (resolution) AND the false-merge count:
+          // fingerprints shared ACROSS different base docs. Same-base
+          // group variants sharing a contour are near-dup family
+          // members (the suffix perturbation moves no window energy
+          // sign — the §5.13 space-count-domination); only cross-base
+          // sharing merges genuinely unrelated clips.
+          val fps = distinctClips.select(
+            pmod(col("doc_id"), lit(10000000L)).as("base"),
+            AudioKernels.audioFingerprint(col("audio"), w).as("fp"))
+            .filter(col("fp").isNotNull).localCheckpoint()
+          probe(s"audiofp_width_w${w}_distinct", nClips)(
+            fps.agg(countDistinct(col("fp"))).head().getLong(0))
+          probe(s"audiofp_width_w${w}_crossbase", nClips)(
+            fps.groupBy("fp")
+              .agg(countDistinct(col("base")).as("nb"))
+              .filter(col("nb") >= 2).count())
+        }
+      }
       if (ops("datacard"))
         probe("corpus_datacard", n)(
           graft.operators.CorpusDatacard(langCol = "source")(corpus).count())

@@ -107,9 +107,22 @@ object AudioKernels extends Serializable {
     * within a small hamming radius and
     * [[graft.operators.image.PhashHammingDedup]] (bands over the
     * fingerprint) groups them — the audio twin of the pHash story.
-    * None when the clip has fewer samples than windows. */
+    * None when the clip has fewer samples than windows.
+    *
+    * WIDTH is the recall/false-merge knob: `windows` − 1 delta bits.
+    * The 17-window/16-bit default is oracle-replay-compact but its
+    * 2^16 space SATURATES past ~10^4 distinct clips (natural
+    * collisions become false merges — measured in SURVEY §5.13); at
+    * corpus scale use 33 windows → 32 bits (with the hamming dedup's
+    * bands widened to match, e.g. 8×4-bit bands at radius 1 — the
+    * `audio_fingerprint_wide` key), which pushes the birthday horizon
+    * past 10^9 clips. Up to 65 windows → 64 bits fits the long. */
   def fingerprint(bytes: Array[Byte], windows: Int = 17): Option[Long] =
     if (bytes == null || bytes.length == 0) None
+    else if (windows < 2 || windows > 65)
+      throw new IllegalArgumentException(
+        s"windows must be in [2, 65] (got $windows): the contour packs " +
+          "windows-1 delta bits into one long")
     else
       open(bytes).flatMap { in =>
         try {
@@ -180,6 +193,13 @@ object AudioKernels extends Serializable {
   def audioDuration(audio: Column): Column = durUdf(audio)
   def audioRms(audio: Column): Column = rmsUdf(audio)
   def audioFingerprint(audio: Column): Column = fpUdf(audio)
+
+  /** Parameterized-width contour ([[fingerprint]]'s `windows` knob). */
+  def audioFingerprint(audio: Column, windows: Int): Column = {
+    val w = windows // stable capture for the UDF closure
+    val u = udf((b: Array[Byte]) => fingerprint(b, w))
+    u(audio)
+  }
 
   /** Deterministic 8-bit mono PCM WAV whose samples are the text's
     * byte codes — the audio twin of the text-as-binary image

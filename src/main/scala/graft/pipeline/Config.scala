@@ -501,7 +501,8 @@ object OperatorRegistry {
     "audio_fingerprint" -> (p => RefineOp("audio_fingerprint",
       df => df.withColumn(str(p, "out_field", "audio_fp"),
         graft.operators.image.AudioKernels.audioFingerprint(
-          org.apache.spark.sql.functions.col(str(p, "audio_field", "audio")))))),
+          org.apache.spark.sql.functions.col(str(p, "audio_field", "audio")),
+          int(p, "windows", 17))))),
 
     // hard-negative mining (B43): per anchor, the k most similar
     // in-band rows (hi bound keeps near-dups out of the negatives);

@@ -104,6 +104,26 @@ object ImageQueries {
         .select("doc_id", "audio_fp", "keep")
     }),
 
+    "audio_fingerprint_wide" -> ((s, dir) => {
+      // the corpus-scale contour width (33 windows -> 32 delta bits,
+      // 8x4-bit bands at radius 1): same derivation and planted copies
+      // as audio_fingerprint_dedup, 2^16 more hash space — §5.13's
+      // natural-collision false merges stop here (the 16-bit key's
+      // saturation past ~10^4 distinct clips is the documented ceiling)
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("audio", AudioKernels.textWav(col("text")))
+      val base = docs.select(col("doc_id"),
+        AudioKernels.audioFingerprint(col("audio"), windows = 33)
+          .as("audio_fp"))
+        .localCheckpoint()
+      val copies = base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("audio_fp"))
+      PhashHammingDedup(radius = 1, bands = 8, nbits = 32,
+          phashCol = "audio_fp")
+        .flagged(base.unionByName(copies))
+        .select("doc_id", "audio_fp", "keep")
+    }),
+
     "dedup_video_frames" -> ((s, dir) => {
       // aligned frame-pHash video near-dup over the REAL quantized-DCT
       // kernel (DctKernels), two planted re-encode families:
@@ -284,6 +304,37 @@ object ImageQueries {
         |base AS (
         |  SELECT d.doc_id,
         |    CASE WHEN length(d.text) >= 17 THEN fp0.fp ELSE NULL END AS fp
+        |  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
+        |copies AS (
+        |  SELECT doc_id + 1000000 AS doc_id, fp FROM base WHERE doc_id % 2 = 0),
+        |h AS (SELECT doc_id, fp FROM base UNION ALL SELECT doc_id, fp FROM copies)
+        |SELECT a.doc_id, a.fp AS audio_fp,
+        |  CASE WHEN a.fp IS NULL THEN TRUE ELSE
+        |    NOT EXISTS (SELECT 1 FROM h b WHERE b.fp IS NOT NULL
+        |      AND b.doc_id < a.doc_id AND bit_count(xor(a.fp, b.fp)) <= 1)
+        |  END AS keep
+        |FROM h a""".stripMargin,
+
+    "audio_fingerprint_wide" ->
+      """WITH chars AS (
+        |  SELECT doc_id, length(text) AS n, CAST(i - 1 AS BIGINT) AS i0,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |e AS (
+        |  SELECT doc_id, (i0 * 33) // n AS w,
+        |    sum(CAST((c - 128) * (c - 128) AS BIGINT)) AS s
+        |  FROM chars GROUP BY doc_id, (i0 * 33) // n),
+        |fp0 AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.s > a.s
+        |        THEN (CAST(1 AS BIGINT) << CAST(a.w AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  GROUP BY a.doc_id),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(d.text) >= 33 THEN fp0.fp ELSE NULL END AS fp
         |  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
         |copies AS (
         |  SELECT doc_id + 1000000 AS doc_id, fp FROM base WHERE doc_id % 2 = 0),

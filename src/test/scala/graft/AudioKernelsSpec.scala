@@ -57,6 +57,29 @@ class AudioKernelsSpec extends SparkSpec {
     assert(rows(2L) === ((None, None)))
   }
 
+  test("fingerprint width knob: 33 windows -> 32 bits, bounds enforced") {
+    val wav = AudioKernels.wavFromText("x" * 200 + "loud PEAKS here" * 8)
+    val fp16 = AudioKernels.fingerprint(wav, 17)
+    val fp32 = AudioKernels.fingerprint(wav, 33)
+    assert(fp16.nonEmpty && fp32.nonEmpty)
+    // 32 delta bits occupy [0, 32); the narrow contour only [0, 16)
+    assert(fp32.get >= 0L && fp32.get < (1L << 32))
+    assert(fp16.get >= 0L && fp16.get < (1L << 16))
+    // a clip shorter than the window count has no contour
+    assert(AudioKernels.fingerprint(AudioKernels.wavFromText("tiny"), 33).isEmpty)
+    intercept[IllegalArgumentException] {
+      AudioKernels.fingerprint(wav, 66)
+    }
+    intercept[IllegalArgumentException] {
+      AudioKernels.fingerprint(wav, 1)
+    }
+    // the wide contour REFINES the narrow one's resolution: two clips
+    // the 16-bit contour confuses (same coarse energy shape) can part
+    // at 32 bits, never the reverse for localized edits... assert the
+    // cheap direction: identical clips agree at every width
+    assert(AudioKernels.fingerprint(wav.clone(), 33) == fp32)
+  }
+
   test("fingerprint: deterministic, contour-sensitive, locality-bounded") {
     val quiet = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"   // flat contour
     val loud = quiet.take(17) + "zz!!zz!!zz!!zz!!z"     // energy jump mid-clip
