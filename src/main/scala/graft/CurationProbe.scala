@@ -36,7 +36,7 @@ object CurationProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs =
-      if (mode == "1m") ScaleProbe.docs1m(spark, sfDir)
+      if (mode == "1m" || mode == "skew") ScaleProbe.docs1m(spark, sfDir)
         .repartition(cpus.toInt)
         .withColumn("lang", lit("en"))
       else Tables.load(spark, sfDir, "documents")
@@ -50,7 +50,38 @@ object CurationProbe {
     // the k=4 fused prefix went 47 s → 259 s on the raw expressions).
     // The checkpoint makes the probe measure the pipeline, not the
     // test-corpus synthesis.
-    val input = CurationQueries.preppedInput(docs).localCheckpoint(true)
+    // `skew` mode (§5.15): the adversarial content-farm corpus — every
+    // operator has a skew story alone; this is the CAPSTONE under skew.
+    //   - ONE domain owns 50% of the corpus (source/url overridden to
+    //     'farm'; ~5 pages share each canonical farm URL, so the URL
+    //     keep-first sees fat groups AND the per-source stages see one
+    //     giant group);
+    //   - ONE near-dup cluster owns 10% (1e5 members at 1M): identical
+    //     boilerplate pages salted with a per-doc token INSIDE a kept
+    //     C4 line (a trailing salt would be line-stripped and the
+    //     cluster would collapse at exact dedup instead of stressing
+    //     the minhash machinery).
+    val boiler = Seq(
+      "the farm network covers a fresh market story today.",
+      "every outlet in the group runs a syndicated copy.",
+      "readers see the same nine words with a tweak.",
+      "the page template repeats across a thousand domains daily.",
+      "advertising fills the rest of a long scrolling page.")
+      .mkString("\n")
+    val prepped0 = CurationQueries.preppedInput(docs)
+    val prepped = if (mode != "skew") prepped0 else prepped0
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("farm")).otherwise(col("source")))
+      .withColumn("url",
+        when(col("doc_id") % 2 === 0, concat(
+          lit("https://www.farm.example.com/p/"),
+          pmod(col("doc_id"), lit(100000L)))).otherwise(col("url")))
+      .withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(lit(boiler),
+          lit("\nuniq"), col("doc_id"),
+          lit(" closes the syndicated farm story page.")))
+          .otherwise(col("text")))
+    val input = prepped.localCheckpoint(true)
     val benchDir = java.nio.file.Files
       .createTempDirectory("graft_capstone_bench").toString
     CurationQueries.benchmarkFrame(
@@ -64,6 +95,7 @@ object CurationProbe {
       }.sum
     var cur = input // already checkpointed above
     var rows = cur.count()
+    val stash = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
     val t00 = System.nanoTime()
     CurationCapstone.ops(benchDir).foreach { case (name, params) =>
       val t0 = System.nanoTime()
@@ -73,10 +105,61 @@ object CurationProbe {
       val next = next0.localCheckpoint(true)
       val out = next.count()
       println(f"STAGE $name%-30s rows_in=$rows rows_out=$out ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (mode == "skew") stash(name) = next
       cur = next
       rows = out
     }
     println(f"CAPSTONE_STAGED total ${(System.nanoTime() - t00) / 1e9}%.1f s")
+
+    // --- skew diagnostics: where the adversarial mass actually lands ---
+    if (mode == "skew") {
+      def timed[A](label: String)(f: => String): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"SKEW $label%-28s $r ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      // URL keep-first group fan: the farm's shared canonical URLs
+      timed("url_groups") {
+        val g = input.select(
+            graft.functions.UrlFns.canonicalizeUrl(col("url")).as("c"))
+          .groupBy("c").count().agg(
+            max("count").as("mx"),
+            sum(when(col("count") > 1, lit(1)).otherwise(lit(0))).as("fat"))
+          .head()
+        s"max_group=${g.getLong(0)} groups_gt1=${g.getLong(1)}"
+      }
+      // minhash bucket mass entering the survivor dedup (stage-7 out)
+      val lsh = graft.operators.dedup.MinHashLSH()
+      val s7 = stash("text_exact_deduplicator")
+      val sizes = lsh.buckets(s7).groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n")).localCheckpoint(true)
+      timed("minhash_buckets") {
+        val r = sizes.agg(max("n").as("mx"),
+          sum(when(col("n") > lsh.maxBucketSize, lit(1)).otherwise(lit(0)))
+            .as("over_cap"),
+          sum(when(col("n") > lsh.maxBucketSize,
+            (col("n") * (col("n") - 1) / 2).cast("long")).otherwise(lit(0L)))
+            .as("pairs_averted")).head()
+        s"max_bucket=${r.getLong(0)} over_cap=${r.getLong(1)} " +
+          s"pairs_averted=${r.getLong(2)}"
+      }
+      timed("capped_pairs") {
+        s"pairs=${lsh.candidatePairsFromBuckets(lsh.buckets(s7)).count()}"
+      }
+      // the per-source mass entering the top-fraction percentile gate
+      timed("source_groups") {
+        val g = stash("decontaminator").groupBy("source").count()
+          .orderBy(col("count").desc).limit(3).collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(",")
+        s"top3[$g]"
+      }
+      timed("farm_survivors") {
+        val g = stash("top_fraction_by_group")
+          .groupBy(col("source") === "farm").count().collect()
+          .map(r => s"farm=${r.getBoolean(0)}:${r.getLong(1)}").mkString(",")
+        g
+      }
+    }
 
     // --- fused-prefix breakdown: count() of the first k ops as one
     // lazy DAG — localizes which composed segment pays recompute ---

@@ -168,9 +168,22 @@ case class MinHashLSH(
     * and buckets over `maxBucketSize` are dropped entirely, so one
     * degenerate boilerplate bucket can't go quadratic. */
   def candidatePairsFromBuckets(bk: DataFrame): DataFrame = {
-    val grouped = bk.groupBy("band", "bucket")
+    // two-pass cap (r14, surfaced by the §5.15 content-farm probe):
+    // counting FIRST keeps collect_list from ever materializing an
+    // over-cap bucket's id array — the old size-filter-after-collect
+    // built the full array per degenerate bucket (a 10^5-member
+    // boilerplate bucket = a 10^5-element aggregation buffer per band;
+    // at 10^8 members that is the OOM, not a filter). The count agg is
+    // narrow and map-side combined, and the semi join shares the
+    // (band, bucket) partitioning with the collect, so AQE reuses the
+    // exchange rather than paying a second corpus shuffle.
+    val underCap = bk.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val grouped = bk.join(underCap, Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
     val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1),
       i => transform(slice(col("ids"), i + 1, size(col("ids")) - i),
         x => struct(element_at(col("ids"), i).as("id_a"), x.as("id_b")))))

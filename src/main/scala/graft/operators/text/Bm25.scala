@@ -70,7 +70,9 @@ case class Bm25(
       .localCheckpoint(true)
     val stats = dls.agg(count(lit(1)), sum(col("dl"))).head()
     val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    // empty corpus: sum is null and avgdl is moot (no postings → no
+    // scored rows); 1.0 keeps the expression tree finite
+    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n.toDouble
     val qt = queries.select(col("query_id"),
       explode(array_distinct(terms(col(textCol)))).as("term"))
     val post = docs.select(col(idCol), explode(terms(col(textCol))).as("term"))
@@ -168,7 +170,10 @@ case class Bm25(
     val dls = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
     bucketedTable(dls.repartition(buckets, col(idCol)),
       s"${name}_lens", Seq(idCol), buckets)
-    dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    // coalesce: an empty corpus's sum is null, and the serving path
+    // reads sum_dl as a long (refreshIndex already coalesces its side)
+    dls.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_stats")
   }
@@ -227,7 +232,7 @@ case class Bm25(
     import org.apache.spark.sql.expressions.Window
     val stats = spark.table(s"${name}_stats").head()
     val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n.toDouble
     val qt = queries.select(col("query_id"),
       explode(array_distinct(terms(col(textCol)))).as("term"))
     val post = spark.table(s"${name}_postings")

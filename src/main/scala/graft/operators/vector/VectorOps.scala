@@ -890,14 +890,17 @@ object KMeansOps {
     var cents = drawn.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("centroid_id", "cvec")
       .localCheckpoint()
-    var moved = Double.MaxValue
+    // empty corpus → zero centroids, no iterations (the max-movement
+    // aggregate over an empty join would read null, not a double)
+    var moved = if (drawn.isEmpty) 0.0 else Double.MaxValue
     var it = 0
     while (it < maxIter && moved > tol) {
       val next = lloydIter(df, cents, idCol, vecCol).localCheckpoint()
-      moved = next.join(cents.select(col("centroid_id"), col("cvec").as("__prev")),
+      val r = next.join(cents.select(col("centroid_id"), col("cvec").as("__prev")),
           Seq("centroid_id"))
         .agg(max(graft.functions.VecFns.l2Dist(col("cvec"), col("__prev"))))
-        .collect()(0).getDouble(0)
+        .collect()(0)
+      moved = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       cents = next
       it += 1
     }
