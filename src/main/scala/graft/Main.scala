@@ -460,6 +460,76 @@ object Main {
       s"(${nIn - nOut} filtered/deduped); state batch=$batchId committed")
   }
 
+  /** The continuous-curation capstone as a CLI job
+    * ([[graft.streaming.StreamingCuration]]): `readStream` over the
+    * config's loader path, the config's per-doc stages with named
+    * observe nodes, the one-layer streaming dedup (bands + short-doc
+    * hash branch), idempotent per-batch survivor partitions under
+    * `streaming.out_path`, an optional BM25 roll per batch, and the
+    * per-micro-batch funnel report from the engine's own
+    * `observedMetrics` — drains what exists, prints the report, stops
+    * (run under a scheduler for always-on). */
+  def runStreamCurate(spark: org.apache.spark.sql.SparkSession,
+      yaml: String): Unit = {
+    import org.apache.spark.sql.functions.{col, current_timestamp}
+    val job = graft.pipeline.PipelineConfig.parseJob(yaml)
+    val st = graft.pipeline.PipelineConfig.parseSection(yaml, "streaming")
+    require(st.nonEmpty, "config has no streaming: section")
+    val (_, lp) = job.loaderSpec.getOrElse(
+      throw new IllegalArgumentException("config has no data_loader"))
+    val path = lp("path").toString
+    val idCol = st.getOrElse("id_field", "doc_id").toString
+    val textCol = st.getOrElse("text_field", "text").toString
+    val tsCol = st.getOrElse("ts_field", "ts").toString
+    val schema = spark.read.parquet(path).schema
+    // the streaming file source wants a DIRECTORY; a single-file corpus
+    // streams from its parent with a name filter
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val pfs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (pfs.getFileStatus(p0).isFile)
+        reader.option("pathGlobFilter", p0.getName).parquet(p0.getParent.toString)
+      else reader.parquet(path)
+    // a crawl dump without an event-time column streams on ingest time
+    val in = if (schema.fieldNames.contains(tsCol)) raw
+      else raw.withColumn(tsCol, current_timestamp())
+    val listener = new graft.streaming.StreamingMetricsListener
+    spark.streams.addListener(listener)
+    val curation = graft.streaming.StreamingCuration(job.pipeline,
+      lshFromSection(st, idCol, textCol), idCol, tsCol, textCol,
+      st.getOrElse("watermark", "1 hour").toString)
+    val outPath = st("out_path").toString
+    val ckpt = st.getOrElse("checkpoint_path",
+      outPath.stripSuffix("/") + "__checkpoint").toString
+    val index = st.get("bm25_base").map { b =>
+      val bm = graft.operators.text.Bm25(idCol = idCol, textCol = textCol)
+      val buckets = st.getOrElse("bm25_buckets", 8).toString.toInt
+      if (bm25CurrentVersion(spark, b.toString) < 0)
+        bm.buildIndex(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(idCol,
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(textCol,
+                org.apache.spark.sql.types.StringType)))),
+          s"${b}_v0", buckets)
+      (b.toString, s"${b}_v0",
+        (batch: org.apache.spark.sql.DataFrame, from: String, to: String) =>
+          bm.refreshIndex(batch.select(col(idCol), col(textCol)),
+            from, to, buckets))
+    }
+    val t0 = System.nanoTime()
+    val (q, live) = curation.start(in, outPath, ckpt, index)
+    try q.processAllAvailable() finally q.stop()
+    spark.streams.removeListener(listener)
+    println(listener.report)
+    println(job.pipeline.formatReport(listener.stageTotals,
+      (System.nanoTime() - t0) / 1e9))
+    live.foreach(l => println(s"[graft] stream-curate: live index ${l.get}"))
+    println(s"[graft] stream-curate: survivors under $outPath/batch=*/")
+  }
+
   /** Resumable bulk load (the reference loader worker's per-shard
     * cursor, framework/loader_worker.py:30-60): expands the comma-
     * separated shard globs, then [[graft.sources.ShardedLoader]]
@@ -515,6 +585,12 @@ object Main {
       try runRecrawlInit(spark, yaml) finally spark.stop()
       return
     }
+    if (args.length >= 2 && args(0) == "stream-curate") {
+      val yaml = java.nio.file.Files.readString(java.nio.file.Path.of(args(1)))
+      val spark = GraftSession.local("graft-cli")
+      try runStreamCurate(spark, yaml) finally spark.stop()
+      return
+    }
     if (args.length >= 2 && args(0) == "recrawl-ingest") {
       val yaml = java.nio.file.Files.readString(java.nio.file.Path.of(args(1)))
       val spark = GraftSession.local("graft-cli")
@@ -533,6 +609,7 @@ object Main {
         "       graft.Main index-build <docs.parquet> <index-dir> [lsh opts]\n" +
         "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]\n" +
         "       graft.Main compact-index <index-dir>\n" +
+        "       graft.Main stream-curate <config.yaml>       # continuous curation (drain mode)\n" +
         "       graft.Main recrawl-init <config.yaml>        # day-1 state build\n" +
         "       graft.Main recrawl-ingest <config.yaml> [--batch-id <id>]  # day-2 batch\n" +
         "       graft.Main load-shards <shard-glob[,glob...]> <state-dir> <out-dir> [--chunk-records N] [--max-chunks N]")

@@ -237,7 +237,7 @@ object StreamingOps {
     if (fs.exists(dir)) fs.delete(dir, true)
   }
 
-  private def writeIndexCommit(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def writeIndexCommit(spark: org.apache.spark.sql.SparkSession,
       base: String, id: Long, version: String): Unit = {
     val dir = indexLogDir(spark, base)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -295,15 +295,58 @@ object StreamingOps {
   def nearDupStream(docs: DataFrame,
       lsh: graft.operators.dedup.MinHashLSH = graft.operators.dedup.MinHashLSH(),
       idCol: String = "doc_id", tsCol: String = "ts",
-      textCol: String = "text", watermark: String = "1 hour"): DataFrame = {
-    val base = docs.withColumn("__sh",
-      graft.functions.TextFns.wordShingles(col(textCol), lsh.shingleSize))
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    nearDupImpl(docs, lsh, idCol, tsCol, textCol, watermark, carryRows = false)
+
+  /** [[nearDupStream]] emitting the survivors' FULL rows instead of
+    * ids — the composable form (a curated stream feeds a sink
+    * directly; joining ids back would need a second stateful
+    * stream-stream join). The payload rides the per-band explode and
+    * its repartition, so for WIDE payloads (media bytes) prefer the
+    * id-only variant and join at the sink.
+    *
+    * `dedupShorts = true` makes this the WHOLE streaming dedup layer:
+    * an exact duplicate of any shingleable doc carries an identical
+    * signature, hence identical digests in EVERY band, so the band
+    * state already suppresses it — exactly one keep-first layer, not
+    * two chained stateful ops (a separate upstream
+    * [[dedupStream]] would need a second watermark, which
+    * multi-stateful streaming disallows along one path; here the only
+    * extra state is a content-hash branch for the un-shingleable
+    * short docs, on its own disjoint path with its own watermark). */
+  def nearDupStreamRows(docs: DataFrame,
+      lsh: graft.operators.dedup.MinHashLSH = graft.operators.dedup.MinHashLSH(),
+      idCol: String = "doc_id", tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "1 hour",
+      dedupShorts: Boolean = false): DataFrame =
+    nearDupImpl(docs, lsh, idCol, tsCol, textCol, watermark,
+      carryRows = true, dedupShorts = dedupShorts)
+
+  private def nearDupImpl(docs: DataFrame,
+      lsh: graft.operators.dedup.MinHashLSH,
+      idCol: String, tsCol: String,
+      textCol: String, watermark: String, carryRows: Boolean,
+      dedupShorts: Boolean = false): DataFrame = {
+    val inputCols = docs.columns.toSeq
+    val base = docs
+      .withColumn("__row", struct(inputCols.map(col): _*))
+      .withColumn("__sh",
+        graft.functions.TextFns.wordShingles(col(textCol), lsh.shingleSize))
     // Docs too short to shingle carry no near-dup signal: the batch twin
     // ([[graft.operators.dedup.MinHashLSH.buckets]]) never emits them, so
     // they pass through here. Without the split they would all share one
     // degenerate all-null band digest and every short doc after the first
     // would be silently suppressed.
-    val shorts = base.filter(size(col("__sh")) === 0).select(col(idCol))
+    val shortsBase = base.filter(size(col("__sh")) === 0)
+    val shortsD =
+      if (!dedupShorts) shortsBase
+      else shortsBase
+        .withColumn("__h", graft.functions.TextFns.contentHashMd5(col(textCol)))
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("__h")
+    val shorts =
+      if (carryRows) shortsD.select(col("__row"))
+      else shortsD.select(col(idCol))
     // Deterministic intra-batch winner: rows are clustered by band, then
     // each partition collapses every band to its MIN-id row (a per-band
     // hash map, O(distinct bands) memory — streaming can't sort), so the
@@ -314,7 +357,8 @@ object StreamingOps {
     // survives, independent of shuffle row order.
     val banded = base.filter(size(col("__sh")) > 0)
       .withColumn("__bands", lsh.bandDigests(lsh.signatureFromShingles(col("__sh"))))
-      .select(col(idCol), col(tsCol), col("__bands"))
+      .select(Seq(col(idCol), col(tsCol), col("__bands")) ++
+        (if (carryRows) Seq(col("__row")) else Nil): _*)
       .withColumn("__band", explode(col("__bands")))
       .repartition(col("__band"))
     val bandIdx = banded.schema.fieldIndex("__band")
@@ -329,14 +373,17 @@ object StreamingOps {
       }
       best.valuesIterator
     }(org.apache.spark.sql.Encoders.row(banded.schema))
+    val aggCols = Seq(first(col("__bands")).as("__bands")) ++
+      (if (carryRows) Seq(first(col("__row")).as("__row")) else Nil)
     val survivors = collapsed
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__band")
       .groupBy(col(idCol), window(col(tsCol), "1 second"))
-      .agg(count(lit(1)).as("__won"), first(col("__bands")).as("__bands"))
+      .agg(count(lit(1)).as("__won"), aggCols: _*)
       .filter(col("__won") === size(col("__bands")))
-      .select(col(idCol))
-    survivors.union(shorts)
+    if (carryRows)
+      survivors.select(col("__row")).union(shorts).select(col("__row.*"))
+    else survivors.select(col(idCol)).union(shorts)
   }
 }
 
