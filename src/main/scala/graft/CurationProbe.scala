@@ -39,6 +39,13 @@ object CurationProbe {
       if (mode == "1m" || mode == "skew") ScaleProbe.docs1m(spark, sfDir)
         .repartition(cpus.toInt)
         .withColumn("lang", lit("en"))
+      // 10m (§5.12 addendum): 10× the 1m corpus with the SAME per-group
+      // replication factor (reps=20, 100 salt-groups instead of 10), so
+      // every dedup layer sees the same dup-rate structure and the
+      // funnel shape is directly comparable one decade up.
+      else if (mode == "10m") ScaleProbe.docs1m(spark, sfDir, groups = 100)
+        .repartition(cpus.toInt * 4)
+        .withColumn("lang", lit("en"))
       else Tables.load(spark, sfDir, "documents")
 
     // materialize the prepped corpus ONCE before any timed run: a real

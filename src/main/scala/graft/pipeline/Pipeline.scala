@@ -167,8 +167,12 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     * Staged like [[profile]] (each stage checkpointed once); each
     * stage adds ONE left-anti join of the narrow id columns
     * (stage-in vs stage-out) — no driver-side ids, the audit is a
-    * DataFrame union of those per-stage drop sets. Cost is the staged
-    * run plus an id-keyed anti join per stage, all on checkpointed
+    * DataFrame union of those per-stage drop sets. The accumulator is
+    * itself checkpointed every [[Pipeline.AuditCheckpointEvery]] stages
+    * (the loop-state discipline every iterative operator here uses), so
+    * a 50-stage chain carries at most a 16-leg union plan, never a
+    * 50-leg one. Cost is the staged run plus an id-keyed anti join per
+    * stage, all on checkpointed
     * narrow inputs. `idCol` must be unique per input row (the corpus
     * contract every dedup in the chain already assumes); the audit's
     * "exactly one verdict per row" property is the spec's first
@@ -187,6 +191,8 @@ case class Pipeline(ops: Seq[PipelineOp]) {
         .select(col(idCol), lit(i + 1).as("stage_idx"),
           lit(op.name).as("rejected_by"))
       audit = Some(audit.fold(lost)(_.unionByName(lost)))
+      if ((i + 1) % Pipeline.AuditCheckpointEvery == 0)
+        audit = audit.map(_.localCheckpoint(true))
       cur = next
     }
     val kept = cur.select(col(idCol), lit(0).as("stage_idx"),
@@ -309,4 +315,14 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     row.select(explode(array(steps: _*)).as("s"))
       .select(col("s.step_idx"), col("s.step"), col("s.n_rows"))
   }
+}
+
+object Pipeline {
+  /** How often [[Pipeline.rejectionAudit]] checkpoints its union
+    * accumulator: without this, an N-stage chain's audit plan is an
+    * N-leg union — narrow columns, but a 50-stage chain would carry a
+    * 50-leg plan through every downstream optimization pass. 16 keeps
+    * the plan bounded while amortizing the checkpoint over many cheap
+    * (3-column) legs. */
+  val AuditCheckpointEvery = 16
 }

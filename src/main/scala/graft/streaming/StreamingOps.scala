@@ -237,7 +237,7 @@ object StreamingOps {
     if (fs.exists(dir)) fs.delete(dir, true)
   }
 
-  private[streaming] def writeIndexCommit(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeIndexCommit(spark: org.apache.spark.sql.SparkSession,
       base: String, id: Long, version: String): Unit = {
     val dir = indexLogDir(spark, base)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

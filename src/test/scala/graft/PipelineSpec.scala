@@ -40,4 +40,33 @@ class PipelineSpec extends SparkSpec {
       .select("step", "n_rows").as[(String, Long)].collect().toMap
     assert(got == Map("input" -> 4L, "n_words" -> 4L, "min_len" -> 3L, "exact" -> 2L))
   }
+
+  test("rejectionAudit on a 40-stage chain stays correct and plan-bounded") {
+    // 40 filter stages, each dropping exactly the row whose id == stage
+    // index — crosses the AuditCheckpointEvery boundary twice, so the
+    // union accumulator is checkpointed mid-chain and the audit must
+    // still attribute every drop to its exact stage.
+    val n = 40
+    val wide = spark.range(0, n + 5).toDF("doc_id")
+    val chain = Pipeline((1 to n).map(i =>
+      FilterOp(s"drop_$i", df => col("doc_id") =!= lit(i.toLong - 1))))
+    val audit = chain.rejectionAudit(wide)
+      .as[(Long, Int, String)].collect()
+    assert(audit.length == n + 5)
+    assert(audit.map(_._1).distinct.length == n + 5)
+    (1 to n).foreach { i =>
+      val row = audit.find(_._1 == i.toLong - 1).get
+      assert(row._2 == i && row._3 == s"drop_$i")
+    }
+    assert(audit.count(_._3 == "kept") == 5)
+    // the final audit plan is bounded: each un-checkpointed leg is one
+    // anti-join, so after the mid-chain accumulator checkpoints the
+    // plan carries at most AuditCheckpointEvery joins — not one per
+    // stage (40 here)
+    val legs = "(?i)\\bjoin\\b".r
+      .findAllIn(chain.rejectionAudit(wide).queryExecution.optimizedPlan.toString)
+      .size
+    assert(legs <= Pipeline.AuditCheckpointEvery,
+      s"audit plan carries $legs join legs — accumulator checkpoint not applied")
+  }
 }
