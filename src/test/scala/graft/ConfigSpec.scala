@@ -127,14 +127,32 @@ class ConfigSpec extends SparkSpec {
     graft.queries.CurationQueries
       .benchmarkFrame(Tables.load(spark, "/root/testdata/sf0.001", "documents"))
       .write.mode("overwrite").parquet("/tmp/graft_out/capstone_bench")
+    // the recrawl config's documented prerequisite: the second-crawl
+    // snapshot its RecrawlDeltaLoader diffs against (RecrawlProbe prep)
+    graft.pipeline.RecrawlCapstone.deriveNewSnapshot(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "lang", "text"))
+      .write.mode("overwrite").parquet("/tmp/graft_recrawl/new_snapshot.parquet")
     val dir = new java.io.File("configs")
     val files = dir.listFiles().filter(_.getName.endsWith(".yaml"))
     assert(files.nonEmpty)
     for (f <- files) {
-      val job = PipelineConfig.parseJob(
-        java.nio.file.Files.readString(f.toPath))
-      assert(job.loader.nonEmpty && job.writer.nonEmpty, f.getName)
-      assert(job.run(spark).count() >= 0, f.getName)
+      val yaml = java.nio.file.Files.readString(f.toPath)
+      val job = PipelineConfig.parseJob(yaml)
+      assert(job.loader.nonEmpty, f.getName)
+      val streaming = PipelineConfig.parseSection(yaml, "streaming")
+      if (streaming.nonEmpty) {
+        // streaming lifecycle config: the sink lives in the streaming
+        // section, not data_writer — drive the real micro-batch path
+        val outPath = streaming("out_path").toString
+        for (d <- Seq(outPath, outPath.stripSuffix("/") + "__checkpoint"))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+        Main.runStreamCurate(spark, yaml)
+        assert(spark.read.parquet(outPath).count() > 0, f.getName)
+      } else {
+        assert(job.writer.nonEmpty, f.getName)
+        assert(job.run(spark).count() >= 0, f.getName)
+      }
     }
   }
 
