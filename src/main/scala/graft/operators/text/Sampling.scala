@@ -379,3 +379,60 @@ private[text] object GroupQuota {
       Seq(idCol), "left_semi")
   }
 }
+
+/** Leakage-safe train/val/test splitting: assign splits per near-dup
+  * COMPONENT, not per document — every member of a connected
+  * near-duplicate component inherits the split of its component label,
+  * so two near-copies of the same page can never land one in train and
+  * one in test. That straddle is the classic eval-contamination path
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better": train/test overlap via near-dups inflates benchmark
+  * numbers even after exact dedup), and a per-doc hash split — exactly
+  * because it is uniform and id-keyed — puts a near-dup PAIR on the
+  * train/test boundary with probability 2·p·(1−p).
+  *
+  * Composition over existing pieces: candidate edges (any near-dup
+  * operator's pairs — MinHash LSH here) → [[graft.operators.dedup
+  * .ConnectedComponents]] min-label → [[HashSampler.split]] keyed on
+  * the COMPONENT id instead of the doc id. The split stays a pure
+  * deterministic md5-bucket filter (rerun-stable, layout-independent);
+  * the only added cost over the per-doc split is the component
+  * labeling the dedup pass computes anyway — at 100 TB, reuse ONE
+  * labeling for both dedup survivor selection and the split.
+  *
+  * Reference anchor: the reference dedups (operators/dedup) but splits
+  * per-record; this is the composition its own benchmark-decontam
+  * story implies. */
+object LeakageSafeSplit {
+
+  /** (input columns) + component + split. Isolated docs are their own
+    * component, so they split exactly like a per-doc hash split keyed
+    * by id. */
+  def apply(df: DataFrame, edges: DataFrame, trainBuckets: Int = 80,
+      valBuckets: Int = 10, idCol: String = "doc_id", buckets: Int = 100,
+      seed: String = "graft", splitCol: String = "split"): DataFrame = {
+    val comp = graft.operators.dedup.ConnectedComponents(
+      edges, df.select(idCol), idCol)
+    HashSampler(idCol = "component", buckets = buckets, seed = seed)
+      .split(df.join(comp, Seq(idCol)), trainBuckets, valBuckets, splitCol)
+  }
+
+  /** The audit for an EXISTING split column: components whose members
+    * straddle more than one split — (component, n_docs, n_splits,
+    * splits) per leaking component, empty when the split is
+    * leakage-safe. Run this before trusting any eval built from a
+    * corpus someone split per-document. Narrow all the way: the corpus
+    * contributes only (id, split), the labeling only (id, component);
+    * output is bounded by the number of LEAKING components. */
+  def audit(df: DataFrame, edges: DataFrame, idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    val comp = graft.operators.dedup.ConnectedComponents(
+      edges, df.select(idCol), idCol)
+    df.select(col(idCol), col(splitCol)).join(comp, Seq(idCol))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(splitCol)).as("n_splits"),
+        array_sort(collect_set(col(splitCol))).as("splits"))
+      .filter(col("n_splits") > 1)
+  }
+}

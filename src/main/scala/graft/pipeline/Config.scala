@@ -422,6 +422,23 @@ object OperatorRegistry {
           .survivorsBy(df, lsh.candidatePairs(df), score, id)
       })),
 
+    // leakage-safe splitter: train/val/test per near-dup COMPONENT
+    // (near-copies never straddle train and test) — edges from the
+    // same MinHash candidate graph the survivor dedup uses
+    "leakage_safe_splitter" -> (p => RefineOp(
+      "leakage_safe_splitter",
+      df => {
+        val id = str(p, "id_field", "doc_id")
+        val lsh = graft.operators.dedup.MinHashLSH(
+          numHashes = int(p, "num_hashes", 12), bands = int(p, "bands", 4),
+          shingleSize = int(p, "shingle_size", 3),
+          textCol = str(p, "text_field", "text"), idCol = id)
+        graft.operators.text.LeakageSafeSplit(df, lsh.candidatePairs(df),
+          trainBuckets = int(p, "train_buckets", 80),
+          valBuckets = int(p, "val_buckets", 10),
+          idCol = id, seed = str(p, "seed", "graft"))
+      })),
+
     // training-shard layout (B33): attach (shard, pos) — deterministic
     // global shuffle order the downstream writer lays out per shard
     "training_shard_assigner" -> (p => RefineOp("training_shard_assigner",

@@ -103,6 +103,28 @@ object DedupQueries {
       val truth = docs.select(col("doc_id").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
       DedupEval.prf(mh.candidatePairs(docs.unionByName(twins)), truth)
+    }),
+
+    // leakage-safe splitting: train/val/test assigned per near-dup
+    // COMPONENT (min-label), so near-copies never straddle train and
+    // test — the eval-contamination guard a per-doc hash split lacks
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.text.LeakageSafeSplit(docs, mh.candidatePairs(docs))
+        .select("doc_id", "component", "split")
+    }),
+
+    // the audit twin: a PER-DOC hash split of the same corpus leaks —
+    // every component whose members straddle splits, with the straddled
+    // split set (empty output would mean the split was already safe)
+    "split_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val perDoc = graft.operators.text.HashSampler()
+        .split(docs, trainBuckets = 80, valBuckets = 10)
+      graft.operators.text.LeakageSafeSplit
+        .audit(perDoc, mh.candidatePairs(docs))
+        .select(col("component"), col("n_docs"), col("n_splits"),
+          array_join(col("splits"), ",").as("splits"))
     })
   )
 
@@ -306,7 +328,57 @@ object DedupQueries {
          |SELECT n_candidates, n_truth, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
          |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |b AS (
+         |  SELECT doc_id, component,
+         |    CAST(('0x' || substr(md5(CAST(component AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) % 100 AS bucket
+         |  FROM comp)
+         |SELECT doc_id, component,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "split_leakage_audit" ->
+      s"""WITH RECURSIVE $mhSigSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) % 100 AS bucket
+         |    FROM documents))
+         |SELECT c.component, count(*) AS n_docs,
+         |  count(DISTINCT p.split) AS n_splits,
+         |  array_to_string(list_sort(list(DISTINCT p.split)), ',') AS splits
+         |FROM perdoc p JOIN comp c ON p.doc_id = c.doc_id
+         |GROUP BY 1 HAVING count(DISTINCT p.split) > 1""".stripMargin
   )
 
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the 16-bit

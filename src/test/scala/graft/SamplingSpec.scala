@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.text.{CreditCardRedactor, GroupCap, HashSampler, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
+import graft.operators.text.{CreditCardRedactor, GroupCap, HashSampler, LeakageSafeSplit, PiiRedactor, TokenBudgetSampler, TopFractionByGroup, TrainingShardLayout}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -273,5 +273,44 @@ class SamplingSpec extends SparkSpec {
     val kept = GroupCap(n = 3)(rows).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L, 6L, 7L))
     intercept[IllegalArgumentException] { GroupCap(0) }
+  }
+
+  test("LeakageSafeSplit: components never straddle splits; audit catches per-doc leaks") {
+    // a 3-member near-dup chain (1~2, 2~3), a pair (10~11), and
+    // isolated docs — edges as any near-dup operator would emit them
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 80L)).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = LeakageSafeSplit(docs, edges)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == docs.count())
+    // every component maps to exactly ONE split, under any seed
+    val byComp = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    byComp.foreach { case (c, splits) =>
+      assert(splits.length == 1, s"component $c straddles: $splits")
+    }
+    assert(out.find(_._1 == 1L).get._2 == 1L) // min-label component
+    assert(Set(1L, 2L, 3L).map(id => out.find(_._1 == id).get._3).size == 1)
+    // isolated docs are their own component → split keyed by own id,
+    // i.e. identical to the per-doc hash split
+    val perDoc = HashSampler().split(docs, 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(r => r._1 >= 20L).foreach { r =>
+      assert(r._3 == perDoc(r._1), s"isolated doc ${r._1}")
+    }
+    // the audit: the per-doc split leaks iff a component's members drew
+    // different buckets; verify the audit reports exactly those
+    val audited = LeakageSafeSplit
+      .audit(HashSampler().split(docs, 80, 10), edges)
+      .select("component", "n_splits").as[(Long, Long)].collect().toMap
+    val straddling = Seq(Seq(1L, 2L, 3L), Seq(10L, 11L)).flatMap { comp =>
+      val ss = comp.map(perDoc).distinct
+      if (ss.size > 1) Some(comp.min -> ss.size.toLong) else None
+    }.toMap
+    assert(audited == straddling)
+    // a leakage-safe split audits clean against its own edges
+    assert(LeakageSafeSplit.audit(
+      LeakageSafeSplit(docs, edges), edges).isEmpty)
   }
 }
