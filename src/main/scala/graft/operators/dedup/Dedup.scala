@@ -265,6 +265,66 @@ case class IncrementalMinHashDedup(lsh: MinHashLSH = MinHashLSH()) {
     * index must carry every reaching doc's buckets (the day-2 re-crawl
     * capstone's rebuild-equality oracle is gated on exactly this). */
   def indexRowsAll(batch: DataFrame): DataFrame = lsh.buckets(batch)
+
+  /** Persist the band index as a BUCKETED catalog table clustered on
+    * the join key (band, bucket) — the BM25-postings treatment applied
+    * to the dedup index. The plain-DataFrame [[rejectedIds]] probe
+    * hash-partitions BOTH sides of its semi join, so every ingest
+    * batch pays an Exchange of the FULL index — corpus-proportional
+    * cost for a batch-sized question (measured in §5.14: the one step
+    * of the day-2 ingest that grew with corpus size). Reading the
+    * index back bucketed makes the probe Exchange-free on the index
+    * side: only the batch's narrow (id, band, bucket) rows shuffle
+    * (plan-audited in IncrementalIndexSpec). */
+  def persistIndex(rows: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val spark = rows.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/${table.toLowerCase}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    graft.sources.Sinks.bucketedTable(
+      rows.repartition(buckets, col("band"), col("bucket")),
+      table, Seq("band", "bucket"), buckets)
+  }
+
+  /** Roll the persisted index forward with a new batch's bucket rows —
+    * an APPEND into the same bucket layout (more files per bucket is
+    * fine: the probe's hash join has no per-bucket sort requirement,
+    * unlike BM25's merge join). Append [[indexRowsAll]]-shaped rows
+    * for strict stream-order equality across batches,
+    * [[indexRows]]-shaped for survivor-membership state. */
+  def appendIndex(rows: DataFrame, table: String, buckets: Int = 8): Unit =
+    rows.repartition(buckets, col("band"), col("bucket"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band", "bucket").saveAsTable(table)
+
+  /** [[rejectedIds]] against a [[persistIndex]]-persisted index,
+    * Exchange-free on the index side: the bucketed scan already lays
+    * the index out by the join key and only the batch side shuffles
+    * into the matching partitioning. The hit test is an inner join +
+    * distinct rather than a semi join: Spark builds a LeftSemi hash
+    * table on the RIGHT (index) side — per-partition memory
+    * proportional to the corpus — while the inner form hints the
+    * build onto the batch side and map-side distinct collapses
+    * fat-bucket multiplicity before anything shuffles further. */
+  def rejectedIdsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame): DataFrame = {
+    val bb = lsh.buckets(batch).localCheckpoint()
+    val hitOld = spark.table(table).select(col("band"), col("bucket"))
+      .join(bb.hint("shuffle_hash"), Seq("band", "bucket"))
+      .select(col(idCol)).distinct()
+    val intra = lsh.candidatePairsFromBuckets(bb)
+      .select(col("id_b").as(idCol))
+    hitOld.union(intra).distinct()
+  }
+
+  /** [[survivors]] served from the bucketed catalog index — identical
+    * results (same collision rule, same bucket-cap semantics), none of
+    * the index-side shuffle. */
+  def survivorsIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame): DataFrame =
+    batch.join(rejectedIdsIndexed(spark, table, batch), Seq(idCol), "left_anti")
 }
 
 /** SimHash (Charikar 2002) n-bit signature as a pure Column expression:

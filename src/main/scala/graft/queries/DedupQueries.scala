@@ -105,6 +105,19 @@ object DedupQueries {
       DedupEval.prf(mh.candidatePairs(docs.unionByName(twins)), truth)
     }),
 
+    // the persisted-index twin of dedup_incremental (same oracle —
+    // results must be identical): the band index is a BUCKETED catalog
+    // table and the batch probe is Exchange-free on the index side
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val inc = IncrementalMinHashDedup(mh)
+      inc.persistIndex(mh.buckets(docs.filter(col("doc_id") % 5 < 3)),
+        "graft_inc_band_idx")
+      inc.survivorsIndexed(s, "graft_inc_band_idx",
+          docs.filter(col("doc_id") % 5 >= 3))
+        .select("doc_id", "lang", "source")
+    }),
+
     // leakage-safe splitting: train/val/test assigned per near-dup
     // COMPONENT (min-label), so near-copies never straddle train and
     // test — the eval-contamination guard a per-doc hash split lacks
@@ -129,6 +142,27 @@ object DedupQueries {
   )
 
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private def dedupIncrementalSql: String =
+    s"""WITH $mhSigSql,
+       |$bandsSql,
+       |old_b AS (SELECT * FROM buckets WHERE doc_id % 5 < 3),
+       |new_b AS (SELECT * FROM buckets WHERE doc_id % 5 >= 3),
+       |new_over_cap AS (
+       |  SELECT band, bucket FROM new_b
+       |  GROUP BY 1, 2 HAVING count(*) > ${mh.maxBucketSize}),
+       |rejected AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM new_b n JOIN old_b o ON n.band = o.band AND n.bucket = o.bucket
+       |  UNION
+       |  SELECT DISTINCT b.doc_id
+       |  FROM new_b a JOIN new_b b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM new_over_cap g
+       |                    WHERE g.band = a.band AND g.bucket = a.bucket))
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id % 5 >= 3
+       |  AND doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin
 
   /** Shared CTE: minhash signatures per doc (docs with ≥ shingleSize
     * words). Base hash = 28-bit md5 prefix; permutations a·x+b mod
@@ -222,26 +256,10 @@ object DedupQueries {
          |SELECT s.doc_id, s.quality FROM scored s
          |JOIN best b ON s.doc_id = b.doc_id""".stripMargin,
 
-    "dedup_incremental" ->
-      s"""WITH $mhSigSql,
-         |$bandsSql,
-         |old_b AS (SELECT * FROM buckets WHERE doc_id % 5 < 3),
-         |new_b AS (SELECT * FROM buckets WHERE doc_id % 5 >= 3),
-         |new_over_cap AS (
-         |  SELECT band, bucket FROM new_b
-         |  GROUP BY 1, 2 HAVING count(*) > ${mh.maxBucketSize}),
-         |rejected AS (
-         |  SELECT DISTINCT n.doc_id
-         |  FROM new_b n JOIN old_b o ON n.band = o.band AND n.bucket = o.bucket
-         |  UNION
-         |  SELECT DISTINCT b.doc_id
-         |  FROM new_b a JOIN new_b b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM new_over_cap g
-         |                    WHERE g.band = a.band AND g.bucket = a.bucket))
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id % 5 >= 3
-         |  AND doc_id NOT IN (SELECT doc_id FROM rejected)""".stripMargin,
+    // one oracle, two execution strategies (plain-DataFrame probe /
+    // bucketed-catalog-index probe — results must be identical)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_indexed" -> dedupIncrementalSql,
 
     "dedup_minhash_verified" ->
       s"""WITH $mhSigSql,
