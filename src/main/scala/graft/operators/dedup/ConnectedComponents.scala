@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   * standard fix (the MinHash pipelines in RefinedWeb/SlimPajama cluster
   * candidates before choosing survivors).
   *
-  * Scale shape: each iteration is one join + one map-side-combined
-  * groupBy over the (node, label) table — no driver-side graph, state
-  * bounded by the node count, O(graph diameter) iterations (near-dup
-  * graphs are shallow: components are cliques-ish, 2–4 iterations).
-  * The convergence check is an aggregate (sum of label changes), the
+  * Scale shape: each iteration is one neighbor-min join + one POINTER
+  * JUMP (adopt your label's label — path halving) + one
+  * map-side-combined groupBy over the narrow (node, label) table — no
+  * driver-side graph, state bounded by the node count. Neighbor-min
+  * alone needs O(graph diameter) iterations, which is fine for the
+  * cliquish graphs real near-dup corpora produce (2–4) but silently
+  * WRONG past maxIter on an adversarial CHAIN — a crawl of gradually
+  * drifting re-posts where each doc near-dups only its neighbor builds
+  * a path graph whose diameter is the corpus. The pointer jump
+  * contracts label paths geometrically (the large-star idea from the
+  * MapReduce-CC literature, r14), so convergence is O(log diameter):
+  * 20 iterations cover a diameter of ~2^20 instead of 20. Failure to
+  * converge now THROWS instead of returning wrong labels. The
+  * convergence check is an aggregate (sum of label changes), the
   * only driver-visible value per iteration.
   */
 object ConnectedComponents {
@@ -46,18 +55,32 @@ object ConnectedComponents {
       // each node takes the min of its own label and its neighbors'
       val viaNeighbors = sym.join(labels.withColumnRenamed("u", "v"), "v")
         .select(col("u"), col("lbl"))
+      val afterNeighbors = labels.union(viaNeighbors)
+        .groupBy("u").agg(min("lbl").as("lbl"))
+      // pointer jump: adopt your label's label (every label IS a node
+      // id, so the self-join always hits). lbl(u) stays reachable from
+      // u — lbl(u) is reachable and lbl(lbl(u)) is reachable from it —
+      // so the fixpoint is unchanged; label paths halve per round,
+      // turning O(diameter) neighbor propagation into O(log diameter)
+      val byLabel = afterNeighbors
+        .select(col("u").as("__ju"), col("lbl").as("__jlbl"))
+      val jumped = afterNeighbors.join(byLabel, col("lbl") === col("__ju"))
+        .select(col("u"), least(col("lbl"), col("__jlbl")).as("lbl"))
       // lazy checkpoint: the convergence aggregate below materializes it,
       // so each iteration is ONE job (checkpoint + sum together) while
       // still truncating the growing lineage for the next round
-      val next = labels.union(viaNeighbors)
-        .groupBy("u").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = false)
+      val next = jumped.localCheckpoint(eager = false)
       val s = next.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
       labels = next
       converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       iter += 1
     }
+    if (!converged && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations " +
+          "(diameter > ~2^maxIter is not a realistic near-dup graph; " +
+          "raise maxIter if yours genuinely is)")
     labels.select(col("u").as(idCol), col("lbl").as("component"))
   }
 

@@ -50,4 +50,33 @@ class ComponentsSpec extends SparkSpec {
       2L -> ((2L, 4L, 10L)),  // two 2-clusters holding 4 docs
       1L -> ((1L, 1L, 99L))))
   }
+
+  test("adversarial chain: pointer jumping converges in O(log diameter)") {
+    // a 5000-link path graph — the crawl-of-drifting-re-posts shape,
+    // where each doc near-dups only its neighbor. Diameter = corpus:
+    // neighbor-min alone would need 5000 iterations (and before r14,
+    // maxIter=20 returned WRONG labels silently); path halving covers
+    // 2^k reach in k rounds, so the default budget is ample.
+    val n = 5000
+    val edges = spark.range(1, n).select(
+      $"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val nodes = spark.range(1, n + 1).select($"id".as("doc_id"))
+    val comp = ConnectedComponents(edges, nodes)
+      .as[(Long, Long)].collect()
+    assert(comp.length == n)
+    assert(comp.forall(_._2 == 1L), "every node must label to the chain min")
+    // and the speedup is real, not slack in the budget: a 200-link
+    // chain resolves within 12 rounds (neighbor-min alone needs 199)
+    val small = ConnectedComponents(
+      spark.range(1, 200).select($"id".as("id_a"), ($"id" + 1).as("id_b")),
+      spark.range(1, 201).select($"id".as("doc_id")), maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(small.forall(_._2 == 1L))
+    // non-convergence is LOUD now, never silently-wrong labels
+    intercept[IllegalStateException] {
+      ConnectedComponents(
+        spark.range(1, 200).select($"id".as("id_a"), ($"id" + 1).as("id_b")),
+        spark.range(1, 201).select($"id".as("doc_id")), maxIter = 3).count()
+    }
+  }
 }
