@@ -113,6 +113,26 @@ object RecrawlProbe {
       val e = graft.operators.dedup.ExactDedup()(p).localCheckpoint()
       RecrawlCapstone.lsh.copy()(e).count()
     }
+    // isolate the band-index probe — the ONE ingest step whose cost
+    // grew with corpus size (the plain semi join shuffles the full
+    // index) — and measure the r14 bucketed-catalog alternative, which
+    // reads the index in place and shuffles only the batch
+    val inc = graft.operators.dedup.IncrementalMinHashDedup(
+      RecrawlCapstone.lsh)
+    for ((label, dir) <- Seq("1m" -> s"$tmp/full", "250k" -> s"$tmp/quarter")) {
+      val idx = spark.read.parquet(s"$dir/minhash_index")
+      val nIdx = idx.count()
+      probe(s"band_probe_plain_$label", nIdx) {
+        inc.survivors(idx, batch).count()
+      }
+      probe(s"band_index_build_$label", nIdx) {
+        inc.persistIndex(idx, s"graft_band_idx_$label", buckets = cpus)
+        spark.table(s"graft_band_idx_$label").count()
+      }
+      probe(s"band_probe_indexed_$label", nIdx) {
+        inc.survivorsIndexed(spark, s"graft_band_idx_$label", batch).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -86,7 +86,14 @@ class IndexVisibilitySpec extends SparkSpec {
     StreamingOps.writeIndexCommit(spark, "graft_torn", 0L, "graft_torn_v1")
     // simulate a crash MID-refresh into v2: one of the four tables
     // landed (with garbage content), the rest did not, and — crucially —
-    // no commit record was written
+    // no commit record was written. (A prior SESSION's torn leftover is
+    // the exact stale-dir state this simulates — clear it first so the
+    // simulation itself is re-run-idempotent.)
+    spark.sql("DROP TABLE IF EXISTS graft_torn_v2_postings")
+    val tornDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_torn_v2_postings")
+    val tornFs = tornDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tornFs.exists(tornDir)) tornFs.delete(tornDir, true)
     Seq((99L, "torn"), (98L, "partial")).toDF("term", "junk")
       .write.mode("overwrite").format("parquet")
       .saveAsTable("graft_torn_v2_postings")
