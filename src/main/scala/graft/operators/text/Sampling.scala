@@ -423,7 +423,11 @@ object LeakageSafeSplit {
     * leakage-safe. Run this before trusting any eval built from a
     * corpus someone split per-document. Narrow all the way: the corpus
     * contributes only (id, split), the labeling only (id, component);
-    * output is bounded by the number of LEAKING components. */
+    * output is bounded by the number of LEAKING components. Null
+    * splits are ignored by the distinct count (SQL semantics) — a
+    * component mixing null and one real split does NOT flag; splits
+    * produced by [[HashSampler.split]] / [[LeakageSafeSplit.apply]]
+    * are never null. */
   def audit(df: DataFrame, edges: DataFrame, idCol: String = "doc_id",
       splitCol: String = "split"): DataFrame = {
     val comp = graft.operators.dedup.ConnectedComponents(

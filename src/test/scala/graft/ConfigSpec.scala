@@ -404,6 +404,25 @@ class ConfigSpec extends SparkSpec {
     assert(got == Map(2L -> 4.0, 3L -> 2.0, 4L -> 3.0, 5L -> 4.0))
   }
 
+  test("leakage_safe_splitter runs from YAML: near-dup pairs share a split") {
+    val yaml =
+      """operators:
+        |  - name: leakage_safe_splitter
+        |    params: {shingle_size: 2, train_buckets: 50, val_buckets: 25}
+        |""".stripMargin
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "completely different text about boats on rivers"))
+      .toDF("doc_id", "text")
+    val out = PipelineConfig.parse(yaml)(docs)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == out(2L), "near-dup pair must share component AND split")
+    assert(out(3L)._1 == 3L)
+  }
+
   test("CLI index-build + two-day ingest loop: dups stop at the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
