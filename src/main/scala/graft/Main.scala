@@ -307,7 +307,7 @@ object Main {
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pat = ("^" + java.util.regex.Pattern.quote(
-      base.toLowerCase(java.util.Locale.ROOT)) + "_v(\\d+)_postings$").r
+      base.toLowerCase(java.util.Locale.ROOT)) + "_v(\\d+)_manifest$").r
     if (!fs.exists(wh)) -1
     else fs.listStatus(wh).flatMap(st => st.getPath.getName match {
       case pat(n) => Some(n.toInt)
@@ -422,10 +422,11 @@ object Main {
       val buckets = rc.getOrElse("bm25_buckets", 8).toString.toInt
       // idempotent per batch id, the versioned-artifact way: the
       // (from, to) pair is pinned in a marker BEFORE the refresh, and
-      // `to` is complete iff its _stats table (written LAST by
-      // refreshIndex) carries parquet's _SUCCESS — a re-run of a
-      // finished batch skips, a re-run of a torn refresh rebuilds the
-      // same target from the same source (refresh drops it first)
+      // `to` is complete iff its _manifest table (the commit record,
+      // written LAST by refreshIndex) carries parquet's _SUCCESS — a
+      // re-run of a finished batch skips, a re-run of a torn refresh
+      // rebuilds the same target from the same source (refresh drops
+      // its torn segment first)
       val marker = new org.apache.hadoop.fs.Path(stateDir,
         s"_bm25_refresh_$batchId")
       val (from, to) =
@@ -446,11 +447,11 @@ object Main {
         }
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val done = new org.apache.hadoop.fs.Path(
-        s"$wh/${to.toLowerCase(java.util.Locale.ROOT)}_stats/_SUCCESS")
+        s"$wh/${to.toLowerCase(java.util.Locale.ROOT)}_manifest/_SUCCESS")
       if (fs.exists(done))
         println(s"[graft] recrawl-ingest: bm25 $to already committed — skipping")
       else {
-        if (!spark.catalog.tableExists(s"${from}_postings"))
+        if (!spark.catalog.tableExists(s"${from}_manifest"))
           bm.attachIndex(spark, from, from, buckets)
         bm.refreshIndex(stable.select(idCol, textCol), from, to, buckets)
         println(s"[graft] recrawl-ingest: bm25 $from -> $to")

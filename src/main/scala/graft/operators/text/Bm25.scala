@@ -96,63 +96,62 @@ case class Bm25(
   }
 
   /** Persist the inverted index as the artifact the scale story
-    * promises: catalog tables bucketed (and sorted) by `term` —
-    * `<name>_postings` (term, doc, tf), `<name>_vocab` (term, df),
-    * `<name>_lens` (doc, dl — from the corpus, so zero-token docs keep
-    * their row and N stays the corpus count), `<name>_stats` (1 row:
-    * n, sum_dl). Pay the (term, doc) shuffle ONCE at build; every
-    * query batch after that reads its matching-term postings without
-    * re-tokenizing the corpus, and postings⋈vocab is a zero-Exchange,
-    * zero-Sort merge join (same bucketing, sorted by term — the
-    * BucketedSearchSpec plan audit). df is a build-time aggregate of
-    * the bucketed postings (no shuffle). */
-  /** Drop a prior index of this name, including a warehouse directory
-    * left by ANOTHER session's build (the catalog entry dies with its
-    * session, the files do not — saveAsTable then refuses the
-    * location). */
+    * promises — a SEGMENTED (LSM-style) layout. A version `name` is a
+    * tiny `<name>_manifest` table (seg, gen) naming its immutable
+    * SEGMENTS; each segment `<seg>` holds a disjoint slice of the
+    * corpus as catalog tables bucketed (and sorted) by `term` —
+    * `<seg>_postings` (term, doc, tf), `<seg>_vocab` (term, df),
+    * `<seg>_lens` (doc, dl), `<seg>_stats` (1 row: n, sum_dl).
+    * [[buildIndex]] writes one segment; [[refreshIndex]] APPENDS a
+    * batch-sized segment and a new manifest — cost ∝ batch, never the
+    * corpus (the B26 `batch=<id>` discipline applied to search
+    * indexes); [[compactIndex]] folds segments back to one. Readers
+    * resolve segments through ONE manifest, so the r14 visibility
+    * contract holds: versions are immutable (a refresh writes only
+    * `newName`-prefixed files), and the manifest — written LAST — is
+    * the version's commit record. Because segment doc sets are
+    * disjoint, corpus df(term) = Σ per-segment df and (N, Σdl) add,
+    * so serving computes exact global BM25 from segment tables. */
+  private def segTables = Seq("postings", "vocab", "lens", "stats")
+
+  /** Drop a version of this name — its manifest and the segment this
+    * version OWNS (`<name>_seg_*`); segments inherited from older
+    * versions are shared and never touched. Also clears warehouse
+    * directories left by ANOTHER session's build (the catalog entry
+    * dies with its session, the files do not — saveAsTable then
+    * refuses the location). */
   private def dropIndexTables(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    for (t <- Seq("postings", "vocab", "lens", "stats")) {
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
-      val p = new org.apache.hadoop.fs.Path(s"$wh/${name.toLowerCase}_$t")
+    for (t <- segTables.map(t => s"${name}_seg_$t") :+ s"${name}_manifest") {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/${t.toLowerCase}")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
   }
 
-  /** Re-register a [[buildIndex]]-written index in a FRESH session's
-    * catalog: the parquet files outlive the session, the (in-memory)
-    * catalog entries do not — without re-attachment a new session
-    * cannot `spark.table()` them at all, let alone recover the bucket
-    * metadata the Exchange-/Sort-free merge join depends on. Schemas
-    * come from the files themselves; bucket/sort specs are re-declared
-    * per table (postings/vocab by term sorted, lens by the id). Works
-    * under any target name, so one on-disk index can serve many
-    * sessions. */
-  def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
-      as: String, buckets: Int = 8): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    def attach(suffix: String, bucketCol: String, sorted: Boolean): Unit = {
-      val loc = s"$wh/${dirOfName.toLowerCase}_$suffix"
-      val ddl = spark.read.parquet(loc).schema.toDDL
-      val sortClause = if (sorted) s"SORTED BY ($bucketCol) " else ""
-      spark.sql(s"""CREATE TABLE ${as}_$suffix ($ddl) USING parquet
-        |CLUSTERED BY ($bucketCol) ${sortClause}INTO $buckets BUCKETS
-        |LOCATION '$loc'""".stripMargin)
-    }
-    attach("postings", "term", sorted = true)
-    attach("vocab", "term", sorted = true)
-    attach("lens", idCol, sorted = false)
-    val statsLoc = s"$wh/${dirOfName.toLowerCase}_stats"
-    val statsDdl = spark.read.parquet(statsLoc).schema.toDDL
-    spark.sql(
-      s"CREATE TABLE ${as}_stats ($statsDdl) USING parquet LOCATION '$statsLoc'")
+  /** The version's segment prefixes in generation order (bounded
+    * driver read: one row per refresh since the last compaction). */
+  private[graft] def segments(spark: org.apache.spark.sql.SparkSession,
+      name: String): Seq[String] =
+    spark.table(s"${name}_manifest").orderBy(col("gen"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** The manifest IS the commit record — written last, single file. */
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      name: String, segs: Seq[(String, Int)]): Unit = {
+    import spark.implicits._
+    segs.toDF("seg", "gen").coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_manifest")
   }
 
-  def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+  /** One immutable segment from `docs` — the only tokenize pass those
+    * documents ever pay. */
+  private def writeSegment(docs: DataFrame, seg: String, buckets: Int): Unit = {
     import graft.sources.Sinks.bucketedTable
-    dropIndexTables(docs.sparkSession, name)
+    val spark = docs.sparkSession
     // repartition(buckets, term) before the bucketed save: Spark's
     // bucket hash IS HashPartitioning's, so each write task then holds
     // exactly one bucket and each bucket lands in ONE file — the
@@ -161,87 +160,188 @@ case class Bm25(
     // join; one file per bucket makes postings⋈vocab Exchange- AND
     // Sort-free, which BucketedSearchSpec audits).
     bucketedTable(postings(docs).repartition(buckets, col("term")),
-      s"${name}_postings", Seq("term"), buckets, Seq("term"))
-    val spark = docs.sparkSession
+      s"${seg}_postings", Seq("term"), buckets, Seq("term"))
     bucketedTable(
-      spark.table(s"${name}_postings").groupBy("term")
+      spark.table(s"${seg}_postings").groupBy("term")
         .agg(count(lit(1)).as("df")).repartition(buckets, col("term")),
-      s"${name}_vocab", Seq("term"), buckets, Seq("term"))
+      s"${seg}_vocab", Seq("term"), buckets, Seq("term"))
     val dls = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
     bucketedTable(dls.repartition(buckets, col(idCol)),
-      s"${name}_lens", Seq(idCol), buckets)
-    // coalesce: an empty corpus's sum is null, and the serving path
-    // reads sum_dl as a long (refreshIndex already coalesces its side)
+      s"${seg}_lens", Seq(idCol), buckets)
+    // coalesce: an empty batch's sum is null; serving reads a long
     dls.agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${name}_stats")
+      .saveAsTable(s"${seg}_stats")
+  }
+
+  /** Re-register a [[buildIndex]]-written index in a FRESH session's
+    * catalog: the parquet files outlive the session, the (in-memory)
+    * catalog entries do not — without re-attachment a new session
+    * cannot `spark.table()` them at all, let alone recover the bucket
+    * metadata the Exchange-/Sort-free merge join depends on. The
+    * manifest parquet is read straight from the warehouse dir. With
+    * `as == dirOfName` (the fresh-session case) every listed segment
+    * re-attaches under its recorded name and the manifest attaches
+    * location-backed; with an alias, segments attach as
+    * `<as>_seg<i>_*` external tables over the SAME data files and a
+    * new (tiny) manifest under `as` lists them — either way the
+    * original index's files are never rewritten and dropping attached
+    * tables never deletes them. */
+  def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
+      as: String, buckets: Int = 8): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val manLoc = s"$wh/${dirOfName.toLowerCase}_manifest"
+    val man = spark.read.parquet(manLoc).orderBy(col("gen"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    def attach(table: String, srcPrefix: String, suffix: String,
+        bucketCol: String, sorted: Boolean): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val loc = s"$wh/${srcPrefix.toLowerCase}_$suffix"
+        val ddl = spark.read.parquet(loc).schema.toDDL
+        val bucketClause =
+          if (bucketCol.isEmpty) ""
+          else s"CLUSTERED BY ($bucketCol) " +
+            (if (sorted) s"SORTED BY ($bucketCol) " else "") +
+            s"INTO $buckets BUCKETS "
+        spark.sql(s"""CREATE TABLE $table ($ddl) USING parquet
+          |${bucketClause}LOCATION '$loc'""".stripMargin)
+      }
+    def attachSeg(src: String, dst: String): Unit = {
+      attach(s"${dst}_postings", src, "postings", "term", sorted = true)
+      attach(s"${dst}_vocab", src, "vocab", "term", sorted = true)
+      attach(s"${dst}_lens", src, "lens", idCol, sorted = false)
+      attach(s"${dst}_stats", src, "stats", "", sorted = false)
+    }
+    if (as == dirOfName) {
+      man.foreach { case (seg, _) => attachSeg(seg, seg) }
+      if (!spark.catalog.tableExists(s"${as}_manifest")) {
+        val ddl = spark.read.parquet(manLoc).schema.toDDL
+        spark.sql(
+          s"CREATE TABLE ${as}_manifest ($ddl) USING parquet LOCATION '$manLoc'")
+      }
+    } else {
+      val aliased = man.zipWithIndex.map { case ((seg, gen), i) =>
+        (seg, gen, s"${as}_seg$i")
+      }
+      aliased.foreach { case (seg, _, dst) => attachSeg(seg, dst) }
+      import spark.implicits._
+      aliased.map { case (_, gen, dst) => (dst, gen) }.toDF("seg", "gen")
+        .coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${as}_manifest")
+    }
+  }
+
+  def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    dropIndexTables(spark, name)
+    writeSegment(docs, s"${name}_seg", buckets)
+    writeManifest(spark, name, Seq((s"${name}_seg", 0)))
   }
 
   /** Roll a persisted index forward with a NEW batch of documents (ids
     * disjoint from the indexed corpus — the incremental-ingest
-    * contract, same as IncrementalMinHashDedup) WITHOUT re-tokenizing
-    * the indexed corpus: the old side contributes its narrow
-    * postings/lens tables (read back bucketed), only the batch pays
-    * tokenize+aggregate, df per term re-derives from the merged
-    * postings with a zero-shuffle bucketed aggregate, and stats add
-    * one bounded row. The merged index writes under `newName` — the
-    * versioned-artifact convention (readers flip to the new name after
-    * the write completes; the old version stays intact, so a crashed
-    * refresh never corrupts a live index — the Sinks snapshot-commit
-    * pointer discipline applied to catalog tables). At 100 TB the
-    * postings read+rewrite is the cost of a narrow (term, doc, tf)
-    * table, not of the corpus text. */
+    * contract, same as IncrementalMinHashDedup) at O(batch) cost: only
+    * the batch tokenizes, into ONE new segment `<newName>_seg_*`, and
+    * the new version's manifest = the old version's segments + that
+    * one. Nothing corpus-sized is read or rewritten — the r14 design
+    * rewrote all of postings+lens+vocab per refresh, which B64 paid
+    * per micro-batch. The versioned-artifact convention holds: a
+    * refresh writes only `newName`-prefixed files (old versions
+    * byte-for-byte intact, IndexVisibilitySpec), the manifest is the
+    * commit record (written last — a crash beforehand leaves `newName`
+    * unreadable and the retry drops the torn segment first), and old
+    * segments are SHARED by reference, not copied. Segment count grows
+    * one per refresh; fold with [[compactIndex]] on the same schedule
+    * as B26's `compact-index`. */
   def refreshIndex(newDocs: DataFrame, name: String, newName: String,
       buckets: Int = 8): Unit = {
     require(newName != name,
       "refresh writes a new index version; flip readers after the write")
-    import graft.sources.Sinks.bucketedTable
     val spark = newDocs.sparkSession
+    val old = spark.table(s"${name}_manifest")
+      .orderBy(col("gen")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
     dropIndexTables(spark, newName)
+    writeSegment(newDocs, s"${newName}_seg", buckets)
+    writeManifest(spark, newName,
+      old :+ ((s"${newName}_seg", old.map(_._2).max + 1)))
+  }
+
+  /** Fold a version's segments into ONE segment under `newName` — the
+    * scheduled O(index) cost that keeps serving-time segment counts
+    * bounded (B26's `compact-index` for the search index). Reads only
+    * the narrow persisted tables (no re-tokenize): postings union
+    * re-buckets, vocab re-derives from the merged postings (disjoint
+    * doc sets ⇒ Σ df is exact, but the groupBy form needs no driver
+    * arithmetic), lens union, stats add. Old versions stay intact. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      newName: String, buckets: Int = 8): Unit = {
+    require(newName != name,
+      "compaction writes a new index version; flip readers after the write")
+    import graft.sources.Sinks.bucketedTable
+    val segs = segments(spark, name)
+    dropIndexTables(spark, newName)
+    val seg = s"${newName}_seg"
     bucketedTable(
-      spark.table(s"${name}_postings").unionByName(postings(newDocs))
+      segs.map(s => spark.table(s"${s}_postings")).reduce(_ unionByName _)
         .repartition(buckets, col("term")),
-      s"${newName}_postings", Seq("term"), buckets, Seq("term"))
+      s"${seg}_postings", Seq("term"), buckets, Seq("term"))
     bucketedTable(
-      spark.table(s"${newName}_postings").groupBy("term")
+      spark.table(s"${seg}_postings").groupBy("term")
         .agg(count(lit(1)).as("df")).repartition(buckets, col("term")),
-      s"${newName}_vocab", Seq("term"), buckets, Seq("term"))
-    val newLens = newDocs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+      s"${seg}_vocab", Seq("term"), buckets, Seq("term"))
     bucketedTable(
-      spark.table(s"${name}_lens").unionByName(newLens)
+      segs.map(s => spark.table(s"${s}_lens")).reduce(_ unionByName _)
         .repartition(buckets, col(idCol)),
-      s"${newName}_lens", Seq(idCol), buckets)
-    spark.table(s"${name}_stats")
-      .unionByName(newLens.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
-      .agg(sum("n").as("n"), sum("sum_dl").as("sum_dl"))
+      s"${seg}_lens", Seq(idCol), buckets)
+    segs.map(s => spark.table(s"${s}_stats")).reduce(_ unionByName _)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${newName}_stats")
+      .saveAsTable(s"${seg}_stats")
+    writeManifest(spark, newName, Seq((seg, 0)))
   }
 
   /** [[search]] against a [[buildIndex]]-persisted index — identical
     * results (same formula, same rounding, same tiebreaks), none of
     * the per-batch corpus work: the corpus tokenize/aggregate passes
-    * are replaced by reads of the bucketed postings/vocab/lens tables,
-    * the query-term set broadcasts into the postings scan, and the only
-    * corpus-proportional cost left is the pruned matching-term postings
-    * themselves. */
+    * are replaced by reads of the segments' bucketed
+    * postings/vocab/lens tables, the query-term set broadcasts into
+    * every postings scan BEFORE the segment union (pushed through it
+    * by Catalyst), and the only corpus-proportional cost left is the
+    * pruned matching-term postings themselves. Global df is the sum of
+    * per-segment dfs over the (tiny) query-term vocabulary rows; (N,
+    * avgdl) come from the per-segment stats rows (one bounded driver
+    * action over ≤ segment-count rows). */
   def searchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
       queries: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stats = spark.table(s"${name}_stats").head()
+    val segs = segments(spark, name)
+    val stats = segs.map(s => spark.table(s"${s}_stats"))
+      .reduce(_ unionByName _)
+      .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("sum_dl"), lit(0L)))
+      .head()
     val n = stats.getLong(0)
     val avgdl = if (n == 0) 1.0 else stats.getLong(1).toDouble / n.toDouble
     val qt = queries.select(col("query_id"),
       explode(array_distinct(terms(col(textCol)))).as("term"))
-    val post = spark.table(s"${name}_postings")
-      .join(broadcast(qt.select("term").distinct()), "term")
-    val dfT = spark.table(s"${name}_vocab")
+    val qTerms = broadcast(qt.select("term").distinct())
+    val post = segs.map(s => spark.table(s"${s}_postings"))
+      .reduce(_ unionByName _)
+      .join(qTerms, "term")
+    // per-segment df rows pruned to query terms, then summed: exact
+    // global df because segment doc sets are disjoint
+    val dfT = segs.map(s => spark.table(s"${s}_vocab"))
+      .reduce(_ unionByName _)
+      .join(qTerms, "term")
+      .groupBy("term").agg(sum("df").as("df"))
+    val lens = segs.map(s => spark.table(s"${s}_lens"))
+      .reduce(_ unionByName _)
     val perTerm = broadcast(qt)
       .join(post, "term")
       .join(dfT, "term")
-      .join(spark.table(s"${name}_lens"), idCol)
+      .join(lens, idCol)
       .withColumn("__idf",
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("__s", col("__idf") * (col("tf") * lit(k1 + 1.0)) /

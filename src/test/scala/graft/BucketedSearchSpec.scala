@@ -49,6 +49,28 @@ class BucketedSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       bm.refreshIndex(docs, "graft_bm25_r0", "graft_bm25_r0")
     }
+    // O(batch) roll-forward: the new version SHARES v0's segment by
+    // reference (manifest lists it) instead of rewriting the corpus
+    assert(bm.segments(spark, "graft_bm25_r1") ==
+      Seq("graft_bm25_r0_seg", "graft_bm25_r1_seg"))
+  }
+
+  test("compactIndex folds segments into one; results unchanged") {
+    val bm = Bm25()
+    bm.buildIndex(docs.filter($"doc_id" <= 2), "graft_bm25_c0", buckets = 4)
+    bm.refreshIndex(docs.filter($"doc_id" === 3), "graft_bm25_c0",
+      "graft_bm25_c1", buckets = 4)
+    bm.refreshIndex(docs.filter($"doc_id" > 3), "graft_bm25_c1",
+      "graft_bm25_c2", buckets = 4)
+    assert(bm.segments(spark, "graft_bm25_c2").size == 3)
+    bm.compactIndex(spark, "graft_bm25_c2", "graft_bm25_cz", buckets = 4)
+    assert(bm.segments(spark, "graft_bm25_cz").size == 1)
+    def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_bm25_cz") == rows("graft_bm25_c2"))
+    // pre-compaction versions stay readable (immutability)
+    assert(rows("graft_bm25_c1").nonEmpty)
   }
 
   test("postings ⋈ vocab on the persisted index is Exchange- and Sort-free") {
@@ -61,8 +83,8 @@ class BucketedSearchSpec extends SparkSpec {
     // need a merge; buildIndex writes exactly one file per bucket)
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      val j = spark.table("graft_bm25_plan_postings")
-        .join(spark.table("graft_bm25_plan_vocab"), "term")
+      val j = spark.table("graft_bm25_plan_seg_postings")
+        .join(spark.table("graft_bm25_plan_seg_vocab"), "term")
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"), s"bucketing not used:\n$plan")
@@ -87,8 +109,8 @@ class BucketedSearchSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      val plan = spark.table("graft_bm25_att2_postings")
-        .join(spark.table("graft_bm25_att2_vocab"), "term")
+      val plan = spark.table("graft_bm25_att2_seg0_postings")
+        .join(spark.table("graft_bm25_att2_seg0_vocab"), "term")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"re-declared bucketing not used:\n$plan")

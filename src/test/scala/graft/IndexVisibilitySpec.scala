@@ -47,10 +47,14 @@ class IndexVisibilitySpec extends SparkSpec {
     }.toSet
   }
 
+  // a version's OWN dirs under the segmented layout: the one segment
+  // it wrote plus its manifest (inherited segments belong to — and are
+  // snapshot under — the version that wrote them)
   private def bm25Dirs(name: String) =
-    Seq("postings", "vocab", "lens", "stats").map(s => s"${name}_$s")
+    Seq("seg_postings", "seg_vocab", "seg_lens", "seg_stats", "manifest")
+      .map(s => s"${name}_$s")
   private def ivfDirs(name: String) =
-    Seq("cells", "centroids").map(s => s"${name}_$s")
+    Seq("seg_cells", "centroids", "manifest").map(s => s"${name}_$s")
 
   test("BM25: a reader pinned to the old version is byte-for-byte undisturbed by a refresh") {
     val bm = Bm25()
@@ -84,19 +88,19 @@ class IndexVisibilitySpec extends SparkSpec {
     bm.buildIndex(d0, "graft_torn_v1", buckets = 4)
     StreamingOps.clearIndexLog(spark, "graft_torn")
     StreamingOps.writeIndexCommit(spark, "graft_torn", 0L, "graft_torn_v1")
-    // simulate a crash MID-refresh into v2: one of the four tables
-    // landed (with garbage content), the rest did not, and — crucially —
-    // no commit record was written. (A prior SESSION's torn leftover is
+    // simulate a crash MID-refresh into v2: the new segment's postings
+    // landed (with garbage content), the rest — including the manifest,
+    // the commit record — did not. (A prior SESSION's torn leftover is
     // the exact stale-dir state this simulates — clear it first so the
     // simulation itself is re-run-idempotent.)
-    spark.sql("DROP TABLE IF EXISTS graft_torn_v2_postings")
+    spark.sql("DROP TABLE IF EXISTS graft_torn_v2_seg_postings")
     val tornDir = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/graft_torn_v2_postings")
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_torn_v2_seg_postings")
     val tornFs = tornDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tornFs.exists(tornDir)) tornFs.delete(tornDir, true)
     Seq((99L, "torn"), (98L, "partial")).toDF("term", "junk")
       .write.mode("overwrite").format("parquet")
-      .saveAsTable("graft_torn_v2_postings")
+      .saveAsTable("graft_torn_v2_seg_postings")
     // a pointer-following reader recovers the LAST COMMITTED version —
     // the torn v2 is unreachable by name resolution
     val (live, lastId) =

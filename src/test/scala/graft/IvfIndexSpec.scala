@@ -87,11 +87,56 @@ class IvfIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
     assert(m.nonEmpty && m.get.group(1).toInt < m.get.group(2).toInt)
-    spark.sql("DROP TABLE graft_ivf_att2_cells")
+    spark.sql("DROP TABLE graft_ivf_att2_seg0_cells")
     spark.sql("DROP TABLE graft_ivf_att2_centroids")
-    // the attached tables are location-backed: dropping them must not
-    // have deleted the original index's files
+    spark.sql("DROP TABLE graft_ivf_att2_manifest")
+    // the attached cells/centroids tables are location-backed: dropping
+    // them must not have deleted the original index's files
     assert(rows("graft_ivf_att").nonEmpty)
+  }
+
+  test("compactIndex folds cells segments into one; results unchanged") {
+    val ivf = IvfIndex()
+    ivf.buildIndex(corpus.filter($"vec_id" < 15), centroids,
+      "graft_ivf_cp0", buckets = 4)
+    ivf.refreshIndex(corpus.filter($"vec_id" >= 15 && $"vec_id" < 30),
+      "graft_ivf_cp0", "graft_ivf_cp1", buckets = 4)
+    ivf.refreshIndex(corpus.filter($"vec_id" >= 30),
+      "graft_ivf_cp1", "graft_ivf_cp2", buckets = 4)
+    assert(ivf.segments(spark, "graft_ivf_cp2").map(_._1) ==
+      Seq("graft_ivf_cp0_seg", "graft_ivf_cp1_seg", "graft_ivf_cp2_seg"))
+    ivf.compactIndex(spark, "graft_ivf_cp2", "graft_ivf_cpz", buckets = 4)
+    assert(ivf.segments(spark, "graft_ivf_cpz").size == 1)
+    val queries = corpus.filter($"vec_id" < 4)
+    def rows(name: String) = ivf.searchIndexed(spark, name, queries,
+      k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_ivf_cpz") == rows("graft_ivf_cp2"))
+    assert(rows("graft_ivf_cp1").nonEmpty)
+  }
+
+  test("stalenessReport separates build-time cells from refreshed ones") {
+    val ivf = IvfIndex()
+    // build on axes 0-1 only, then refresh with a DRIFTED batch: axis-2
+    // and axis-3 vectors that land in cells the build never populated
+    ivf.buildIndex(corpus.filter($"vec_id" % 4 < 2), centroids,
+      "graft_ivf_st0", buckets = 4)
+    ivf.refreshIndex(corpus.filter($"vec_id" % 4 >= 2),
+      "graft_ivf_st0", "graft_ivf_st1", buckets = 4)
+    val rep = ivf.stalenessReport(spark, "graft_ivf_st1")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // axis-0/1 cells: build rows only; axis-2/3: refreshed rows only
+    // (virgin cells report their refreshed count as growth)
+    assert(rep(0) == ((10L, 0L, 0.0)) && rep(1) == ((10L, 0L, 0.0)))
+    assert(rep(2) == ((0L, 10L, 10.0)) && rep(3) == ((0L, 10L, 10.0)))
+    // the drifted roll trips the default rebuild trigger; a pure
+    // re-roll of build-distribution data would not
+    assert(ivf.needsRebuild(spark, "graft_ivf_st1"))
+    ivf.buildIndex(corpus.filter($"vec_id" % 4 < 2), centroids,
+      "graft_ivf_st2", buckets = 4)
+    ivf.refreshIndex(corpus.filter($"vec_id" % 4 === 0), // same cells, same shape
+      "graft_ivf_st2", "graft_ivf_st3", buckets = 4)
+    assert(!ivf.needsRebuild(spark, "graft_ivf_st3"))
   }
 
   test("index serves queries that are not corpus rows") {
