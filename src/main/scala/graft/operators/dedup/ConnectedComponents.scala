@@ -49,9 +49,13 @@ object ConnectedComponents {
     var converged = false
     // labels only ever decrease, so the total label sum is strictly
     // monotone until the fixpoint — equality of consecutive sums IS the
-    // convergence test (one aggregate per iteration, no compare join)
+    // convergence test (one aggregate per iteration, no compare join).
+    // Detection needs one extra no-change round, which runs OUTSIDE the
+    // maxIter budget (`<= maxIter`): a graph reaching its fixpoint
+    // exactly at iteration maxIter still confirms and returns instead
+    // of throwing on a correct labeling.
     var prevSum: java.math.BigDecimal = null
-    while (iter < maxIter && !converged) {
+    while (iter <= maxIter && !converged) {
       // each node takes the min of its own label and its neighbors'
       val viaNeighbors = sym.join(labels.withColumnRenamed("u", "v"), "v")
         .select(col("u"), col("lbl"))
@@ -70,17 +74,22 @@ object ConnectedComponents {
       // so each iteration is ONE job (checkpoint + sum together) while
       // still truncating the growing lineage for the next round
       val next = jumped.localCheckpoint(eager = false)
-      val s = next.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
+      // cast BEFORE aggregating: a Long sum over 64-bit hash ids can
+      // wrap at billion-row scale (silently with ANSI off), and a wrap
+      // collision between two differing consecutive sums would fake
+      // convergence — the exact silent-wrong-labels failure the throw
+      // below exists to eliminate. decimal(38,0) addition is exact.
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       labels = next
       converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       iter += 1
     }
-    if (!converged && iter >= maxIter)
+    if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter iterations " +
-          "(diameter > ~2^maxIter is not a realistic near-dup graph; " +
-          "raise maxIter if yours genuinely is)")
+          "(plus the confirming round) — diameter > ~2^maxIter is not a " +
+          "realistic near-dup graph; raise maxIter if yours genuinely is")
     labels.select(col("u").as(idCol), col("lbl").as("component"))
   }
 

@@ -277,14 +277,21 @@ case class IncrementalMinHashDedup(lsh: MinHashLSH = MinHashLSH()) {
     * side: only the batch's narrow (id, band, bucket) rows shuffle
     * (plan-audited in IncrementalIndexSpec). */
   def persistIndex(rows: DataFrame, table: String, buckets: Int = 8): Unit = {
+    // the manual dir delete below maps the table name to a warehouse
+    // path, which only holds for unqualified default-database names
+    require(!table.contains("."),
+      s"persistIndex needs an unqualified table name, got '$table'")
     val spark = rows.sparkSession
+    // force-materialize BEFORE the drop: a `rows` plan lazily derived
+    // from the table being replaced would otherwise read a deleted dir
+    val pinned = rows.localCheckpoint(true)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(s"$wh/${table.toLowerCase}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     graft.sources.Sinks.bucketedTable(
-      rows.repartition(buckets, col("band"), col("bucket")),
+      pinned.repartition(buckets, col("band"), col("bucket")),
       table, Seq("band", "bucket"), buckets)
   }
 
@@ -293,11 +300,23 @@ case class IncrementalMinHashDedup(lsh: MinHashLSH = MinHashLSH()) {
     * fine: the probe's hash join has no per-bucket sort requirement,
     * unlike BM25's merge join). Append [[indexRowsAll]]-shaped rows
     * for strict stream-order equality across batches,
-    * [[indexRows]]-shaped for survivor-membership state. */
-  def appendIndex(rows: DataFrame, table: String, buckets: Int = 8): Unit =
+    * [[indexRows]]-shaped for survivor-membership state. The bucket
+    * count comes from the table's own catalog metadata — an append
+    * whose bucketing disagreed with [[persistIndex]]'s would fail at
+    * write time with an AnalysisException, an avoidable trap. */
+  def appendIndex(rows: DataFrame, table: String): Unit = {
+    val spark = rows.sparkSession
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$table' is not a bucketed index table — build it with persistIndex"))
+      .numBuckets
     rows.repartition(buckets, col("band"), col("bucket"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "band", "bucket").saveAsTable(table)
+  }
 
   /** [[rejectedIds]] against a [[persistIndex]]-persisted index,
     * Exchange-free on the index side: the bucketed scan already lays

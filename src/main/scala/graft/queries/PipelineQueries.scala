@@ -59,11 +59,16 @@ object PipelineQueries {
     // of bounds fails the hash compare like any wrong value.
     "events_approx_bounds" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
+      // the exact and approx aggregates each pay their own scan anyway;
+      // reloading gives the approx side fresh attribute ids so the join
+      // key resolves across genuinely distinct subtrees (a shared
+      // Dataset here makes Spark warn about a trivially-true predicate)
+      val ev2 = Tables.load(s, dir, "events")
       val exact = ev.groupBy("event_type").agg(
         countDistinct("user_id").as("n_users"),
         expr("percentile(value, 0.45)").as("p45"),
         expr("percentile(value, 0.55)").as("p55"))
-      val approx = ev.groupBy("event_type").agg(
+      val approx = ev2.groupBy("event_type").agg(
         approx_count_distinct("user_id").as("au"),
         expr("approx_percentile(value, 0.5, 10000)").as("ap50"))
       exact.join(approx, "event_type").select(col("event_type"),

@@ -548,6 +548,23 @@ object TextQueries {
       bm.searchIndexed(s, "graft_bm25_v1", queries, k = 5)
     }),
 
+    // the segment-fold path: 60% build + 40% roll-forward leaves two
+    // segments; compactIndex folds them to one from the NARROW persisted
+    // tables (no re-tokenize), and the served ranking must still equal
+    // the from-scratch full-corpus search — same oracle a fourth time
+    "bm25_search_compacted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 125 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val bm = Bm25()
+      bm.buildIndex(docs.filter(col("doc_id") % 5 < 3), "graft_bm25_w0")
+      bm.refreshIndex(docs.filter(col("doc_id") % 5 >= 3),
+        "graft_bm25_w0", "graft_bm25_w1")
+      bm.compactIndex(s, "graft_bm25_w1", "graft_bm25_wz")
+      bm.searchIndexed(s, "graft_bm25_wz", queries, k = 5)
+    }),
+
     // retrieval-eval harness: nDCG@5 of the BM25 ranking against
     // graded shared-distinct-term relevance (rel = |q_terms ∩ d_terms|
     // capped at 3 — deterministic judgments both engines derive from
@@ -1542,6 +1559,11 @@ object TextQueries {
     // and the refreshed (60% built + 40% rolled-forward) index too —
     // the merge must be indistinguishable from indexing the full corpus
     "bm25_search_refreshed" ->
+      s"""WITH $bm25CteSql
+         |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
+
+    // and the compacted (segments folded back to one) index too
+    "bm25_search_compacted" ->
       s"""WITH $bm25CteSql
          |SELECT query_id, doc_id, score, rnk FROM lex""".stripMargin,
 

@@ -92,6 +92,41 @@ object VectorQueries {
         emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
 
+    "ann_ivf_compacted" -> ((s, dir) => {
+      // the segment-fold path: build on the even half, roll forward
+      // with the odd half (two segments), COMPACT to one segment, then
+      // serve — results must still equal a full build (same oracle as
+      // ann_ivf_indexed: one oracle, four execution strategies)
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val ivf = IvfIndex()
+      ivf.buildIndex(emb.filter(col("vec_id") % 2 === 0), centroids,
+        "graft_ivf_w0")
+      ivf.refreshIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivf_w0", "graft_ivf_w1")
+      ivf.compactIndex(s, "graft_ivf_w1", "graft_ivf_wz")
+      ivf.searchIndexed(s, "graft_ivf_wz",
+        emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+    }),
+
+    "ann_ivf_staleness" -> ((s, dir) => {
+      // the roll-forward drift monitor: per cell, build-time vs
+      // refreshed row counts, growth, and each group's mean cosine to
+      // its (frozen) centroid — the report behind the rebuild trigger
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val ivf = IvfIndex()
+      ivf.buildIndex(emb.filter(col("vec_id") % 2 === 0), centroids,
+        "graft_ivf_sr0")
+      ivf.refreshIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivf_sr0", "graft_ivf_sr1")
+      ivf.stalenessReport(s, "graft_ivf_sr1")
+    }),
+
     "hard_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: per anchor the 2 most
       // similar in-band (< 0.95, so near-dups never become negatives)
@@ -344,12 +379,42 @@ object VectorQueries {
          |  FROM banded)
          |SELECT anchor_id, negative_id, cos, rnk FROM r WHERE rnk <= 2""".stripMargin,
 
-    // the indexed/refreshed serve paths must return BYTE-IDENTICAL
-    // rankings to the direct ann_ivf plan — ONE oracle, three
-    // execution strategies (direct / persisted / rolled-forward)
+    // the indexed/refreshed/compacted serve paths must return
+    // BYTE-IDENTICAL rankings to the direct ann_ivf plan — ONE oracle,
+    // four execution strategies (direct / persisted / rolled-forward /
+    // segment-folded)
     "ann_ivf" -> annIvfSql,
     "ann_ivf_indexed" -> annIvfSql,
     "ann_ivf_refreshed" -> annIvfSql,
+    "ann_ivf_compacted" -> annIvfSql,
+
+    // the staleness report replays exactly: assignment is the same
+    // rounded-distance argmin, build = even ids, refreshed = odd
+    "ann_ivf_staleness" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |cells AS (
+         |  SELECT vec_id, centroid_id, cvec, embedding,
+         |    (vec_id % 2 = 0) AS is_build FROM (
+         |    SELECT v.vec_id, c.centroid_id, c.cvec, v.embedding,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_distance(CAST(v.embedding AS DOUBLE[]), c.cvec), 6) ASC,
+         |        c.centroid_id ASC) AS rn
+         |    FROM embeddings v, cent c) t WHERE rn = 1)
+         |SELECT centroid_id,
+         |  CAST(sum(CASE WHEN is_build THEN 1 ELSE 0 END) AS BIGINT) AS n_build,
+         |  CAST(sum(CASE WHEN is_build THEN 0 ELSE 1 END) AS BIGINT) AS n_refreshed,
+         |  round(CAST(sum(CASE WHEN is_build THEN 0 ELSE 1 END) AS DOUBLE) /
+         |    greatest(CAST(sum(CASE WHEN is_build THEN 1 ELSE 0 END) AS DOUBLE), 1.0), 4)
+         |    AS growth,
+         |  round(avg(CASE WHEN is_build THEN
+         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), cvec), 6) END), 4)
+         |    AS mean_cos_build,
+         |  round(avg(CASE WHEN NOT is_build THEN
+         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), cvec), 6) END), 4)
+         |    AS mean_cos_refreshed
+         |FROM cells GROUP BY 1""".stripMargin,
 
 
     "dedup_semantic_inc" ->

@@ -48,7 +48,7 @@ class IncrementalIndexSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     // indexRowsAll discipline: the index carries EVERY reaching doc's
     // buckets, so a later doc colliding with a dropped doc still drops
-    inc.appendIndex(inc.indexRowsAll(b1), "graft_inc_roll_idx", buckets = 4)
+    inc.appendIndex(inc.indexRowsAll(b1), "graft_inc_roll_idx")
     val s2 = inc.survivorsIndexed(spark, "graft_inc_roll_idx", b2)
       .select("doc_id").as[Long].collect().toSet
     val streamed = s1 ++ s2
