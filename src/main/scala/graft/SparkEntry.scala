@@ -36,7 +36,8 @@ object SparkEntry {
       DedupQueries.queries ++ VectorQueries.queries ++ ImageQueries.queries ++
       PipelineQueries.queries ++ JoinQueries.queries ++ TpchQueries.queries ++
       CurationQueries.queries ++ MultimodalQueries.queries ++
-      RecrawlQueries.queries
+      RecrawlQueries.queries ++ WriterQueries.queries ++
+      StreamingQueries.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -44,5 +45,6 @@ object SparkEntry {
       DedupQueries.oracles ++ VectorQueries.oracles ++ ImageQueries.oracles ++
       PipelineQueries.oracles ++ JoinQueries.oracles ++ TpchQueries.oracles ++
       CurationQueries.oracles ++ MultimodalQueries.oracles ++
-      RecrawlQueries.oracles
+      RecrawlQueries.oracles ++ WriterQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -132,9 +132,95 @@ object VecProbe {
     spark.stop()
   }
 
+  /** `refresh` mode: the segmented roll-forward claim with numbers —
+    * for each corpus size n, build the IVF and BM25 indexes over n rows
+    * (timed; O(corpus) by design), then roll each forward with a FIXED
+    * `batchN`-row batch (timed). The claim under test (round-14 verdict
+    * #1): refresh wall time is ∝ batch, ~flat across corpus sizes,
+    * because a refresh writes one batch-sized segment + a manifest and
+    * never reads or rewrites the corpus-sized artifact. A serve timing
+    * after each roll checks the segment union doesn't regress queries,
+    * and one compaction at the largest n prices the scheduled fold.
+    *
+    * {{{ graft.VecProbe refresh <sfDir> <batchN> <sizes...> }}}
+    */
+  def refreshMain(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: VecProbe refresh <sfDir> <batchN> <sizes...>")
+    val dir = args(0)
+    val batchN = args(1).toInt
+    val sizes = args.drop(2).map(_.toInt).toSeq
+    val spark = GraftSession.local("graft-vecprobe-refresh")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def wall[A](label: String)(f: => A): A = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"REFRESH $label%-34s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // materialize the largest corpus once; each size reads its prefix
+    val vecPath = java.nio.file.Files
+      .createTempDirectory("refresh_vec").toString
+    ScaleProbe.vectors1m(spark, dir).repartition(cpus)
+      .write.mode("overwrite").parquet(vecPath)
+    val docPath = java.nio.file.Files
+      .createTempDirectory("refresh_doc").toString
+    ScaleProbe.docs1m(spark, dir).repartition(cpus)
+      .write.mode("overwrite").parquet(docPath)
+    val allVec = spark.read.parquet(vecPath)
+    val allDoc = spark.read.parquet(docPath)
+    val ivf = IvfIndex()
+    val bm = graft.operators.text.Bm25()
+    val cents = allVec.orderBy("vec_id").limit(1024)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    // fixed-size batches with ids in fresh territory (disjoint-id contract)
+    val vecBatch = allVec.limit(batchN)
+      .select((col("vec_id") + lit(2000000000L)).as("vec_id"),
+        col("embedding")).localCheckpoint(true)
+    val docBatch = allDoc.limit(batchN)
+      .select((col("doc_id") + lit(2000000000L)).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    for (n <- sizes) {
+      val vecs = allVec.limit(n).localCheckpoint(true)
+      val docs = allDoc.limit(n).select("doc_id", "text").localCheckpoint(true)
+      wall(s"ivf_build_n$n")(
+        ivf.buildIndex(vecs, cents, s"graft_rfp_ivf_${n}_v0", buckets = 64))
+      wall(s"ivf_refresh_n${n}_b$batchN")(
+        ivf.refreshIndex(vecBatch, s"graft_rfp_ivf_${n}_v0",
+          s"graft_rfp_ivf_${n}_v1", buckets = 64))
+      val q = vecs.limit(100)
+      wall(s"ivf_serve_n$n")(
+        ivf.searchIndexed(spark, s"graft_rfp_ivf_${n}_v1", q,
+          k = 5, nprobe = 2).selectExpr("count(*)").collect())
+      wall(s"bm25_build_n$n")(
+        bm.buildIndex(docs, s"graft_rfp_bm_${n}_v0", buckets = 32))
+      wall(s"bm25_refresh_n${n}_b$batchN")(
+        bm.refreshIndex(docBatch, s"graft_rfp_bm_${n}_v0",
+          s"graft_rfp_bm_${n}_v1", buckets = 32))
+      val queries = docs.limit(50)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("text"))
+      wall(s"bm25_serve_n$n")(
+        bm.searchIndexed(spark, s"graft_rfp_bm_${n}_v1", queries, k = 5)
+          .selectExpr("count(*)").collect())
+    }
+    val top = sizes.max
+    wall(s"ivf_compact_n$top")(
+      ivf.compactIndex(spark, s"graft_rfp_ivf_${top}_v1",
+        s"graft_rfp_ivf_${top}_vz", buckets = 64))
+    wall(s"bm25_compact_n$top")(
+      bm.compactIndex(spark, s"graft_rfp_bm_${top}_v1",
+        s"graft_rfp_bm_${top}_vz", buckets = 32))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("inc")) return incMain(args.drop(1))
     if (args.headOption.contains("ivfserve")) return ivfServeMain(args.drop(1))
+    if (args.headOption.contains("refresh")) return refreshMain(args.drop(1))
     require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k[:cap]>...")
     val dir = args(0)
     val threshold = args(1).toDouble

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * DuckDB compute the identical md5-keyed signatures. */
 object DedupQueries {
 
-  private val mh = MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3)
+  private[queries] val mh = MinHashLSH(numHashes = 12, bands = 4, shingleSize = 3)
   private val sh = SimHash(nbits = 16)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,7 +141,7 @@ object DedupQueries {
     })
   )
 
-  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[queries] val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   private def dedupIncrementalSql: String =
     s"""WITH $mhSigSql,
