@@ -229,6 +229,40 @@ case class PhashHammingDedup(
   /** Surviving rows only. */
   def apply(df: DataFrame): DataFrame =
     flagged(df).filter(col("keep")).drop("keep")
+
+  /** The persisted incremental-probe state: DISTINCT non-null hashes of
+    * every row REACHING this stage (the B26 `indexRowsAll` convention
+    * applied to signatures — reaching, not surviving, because the keep
+    * rule drops on collision with ANY smaller-id doc whether or not
+    * that doc itself survived). One narrow column; band-explode happens
+    * at probe time. */
+  def indexRows(df: DataFrame): DataFrame =
+    df.filter(col(phashCol).isNotNull).select(col(phashCol)).distinct()
+
+  private def bandedOf(hashes: DataFrame, as: String): DataFrame =
+    hashes.select(col(phashCol).as(as),
+      posexplode(array((0 until bands).map(j =>
+        shiftrightunsigned(col(phashCol), j * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("__band", "__key")))
+
+  /** Batch rows surviving against a persisted [[indexRows]] state PLUS
+    * batch-internal keep-first — equal to the batch operator over the
+    * concatenated corpus whenever every batch id sorts above every
+    * indexed id (the incremental-ingest contract): a batch doc then
+    * drops iff an INDEX hash sits within the radius (any indexed doc is
+    * smaller) or a smaller-id batch doc does ([[flagged]]). The index
+    * never re-reads its media — the probe is a banded equi-join on the
+    * narrow hash column, bounded by distinct hashes, with one codegen'd
+    * hamming verify. Null-hash batch rows pass, matching the batch op. */
+  def survivorsIndexed(index: DataFrame, batch: DataFrame): DataFrame = {
+    val hit = bandedOf(batch.filter(col(phashCol).isNotNull)
+        .select(col(phashCol)).distinct(), "__bh")
+      .join(bandedOf(index, "__ih"), Seq("__band", "__key"))
+      .filter(bit_count(col("__bh").bitwiseXOR(col("__ih"))) <= radius)
+      .select(col("__bh").as(phashCol)).distinct()
+    flagged(batch).filter(col("keep")).drop("keep")
+      .join(hit, Seq(phashCol), "left_anti")
+  }
 }
 
 /** reference: operators/refiners/image_visual_degradations.py — model

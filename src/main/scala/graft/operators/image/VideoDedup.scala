@@ -142,4 +142,49 @@ case class VideoFrameDedup(
   /** Surviving rows only. */
   def apply(df: DataFrame): DataFrame =
     flagged(df).filter(col("keep")).drop("keep")
+
+  /** The persisted incremental-probe state: the narrow (id, frame_idx,
+    * frame_hash) stream of every row REACHING this stage (ids matter
+    * here, unlike [[PhashHammingDedup.indexRows]] — the ≥ minMatches
+    * count is per VIDEO pair, so matches must group by the indexed
+    * doc). */
+  def indexRows(df: DataFrame): DataFrame = frameHashes(df)
+
+  /** Batch rows surviving against a persisted [[indexRows]] state PLUS
+    * batch-internal keep-first — equal to the batch operator over the
+    * concatenated corpus whenever every batch id sorts above every
+    * indexed id: a batch video then drops iff ≥ minMatches of its
+    * aligned frames land within the radius of some ONE indexed video's
+    * frames, or of a smaller-id batch video's ([[flagged]]). The cross
+    * probe mirrors [[candidatePairs]] at rep level (distinct
+    * (frame_idx, hash) per side, banded pigeonhole join, one hamming
+    * verify) — bounded by distinct frame hashes, never videos².
+    * Cap caveat: the batch operator's ubiquitous-frame cut counts
+    * frame groups within its own input; the incremental path applies
+    * it within the batch only, so results match the rebuild whenever
+    * no MERGED frame group crosses `maxFrameGroup` (the same guard-not-
+    * semantics caveat as the minhash bucket cap, documented at B63). */
+  def survivorsIndexed(index: DataFrame, batch: DataFrame): DataFrame = {
+    val bFh = graft.operators.Lineage.cut(frameHashes(batch))
+    val iReps = index.select("frame_idx", "frame_hash").distinct()
+      .select(col("frame_idx"), col("frame_hash").as("ha"),
+        posexplode(bandKeys(col("frame_hash"))).as(Seq("__band", "__key")))
+    val bReps = bFh.select("frame_idx", "frame_hash").distinct()
+      .select(col("frame_idx"), col("frame_hash").as("hb"),
+        posexplode(bandKeys(col("frame_hash"))).as(Seq("__band", "__key")))
+    val repPairs = iReps.join(bReps, Seq("frame_idx", "__band", "__key"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= radius)
+      .select("frame_idx", "ha", "hb").distinct()
+    val hit = repPairs
+      .join(index.select(col("frame_idx"), col("frame_hash").as("ha"),
+        col(idCol).as("__iid")), Seq("frame_idx", "ha"))
+      .join(bFh.select(col("frame_idx"), col("frame_hash").as("hb"),
+        col(idCol).as("__bid")), Seq("frame_idx", "hb"))
+      .select("__iid", "__bid", "frame_idx").distinct()
+      .groupBy("__iid", "__bid").agg(count(lit(1)).as("__m"))
+      .filter(col("__m") >= minMatches)
+      .select(col("__bid").as(idCol)).distinct()
+    flagged(batch).filter(col("keep")).drop("keep")
+      .join(hit, Seq(idCol), "left_anti")
+  }
 }

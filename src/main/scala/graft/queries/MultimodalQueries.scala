@@ -88,8 +88,67 @@ object MultimodalQueries {
     "multimodal_rejection_audit" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       MultimodalCapstone.pipeline.rejectionAudit(preppedInput(docs))
+    }),
+
+    // the MULTIMODAL day-2 re-crawl capstone (B63 extended to B59's
+    // chain): day-1 state built from the old snapshot, the day-2 delta
+    // routed through the chain with every dedup probing its persisted
+    // SIGNATURE index (image phash / audio contour / video frames) —
+    // old media never re-decoded — and the committed corpus gated
+    // against a from-scratch DuckDB rebuild of the whole multimodal
+    // chain over the merged corpus
+    "recrawl_multimodal_corpus" -> ((s, dir) => {
+      import graft.pipeline.{MultimodalRecrawlOps, RecrawlOps}
+      val old = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          col("text").as("video_src"))
+      val state = MultimodalRecrawlOps.init(old)
+      val delta = RecrawlOps.delta(old, deriveNewSnapshot(old), 4000000L)
+        .drop("crawl_status")
+        .select("doc_id", "source", "text", "video_src")
+      val batch = MultimodalRecrawlOps.ingest(state, delta)
+      state.curated.select("doc_id")
+        .unionByName(batch.survivors.select("doc_id"))
     })
   )
+
+  /** The deterministic multimodal "second crawl" (the oracle replays
+    * every formula) — one planted family per dedup leg, cross-batch
+    * this time (day-2 copy vs its DAY-1 original through the index):
+    *   - removed   (id%13=5): page vanished (curated keeps it);
+    *   - changed   (id%7=3):  'fast'→'quick' + a re-crawl suffix,
+    *     re-keyed +4e6 by the diff router;
+    *   - added (+3e6): id%4=0 an exact re-post (image phash index at
+    *     distance 0), id%4=1 a last-char bump (audio contour index at
+    *     radius 1), id%4=2 reversed text re-serving the BASE video
+    *     (video frame index, all 8 frames), id%4=3 fresh material. */
+  def deriveNewSnapshot(old: DataFrame): DataFrame = {
+    val bump = expr("concat(substring(text, 1, length(text)-1), " +
+      "char(ascii(substring(text, length(text), 1)) + 1))")
+    val filler = regexp_replace(col("text"),
+      "((?:\\S+ ){3}\\S+) ", "$1 crawl2 ")
+    val kept = old.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text", when(col("doc_id") % 7 === 3,
+        concat(regexp_replace(col("text"), "fast", "quick"),
+          lit(" updated in the second crawl"))).otherwise(col("text")))
+      .withColumn("video_src", col("text"))
+    // family from a pre-projection: referencing doc_id next to its own
+    // +3e6 re-alias would resolve as a lateral column alias
+    val added = old.withColumn("__fam", pmod(col("doc_id"), lit(4)))
+      .select(
+        (col("doc_id") + 3000000L).as("new_id"), col("source"),
+        when(col("__fam") === 0, col("text"))
+          .when(col("__fam") === 1, bump)
+          .when(col("__fam") === 2, reverse(col("text")))
+          .otherwise(filler).as("text"),
+        when(col("__fam") === 1, bump)
+          .when(col("__fam") === 2, col("text"))
+          .when(col("__fam") === 0, col("text"))
+          .otherwise(filler).as("video_src"))
+      .withColumnRenamed("new_id", "doc_id")
+    kept.select("doc_id", "source", "text", "video_src")
+      .unionByName(added)
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -109,9 +168,30 @@ object MultimodalQueries {
       s"CASE WHEN 2*c[${i + 1}] > m2 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
 
+  /** The capstone's twin-planted input as an SQL body (see scaladoc). */
+  private def capstoneInpSql: String =
+    s"""SELECT doc_id, source, text, text AS video_src FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, source, text, text AS video_src
+       |  FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, source,
+       |    substr(text, 1, length(text) - 1) ||
+       |      chr(ascii(substr(text, length(text), 1)) + 1) AS text,
+       |    substr(text, 1, length(text) - 1) ||
+       |      chr(ascii(substr(text, length(text), 1)) + 1) AS video_src
+       |  FROM documents WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, source,
+       |    reverse(text) AS text, text AS video_src
+       |  FROM documents WHERE doc_id % 4 = 2""".stripMargin
+
   /** The full chain as one CTE list (inp → s11) — shared by the
-    * funnel oracle and the rejection-audit oracle. */
-  private def chainSql: String = {
+    * funnel oracle, the rejection-audit oracle, and (with the merged
+    * day-2 corpus as `inp`) the multimodal-recrawl rebuild oracle. */
+  private def chainSql: String = chainSqlFrom(capstoneInpSql)
+
+  private def chainSqlFrom(inpSql: String): String = {
       val hex15 = ImageQueries.hexInt("text", 15)
       val hexW = ImageQueries.hexInt("text || ':w'", 6)
       val hexH = ImageQueries.hexInt("text || ':h'", 6)
@@ -121,21 +201,7 @@ object MultimodalQueries {
       val towers = ImageQueries.embArrCtes("s6", "mi") + ",\n" +
         ImageQueries.embArrCtes("mcap", "mc")
       s"""WITH inp AS MATERIALIZED (
-         |  SELECT doc_id, source, text, text AS video_src FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, source, text, text AS video_src
-         |  FROM documents WHERE doc_id % 4 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id, source,
-         |    substr(text, 1, length(text) - 1) ||
-         |      chr(ascii(substr(text, length(text), 1)) + 1) AS text,
-         |    substr(text, 1, length(text) - 1) ||
-         |      chr(ascii(substr(text, length(text), 1)) + 1) AS video_src
-         |  FROM documents WHERE doc_id % 4 = 1
-         |  UNION ALL
-         |  SELECT doc_id + 3000000 AS doc_id, source,
-         |    reverse(text) AS text, text AS video_src
-         |  FROM documents WHERE doc_id % 4 = 2),
+         |  $inpSql),
          |meta AS (
          |  SELECT doc_id, text,
          |    CAST($hexW % 4096 + 1 AS INT) AS w,
@@ -249,6 +315,42 @@ object MultimodalQueries {
          |UNION ALL SELECT 10, 'phash_hamming_dedup', count(*) FROM s10
          |UNION ALL SELECT 11, 'video_frame_dedup', count(*) FROM s11
          |UNION ALL SELECT 12, 'training_shard_assigner', count(*) FROM s11""".stripMargin),
+
+    // the rebuild-equality theorem, gated: incremental day-2 ≡ the
+    // from-scratch multimodal chain over old ∪ rekeyed-delta
+    "recrawl_multimodal_corpus" -> {
+      val mergedInp =
+        s"""SELECT doc_id, source, text, text AS video_src FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 4000000 AS doc_id, source, t AS text,
+           |    t AS video_src FROM (
+           |    SELECT doc_id, source,
+           |      regexp_replace(text, 'fast', 'quick', 'g') ||
+           |        ' updated in the second crawl' AS t
+           |    FROM documents WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5)
+           |  UNION ALL
+           |  SELECT doc_id + 3000000 AS doc_id, source, text, text
+           |  FROM documents WHERE doc_id % 4 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 3000000 AS doc_id, source, b AS text,
+           |    b AS video_src FROM (
+           |    SELECT doc_id, source,
+           |      substr(text, 1, length(text) - 1) ||
+           |        chr(ascii(substr(text, length(text), 1)) + 1) AS b
+           |    FROM documents WHERE doc_id % 4 = 1)
+           |  UNION ALL
+           |  SELECT doc_id + 3000000 AS doc_id, source,
+           |    reverse(text) AS text, text AS video_src
+           |  FROM documents WHERE doc_id % 4 = 2
+           |  UNION ALL
+           |  SELECT doc_id + 3000000 AS doc_id, source, f AS text,
+           |    f AS video_src FROM (
+           |    SELECT doc_id, source,
+           |      regexp_replace(text, '((?:\\S+ ){3}\\S+) ',
+           |        '\\1 crawl2 ', 'g') AS f
+           |    FROM documents WHERE doc_id % 4 = 3)""".stripMargin
+      chainSqlFrom(mergedInp) + "\nSELECT doc_id FROM s11"
+    },
 
     "multimodal_rejection_audit" -> {
       val stages = Seq(
