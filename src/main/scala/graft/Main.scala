@@ -520,8 +520,16 @@ object Main {
           bm.refreshIndex(batch.select(col(idCol), col(textCol)),
             from, to, buckets))
     }
+    // fold the index's per-batch segments every N committed batches
+    // (streaming.bm25_compact_every, default 8; 0 disables)
+    val compact = index.map { _ =>
+      val bm = graft.operators.text.Bm25(idCol = idCol, textCol = textCol)
+      val buckets = st.getOrElse("bm25_buckets", 8).toString.toInt
+      (st.getOrElse("bm25_compact_every", 8).toString.toInt,
+        (from: String, to: String) => bm.compactIndex(spark, from, to, buckets))
+    }
     val t0 = System.nanoTime()
-    val (q, live) = curation.start(in, outPath, ckpt, index)
+    val (q, live) = curation.start(in, outPath, ckpt, index, compact)
     try q.processAllAvailable() finally q.stop()
     spark.streams.removeListener(listener)
     println(listener.report)

@@ -57,10 +57,17 @@ case class StreamingCuration(
 
   /** Start the job: idempotent per-batch survivor partitions plus an
     * optional index roll (`index` = (base table name, start version,
-    * refresh fn) — e.g. BM25's `refreshIndex`). Returns the query and
-    * the live index-version handle. */
+    * refresh fn) — e.g. BM25's `refreshIndex`). With the segmented
+    * index layout each roll appends one batch-sized segment, so an
+    * always-on job passes `compact` = (every, foldFn — e.g. BM25's
+    * `compactIndex`) to fold the segments every `every` committed
+    * batches; the folded version (`…v<N>c`) is what commits, and a
+    * crash mid-fold leaves the pointer on the previous version (same
+    * recovery as a torn refresh). Returns the query and the live
+    * index-version handle. */
   def start(docs: DataFrame, outPath: String, checkpoint: String,
-      index: Option[(String, String, (DataFrame, String, String) => Unit)] = None)
+      index: Option[(String, String, (DataFrame, String, String) => Unit)] = None,
+      compact: Option[(Int, (String, String) => Unit)] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          Option[java.util.concurrent.atomic.AtomicReference[String]]) = {
     val spark = docs.sparkSession
@@ -84,8 +91,15 @@ case class StreamingCuration(
                   if id > last.get =>
                 val to = s"${base}_v${id + 1}"
                 refresh(b, live.get, to)
-                StreamingOps.writeIndexCommit(spark, base, id, to)
-                live.set(to)
+                val committed = compact match {
+                  case Some((every, fold)) if every > 0 && (id + 1) % every == 0 =>
+                    val cz = s"${to}c"
+                    fold(to, cz)
+                    cz
+                  case _ => to
+                }
+                StreamingOps.writeIndexCommit(spark, base, id, committed)
+                live.set(committed)
                 last.set(id)
               case _ => ()
             }

@@ -175,10 +175,20 @@ object StreamingOps {
     * ids monotone — standard Structured Streaming); a fresh checkpoint
     * against an existing base needs a fresh base or a cleared log.
     *
+    * Segment lifecycle: with the segmented index layout (r15) a refresh
+    * appends one batch-sized segment, so an always-on stream grows one
+    * segment per micro-batch. Pass `compact` = (every, foldFn) to FOLD
+    * the index every `every` committed batches: the fold writes
+    * `<base>_v<id+1>c` and THAT name commits — still before the commit
+    * record, so a crash mid-fold leaves the pointer on the previous
+    * version and the replay rebuilds refresh + fold cleanly (both drop
+    * torn targets first).
+    *
     * Returns the DataStreamWriter (caller adds checkpoint options and
     * starts) plus the live-version handle. */
   def indexMaintenance(docs: DataFrame, base: String, startVersion: String,
-      refresh: (DataFrame, String, String) => Unit)
+      refresh: (DataFrame, String, String) => Unit,
+      compact: Option[(Int, (String, String) => Unit)] = None)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
          java.util.concurrent.atomic.AtomicReference[String]) = {
     val spark = docs.sparkSession
@@ -190,8 +200,15 @@ object StreamingOps {
         if (id > lastCommitted.get && !batch.isEmpty) {
           val to = s"${base}_v${id + 1}"
           refresh(batch, live.get, to)
-          writeIndexCommit(spark, base, id, to)
-          live.set(to)
+          val committed = compact match {
+            case Some((every, fold)) if every > 0 && (id + 1) % every == 0 =>
+              val cz = s"${to}c"
+              fold(to, cz)
+              cz
+            case _ => to
+          }
+          writeIndexCommit(spark, base, id, committed)
+          live.set(committed)
           lastCommitted.set(id)
         }
     }

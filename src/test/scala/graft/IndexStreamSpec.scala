@@ -48,6 +48,43 @@ class IndexStreamSpec extends SparkSpec {
       .count() >= 0)
   }
 
+  test("streamed refreshes with periodic compaction fold segments; results unchanged") {
+    implicit val ctx = spark.sqlContext
+    StreamingOps.clearIndexLog(spark, "graft_bm25sc")
+    val bm = Bm25()
+    val d0 = Seq((1L, "apple banana plum")).toDF("doc_id", "text")
+    bm.buildIndex(d0, "graft_bm25sc_v0", buckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val (writer, live) = StreamingOps.indexMaintenance(
+      mem.toDF().toDF("doc_id", "text"), "graft_bm25sc", "graft_bm25sc_v0",
+      (batch, from, to) => bm.refreshIndex(batch, from, to, buckets = 4),
+      compact = Some((2, (from, to) => bm.compactIndex(spark, from, to, 4))))
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25sc_ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((2L, "cherry apple words here")); q.processAllAvailable()
+      mem.addData((3L, "durian and a tail of words")); q.processAllAvailable()
+      mem.addData((4L, "apple apple banana")); q.processAllAvailable()
+    } finally q.stop()
+    // batches 0,1,2 commit v1, v2c (fold at every=2), v3; v3 rolls
+    // forward FROM the folded v2c, so its manifest holds exactly
+    // (folded segment, batch-2 segment)
+    assert(live.get == "graft_bm25sc_v3")
+    assert(bm.segments(spark, "graft_bm25sc_v3") ==
+      Seq("graft_bm25sc_v2c_seg", "graft_bm25sc_v3_seg"))
+    val all = d0.unionByName(Seq(
+      (2L, "cherry apple words here"),
+      (3L, "durian and a tail of words"),
+      (4L, "apple apple banana")).toDF("doc_id", "text"))
+    bm.buildIndex(all, "graft_bm25sc_full", buckets = 4)
+    val queries = Seq((10L, "apple cherry"), (11L, "durian banana"))
+      .toDF("query_id", "text")
+    def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_bm25sc_v3") == rows("graft_bm25sc_full"))
+  }
+
   test("index maintenance recovers the live pointer across restarts") {
     // r13 ADVICE: the pointer was process-local, so a restart replaying
     // a micro-batch refreshed from the ORIGINAL base version and the
