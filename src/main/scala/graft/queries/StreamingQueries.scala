@@ -6,24 +6,61 @@ import graft.streaming.StreamingCuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Oracle key for the STREAMING layer (SURVEY §2 B64/C8/C15 — spec-only
-  * until r15): the continuous-curation capstone actually RUNS inside
-  * the query function — a real micro-batch FileStreamSource over the sf
-  * documents table, split into id-ranged files delivered one per
-  * trigger (mtimes force oldest-first pickup, so batches arrive in id
-  * order — the convergence contract), through the per-doc chain with
-  * observe nodes, the watermark-bounded streaming near-dup state, and
-  * the idempotent per-batch sink — and the key returns the CONVERGED
-  * survivor union. The DuckDB oracle replays the equivalent batch
-  * chain: length filter → band collision keep-first (+ the short-doc
-  * content-hash branch).
+/** Oracle keys for the STREAMING layer (SURVEY §2 B64/C8/C15/C19/C35 —
+  * spec-only until r15): each key actually RUNS a Structured Streaming
+  * query inside the query function — a real micro-batch source over the
+  * sf tables delivered in event-time order — and returns the CONVERGED
+  * result, which a DuckDB batch replay oracle-checks. The convergence
+  * contracts, per key:
   *
-  * Streaming near-dup semantics replayed exactly: a doc drops iff it
-  * shares any band digest with a smaller-id doc reaching the stage —
-  * NO bucket-size cap (the stateful one-winner-per-band layout never
-  * materializes a bucket, so unlike the batch operator there is
-  * nothing to cap). */
+  * - `streaming_curation_converged` (B64): FileStreamSource over 4
+  *   id-ranged files (mtimes force oldest-first pickup, so batches
+  *   arrive in id order), per-doc chain with observe nodes, the
+  *   watermark-bounded streaming near-dup state, idempotent per-batch
+  *   sink. Streaming near-dup semantics replayed exactly: a doc drops
+  *   iff it shares any band digest with a smaller-id doc reaching the
+  *   stage — NO bucket-size cap (the stateful one-winner-per-band
+  *   layout never materializes a bucket, so unlike the batch operator
+  *   there is nothing to cap).
+  * - `streaming_tumbling_agg` (C8): watermarked window aggregation in
+  *   Complete mode — at convergence the full state table IS the batch
+  *   group-by (hour windows align with date_trunc).
+  * - `streaming_dedup_converged` (C15): keep-first exact dedup with
+  *   id-ordered batches and the deterministic intra-batch min-id
+  *   collapse ⇒ converged survivors = min(doc_id) per content class.
+  * - `streaming_interval_join` (C19): stream-stream inner interval
+  *   join; inner joins emit eagerly, and the 30-min state-retention
+  *   watermark strictly exceeds the 10-min join interval, so ts-ordered
+  *   feeding can never evict a row before its cross-batch partner
+  *   arrives ⇒ converged output = the batch range join.
+  * - `streaming_sessionize_converged` (C35): event-time-timeout
+  *   sessionization; a final past-the-horizon sentinel event advances
+  *   the watermark beyond every user's last+gap, so ALL sessions close
+  *   (mid-stream by a gap-proving event or at the end by state timeout)
+  *   ⇒ emitted sessions = the batch gap-sessionization. */
 object StreamingQueries {
+
+  /** Feed each chunk of `chunks` to the streaming query
+    * `build(stream)` as one micro-batch (one processAllAvailable per
+    * chunk — the ordered-arrival convergence contract), memory-sink the
+    * output under `name`, and return the converged table. */
+  private def runChunked[T <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession, name: String, chunks: Seq[Seq[T]],
+      outputMode: String, build: DataFrame => DataFrame): DataFrame = {
+    implicit val ctx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    s.catalog.dropTempView(name) // bench retries re-run the key in-JVM
+    val q = build(mem.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try chunks.filter(_.nonEmpty).foreach { c =>
+      mem.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** Split into `n` consecutive chunks, order preserved. */
+  private def chunked[T](rows: Seq[T], n: Int): Seq[Seq[T]] =
+    rows.grouped(math.max(1, (rows.length + n - 1) / n)).toSeq
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_curation_converged" -> ((s, dir) => {
@@ -36,7 +73,8 @@ object StreamingQueries {
       // 4 id-RANGED source files with ascending mtimes: one micro-batch
       // each (maxFilesPerTrigger=1), ids strictly increasing across
       // batches — the order under which streamed ≡ batch keep-first
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val maxId = Option(docs.agg(max("doc_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) // empty corpus → 0
       val nSplits = 4
       val step = maxId / nSplits + 1
       val srcDir = s"$tmp/src"
@@ -66,7 +104,93 @@ object StreamingQueries {
         watermark = "30 days")
       val (q, _) = sc.start(in, s"$tmp/out", s"$tmp/ckpt")
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$tmp/out").select("doc_id")
+      // the sink lands only non-empty batches: an empty corpus leaves
+      // no out dir at all — return the typed empty survivor set
+      if (fs.exists(new Path(s"$tmp/out")))
+        s.read.parquet(s"$tmp/out").select("doc_id")
+      else docs.select("doc_id").limit(0)
+    }),
+
+    // C8: incremental windowed aggregation — Complete mode, so the
+    // converged state table is exactly the batch hourly group-by
+    "streaming_tumbling_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("unix_micros(ts) AS ts_us", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSeq
+      runChunked(s, "graft_sq_tumbling", chunked(ev, 3), "complete",
+        df => graft.streaming.StreamingOps.tumblingAgg(
+          df.toDF("ts_us", "event_type", "value")
+            .withColumn("ts", timestamp_micros(col("ts_us")))))
+        .select(col("window_start").as("hour"), col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
+    // C15: keep-first exact dedup; id-ordered batches + the operator's
+    // intra-batch min-id collapse make the converged survivor set the
+    // batch keep-first answer
+    "streaming_dedup_converged" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      runChunked(s, "graft_sq_dedup", chunked(docs, 4), "append",
+        df => graft.streaming.StreamingOps.dedupStream(
+          df.toDF("doc_id", "text")
+            // deterministic event time derived from the id; spread sits
+            // far inside the watermark, so no state evicts mid-run
+            .withColumn("ts",
+              timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+          watermark = "30 days"))
+        .select("doc_id")
+    }),
+
+    // C19: stream-stream interval join (clicks × purchases ≤ 10 min),
+    // both sides fed ts-ordered from the same chunk cadence
+    "streaming_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+          "value", "event_type")
+        .where(col("event_type").isin("click", "purchase"))
+        .as[(Long, Long, Long, Double, String)].collect().sortBy(_._3).toSeq
+      runChunked(s, "graft_sq_ivjoin", chunked(ev, 4), "append", df => {
+        val typed = df
+          .toDF("user_id", "event_id", "ts_us", "value", "event_type")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        graft.streaming.StreamingOps.clickPurchaseJoin(
+          typed.where(col("event_type") === "click"),
+          typed.where(col("event_type") === "purchase"))
+      })
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          col("purchase_id"), col("purchase_value"))
+    }),
+
+    // C35: production sessionization (event-time state timeout); the
+    // sentinel's far-future event time closes every open session at
+    // the end, so the emitted set is the complete batch sessionization
+    "streaming_sessionize_converged" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
+        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val horizon = (if (ev.isEmpty) 0L else ev.map(_._2).max) +
+        2L * 3600L * 1000000L // past every last+gap+watermark
+      // two sentinel chunks: the first advances the watermark past
+      // every session's last+gap AFTER its batch commits; the second
+      // forces the next batch, in which the state timeouts actually
+      // fire — deterministic, no reliance on no-data micro-batch timing
+      val fed = chunked(ev, 4) ++ Seq(
+        Seq((-1L, horizon, 0.0)),
+        Seq((-2L, horizon + 3600L * 1000000L, 0.0)))
+      runChunked(s, "graft_sq_sessions", fed, "append",
+        df => graft.streaming.StreamingOps.sessionizeWithTimeout(
+          df.toDF("user_id", "ts_us", "value")
+            .withColumn("ts", timestamp_micros(col("ts_us"))),
+          gapMinutes = 30, watermark = "1 minute"))
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("duration_us"),
+          round(col("value"), 2).as("session_value"))
     })
   )
 
@@ -94,6 +218,43 @@ object StreamingQueries {
          |WHERE (doc_id NOT IN (SELECT doc_id FROM shorts)
          |       AND doc_id NOT IN (SELECT doc_id FROM rejected))
          |   OR doc_id IN (SELECT doc_id FROM shorts_kept)""".stripMargin
-    }
+    },
+
+    "streaming_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "streaming_dedup_converged" ->
+      s"""SELECT min(doc_id) AS doc_id FROM documents
+         |GROUP BY md5(${DedupQueries.normSql})""".stripMargin,
+
+    "streaming_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  p.event_id AS purchase_id, p.value AS purchase_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin,
+
+    "streaming_sessionize_converged" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
   )
 }

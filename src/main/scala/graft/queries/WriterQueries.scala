@@ -40,13 +40,17 @@ object WriterQueries {
       Sinks.parquetZOrdered(docs, s"$tmp/z", zDims)
       val z = Sinks.zvalue(
         zDims.map { case (n, lo, hi) => (col(n), lo, hi) }, zBits)
-      val hive = s.read.option("basePath", s"$tmp/hive").parquet(s"$tmp/hive")
+      // read back under the writer's schema: a production reader knows
+      // its table schema, and an EMPTY partitioned write leaves no
+      // parquet footers to infer one from
+      val hive = s.read.option("basePath", s"$tmp/hive")
+        .schema(docs.schema).parquet(s"$tmp/hive")
         .groupBy("lang").agg(
           count(lit(1)).as("n"),
           sum("doc_id").as("sum_id"),
           sum("n_chars").as("sum_nchars"),
           sum(z).as("sum_z"))
-      val zord = s.read.parquet(s"$tmp/z")
+      val zord = s.read.schema(docs.schema).parquet(s"$tmp/z")
         .groupBy("lang").agg(
           count(lit(1)).as("n_z"),
           sum(z).as("sum_z2"))

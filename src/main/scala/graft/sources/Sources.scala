@@ -307,6 +307,11 @@ object Sinks {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val version = snapshotVersions(fs, path).lastOption.getOrElse(0L) + 1L
     parquet(df, s"$path/data/v$version", partitionBy)
+    // schema travels in the snapshot metadata (the Iceberg discipline):
+    // an empty commit — initial load of nothing, or a MERGE that
+    // removed every row — leaves a data dir with no parquet footers,
+    // and a reader that relied on inference would brick the table
+    writeFile(fs, s"$path/snapshots/v$version.schema.json", df.schema.json)
     val files = listFilesRec(fs, new org.apache.hadoop.fs.Path(s"$path/data/v$version"))
       .filter(_.endsWith(".parquet"))
     val snapshot =
@@ -364,14 +369,29 @@ object Sinks {
     fromManifest.orElse(snapshotVersions(fs, path).lastOption)
   }
 
-  /** The table at its current (or an explicit, time-travel) version. */
+  /** The table at its current (or an explicit, time-travel) version.
+    * Reads under the snapshot's RECORDED schema when present (written
+    * by every commit since r15), so an empty version — or one whose
+    * files were all pruned — still reads as a typed empty table; tables
+    * committed before the schema file existed fall back to footer
+    * inference. */
   def readTable(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val v = asOfVersion.orElse(currentVersion(fs, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    spark.read.parquet(s"$path/data/v$v")
+    val sp = new org.apache.hadoop.fs.Path(s"$path/snapshots/v$v.schema.json")
+    val reader =
+      if (!fs.exists(sp)) spark.read
+      else {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      }
+    reader.parquet(s"$path/data/v$v")
   }
 
   /** Versions on the snapshot log, ascending. */
@@ -396,6 +416,7 @@ object Sinks {
     versions.dropRight(keepLast).filterNot(cur.contains).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/v$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/snapshots/v$v.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/snapshots/v$v.schema.json"), false)
     }
   }
 

@@ -291,13 +291,38 @@ object StreamingOps {
     * bounded state so the dedup map does not grow forever (the streaming
     * analogue of the reference's sharded DedupBackend actors; state here
     * lives in the HDFS-backed state store, partitioned by the shuffle).
-    * `tsCol` is the event-time column the watermark applies to. */
-  def dedupStream(docs: DataFrame, tsCol: String = "ts",
-      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("content_hash", graft.functions.TextFns.contentHashMd5(col(textCol)))
+    * `tsCol` is the event-time column the watermark applies to.
+    *
+    * Deterministic intra-batch winner (same discipline as the near-dup
+    * stream's per-band collapse): each batch is clustered by hash and
+    * collapsed to its MIN-`idCol` row per class before the stateful
+    * drop, so duplicates arriving in ONE micro-batch keep the least id
+    * — without it the within-batch survivor is shuffle-order luck, and
+    * the converged stream would not replay to the batch operator's
+    * keep-first answer. */
+  def dedupStream(docs: DataFrame, idCol: String = "doc_id",
+      tsCol: String = "ts", textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame = {
+    val clustered = docs
+      .withColumn("content_hash",
+        graft.functions.TextFns.contentHashMd5(col(textCol)))
+      .repartition(col("content_hash"))
+    val hIdx = clustered.schema.fieldIndex("content_hash")
+    val idIdx = clustered.schema.fieldIndex(idCol)
+    val collapsed = clustered.mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.Row]
+      it.foreach { r =>
+        val h = r.getString(hIdx)
+        val keep = best.get(h).forall(cur =>
+          r.get(idIdx).asInstanceOf[Comparable[Any]].compareTo(cur.get(idIdx)) < 0)
+        if (keep) best(h) = r
+      }
+      best.valuesIterator
+    }(org.apache.spark.sql.Encoders.row(clustered.schema))
+    collapsed
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+  }
 
   /** Streaming NEAR-dup suppression: drop a document when any of its
     * MinHash band digests was already seen inside the watermark — the
