@@ -37,7 +37,7 @@ object SparkEntry {
       PipelineQueries.queries ++ JoinQueries.queries ++ TpchQueries.queries ++
       CurationQueries.queries ++ MultimodalQueries.queries ++
       RecrawlQueries.queries ++ WriterQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ CliQueries.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
   def oracleSql: Map[String, String] =
@@ -46,5 +46,5 @@ object SparkEntry {
       PipelineQueries.oracles ++ JoinQueries.oracles ++ TpchQueries.oracles ++
       CurationQueries.oracles ++ MultimodalQueries.oracles ++
       RecrawlQueries.oracles ++ WriterQueries.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++ CliQueries.oracles
 }
