@@ -412,6 +412,34 @@ case class IvfIndex(
     hot.limit(1).count() > 0
   }
 
+  /** Execute the rebuild [[needsRebuild]] gates: read the version's
+    * FULL indexed population back from its segments, RE-TRAIN centroids
+    * over it (default: [[KMeansOps.fit]] at the old k — the
+    * deterministic salted-init trajectory; pass `train` to plug MLlib
+    * or a sampled fit), and commit `newName` as a fresh [[buildIndex]]
+    * under the same manifest-last discipline — a crash leaves `newName`
+    * unreadable and every old version intact. O(population) by design:
+    * this is the SCHEDULED cost the staleness trigger amortizes so that
+    * every refresh can stay O(batch); after the rebuild the new
+    * version's rows are all gen-0, so its [[stalenessReport]] starts
+    * clean. Maintenance loop shape: refresh per batch → [[needsRebuild]]
+    * at compaction boundaries → [[compactIndex]] when healthy,
+    * rebuildIndex when drifted. */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      newName: String, buckets: Int = 8,
+      train: Option[(DataFrame, Int) => DataFrame] = None): Unit = {
+    require(newName != name,
+      "rebuild writes a new index version; flip readers after the write")
+    val pop = segments(spark, name)
+      .map { case (s, _) => spark.table(s"${s}_cells") }
+      .reduce(_ unionByName _)
+      .select(col(idCol), col(vecCol))
+    val k = spark.table(s"${name}_centroids").count().toInt
+    val cents = train.getOrElse((df: DataFrame, kk: Int) =>
+      KMeansOps.fit(df, kk, idCol = idCol, vecCol = vecCol))(pop, k)
+    buildIndex(pop, cents, newName, buckets)
+  }
+
   /** [[topK]] against a [[buildIndex]]-persisted index — identical
     * results (same argmin, same rounding, same tiebreaks), none of the
     * per-batch corpus work: the corpus-side assignment is replaced by

@@ -139,6 +139,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(!ivf.needsRebuild(spark, "graft_ivf_st3"))
   }
 
+  test("rebuildIndex re-trains over the full indexed population and clears the trigger") {
+    val ivf = IvfIndex()
+    // the staleness fixture: build on axes 0-1, drifted roll-forward
+    // with axes 2-3 → the trigger fires
+    ivf.buildIndex(corpus.filter($"vec_id" % 4 < 2), centroids,
+      "graft_ivf_rb0", buckets = 4)
+    ivf.refreshIndex(corpus.filter($"vec_id" % 4 >= 2),
+      "graft_ivf_rb0", "graft_ivf_rb1", buckets = 4)
+    assert(ivf.needsRebuild(spark, "graft_ivf_rb1"))
+    ivf.rebuildIndex(spark, "graft_ivf_rb1", "graft_ivf_rb2", buckets = 4)
+    // re-trained version: every row is gen-0 again, trigger clear
+    assert(!ivf.needsRebuild(spark, "graft_ivf_rb2"))
+    assert(ivf.segments(spark, "graft_ivf_rb2").map(_._2) == Seq(0))
+    // population is preserved exactly (all 40 ids, no dup, no loss) …
+    val cells = spark.table("graft_ivf_rb2_seg_cells")
+    assert(cells.select("vec_id").as[Long].collect().sorted.toSeq ==
+      (0L until 40L))
+    // … and the new version serves the re-trained centroids' answer:
+    // searchIndexed(new) ≡ the direct plan over the same population +
+    // centroids (the searchIndexed parity contract, post-rebuild)
+    val newCents = spark.table("graft_ivf_rb2_centroids")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(ivf.searchIndexed(spark, "graft_ivf_rb2", queries,
+        k = 3, nprobe = 2)) ==
+      rows(ivf.topK(corpus, newCents, k = 3, nprobe = 2,
+        $"vec_id" % 10 === 0)))
+    // the drifted pre-rebuild version is untouched (time travel)
+    assert(ivf.needsRebuild(spark, "graft_ivf_rb1"))
+  }
+
   test("index serves queries that are not corpus rows") {
     val ivf = IvfIndex()
     ivf.buildIndex(corpus, centroids, "graft_ivf_ext", buckets = 4)
