@@ -217,9 +217,21 @@ case class IvfIndex(
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
       name: String, segs: Seq[(String, Int)]): Unit = {
     import spark.implicits._
+    // CTAS refuses a non-empty managed location even when the catalog
+    // has no entry for it — the residue a KILLED process leaves under
+    // the warehouse. A catalog-unknown location is unreachable garbage
+    // (managed tables are its only pointer): clear it so attach/build
+    // against a reused name is idempotent across crashes.
+    val t = s"${name}_manifest"
+    if (!spark.catalog.tableExists(t)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/${t.toLowerCase}")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     segs.toDF("seg", "gen").coalesce(1)
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${name}_manifest")
+      .saveAsTable(t)
   }
 
   /** One immutable cells segment: `vecs` assigned to the given frozen

@@ -119,4 +119,25 @@ class BucketedSearchSpec extends SparkSpec {
       spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
   }
+
+  test("attachIndex survives a crashed process's manifest residue") {
+    // a KILLED run leaves warehouse dirs with no catalog entry; the
+    // alias's manifest CTAS used to fail LOCATION_ALREADY_EXISTS on
+    // them (hit by an interrupted test run) — catalog-unknown manifest
+    // residue is unreachable garbage and must be cleared, not fatal
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/graft_bm25_att4_manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft_bm25_att4_manifest")
+    fs.mkdirs(p)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(p, "part-junk.parquet"), true)
+    junk.write("residue".getBytes("UTF-8")); junk.close()
+    val bm = Bm25()
+    bm.buildIndex(docs, "graft_bm25_att3", buckets = 4)
+    bm.attachIndex(spark, "graft_bm25_att3", "graft_bm25_att4", buckets = 4)
+    def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows("graft_bm25_att4") == rows("graft_bm25_att3"))
+  }
 }

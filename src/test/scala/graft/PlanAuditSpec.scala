@@ -72,10 +72,15 @@ class PlanAuditSpec extends SparkSpec {
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
       "bm25_search", "bm25_search_indexed", "bm25_search_refreshed",
+      "bm25_search_compacted",
       "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
-      // ann_ivf_indexed/_refreshed: hinted sides are the query batch
-      // (a request, bounded by construction) and its probed-cell list
-      "ann_ivf_indexed", "ann_ivf_refreshed",
+      // ann_ivf_indexed/_refreshed/_compacted: hinted sides are the
+      // query batch (a request, bounded by construction) and its
+      // probed-cell list
+      "ann_ivf_indexed", "ann_ivf_refreshed", "ann_ivf_compacted",
+      // ann_ivf_staleness: the broadcast side is the k-row centroids
+      // table — bounded by k (a build-time constant), not by SF
+      "ann_ivf_staleness",
       // search_eval_ndcg: Bm25.search's query-batch broadcast again —
       // the results/qrels legs it adds are eval-set-bounded
       "search_eval_ndcg")
@@ -283,9 +288,9 @@ class PlanAuditSpec extends SparkSpec {
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
       "hybrid_search_rrf", "source_flagging", "ann_eval_recall",
       "mixture_temperature",
-      // ann_ivf_indexed/_refreshed: the same deliberate 1-row
-      // centroid-array attach as ann_ivf, on build and query sides
-      "ann_ivf_indexed", "ann_ivf_refreshed")
+      // ann_ivf_indexed/_refreshed/_compacted: the same deliberate
+      // 1-row centroid-array attach as ann_ivf, on build and query sides
+      "ann_ivf_indexed", "ann_ivf_refreshed", "ann_ivf_compacted")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
