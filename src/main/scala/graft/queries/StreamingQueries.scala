@@ -50,11 +50,20 @@ object StreamingQueries {
     implicit val ctx = s.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     s.catalog.dropTempView(name) // bench retries re-run the key in-JVM
-    val q = build(mem.toDF()).writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).start()
-    try chunks.filter(_.nonEmpty).foreach { c =>
-      mem.addData(c); q.processAllAvailable()
-    } finally q.stop()
+    // the stateful-operator partition count binds at query START and
+    // every micro-batch pays per-partition state-store overhead across
+    // ALL stores; these keys' state is tiny, so pin it low for the
+    // stream's lifetime (at scale this is the knob you SIZE to the
+    // stream's key cardinality, not inherit from the batch session)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(mem.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).start()
+      try chunks.filter(_.nonEmpty).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
 
@@ -102,8 +111,15 @@ object StreamingQueries {
         Map[String, Any]("min_length" -> 100, "max_length" -> 2000))))
       val sc = StreamingCuration(perDoc, DedupQueries.mh,
         watermark = "30 days")
-      val (q, _) = sc.start(in, s"$tmp/out", s"$tmp/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      // pin the stateful-shuffle width low for the stream's lifetime
+      // (see runChunked — per-partition state-store overhead dominates
+      // at this corpus size)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val (q, _) = sc.start(in, s"$tmp/out", s"$tmp/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // the sink lands only non-empty batches: an empty corpus leaves
       // no out dir at all — return the typed empty survivor set
       if (fs.exists(new Path(s"$tmp/out")))
