@@ -163,4 +163,46 @@ class IndexStreamSpec extends SparkSpec {
     assert(live.get == "graft_ivfs_v2")
     assert(rows(live.get) == rows("graft_ivfs_full"))
   }
+
+  test("maintenance compact hook escalates to a re-train when staleness trips") {
+    // the full maintenance loop composed: refresh per batch → at the
+    // compaction boundary, needsRebuild decides COMPACT (healthy) vs
+    // REBUILD (drifted) — here the stream ingests only axis-2/3
+    // vectors against an axis-0/1 build, so the boundary re-trains
+    implicit val ctx = spark.sqlContext
+    StreamingOps.clearIndexLog(spark, "graft_ivfr")
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(axis) = 1.0f + 0.001f * i; v
+    }
+    val ivf = IvfIndex()
+    val centroids = (0 until 4).map { a =>
+      (a, Array.tabulate(8)(j => if (j == a) 1.0 else 0.0))
+    }.toDF("centroid_id", "cvec")
+    val base = (0 until 8).map(i => (i.toLong, vec(i % 2, i / 2)))
+      .toDF("vec_id", "embedding")
+    ivf.buildIndex(base, centroids, "graft_ivfr_v0", buckets = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val escalate = (from: String, to: String) =>
+      if (ivf.needsRebuild(spark, from)) ivf.rebuildIndex(spark, from, to, buckets = 4)
+      else ivf.compactIndex(spark, from, to, buckets = 4)
+    val (writer, live) = StreamingOps.indexMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), "graft_ivfr", "graft_ivfr_v0",
+      (batch, from, to) => ivf.refreshIndex(batch, from, to, buckets = 4),
+      compact = Some((2, escalate)))
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfr_ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt).start()
+    val drifted = (8 until 20).map(i => (i.toLong, vec(2 + i % 2, i / 2)))
+    try {
+      mem.addData(drifted.take(6): _*); q.processAllAvailable()
+      mem.addData(drifted.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 hits the every=2 boundary; the drifted ingest trips the
+    // trigger, so the committed version is the RE-TRAINED fold
+    assert(live.get == "graft_ivfr_v2c")
+    assert(ivf.segments(spark, live.get).map(_._2) == Seq(0)) // gen-0 only
+    assert(!ivf.needsRebuild(spark, live.get))
+    val cells = spark.table(s"${live.get}_seg_cells")
+    assert(cells.select("vec_id").as[Long].collect().sorted.toSeq ==
+      (0L until 20L)) // whole population, no dup/loss
+  }
 }
