@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.vector.{IncrementalSemanticDedup, IvfIndex, SemanticDedup}
+import graft.operators.vector.{IncrementalSemanticDedup, IvfIndex, KMeansOps, SemanticDedup}
 import org.apache.spark.sql.functions._
 
 /** Vector-family scale probe: time nearest-centroid assignment and
@@ -217,10 +217,70 @@ object VecProbe {
     spark.stop()
   }
 
+  /** `rebuild` mode: price the SCHEDULED re-train the staleness trigger
+    * gates (the other half of the refresh-is-O(batch) story: refreshes
+    * stay cheap BECAUSE the occasional rebuild pays the corpus cost) —
+    * build on n/2 rows, roll forward with a DRIFTED n/2 batch (a
+    * dominant shared direction — the "new traffic clusters where the
+    * build had little" signature, which concentrates the refresh into
+    * a few cells and fires the growth trigger), then time
+    * `needsRebuild` (the narrow per-cell monitor pass) and
+    * `rebuildIndex` (population read-back + bounded Lloyd re-train +
+    * fresh segmented build).
+    *
+    * {{{ graft.VecProbe rebuild <sfDir> <n> }}}
+    */
+  def rebuildMain(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: VecProbe rebuild <sfDir> <n>")
+    val dir = args(0)
+    val n = args(1).toInt
+    val spark = GraftSession.local("graft-vecprobe-rebuild")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def wall[A](label: String)(f: => A): A = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"REBUILD $label%-34s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val all = ScaleProbe.vectors1m(spark, dir).limit(n)
+      .repartition(cpus).localCheckpoint(true)
+    val half = all.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val drifted = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(10.0f)).otherwise(x * lit(0.1f)))
+          .as("embedding"))
+      .localCheckpoint(true)
+    val ivf = IvfIndex()
+    val cents = half.orderBy("vec_id").limit(1024)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    wall(s"build_half_n$n")(
+      ivf.buildIndex(half, cents, s"graft_rbp_v0", buckets = 64))
+    wall(s"refresh_drifted_n$n")(
+      ivf.refreshIndex(drifted, "graft_rbp_v0", "graft_rbp_v1", buckets = 64))
+    val trips = wall("needs_rebuild_monitor")(
+      ivf.needsRebuild(spark, "graft_rbp_v1"))
+    println(s"REBUILD trigger_fires $trips")
+    wall(s"rebuild_retrain_n$n")(
+      ivf.rebuildIndex(spark, "graft_rbp_v1", "graft_rbp_v2", buckets = 64,
+        // bounded Lloyd budget: 2 iterations move the centroids into
+        // the merged distribution; more buys quality, not plan shape
+        train = Some((pop, k) => KMeansOps.fit(pop, k, maxIter = 2))))
+    println(s"REBUILD trigger_after ${ivf.needsRebuild(spark, "graft_rbp_v2")}")
+    wall("serve_after_rebuild")(
+      ivf.searchIndexed(spark, "graft_rbp_v2", all.limit(100), k = 5,
+        nprobe = 2).selectExpr("count(*)").collect())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("inc")) return incMain(args.drop(1))
     if (args.headOption.contains("ivfserve")) return ivfServeMain(args.drop(1))
     if (args.headOption.contains("refresh")) return refreshMain(args.drop(1))
+    if (args.headOption.contains("rebuild")) return rebuildMain(args.drop(1))
     require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k[:cap]>...")
     val dir = args(0)
     val threshold = args(1).toDouble
