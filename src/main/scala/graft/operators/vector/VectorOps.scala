@@ -428,27 +428,45 @@ case class IvfIndex(
     * FULL indexed population back from its segments, RE-TRAIN centroids
     * over it (default: [[KMeansOps.fit]] at the old k — the
     * deterministic salted-init trajectory; pass `train` to plug MLlib
-    * or a sampled fit), and commit `newName` as a fresh [[buildIndex]]
+    * or a custom fit), and commit `newName` as a fresh [[buildIndex]]
     * under the same manifest-last discipline — a crash leaves `newName`
-    * unreadable and every old version intact. O(population) by design:
-    * this is the SCHEDULED cost the staleness trigger amortizes so that
-    * every refresh can stay O(batch); after the rebuild the new
-    * version's rows are all gen-0, so its [[stalenessReport]] starts
-    * clean. Maintenance loop shape: refresh per batch → [[needsRebuild]]
-    * at compaction boundaries → [[compactIndex]] when healthy,
-    * rebuildIndex when drifted. */
+    * unreadable and every old version intact. The ASSIGNMENT pass (one
+    * map-only argmin over the population inside buildIndex) is
+    * O(population) by design — this is the SCHEDULED cost the staleness
+    * trigger amortizes so every refresh can stay O(batch) — but the
+    * Lloyd TRAINING loop (per-iteration O(n·k) with a driver round per
+    * iteration) runs on a deterministic hash-SAMPLE capped at
+    * `trainRows` (xxhash64 over idCol, so the sample is stable across
+    * retries): centroid quality converges long before millions of
+    * training rows, and an unsampled 100 TB re-train would pay the
+    * population cost maxIter times instead of once. After the rebuild
+    * the new version's rows are all gen-0, so its [[stalenessReport]]
+    * starts clean. Maintenance loop shape: refresh per batch →
+    * [[needsRebuild]] at compaction boundaries → [[compactIndex]] when
+    * healthy, rebuildIndex when drifted. */
   def rebuildIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       newName: String, buckets: Int = 8,
-      train: Option[(DataFrame, Int) => DataFrame] = None): Unit = {
+      train: Option[(DataFrame, Int) => DataFrame] = None,
+      trainRows: Long = 200000L): Unit = {
     require(newName != name,
       "rebuild writes a new index version; flip readers after the write")
+    require(trainRows >= 1, "trainRows must be positive")
     val pop = segments(spark, name)
       .map { case (s, _) => spark.table(s"${s}_cells") }
       .reduce(_ unionByName _)
       .select(col(idCol), col(vecCol))
+    val total = pop.count()
     val k = spark.table(s"${name}_centroids").count().toInt
+    val trainSet =
+      if (total <= trainRows) pop
+      else {
+        val s = pop.filter(
+          pmod(xxhash64(col(idCol)), lit(total / trainRows + 1)) === 0)
+          .localCheckpoint() // trained over twice per Lloyd iteration
+        if (s.count() < k) pop else s // a starved sample can't seat k centroids
+      }
     val cents = train.getOrElse((df: DataFrame, kk: Int) =>
-      KMeansOps.fit(df, kk, idCol = idCol, vecCol = vecCol))(pop, k)
+      KMeansOps.fit(df, kk, idCol = idCol, vecCol = vecCol))(trainSet, k)
     buildIndex(pop, cents, newName, buckets)
   }
 
