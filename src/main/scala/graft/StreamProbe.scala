@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * prints the engine's own per-batch walls
   * ([[StreamingMetricsListener]]).
   *
-  * {{{ graft.StreamProbe <sfDir> <n> <batches> [compactEvery] }}}
+  * {{{ graft.StreamProbe <sfDir> <n> <batches> [compactEvery] [width] }}}
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -38,11 +38,14 @@ object StreamProbe {
     val n = args(1).toInt
     val nb = args(2).toInt
     val every = if (args.length > 3) args(3).toInt else 8
+    // the stateful-operator width binds at query start and is THE
+    // horizontal-scale knob for the streaming chain: every stateful
+    // stage (band-digest drop, window agg, hash branch) runs `width`
+    // tasks, and state partitions across executors at that width
+    val width = if (args.length > 4) args(4).toInt else 8
     val spark = GraftSession.local("graft-streamprobe")
     spark.sparkContext.setLogLevel("WARN")
-    // the stateful-operator width binds at query start (see
-    // StreamingQueries.runChunked): sized to the state, not the batch
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     import org.apache.hadoop.fs.Path
     val tmp = java.nio.file.Files.createTempDirectory("graft_sp").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(
