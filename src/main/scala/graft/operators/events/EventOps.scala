@@ -180,7 +180,7 @@ case class GroupedPercentiles(
   * shuffles at most |histogram| rows, and no row ever collects to the
   * driver. Physical partition ids only order the spans — the cumsum
   * result is exact wherever the range sampler drops the boundaries. */
-private[events] object HistCdf {
+private[graft] object HistCdf {
   def withCdf(hist0: DataFrame, groupCols: Seq[String],
       vCol: String, cCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

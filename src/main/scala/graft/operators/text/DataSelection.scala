@@ -170,3 +170,77 @@ case class DsirSelector(
     raw.join(resample(raw, target, k, temperature).select(idCol),
       Seq(idCol), "left_semi")
 }
+
+/** CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data"): score every document against a language model of ITS OWN
+  * language and split each language into equal-count head / middle /
+  * tail terciles by perplexity — head = most-fluent third, the slice
+  * CCNet ships as the high-quality corpus, tail = the crawl noise.
+  * Bucketing per language (not globally) is the paper's point: raw
+  * perplexity scales are not comparable across languages, so a global
+  * cut would keep easy languages wholesale and drop hard ones.
+  *
+  * The LM is the corpus's own per-language unigram model (the
+  * [[PerplexityScorer]] stand-in for CCNet's KenLM — same seam, a real
+  * KenLM drops in per language), perplexity rounded to 4 dp so any
+  * engine reproduces the score. Tercile thresholds are VALUE
+  * thresholds from the per-language (lang, perplexity)-histogram CDF —
+  * `t_q = min{v : cdf(v) ≥ ⌈q·n⌉}` — so tied scores always share a
+  * bucket and the bucketing is rerun-stable (no row_number over the
+  * corpus, no approximate quantiles).
+  *
+  * Scale shape: the per-language LM is one map-side-combined groupBy
+  * (rows = Σ per-language vocab — broadcastable, the PerplexityScorer
+  * argument); scoring re-aggregates the token stream per doc; the
+  * histogram is bounded by distinct (lang, rounded-pp) values, its CDF
+  * runs through the bounded-window [[graft.operators.events.HistCdf]]
+  * machinery, and the threshold table (one row per language) joins
+  * back broadcast. The corpus payload never shuffles. Docs with no
+  * tokens have no perplexity and are excluded, matching the
+  * `perplexity` key's convention. */
+case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
+    langCol: String = "lang") {
+  import graft.functions.TextFns.{normalizeText, wsTokens}
+  import graft.operators.events.HistCdf
+
+  /** (idCol, langCol, perplexity): per-doc perplexity under the
+    * document's own language's unigram LM. */
+  def scores(df: DataFrame): DataFrame = {
+    // blank docs carry no fluency signal and must not seed the LM with
+    // an empty-string token (wsTokens("") is [""], not [])
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), col(langCol),
+        explode(wsTokens(normalizeText(col(textCol)))).as("t"))
+    val counts = toks.groupBy(langCol, "t").agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy(langCol).agg(sum("__n").as("__total"))
+    val lm = counts.join(broadcast(totals.withColumnRenamed(langCol, "__lmlang")),
+        col(langCol) <=> col("__lmlang"))
+      .select(col(langCol).as("__lang"), col("t").as("__t"),
+        log(col("__n").cast("double") / col("__total").cast("double")).as("__logp"))
+    toks.join(broadcast(lm),
+        col(langCol) <=> col("__lang") && col("t") === col("__t"))
+      .groupBy(idCol, langCol)
+      .agg(round(exp(-avg(col("__logp"))), 4).as("perplexity"))
+  }
+
+  /** (idCol, langCol, perplexity, bucket) with bucket ∈
+    * {head, middle, tail} by per-language terciles. */
+  def apply(df: DataFrame): DataFrame = {
+    val sc = scores(df)
+    val hist = sc.groupBy(col(langCol), col("perplexity"))
+      .agg(count(lit(1)).as("__c"))
+    val cdf = HistCdf.withCdf(hist, Seq(langCol), "perplexity", "__c")
+    val thr = cdf.groupBy(langCol).agg(
+      min(when(col("__cum") >= ceil(col("__n") / 3.0), col("perplexity")))
+        .as("__t1"),
+      min(when(col("__cum") >= ceil(lit(2.0) * col("__n") / 3.0),
+        col("perplexity"))).as("__t2"))
+      .withColumnRenamed(langCol, "__thrlang")
+    sc.join(broadcast(thr), col(langCol) <=> col("__thrlang"))
+      .select(col(idCol), col(langCol), col("perplexity"),
+        when(col("perplexity") <= col("__t1"), lit("head"))
+          .when(col("perplexity") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+}

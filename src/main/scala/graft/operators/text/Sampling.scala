@@ -219,6 +219,127 @@ case class TokenBudgetSampler(idCol: String = "doc_id",
   }
 }
 
+/** UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151
+  * "UniMax: Fairer and More Effective Language Sampling for
+  * Large-Scale Multilingual Pretraining"): split a total token budget
+  * over sources by WATERFILLING under a per-source epoch cap — each
+  * source gets an equal share of the remaining budget unless that
+  * share exceeds `epochCap` epochs of the source's own tokens, in
+  * which case the source is capped and its leftover flows to the
+  * larger sources. Kills head-domain dominance like temperature
+  * smoothing ([[MixtureSampler.sampleTemperature]]) but with a HARD
+  * repetition bound: no source is ever allocated more than `epochCap`
+  * passes over its data (Muennighoff et al. 2023 measure repeating
+  * past ~4 epochs as rapidly diminishing returns).
+  *
+  * The paper's sequential loop (ascending by size: take
+  * `min(epochCap·n_s, remaining/left)`, update remaining) has a closed
+  * form this implementation evaluates instead: once the uniform share
+  * stops being capped it stays CONSTANT for every later source
+  * (removing an uncapped source removes exactly one share), so the
+  * allocation is "cap the first m sources, split the rest evenly",
+  * with m = the longest prefix (ascending by tokens) where
+  * `epochCap·n_i · (k−i+1) ≤ B − Σ_{j<i} epochCap·n_j`. Everything is
+  * 64-bit integer arithmetic (the cap×count product in decimal(38,0) —
+  * at 100 TB, cap ~10¹⁴ × 10⁶ sources overflows a Long), the even
+  * share is an integer division with the remainder distributed +1 to
+  * the first `rem` uncapped sources in the same deterministic order,
+  * so any engine replays the allocation bit for bit.
+  *
+  * Scale shape: the allocation runs over the per-source TOKEN-TOTAL
+  * table (one map-side-combined groupBy; one row per source). Its
+  * rank/prefix-sum uses the [[SequencePacker]] two-phase scan — range
+  * partition, per-partition windows, a #partitions-row offset table —
+  * never a bare global window, so a million-domain source table still
+  * ranks in parallel. The two "which prefix is capped" reductions are
+  * 1-row aggregates attached back as broadcasts. Document selection
+  * then fills each source's allocated budget greedily in the
+  * [[TokenBudgetSampler]] salted-hash order (same overshoot-≤-1-doc
+  * contract; budget ≥ epochCap·n takes the source whole — upsampling
+  * to multiple epochs belongs at the training data-loader, the
+  * [[MixtureSampler]] convention). */
+case class UniMaxSampler(epochCap: Int = 4, idCol: String = "doc_id",
+    sourceCol: String = "source", seed: String = "graft") {
+  require(epochCap >= 1, "epochCap must be >= 1")
+
+  private def orderKey: Column =
+    md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+
+  /** (source, n_tokens, budget): the UniMax allocation of `totalBudget`
+    * tokens. Null sources form a real group (the CorpusGates
+    * convention) and sort first, matching the oracle's NULLS FIRST. */
+  def budgets(df: DataFrame, tokenCount: Column, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val counts = df.groupBy(sourceCol).agg(
+      sum(coalesce(tokenCount.cast("long"), lit(0L))).as("n_tokens"))
+    // two-phase rank + prefix sum over the source table (ascending by
+    // (n_tokens, source)): per-partition windows + a #partitions-row
+    // offset join — the SequencePacker pattern, no single-task window
+    val parted = counts.repartitionByRange(col("n_tokens"), col(sourceCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cap", col("n_tokens") * epochCap)
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("n_tokens"), col(sourceCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = parted
+      .withColumn("__i_local", count(lit(1)).over(w))
+      .withColumn("__cum_local", sum("__cap").over(w))
+      .localCheckpoint(eager = false)
+    val totals = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__rows"), sum("__cap").as("__caps"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).sortBy(_._1)
+    val k = totals.map(_._2).sum
+    val rowPrefix = totals.scanLeft(0L)(_ + _._2).dropRight(1)
+    val capPrefix = totals.scanLeft(0L)(_ + _._3).dropRight(1)
+    def offsetCol(prefix: Seq[Long]): Column =
+      totals.map(_._1).zip(prefix).foldLeft(lit(0L)) {
+        case (acc, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(acc)
+      }
+    val o = local
+      .withColumn("__i", col("__i_local") + offsetCol(rowPrefix))
+      .withColumn("__cumcap", col("__cum_local") + offsetCol(capPrefix))
+    // capped iff the epoch cap undercuts an even split of what's left
+    // assuming every smaller source was capped — exact in decimal(38,0)
+    val cond = col("__cap").cast("decimal(38,0)") * (lit(k) - col("__i") + 1) <=
+      (lit(totalBudget) - (col("__cumcap") - col("__cap"))).cast("decimal(38,0)")
+    val mRow = o.agg(coalesce(min(when(!cond, col("__i"))) - 1, lit(k)).as("__m"))
+    val smRow = o.crossJoin(broadcast(mRow)).agg(
+      max(col("__m")).as("__m"),
+      coalesce(max(when(col("__i") === col("__m"), col("__cumcap"))), lit(0L))
+        .as("__sm"))
+    o.crossJoin(broadcast(smRow))
+      .withColumn("__left", lit(totalBudget) - col("__sm"))
+      .withColumn("__k_unc", lit(k) - col("__m"))
+      .withColumn("budget",
+        when(col("__i") <= col("__m"), col("__cap")).otherwise(
+          expr("__left div __k_unc") +
+            when(col("__i") - col("__m") <= pmod(col("__left"), col("__k_unc")),
+              lit(1L)).otherwise(lit(0L))))
+      .select(col(sourceCol), col("n_tokens"), col("budget"))
+  }
+
+  /** The UniMax sample: each source's allocated budget filled greedily
+    * in deterministic salted-hash order (the [[TokenBudgetSampler]]
+    * window over the narrow projection; survivors semi-join back). */
+  def sample(df: DataFrame, tokenCount: Column, totalBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = budgets(df, tokenCount, totalBudget)
+      .select(col(sourceCol).as("__src"), col("budget"))
+    val narrow = df.select(col(idCol), col(sourceCol),
+      coalesce(tokenCount.cast("long"), lit(0L)).as("__tok"))
+    val w = Window.partitionBy(sourceCol).orderBy(orderKey, col(idCol))
+    val picked = narrow
+      .join(b, col(sourceCol) <=> col("__src"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") - col("__tok") < col("budget"))
+      .select(col(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+}
+
 /** Deterministic training-shard layout — the step between a curated
   * corpus and the trainer's data loader (the reference's pipeline ends
   * at a writer; an LLM run additionally needs its input GLOBALLY
@@ -349,7 +470,7 @@ case class GroupCap(
   * row must not inflate the group's quota (it can never survive the
   * score equi-join anyway). Score rows upstream, or coalesce to a
   * sentinel, if unscored rows should compete. */
-private[text] object GroupQuota {
+private[graft] object GroupQuota {
   def select(df: DataFrame, quota: Column => Column,
       groupCol: String, scoreCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -672,6 +672,38 @@ case class SequencePacker(budget: Int = 2048,
   }
 }
 
+/** Packing-efficiency report over [[SequencePacker]]'s layout — the
+  * audit a training run wants before committing a context length:
+  * concatenate-then-cut wastes no tokens (every sequence except the
+  * tail is exactly `budget` tokens), but every document STRADDLING a
+  * sequence boundary either leaks attention across unrelated docs or
+  * pays an attention-mask reset, so the boundary-crossing rate IS the
+  * packing quality metric (cf. Krell et al. 2021, arXiv:2107.02027 —
+  * packed-sequence masking). One row:
+  * (n_docs, n_seqs, total_tokens, crossing_docs, crossing_frac,
+  * tail_tokens) where crossing_docs counts documents that span a
+  * `budget` boundary and tail_tokens is the unfilled final sequence's
+  * load. Pure aggregate over the packer's (n_tokens, seq_offset)
+  * columns — adds nothing to the packer's two-phase scan. */
+case class PackingReporter(budget: Int = 2048,
+    textCol: String = "text", idCol: String = "doc_id") {
+
+  def apply(df: DataFrame): DataFrame =
+    SequencePacker(budget, textCol, idCol)(df).agg(
+      count(lit(1)).as("n_docs"),
+      ceil(sum("n_tokens") / lit(budget.toDouble)).as("n_seqs"),
+      coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+      coalesce(sum(when(col("seq_offset") + col("n_tokens") > budget, 1L)
+        .otherwise(0L)), lit(0L)).as("crossing_docs"))
+    .withColumn("crossing_frac",
+      // explicit empty branch: 0/0 would be NaN, not null
+      when(col("n_docs") === 0, lit(null).cast("double")).otherwise(
+        round(col("crossing_docs").cast("double") / col("n_docs"), 6)))
+    .withColumn("tail_tokens", pmod(col("total_tokens"), lit(budget.toLong)))
+    .select("n_docs", "n_seqs", "total_tokens", "crossing_docs",
+      "crossing_frac", "tail_tokens")
+}
+
 /** Long-document chunking: split into `maxTokens`-token windows with
   * `overlap` tokens of context carried between consecutive chunks (the
   * standard RAG/long-context preprocessing step). Pure explode of a

@@ -827,6 +827,56 @@ case class SemanticDedup(
   }
 }
 
+/** Prototype pruning — the "diversify" half of D4 (Tirumala et al.
+  * 2023, arXiv:2308.12284 "D4: Improving LLM Pretraining via Document
+  * De-Duplication and Diversification"): after SemDeDup removes
+  * near-duplicates, drop the most PROTOTYPICAL remainder of each
+  * cluster — the points closest to their centroid are the redundant
+  * "template" mass (SSL-prototypes, Sorscher et al. 2022); the points
+  * far from the centroid carry the cluster's diversity. Keeps, per
+  * cluster, the ⌈n·keepFrac⌉ rows with the LOWEST cosine to the
+  * cluster centroid (ties: smallest id), so `keepFrac = 1 − the
+  * paper's prune fraction`.
+  *
+  * Scale shape: nearest-centroid assignment is the map-only broadcast
+  * argmin ([[IvfIndex.assign]]); prototypicality is one more broadcast
+  * join + fused cosine; the per-cluster selection reuses the
+  * [[graft.operators.text.GroupQuota]] histogram-quota machinery — no
+  * per-cluster sort of the corpus, only boundary-tie windows — and the
+  * wide payload never shuffles (survivors semi-join back inside
+  * GroupQuota). Compose as `PrototypePruner(...)(SemanticDedup(...)
+  * .kept(...) ⋈ vectors, centroids)` for the full D4 recipe. */
+case class PrototypePruner(
+    keepFrac: Double = 0.6,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    cvecCol: String = "cvec") {
+  require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+  import graft.functions.VecFns.cosine
+
+  /** (idCol, centroid_id, proto): prototypicality = cosine to the
+    * nearest centroid, rounded to 6 dp (the family convention — any
+    * engine replays the keep decision). */
+  def scored(df: DataFrame, centroids: DataFrame): DataFrame =
+    IvfIndex(idCol, vecCol).assign(df, centroids)
+      .select(col(idCol), col("centroid_id"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(centroids.select(col("centroid_id"), col(cvecCol))),
+        Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        round(cosine(col(vecCol), col(cvecCol)), 6).as("proto"))
+
+  /** The pruned survivors: (idCol, centroid_id, proto) rows keeping
+    * the least-prototypical ⌈n·keepFrac⌉ per cluster. */
+  def apply(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val sc = scored(df, centroids).withColumn("__antiproto", -col("proto"))
+    graft.operators.text.GroupQuota.select(sc,
+        total => ceil(total * keepFrac).cast("long"),
+        "centroid_id", "__antiproto", idCol)
+      .drop("__antiproto")
+  }
+}
+
 /** Incremental SemDeDup: [[graft.operators.dedup.IncrementalMinHashDedup]]'s
   * delta-ingest protocol composed with [[SemanticDedup]] (reference
   * anchor: framework/backend.py's sharded dedup state). The corpus

@@ -40,6 +40,43 @@ object TextQueries {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsToksSql = "string_split_regex(trim(text), '\\s+')"
 
+  /** UniMax key constants (shared by the Spark side and the oracle so
+    * the two can't drift): epoch cap 1, budget 25k over the ~27k-token
+    * sf0.01 corpus — the two smallest sources cap, the rest waterfill. */
+  private val unimaxEpochs = 1
+  private val unimaxBudget = 25000L
+
+  /** The UniMax waterfill as DuckDB CTEs ending in `b(source, budget)`
+    * plus the shared `t` token table — the closed form
+    * [[graft.operators.text.UniMaxSampler.budgets]] evaluates. */
+  private def unimaxCteSql: String =
+    s"""t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len($wsToksSql) END AS tok
+       |  FROM documents),
+       |c AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens
+       |      FROM t GROUP BY source),
+       |o AS (SELECT source, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens, source NULLS FIRST) AS BIGINT) AS i,
+       |    CAST(count(*) OVER () AS BIGINT) AS k,
+       |    CAST($unimaxEpochs * n_tokens AS BIGINT) AS cap,
+       |    CAST(sum($unimaxEpochs * n_tokens)
+       |      OVER (ORDER BY n_tokens, source NULLS FIRST) AS BIGINT) AS cumcap
+       |  FROM c),
+       |mm AS (SELECT coalesce(min(CASE WHEN NOT (CAST(cap AS HUGEINT) * (k - i + 1)
+       |         <= $unimaxBudget - (cumcap - cap)) THEN i END) - 1, max(k), 0) AS m
+       |       FROM o),
+       |sm AS (SELECT m, coalesce(max(CASE WHEN i = m THEN cumcap END), 0) AS s_m
+       |       FROM o, mm GROUP BY m),
+       |b AS (SELECT o.source, o.n_tokens,
+       |  CASE WHEN o.i <= sm.m THEN o.cap
+       |       ELSE ($unimaxBudget - sm.s_m) // (o.k - sm.m)
+       |            + (CASE WHEN o.i - sm.m <= ($unimaxBudget - sm.s_m) % (o.k - sm.m)
+       |               THEN 1 ELSE 0 END)
+       |  END AS budget
+       |  FROM o, sm)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_length_filter" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -216,6 +253,42 @@ object TextQueries {
           when(col("doc_id") % 77 === 0, lit(null)).otherwise(col("source")))
       MixtureSampler().sampleTemperature(docs, temperature = 3.0, budget = 120)
         .select("doc_id", "source")
+    }),
+
+    // UniMax waterfill allocation (epoch cap 1, budget 25k over the
+    // ~27k-token corpus): the two smallest sources cap and are taken
+    // whole, the other 18 split the remainder evenly (+1 token for the
+    // first `rem` of them) — both branches of the closed form exercised
+    "mixture_unimax_budgets" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      UniMaxSampler(epochCap = unimaxEpochs)
+        .budgets(docs, wsTokenCount(col("text")), totalBudget = unimaxBudget)
+    }),
+
+    // the UniMax SAMPLE: each source's waterfilled budget filled
+    // greedily in the TokenBudgetSampler salted-hash order — capped
+    // sources survive whole, uncapped ones lose their tail
+    "mixture_unimax" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      UniMaxSampler(epochCap = unimaxEpochs)
+        .sample(docs, wsTokenCount(col("text")), totalBudget = unimaxBudget)
+        .select("doc_id", "source")
+    }),
+
+    // CCNet head/middle/tail terciles per language: per-lang unigram
+    // LM, per-doc perplexity, value thresholds off the per-lang
+    // histogram CDF — ties share a bucket, no corpus-wide row_number
+    "ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      CcnetBucketer()(docs)
+    }),
+
+    // packing-efficiency audit over the pack_sequences layout: the
+    // boundary-crossing rate and tail fill a context-length choice is
+    // judged by
+    "packing_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      PackingReporter(budget = 2048)(docs)
     }),
 
     // token-budget fill per source: greedy in salted-hash order, the
@@ -1123,6 +1196,71 @@ object TextQueries {
         |SELECT d.doc_id, d.source
         |FROM d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456.0 < r.rate""".stripMargin,
+
+    "mixture_unimax_budgets" ->
+      s"""WITH $unimaxCteSql
+        |SELECT source, n_tokens, budget FROM b""".stripMargin,
+
+    "mixture_unimax" ->
+      s"""WITH $unimaxCteSql,
+        |g AS (
+        |  SELECT doc_id, source, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT g.doc_id, g.source
+        |FROM g JOIN b ON g.source IS NOT DISTINCT FROM b.source
+        |WHERE g.cum - g.tok < b.budget""".stripMargin,
+
+    "ccnet_buckets" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT lang, t, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS total FROM counts GROUP BY lang),
+        |lm AS (SELECT counts.lang, t, ln(CAST(n AS DOUBLE) / total) AS logp
+        |       FROM counts JOIN tot ON counts.lang IS NOT DISTINCT FROM tot.lang),
+        |sc AS (
+        |  SELECT toks.doc_id, toks.lang, round(exp(-avg(logp)), 4) AS pp
+        |  FROM toks JOIN lm ON toks.lang IS NOT DISTINCT FROM lm.lang
+        |                   AND toks.t = lm.t
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT lang, pp, count(*) AS c FROM sc GROUP BY 1, 2),
+        |cdf AS (SELECT lang, pp,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY pp) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |thr AS (SELECT lang,
+        |    min(CASE WHEN cum >= ceil(n / 3.0) THEN pp END) AS t1,
+        |    min(CASE WHEN cum >= ceil(2.0 * n / 3.0) THEN pp END) AS t2
+        |  FROM cdf GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.pp AS perplexity,
+        |  CASE WHEN sc.pp <= thr.t1 THEN 'head'
+        |       WHEN sc.pp <= thr.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
+
+    "packing_report" ->
+      s"""WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len($wsToksSql) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM n),
+        |p AS (SELECT n_tokens, (cum_tokens - n_tokens) % 2048 AS seq_offset FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS n_seqs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN seq_offset + n_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS crossing_docs,
+        |  round(CAST(sum(CASE WHEN seq_offset + n_tokens > 2048 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS crossing_frac,
+        |  CAST(sum(n_tokens) AS BIGINT) % 2048 AS tail_tokens
+        |FROM p""".stripMargin,
 
     "token_budget_sample" ->
       s"""WITH t AS (

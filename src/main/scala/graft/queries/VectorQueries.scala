@@ -196,6 +196,22 @@ object VectorQueries {
       SemanticDedup(threshold = 0.35).kept(emb, centroids)
     }),
 
+    // D4 (SemDeDup → prototype pruning): semantic near-dups collapse
+    // first, then each cluster drops its most-prototypical 40% — the
+    // redundant "template" mass nearest the centroid. keepFrac 0.6 and
+    // threshold 0.35 for the same corpus-geometry reason dedup_semantic
+    // documents (hash-vectors cluster around cosine 0.3-0.5)
+    "semantic_prune_d4" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val survivors = emb.join(
+        SemanticDedup(threshold = 0.35).kept(emb, centroids).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      PrototypePruner(keepFrac = 0.6)(survivors, centroids)
+    }),
+
     "decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: benchmark = first 20 vectors
       // (deterministic eval-suite stand-in), corpus = the rest; 0.35
@@ -547,6 +563,40 @@ object VectorQueries {
         |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.35)
         |SELECT a.vec_id, a.centroid_id FROM asg a
         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
+    "semantic_prune_d4" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id AS INT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, cent.centroid_id, v.embedding,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      round(list_distance(CAST(v.embedding AS DOUBLE[]), cent.cvec), 6) ASC,
+        |      cent.centroid_id ASC) AS rn
+        |  FROM embeddings v, cent),
+        |asg AS (SELECT vec_id, centroid_id, embedding FROM d WHERE rn = 1),
+        |drops AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id
+        |  WHERE x.vec_id < y.vec_id
+        |    AND round(list_cosine_similarity(
+        |      CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.35),
+        |surv AS (
+        |  SELECT a.vec_id, a.centroid_id, a.embedding FROM asg a
+        |  WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)),
+        |sc AS (
+        |  SELECT s.vec_id, s.centroid_id,
+        |    round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), c.cvec), 6)
+        |      AS proto
+        |  FROM surv s JOIN cent c ON s.centroid_id = c.centroid_id),
+        |r AS (
+        |  SELECT vec_id, centroid_id, proto,
+        |    row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY proto ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY centroid_id) AS n
+        |  FROM sc)
+        |SELECT vec_id, centroid_id, proto FROM r
+        |WHERE rn <= ceil(n * 0.6)""".stripMargin,
 
     "decontaminate_semantic" ->
       """SELECT c.vec_id,

@@ -81,6 +81,14 @@ class PlanAuditSpec extends SparkSpec {
       // ann_ivf_staleness: the broadcast side is the k-row centroids
       // table — bounded by k (a build-time constant), not by SF
       "ann_ivf_staleness",
+      // semantic_prune_d4: PrototypePruner broadcasts the same k-row
+      // centroids table (bounded by k, not SF)
+      "semantic_prune_d4",
+      // ccnet_buckets: broadcasts the per-language unigram LM (the
+      // perplexity argument — vocabulary-bounded, Heaps-sublinear) and
+      // the per-language tercile-threshold table (one row per LANGUAGE
+      // — bounded by the language inventory, not the corpus)
+      "ccnet_buckets",
       // search_eval_ndcg: Bm25.search's query-batch broadcast again —
       // the results/qrels legs it adds are eval-set-bounded
       "search_eval_ndcg")
@@ -290,7 +298,17 @@ class PlanAuditSpec extends SparkSpec {
       "mixture_temperature",
       // ann_ivf_indexed/_refreshed/_compacted: the same deliberate
       // 1-row centroid-array attach as ann_ivf, on build and query sides
-      "ann_ivf_indexed", "ann_ivf_refreshed", "ann_ivf_compacted")
+      "ann_ivf_indexed", "ann_ivf_refreshed", "ann_ivf_compacted",
+      // semantic_prune_d4: dedup_semantic's 1-row centroid-array attach
+      // (via IvfIndex.assign), twice — SemDeDup then the pruner's
+      // prototypicality scoring; the selection itself is GroupQuota
+      // hash joins
+      "semantic_prune_d4",
+      // mixture_unimax(_budgets): the waterfill's two 1-row global
+      // aggregates (capped-prefix length m, its cap-sum s_m) attach to
+      // the per-source table as deliberate 1-row broadcasts — the
+      // events_winsorize bounds shape
+      "mixture_unimax", "mixture_unimax_budgets")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
