@@ -66,7 +66,7 @@ object ScaleProbe {
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
       "drift", "bm25", "dedupeval", "fertility", "hardneg100k",
-      "overlapsketch", "corpusdiff")
+      "overlapsketch", "corpusdiff", "unimax", "ccnet", "protoprune")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,7 +92,8 @@ object ScaleProbe {
         ops("polyglot") || ops("compact") || ops("winsorize") ||
         ops("pagerank") || ops("percentiles") || ops("drift") ||
         ops("bm25") || ops("dedupeval") || ops("fertility") ||
-        ops("overlapsketch") || ops("corpusdiff")) {
+        ops("overlapsketch") || ops("corpusdiff") ||
+        ops("unimax") || ops("ccnet")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -131,6 +132,30 @@ object ScaleProbe {
         probe("token_budget_sample", n)(TokenBudgetSampler()
           .sample(corpus, graft.functions.TextFns.wsTokenCount(col("text")),
             Map.empty, defaultBudget = 500000L).count())
+      if (ops("unimax")) {
+        // the million-domain story in miniature: refine the 20 sources
+        // to 10k (source × id-hash) so the waterfill's two-phase
+        // rank/prefix-sum over the SOURCE table actually has a table to
+        // rank, and the greedy fill windows over 10k modest partitions
+        // instead of 20 giant ones. Budget ~1/4 of the corpus's tokens
+        // with a 2-epoch cap → a capped prefix AND a waterfilled tail
+        val fine = corpus.withColumn("source",
+          concat(col("source"), lit("_"), pmod(col("doc_id"), lit(500L))))
+        probe("mixture_unimax_10ksrc", n)(
+          graft.operators.text.UniMaxSampler(epochCap = 2)
+            .sample(fine, graft.functions.TextFns.wsTokenCount(col("text")),
+              totalBudget = 15000000L).count())
+      }
+      if (ops("ccnet")) {
+        // 7 synthetic languages over the suffixed-vocab corpus (vocab
+        // ~10× base — the LM broadcast's real scale test); thresholds
+        // from the bounded HistCdf, so no corpus-wide sort anywhere
+        val withLang = corpus.withColumn("lang",
+          concat(lit("lang"), pmod(col("doc_id"), lit(7L))))
+        probe("ccnet_buckets", n)(
+          graft.operators.text.CcnetBucketer()(withLang)
+            .groupBy("bucket").count().agg(sum("count")).head().getLong(0))
+      }
       if (ops("span")) {
         // duplicate-heavy worst case: every replica repeats its group's
         // text 20×, so ~every n-gram is corpus-duplicated and nearly
@@ -412,7 +437,7 @@ object ScaleProbe {
       corpus.unpersist()
     }
     if (ops("embedding") || ops("hardneg") || ops("hardneg100k") ||
-        ops("quantize")) {
+        ops("quantize") || ops("protoprune")) {
       // same repartition rationale as the docs corpus above: the
       // replicated vectors inherit the single parquet file's input
       // partitioning, starving map-only stages (the broadcast-argmin
@@ -466,6 +491,18 @@ object ScaleProbe {
             .collapsedLshPairs(vecs)
           repPairs.count() + members.count()
         }
+      if (ops("protoprune")) {
+        // D4's diversify half at 1M vectors: broadcast-argmin assign +
+        // one cosine per row + the GroupQuota histogram selection over
+        // 1024 cells (the √n rule) — rounded-proto histogram stays
+        // bounded, so no per-cluster sort of the corpus
+        val cents = vecs.filter(col("vec_id") < 1024)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        probe("prototype_prune", n)(
+          graft.operators.vector.PrototypePruner(keepFrac = 0.6)(vecs, cents)
+            .count())
+      }
       if (ops("quantize")) {
         // int8 encode+decode at 1M vectors: one bounded stats pass,
         // then two map-only transforms; agg a reconstruction checksum

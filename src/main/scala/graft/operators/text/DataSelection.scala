@@ -227,7 +227,11 @@ case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
   /** (idCol, langCol, perplexity, bucket) with bucket ∈
     * {head, middle, tail} by per-language terciles. */
   def apply(df: DataFrame): DataFrame = {
-    val sc = scores(df)
+    // the narrow score table feeds BOTH the threshold histogram and the
+    // final join-back — materialize it once (the SemanticDedup
+    // assignedOf discipline) instead of re-running the LM join + token
+    // re-aggregation per reference
+    val sc = scores(df).localCheckpoint()
     val hist = sc.groupBy(col(langCol), col("perplexity"))
       .agg(count(lit(1)).as("__c"))
     val cdf = HistCdf.withCdf(hist, Seq(langCol), "perplexity", "__c")

