@@ -323,6 +323,37 @@ object AnalyticsQueries {
           (col("doc_id") * 137 + 104729) % 500)).as("dst"))
       graft.operators.graph.PageRank(iterations = 5)
         .personalized(edges, docs, docs.filter(col("doc_id") % 50 === 0))
+    }),
+
+    // HITS hubs & authorities over the same deterministic 2-out graph:
+    // 5 max-normalized iterations (no L2 norm — keeps the scaling a
+    // pure comparison both engines replay)
+    "hits_centrality" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 131 + 7919) % 500,
+          (col("doc_id") * 137 + 104729) % 500)).as("dst"))
+      graft.operators.graph.Hits(iterations = 5)(edges, docs)
+    }),
+
+    // declarative expectation suite over the orders fact: two clean
+    // keys, three planted-violation constraints (6033 over-range
+    // prices, 5088 'P' statuses, 6016 low-priority rows) and a
+    // referential check against a dimension with every 97th customer
+    // removed (158 orphans) — the anti-join leg
+    "data_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val orders = Tables.load(s, dir, "orders")
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 97 =!= 0)
+      report(orders, Seq(
+        NotNull("o_orderkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InSet("o_orderstatus", Seq("F", "O")),
+        MatchesRegex("o_orderpriority", "^[1-3]-"),
+        RefersTo("o_custkey", dim, "c_custkey")))
     })
   )
 
@@ -356,7 +387,69 @@ object AnalyticsQueries {
        |SELECT node AS doc_id, round(r, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** 5 unrolled HITS iterations over the same 2-out graph: a_k =
+    * max-normalized Σ_in h_{k−1}, h_k = max-normalized Σ_out a_k — the
+    * exact float op sequence of Hits.apply. Every CTE is MATERIALIZED:
+    * DuckDB inlines CTEs by default, and each half-step references the
+    * previous one ~4× (the sum join + the scalar max), so the inlined
+    * tree re-evaluates the chain 4^5× and never finishes. */
+  private def hitsSql: String = {
+    val steps = (1 to 5).map { k =>
+      val hp = if (k == 1) "h0" else s"h${k - 1}"
+      s"""a${k}r AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h.h) AS raw
+         |  FROM e JOIN $hp h ON e.src = h.node GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT node, raw / (SELECT max(raw) FROM a${k}r) AS a FROM a${k}r),
+         |h${k}r AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a$k.a) AS raw
+         |  FROM e JOIN a$k ON e.dst = a$k.node GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT node, raw / (SELECT max(raw) FROM h${k}r) AS h FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT doc_id AS src, (doc_id * 131 + 7919) % 500 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 137 + 104729) % 500 FROM documents),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM e),
+       |$steps
+       |SELECT d.doc_id,
+       |  round(coalesce(h5.h, 0.0), 6) AS hub,
+       |  round(coalesce(a5.a, 0.0), 6) AS authority
+       |FROM documents d
+       |LEFT JOIN h5 ON d.doc_id = h5.node
+       |LEFT JOIN a5 ON d.doc_id = a5.node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "hits_centrality" -> hitsSql,
+
+    "data_expectations" ->
+      """WITH base AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 300000) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+        |  FROM orders),
+        |ref AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 97 <> 0))
+        |SELECT expectation, col_name, violations, n_rows,
+        |  violations = 0 AS pass FROM (
+        |  SELECT 'not_null' AS expectation, 'o_orderkey' AS col_name,
+        |    v_notnull AS violations, n_rows FROM base
+        |  UNION ALL SELECT 'unique', 'o_orderkey', v_unique, n_rows FROM base
+        |  UNION ALL SELECT 'in_range', 'o_totalprice', v_range, n_rows FROM base
+        |  UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, n_rows FROM base
+        |  UNION ALL SELECT 'matches_regex', 'o_orderpriority', v_re, n_rows FROM base
+        |  UNION ALL SELECT 'refers_to', 'o_custkey', ref.v, base.n_rows FROM base, ref)""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_qty,

@@ -55,3 +55,88 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks(1L) - (base + 0.85 * 0.25 / 2)) < 1e-6)
   }
 }
+
+class HitsSpec extends SparkSpec {
+  import graft.operators.graph.Hits
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("hits: a bipartite hub/authority split scores each side on one axis") {
+    // hubs 1..3 each link to authorities 10..12 (complete bipartite):
+    // hubs get hub=1/authority=0, authorities the reverse
+    val edges = (for (h <- 1L to 3L; a <- 10L to 12L) yield (h, a))
+      .toDF("src", "dst")
+    val nodes = ((1L to 3L) ++ (10L to 12L)).toDF("doc_id")
+    val out = Hits(iterations = 5)(edges, nodes)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (h <- 1L to 3L) assert(out(h) == (1.0, 0.0), s"hub $h")
+    for (a <- 10L to 12L) assert(out(a) == (0.0, 1.0), s"authority $a")
+  }
+
+  test("hits: the best-pointed-at node takes max authority; isolates score 0/0") {
+    // 1,2,3 -> 10 ; 1,2 -> 11 ; 1 -> 12 ; 99 isolated
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L),
+      (1L, 12L)).toDF("src", "dst")
+    val nodes = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L)).toDF("doc_id")
+    val out = Hits(iterations = 5)(edges, nodes)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L)._2 == 1.0)               // most in-links from best hubs
+    assert(out(11L)._2 > out(12L)._2)        // 2 hubs beat 1
+    assert(out(1L)._1 == 1.0)                // the widest hub normalizes to 1
+    assert(out(1L)._1 > out(3L)._1)
+    assert(out(99L) == (0.0, 0.0))           // isolated
+  }
+
+  test("hits: deterministic across reruns; edgeless graph is all zeros") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val nodes = (1L to 3L).toDF("doc_id")
+    val a = Hits()(edges, nodes).collect().toSet
+    val b = Hits()(edges, nodes).collect().toSet
+    assert(a == b)
+    val none = Hits()(edges.limit(0), nodes)
+      .agg(sum(abs(col("hub")) + abs(col("authority")))).head().getDouble(0)
+    assert(none == 0.0)
+  }
+}
+
+class ExpectationsSpec extends SparkSpec {
+  import graft.operators.Expectations._
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("every expectation type counts its planted violations exactly") {
+    val df = Seq(
+      (1L, "a", 10.0, "ok@x.com"),
+      (2L, "b", 20.0, "bad"),
+      (3L, null.asInstanceOf[String], -5.0, "ok2@x.com"),
+      (3L, "d", 200.0, null.asInstanceOf[String]), // dup id, over-range
+      (4L, "zz", 30.0, "ok3@x.com")                // not in set
+    ).toDF("id", "cat", "v", "email")
+    val dim = Seq("a", "b", "d").toDF("k") // "zz" is an orphan
+    val byName = report(df, Seq(
+      NotNull("cat"),
+      Unique(Seq("id")),
+      InRange("v", 0.0, 100.0),
+      InSet("cat", Seq("a", "b", "d")),
+      MatchesRegex("email", "^[^@]+@[^@]+$"),
+      RefersTo("cat", dim, "k")))
+      .select("expectation", "violations", "pass", "n_rows")
+      .as[(String, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byName("not_null")._2 == 1)          // the null cat
+    assert(byName("unique")._2 == 1)            // one surplus id-3 row
+    assert(byName("in_range")._2 == 2)          // -5 and 200
+    assert(byName("in_set")._2 == 1)            // zz (null cat not counted)
+    assert(byName("matches_regex")._2 == 1)     // "bad" (null email not counted)
+    assert(byName("refers_to")._2 == 1)         // zz orphan (null not counted)
+    assert(byName.values.forall(r => r._4 == 5 && !r._3))
+  }
+
+  test("a clean table passes; the report is one row per expectation") {
+    val df = (1L to 50L).map(i => (i, s"u$i")).toDF("id", "name")
+    val rep = report(df, Seq(NotNull("id"), Unique(Seq("id", "name")),
+      InRange("id", 0.0, 100.0)))
+    assert(rep.count() == 3)
+    assert(rep.filter(!col("pass")).count() == 0)
+  }
+}

@@ -308,7 +308,15 @@ class PlanAuditSpec extends SparkSpec {
       // aggregates (capped-prefix length m, its cap-sum s_m) attach to
       // the per-source table as deliberate 1-row broadcasts — the
       // events_winsorize bounds shape
-      "mixture_unimax", "mixture_unimax_budgets")
+      "mixture_unimax", "mixture_unimax_budgets",
+      // data_expectations: each referential check's report row is the
+      // 1-row orphan COUNT × the 1-row total COUNT — two global
+      // aggregates, both literally one row
+      "data_expectations",
+      // hits_centrality: each half-step's max-normalizer is a 1-row
+      // global aggregate attached back as a broadcast (the same
+      // Winsorizer bounds shape, 2 per iteration)
+      "hits_centrality")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
