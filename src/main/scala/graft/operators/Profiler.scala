@@ -101,6 +101,65 @@ case class TokenizerFertility(langCol: String = "lang",
         round(sum("__chars") / sum("__bpe"), 4).as("chars_per_bpe_token"))
 }
 
+/** Vocabulary-coverage curve — the table that sizes a tokenizer's
+  * vocabulary BEFORE training one (the BPE trainer's planning twin;
+  * Zipf's law makes the curve steep then brutally flat, and this
+  * measures where): for each candidate vocab size K, the fraction of
+  * corpus token OCCURRENCES covered by the K most frequent types, and
+  * the complementary OOV rate. Coverage is computed over the histogram
+  * OF FREQUENCIES — tokens sharing a count are interchangeable for
+  * coverage, so no per-token ranking (and no tiebreak!) is ever
+  * needed: fully-included count-groups contribute their whole mass,
+  * the one boundary group contributes (K − tokens-above) × its count.
+  *
+  * Scale shape: one map-side-combined groupBy(token) to the frequency
+  * table (vocabulary-bounded), one groupBy(count) to its histogram
+  * (bounded by DISTINCT counts — far smaller), two bounded-window
+  * [[graft.operators.events.HistCdf]] passes (token CDF + mass CDF),
+  * then a bounded explode over the candidate sizes. The corpus payload
+  * never shuffles; everything after the first groupBy is
+  * histogram-sized. */
+case class VocabCoverage(vocabSizes: Seq[Long] = Seq(100L, 1000L, 10000L),
+    textCol: String = "text") {
+  require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
+    "vocabSizes must be positive")
+  import graft.functions.TextFns.{normalizeText, wsTokens}
+  import graft.operators.events.HistCdf
+
+  def apply(df: DataFrame): DataFrame = {
+    val counts = df.filter(length(trim(col(textCol))) > 0)
+      .select(explode(wsTokens(normalizeText(col(textCol)))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy("__c").agg(count(lit(1)).as("__ntoks"))
+      .withColumn("__mass", col("__ntoks") * col("__c"))
+      // CDF descends by frequency (commonest types first): HistCdf
+      // orders ascending, so feed it the negated count
+      .withColumn("__v", -col("__c"))
+    val cumT = HistCdf.withCdf(hist, Nil, "__v", "__ntoks")
+      .withColumnRenamed("__cum", "__cumT").drop("__n")
+    val cumM = HistCdf.withCdf(hist.select("__c", "__v", "__mass"),
+        Nil, "__v", "__mass")
+      .withColumnRenamed("__cum", "__cumM").withColumnRenamed("__n", "__totM")
+      .select("__c", "__cumM", "__totM")
+    val k = col("vocab_size")
+    cumT.join(cumM, Seq("__c"))
+      .withColumn("vocab_size",
+        explode(array(vocabSizes.map(lit(_)): _*)))
+      .groupBy("vocab_size").agg(
+        (coalesce(sum(when(col("__cumT") <= k, col("__mass"))), lit(0L)) +
+          coalesce(max(when(col("__cumT") - col("__ntoks") < k && k < col("__cumT"),
+            (k - (col("__cumT") - col("__ntoks"))) * col("__c"))), lit(0L)))
+          .cast("long").as("covered_occurrences"),
+        max("__totM").cast("long").as("total_occurrences"))
+      .withColumn("coverage",
+        round(col("covered_occurrences").cast("double") /
+          col("total_occurrences"), 6))
+      .withColumn("oov_rate",
+        round((col("total_occurrences") - col("covered_occurrences"))
+          .cast("double") / col("total_occurrences"), 6))
+  }
+}
+
 /** Corpus drift detection: Population Stability Index per feature
   * between two corpus snapshots — the data-quality regression test a
   * continuously-rebuilt training corpus runs between releases (did the

@@ -439,6 +439,31 @@ case class TopFractionByGroup(
       groupCol, scoreCol, idCol)
 }
 
+/** Curriculum shard layout — [[TrainingShardLayout]]'s ordered sibling
+  * (curriculum learning, Bengio et al. 2009): shard membership stays
+  * the balanced deterministic hash, but WITHIN each shard documents
+  * order by an explicit difficulty/quality score ascending (easy-first
+  * — e.g. CCNet perplexity: most-fluent documents lead the epoch) with
+  * the id as tiebreak, instead of the shuffled `:ord:` hash. A loader
+  * reading shards in `pos` order replays the curriculum; the score
+  * column is the experiment knob (negate it for hard-first).
+  *
+  * Same scale shape as TrainingShardLayout: map-only shard assignment;
+  * the per-shard rank window IS the physical write layout, scaling
+  * per-shard (grow nShards with the corpus). */
+case class CurriculumShardLayout(nShards: Int = 32,
+    idCol: String = "doc_id", seed: String = "graft") {
+  require(nShards > 0, "nShards must be positive")
+
+  /** All input columns + (shard, pos): pos ranks by (score asc, id). */
+  def assign(df: DataFrame, score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(score.asc, col(idCol).asc)
+    df.withColumn("shard", TrainingShardLayout(nShards, idCol, seed).shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+}
+
 /** Per-group FIXED quota cap — the RefinedWeb/anti-spam "at most n
   * documents per domain" rule, the fixed-count sibling of
   * [[TopFractionByGroup]]'s fractional gate (a content farm with 10⁶

@@ -320,6 +320,25 @@ object TextQueries {
         .select("doc_id", "shard", "pos")
     }),
 
+    // curriculum variant: same hash shards, but within each shard the
+    // epoch order is perplexity-ascending (most-fluent first — the
+    // CCNet head leads) instead of the shuffled :ord: hash
+    "curriculum_shards" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val p = PerplexityScorer()
+      CurriculumShardLayout(nShards = 8)
+        .assign(p.scores(docs, p.model(docs)), col("perplexity"))
+        .select("doc_id", "shard", "pos")
+    }),
+
+    // vocabulary-coverage curve: occurrences covered by the K most
+    // frequent types at three candidate vocab sizes — computed over
+    // the histogram OF frequencies, so no per-token rank or tiebreak
+    "vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.VocabCoverage(Seq(100L, 1000L, 10000L))(docs)
+    }),
+
     // DSIR importance resampling: target = the English slice (the
     // in-domain exemplar stand-in), raw = the whole corpus; hashed
     // unigram+bigram log-likelihood-ratio scores, Gumbel-top-100 draw
@@ -1308,6 +1327,53 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
         |    - 1 AS BIGINT) AS pos
         |FROM t""".stripMargin,
+
+    "curriculum_shards" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),
+        |counts AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+        |total AS (SELECT sum(n) AS total FROM counts),
+        |lm AS (SELECT t, ln(CAST(n AS DOUBLE) / total) AS logp FROM counts, total),
+        |pp AS (
+        |  SELECT toks.doc_id, round(exp(-avg(logp)), 4) AS perplexity
+        |  FROM toks JOIN lm ON toks.t = lm.t GROUP BY toks.doc_id),
+        |sh AS (
+        |  SELECT doc_id, perplexity,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':shard:graft'), 1, 7)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM pp)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY perplexity, doc_id) - 1 AS BIGINT) AS pos
+        |FROM sh""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH toks AS (
+        |  SELECT unnest(string_split($normSql, ' ')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |hist AS MATERIALIZED (
+        |  SELECT c, count(*) AS ntoks, count(*) * c AS mass FROM cnts GROUP BY c),
+        |cdf AS MATERIALIZED (
+        |  SELECT c, ntoks, mass,
+        |    sum(ntoks) OVER (ORDER BY c DESC) AS cumt,
+        |    sum(mass) OVER () AS totm
+        |  FROM hist),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS vocab_size)
+        |SELECT vocab_size, covered_occurrences, total_occurrences,
+        |  round(CAST(covered_occurrences AS DOUBLE) / total_occurrences, 6)
+        |    AS coverage,
+        |  round(CAST(total_occurrences - covered_occurrences AS DOUBLE)
+        |    / total_occurrences, 6) AS oov_rate
+        |FROM (
+        |  SELECT ks.vocab_size AS vocab_size,
+        |    CAST(coalesce(sum(CASE WHEN cumt <= ks.vocab_size THEN mass END), 0)
+        |      + coalesce(max(CASE WHEN cumt - ntoks < ks.vocab_size
+        |          AND ks.vocab_size < cumt
+        |          THEN (ks.vocab_size - (cumt - ntoks)) * c END), 0) AS BIGINT)
+        |      AS covered_occurrences,
+        |    CAST(max(totm) AS BIGINT) AS total_occurrences
+        |  FROM cdf, ks GROUP BY 1)""".stripMargin,
 
     "bpe_train_merges" ->
       """WITH words AS (

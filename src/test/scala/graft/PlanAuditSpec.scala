@@ -84,6 +84,9 @@ class PlanAuditSpec extends SparkSpec {
       // semantic_prune_d4: PrototypePruner broadcasts the same k-row
       // centroids table (bounded by k, not SF)
       "semantic_prune_d4",
+      // curriculum_shards: PerplexityScorer's vocabulary-bounded
+      // unigram-LM broadcast again (the perplexity exemption)
+      "curriculum_shards",
       // ccnet_buckets: broadcasts the per-language unigram LM (the
       // perplexity argument — vocabulary-bounded, Heaps-sublinear) and
       // the per-language tercile-threshold table (one row per LANGUAGE
@@ -316,7 +319,10 @@ class PlanAuditSpec extends SparkSpec {
       // hits_centrality: each half-step's max-normalizer is a 1-row
       // global aggregate attached back as a broadcast (the same
       // Winsorizer bounds shape, 2 per iteration)
-      "hits_centrality")
+      "hits_centrality",
+      // curriculum_shards: perplexity's 1-row corpus-token-total
+      // attach again (the scorer it composes)
+      "curriculum_shards")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

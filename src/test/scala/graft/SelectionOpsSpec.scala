@@ -168,4 +168,41 @@ class SelectionOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("crossing_frac") == 0.4)
     assert(r.getAs[Long]("tail_tokens") == 5)
   }
+
+  test("vocab coverage: exact boundary-group arithmetic on a hand corpus") {
+    // counts: a=5, b=3, c=3, d=1 -> total 12
+    val docs = Seq((1L, "a a a b b"), (2L, "a a b c c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.VocabCoverage(Seq(1L, 2L, 3L, 10L))(docs)
+      .select($"vocab_size", $"covered_occurrences", $"total_occurrences",
+        $"coverage")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 5)   // top type only
+    assert(out(2L)._2 == 8)   // 5 + one of the tied count-3 types
+    assert(out(3L)._2 == 11)  // 5 + both count-3 types
+    assert(out(10L)._2 == 12) // K beyond the vocabulary covers everything
+    assert(out.values.forall(_._3 == 12))
+    assert(out(10L)._4 == 1.0)
+    assert(out(1L)._4 == math.rint(5.0 / 12.0 * 1e6) / 1e6)
+  }
+
+  test("curriculum shards: hash shard membership, perplexity-ascending positions") {
+    import graft.operators.text.{CurriculumShardLayout, TrainingShardLayout}
+    val docs = (1L to 200L).map(i => (i, i % 37 + 0.25)).toDF("doc_id", "pp")
+    val out = CurriculumShardLayout(nShards = 4)
+      .assign(docs, col("pp")).cache()
+    // same membership as the shuffled layout (the hash is shared)
+    val want = TrainingShardLayout(nShards = 4).assign(docs)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val got = out.select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    assert(got == want)
+    // within every shard, pos order == (pp, id) order
+    out.select($"shard", $"pos", $"pp", $"doc_id")
+      .as[(Int, Long, Double, Long)].collect()
+      .groupBy(_._1).foreach { case (_, rows) =>
+        val byPos = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+        assert(byPos == byPos.sorted, "curriculum order broken")
+      }
+    out.unpersist()
+  }
 }
