@@ -37,6 +37,12 @@ object MultimodalProbe {
 
     val docs =
       if (mode == "1m") ScaleProbe.docs1m(spark, sfDir).repartition(cpus.toInt)
+      // 10m (§5.13 one decade up, the §5.12b protocol): 10× the 1m
+      // corpus with the SAME per-group replication factor (reps=20,
+      // 100 salt-groups instead of 10) so every dedup layer sees the
+      // same dup-rate structure — 17.5M prepped rows after the twins
+      else if (mode == "10m")
+        ScaleProbe.docs1m(spark, sfDir, groups = 100).repartition(cpus.toInt)
       else Tables.load(spark, sfDir, "documents")
 
     // materialize the prepped corpus once before any timed run (same

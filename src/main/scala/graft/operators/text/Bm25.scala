@@ -131,12 +131,34 @@ case class Bm25(
     }
   }
 
-  /** The version's segment prefixes in generation order (bounded
-    * driver read: one row per refresh since the last compaction). */
+  /** The version's (segment, gen) rows in generation order (bounded
+    * driver read: one row per refresh since the last compaction).
+    * Every writer commits ≥ 1 row, so an empty read-back is a torn or
+    * transiently-invisible manifest, never a legal state — one
+    * refreshTable + re-read heals a stale file listing (seen once on
+    * the burst host: a just-written manifest read back 0 rows and the
+    * bare `.max` crashed with `empty.max`); a persistent empty fails
+    * LOUDLY instead of silently dropping the version's segments from
+    * the next manifest. */
+  private[graft] def manifestSegs(spark: org.apache.spark.sql.SparkSession,
+      name: String): Seq[(String, Int)] = {
+    def read() = spark.table(s"${name}_manifest").orderBy(col("gen"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val first = read()
+    if (first.nonEmpty) first
+    else {
+      spark.catalog.refreshTable(s"${name}_manifest")
+      val second = read()
+      if (second.isEmpty) throw new IllegalStateException(
+        s"${name}_manifest read back EMPTY twice — torn index state " +
+          "(every build/refresh/compact commits at least one segment row)")
+      second
+    }
+  }
+
+  /** The version's segment prefixes in generation order. */
   private[graft] def segments(spark: org.apache.spark.sql.SparkSession,
-      name: String): Seq[String] =
-    spark.table(s"${name}_manifest").orderBy(col("gen"))
-      .collect().map(_.getString(0)).toSeq
+      name: String): Seq[String] = manifestSegs(spark, name).map(_._1)
 
   /** The manifest IS the commit record — written last, single file. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
@@ -268,9 +290,7 @@ case class Bm25(
     require(newName != name,
       "refresh writes a new index version; flip readers after the write")
     val spark = newDocs.sparkSession
-    val old = spark.table(s"${name}_manifest")
-      .orderBy(col("gen")).collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val old = manifestSegs(spark, name)
     dropIndexTables(spark, newName)
     writeSegment(newDocs, s"${newName}_seg", buckets)
     writeManifest(spark, newName,

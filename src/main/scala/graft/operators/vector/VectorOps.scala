@@ -209,10 +209,26 @@ case class IvfIndex(
   /** The version's (segment, generation) pairs in generation order —
     * gen 0 is the build-time segment, gen ≥ 1 are refresh batches
     * (bounded driver read: one row per refresh since compaction). */
+  /** Every writer commits ≥ 1 manifest row, so an empty read-back is a
+    * torn or transiently-invisible manifest, never a legal state — one
+    * refreshTable + re-read heals a stale file listing (the Bm25
+    * manifestSegs discipline); a persistent empty fails loudly instead
+    * of silently dropping the version's segments. */
   private[graft] def segments(spark: org.apache.spark.sql.SparkSession,
-      name: String): Seq[(String, Int)] =
-    spark.table(s"${name}_manifest").orderBy(col("gen"))
+      name: String): Seq[(String, Int)] = {
+    def read() = spark.table(s"${name}_manifest").orderBy(col("gen"))
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val first = read()
+    if (first.nonEmpty) first
+    else {
+      spark.catalog.refreshTable(s"${name}_manifest")
+      val second = read()
+      if (second.isEmpty) throw new IllegalStateException(
+        s"${name}_manifest read back EMPTY twice — torn index state " +
+          "(every build/refresh/compact commits at least one segment row)")
+      second
+    }
+  }
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
       name: String, segs: Seq[(String, Int)]): Unit = {
