@@ -27,12 +27,18 @@ object MultimodalProbe {
     val mode = args.headOption.getOrElse("sf")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // 10m only: a materialized wide snapshot is ~45 GB raw (17.5M rows
+    // × ~2.5 KB of text+video_src) and the box has ~80 GB free — lz4
+    // block compression (~3-4× on this text) keeps input + two live
+    // stage persists inside the budget. Left OFF for sf/1m so §5.13's
+    // numbers stay comparable.
+    val spark = (if (mode == "10m") builder.config("spark.rdd.compress", "true")
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs =
@@ -51,25 +57,33 @@ object MultimodalProbe {
     val input = MultimodalQueries.preppedInput(docs).localCheckpoint(true)
     println(s"INPUT rows=${input.count()}")
 
-    // --- staged run: per-stage wall ---
+    // --- fused run first: one lazy DAG, single action (the headline;
+    // at 10m the staged run's storage footprint is the risk, so the
+    // fused number lands before it) ---
+    val t1 = System.nanoTime()
+    val fused = MultimodalCapstone.pipeline(input).count()
+    println(f"MULTIMODAL_FUSED rows=$fused ${(System.nanoTime() - t1) / 1e9}%.1f s")
+
+    // --- staged run: per-stage wall. At 10m the 1m protocol's eager
+    // localCheckpoint per stage ACCUMULATES ~13 × a 17.5M-row wide
+    // snapshot (old checkpoints free only at GC/ContextCleaner pace)
+    // and filled the disk; DISK_ONLY persist + explicit unpersist of
+    // the parent bounds live storage to two stages. Same
+    // materialization-per-stage timing semantics. ---
     var cur = input
     var rows = cur.count()
     val t00 = System.nanoTime()
     MultimodalCapstone.ops.foreach { case (name, params) =>
       val t0 = System.nanoTime()
       val next = Pipeline(Seq(OperatorRegistry.build(name, params)))(cur)
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val out = next.count()
       println(f"STAGE $name%-32s rows_in=$rows rows_out=$out ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (cur ne input) cur.unpersist()
       cur = next
       rows = out
     }
     println(f"MULTIMODAL_STAGED total ${(System.nanoTime() - t00) / 1e9}%.1f s")
-
-    // --- fused run: one lazy DAG, single action ---
-    val t1 = System.nanoTime()
-    val fused = MultimodalCapstone.pipeline(input).count()
-    println(f"MULTIMODAL_FUSED rows=$fused ${(System.nanoTime() - t1) / 1e9}%.1f s")
     spark.stop()
   }
 }
