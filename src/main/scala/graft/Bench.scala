@@ -91,7 +91,12 @@ object Bench {
         val burst = e1.isEmpty && pins.get(name).exists(p => t1 > 2.0 * p + 1.0)
         if (burst) {
           val (t2, e2) = once()
-          (name, math.min(t1, t2), e2, Some(t1))
+          // the first attempt SUCCEEDED (burst fires only then): a
+          // failing retry must not overwrite a valid measurement with
+          // the aborted run's wall time and a spurious err marker —
+          // keep the clean slow sample instead
+          if (e2.isDefined) (name, t1, Option.empty[String], Some(t1))
+          else (name, math.min(t1, t2), None, Some(t1))
         } else (name, t1, e1, Option.empty[Double])
       }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -299,8 +299,10 @@ object Main {
   }
 
   /** Highest committed BM25 version under the warehouse for `base`
-    * (scanning for `<base>_v<N>_postings` dirs), attached into this
-    * session's catalog if absent. -1 when no version exists. */
+    * (scanning for `<base>_v<N>_manifest` dirs — the manifest is the
+    * segmented layout's commit record, so an un-manifested torn
+    * version never counts), attached into this session's catalog if
+    * absent. -1 when no version exists. */
   private def bm25CurrentVersion(spark: org.apache.spark.sql.SparkSession,
       base: String): Int = {
     val wh = new org.apache.hadoop.fs.Path(

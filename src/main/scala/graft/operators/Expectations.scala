@@ -76,7 +76,12 @@ object Expectations {
         case NotNull(col0) =>
           sum(when(col(col0).isNull, 1L).otherwise(0L))
         case Unique(cols) =>
-          count(lit(1)) - countDistinct(struct(cols.map(col): _*))
+          // bare multi-column countDistinct (NOT over a struct): SQL
+          // count(DISTINCT a, b) skips any-null tuples, matching both
+          // the scaladoc convention and the oracle's count(DISTINCT …)
+          // — a struct() wrapper would count null keys as distinct
+          // values and disagree on any table with null keys
+          count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*)
         case InRange(col0, lo, hi) =>
           sum(when(col(col0).isNotNull &&
             (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L))
@@ -102,13 +107,16 @@ object Expectations {
           col("__n").cast("long").as("n_rows"))
     }
     // referential checks: one anti-join count each (size-driven
-    // strategy; the dim side is usually the broadcastable one)
+    // strategy; the dim side is usually the broadcastable one). The
+    // row total is computed ONCE and shared — per-check recounts would
+    // add a full corpus scan per referential expectation
+    val nRow = if (refs.isEmpty) None
+      else Some(df.agg(count(lit(1)).as("n_rows")).localCheckpoint())
     val refReports = refs.map { r =>
       val orphans = df.select(col(r.col)).where(col(r.col).isNotNull)
         .join(r.dim.select(col(r.dimCol).as(r.col)), Seq(r.col), "left_anti")
         .agg(count(lit(1)).as("violations"))
-      val n = df.agg(count(lit(1)).as("n_rows"))
-      orphans.crossJoin(n).select(
+      orphans.crossJoin(nRow.get).select(
         lit(r.name).as("expectation"), lit(r.column).as("col_name"),
         col("violations").cast("long"), col("n_rows").cast("long"))
     }

@@ -44,15 +44,23 @@ case class Hits(
     var a: DataFrame = null
     var i = 0
     while (i < iterations) {
+      // each raw-sum table is referenced twice (the max aggregate and
+      // the normalized scores) — checkpoint it so the |E|⋈|V| join
+      // runs once per half-step, not once per reference (and the final
+      // authority join reads the checkpointed last `a` rather than
+      // re-deriving the whole chain)
       val aRaw = e.join(h, e(srcCol) === h("__node"))
         .select(col(dstCol).as("__node"), col("__h"))
         .groupBy("__node").agg(sum("__h").as("__raw"))
+        .localCheckpoint(eager = false)
       val aMax = aRaw.agg(max("__raw").as("__m"))
       a = aRaw.crossJoin(broadcast(aMax))
         .select(col("__node"), (col("__raw") / col("__m")).as("__a"))
+        .localCheckpoint(eager = false)
       val hRaw = e.join(a, e(dstCol) === a("__node"))
         .select(col(srcCol).as("__node"), col("__a"))
         .groupBy("__node").agg(sum("__a").as("__raw"))
+        .localCheckpoint(eager = false)
       val hMax = hRaw.agg(max("__raw").as("__m"))
       h = hRaw.crossJoin(broadcast(hMax))
         .select(col("__node"), (col("__raw") / col("__m")).as("__h"))

@@ -255,11 +255,14 @@ case class Bm25(
           s"CREATE TABLE ${as}_manifest ($ddl) USING parquet LOCATION '$manLoc'")
       }
     } else {
-      val aliased = man.zipWithIndex.map { case ((seg, gen), i) =>
-        (seg, gen, s"${as}_seg$i")
-      }
-      aliased.foreach { case (seg, _, dst) => attachSeg(seg, dst) }
-      writeManifest(spark, as, aliased.map { case (_, gen, dst) => (dst, gen) })
+      // the alias manifest lists the ORIGINAL segment prefixes: those
+      // are the names with warehouse-directory backing, so a FRESH
+      // session can resolve the alias (attach `as` → `as` re-attaches
+      // each listed segment from its own location). The earlier design
+      // listed catalog-only `<as>_seg<i>` alias tables in the durable
+      // manifest — unresolvable outside the attaching session.
+      man.foreach { case (seg, _) => attachSeg(seg, seg) }
+      writeManifest(spark, as, man)
     }
   }
 

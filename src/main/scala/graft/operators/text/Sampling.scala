@@ -277,41 +277,55 @@ case class UniMaxSampler(epochCap: Int = 4, idCol: String = "doc_id",
     // two-phase rank + prefix sum over the source table (ascending by
     // (n_tokens, source)): per-partition windows + a #partitions-row
     // offset join — the SequencePacker pattern, no single-task window
+    // the cumulative CAP sums run in decimal(38,0) end to end: a Long
+    // cumsum overflows at exactly the scale the closed form must
+    // survive (~10⁶ sources × cap ~10¹⁴ exceeds 2⁶³ partway through
+    // the prefix, flipping the capped-prefix condition arbitrarily);
+    // per-source __cap itself is Long-safe (≤ epochCap × total tokens)
     val parted = counts.repartitionByRange(col("n_tokens"), col(sourceCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__cap", col("n_tokens") * epochCap)
+      .withColumn("__capd", (col("n_tokens") * epochCap).cast("decimal(38,0)"))
     val w = Window.partitionBy("__pid")
       .orderBy(col("n_tokens"), col(sourceCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = parted
       .withColumn("__i_local", count(lit(1)).over(w))
-      .withColumn("__cum_local", sum("__cap").over(w))
+      .withColumn("__cum_local", sum("__capd").over(w))
       .localCheckpoint(eager = false)
     val totals = local.groupBy("__pid")
-      .agg(count(lit(1)).as("__rows"), sum("__cap").as("__caps"))
+      .agg(count(lit(1)).as("__rows"), sum("__capd").as("__caps"))
       .collect().map(r => (r.getInt(0), r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))).sortBy(_._1)
+        if (r.isNullAt(2)) BigInt(0) else BigInt(r.getDecimal(2).toBigInteger)))
+      .sortBy(_._1)
     val k = totals.map(_._2).sum
     val rowPrefix = totals.scanLeft(0L)(_ + _._2).dropRight(1)
-    val capPrefix = totals.scanLeft(0L)(_ + _._3).dropRight(1)
-    def offsetCol(prefix: Seq[Long]): Column =
-      totals.map(_._1).zip(prefix).foldLeft(lit(0L)) {
+    val capPrefix = totals.scanLeft(BigInt(0))(_ + _._3).dropRight(1)
+    val rowOffsetCol: Column =
+      totals.map(_._1).zip(rowPrefix).foldLeft(lit(0L)) {
         case (acc, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(acc)
       }
+    val capOffsetCol: Column =
+      totals.map(_._1).zip(capPrefix).foldLeft(lit(0).cast("decimal(38,0)")) {
+        case (acc, (pid, off)) => when(col("__pid") === pid,
+          lit(new java.math.BigDecimal(off.bigInteger))).otherwise(acc)
+      }
     val o = local
-      .withColumn("__i", col("__i_local") + offsetCol(rowPrefix))
-      .withColumn("__cumcap", col("__cum_local") + offsetCol(capPrefix))
+      .withColumn("__i", col("__i_local") + rowOffsetCol)
+      .withColumn("__cumcap", col("__cum_local") + capOffsetCol)
     // capped iff the epoch cap undercuts an even split of what's left
     // assuming every smaller source was capped — exact in decimal(38,0)
-    val cond = col("__cap").cast("decimal(38,0)") * (lit(k) - col("__i") + 1) <=
-      (lit(totalBudget) - (col("__cumcap") - col("__cap"))).cast("decimal(38,0)")
+    val cond = col("__capd") * (lit(k) - col("__i") + 1) <=
+      lit(totalBudget) - (col("__cumcap") - col("__capd"))
     val mRow = o.agg(coalesce(min(when(!cond, col("__i"))) - 1, lit(k)).as("__m"))
     val smRow = o.crossJoin(broadcast(mRow)).agg(
       max(col("__m")).as("__m"),
-      coalesce(max(when(col("__i") === col("__m"), col("__cumcap"))), lit(0L))
-        .as("__sm"))
+      coalesce(max(when(col("__i") === col("__m"), col("__cumcap"))),
+        lit(0).cast("decimal(38,0)")).as("__sm"))
     o.crossJoin(broadcast(smRow))
-      .withColumn("__left", lit(totalBudget) - col("__sm"))
+      // B − s_m ∈ [0, B] (s_m ≤ B by the capped-prefix condition), so
+      // the uncapped share arithmetic is safely back in Long
+      .withColumn("__left", (lit(totalBudget) - col("__sm")).cast("long"))
       .withColumn("__k_unc", lit(k) - col("__m"))
       .withColumn("budget",
         when(col("__i") <= col("__m"), col("__cap")).otherwise(

@@ -325,11 +325,12 @@ case class IvfIndex(
           s"CREATE TABLE ${as}_manifest ($ddl) USING parquet LOCATION '$manLoc'")
       }
     } else {
-      val aliased = man.zipWithIndex.map { case ((seg, gen), i) =>
-        (seg, gen, s"${as}_seg$i")
-      }
-      aliased.foreach { case (seg, _, dst) => attachCells(seg, dst) }
-      writeManifest(spark, as, aliased.map { case (_, gen, dst) => (dst, gen) })
+      // alias manifest lists ORIGINAL segment prefixes (warehouse-
+      // backed, fresh-session-resolvable) — the Bm25.attachIndex fix;
+      // catalog-only `<as>_seg<i>` names in a durable manifest were
+      // unresolvable outside the attaching session
+      man.foreach { case (seg, _) => attachCells(seg, seg) }
+      writeManifest(spark, as, man)
     }
   }
 

@@ -105,12 +105,39 @@ class BucketedSearchSpec extends SparkSpec {
       .select("query_id", "doc_id", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(rows("graft_bm25_att2") == rows("graft_bm25_att"))
+    // the durable alias manifest must list only warehouse-backed
+    // segment prefixes — the fresh-session resolvability invariant
+    // (listing catalog-only <as>_seg<i> alias tables broke any later
+    // session's attach of the alias)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$wh/graft_bm25_att2_manifest").collect().foreach { r =>
+      val seg = r.getString(0)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$wh/${seg.toLowerCase}_postings")), s"unbacked manifest entry $seg")
+    }
+    // FRESH-SESSION simulation: copy the index dirs to a prefix this
+    // session's catalog has never seen (data on disk, no catalog
+    // entries — what a new session faces), attach, and serve; the
+    // attached external tables carry the re-declared bucketing
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (t <- Seq("postings", "vocab", "lens", "stats"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/graft_bm25_att_seg_$t"), fs,
+        new org.apache.hadoop.fs.Path(s"$wh/graft_bm25_att7_seg_$t"),
+        false, conf)
+    spark.read.parquet(s"$wh/graft_bm25_att_manifest")
+      .selectExpr("'graft_bm25_att7_seg' AS seg", "gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$wh/graft_bm25_att7_manifest")
+    bm.attachIndex(spark, "graft_bm25_att7", "graft_bm25_att7", buckets = 4)
+    assert(rows("graft_bm25_att7") == rows("graft_bm25_att"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      val plan = spark.table("graft_bm25_att2_seg0_postings")
-        .join(spark.table("graft_bm25_att2_seg0_vocab"), "term")
+      val plan = spark.table("graft_bm25_att7_seg_postings")
+        .join(spark.table("graft_bm25_att7_seg_vocab"), "term")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"re-declared bucketing not used:\n$plan")

@@ -132,6 +132,21 @@ class ExpectationsSpec extends SparkSpec {
     assert(byName.values.forall(r => r._4 == 5 && !r._3))
   }
 
+  test("unique treats null keys as absent — the count(DISTINCT) convention") {
+    // keys [1, null, null]: count(*) − count(DISTINCT key) = 3 − 1 = 2
+    // violations (DuckDB's count(DISTINCT o_orderkey) agrees); a
+    // struct-wrapped distinct would count null as a value and report 1
+    val df = Seq(Some(1L), None, None).toDF("id")
+    val rep = report(df, Seq(Unique(Seq("id"))))
+      .select("violations").as[Long].head()
+    assert(rep == 2L)
+    // multi-column: any-null tuples are absent from the distinct count
+    val df2 = Seq((Some(1L), "a"), (None, "a"), (Some(1L), "a"))
+      .toDF("id", "k")
+    assert(report(df2, Seq(Unique(Seq("id", "k"))))
+      .select("violations").as[Long].head() == 2L) // 3 − |{(1,a)}| = 2
+  }
+
   test("a clean table passes; the report is one row per expectation") {
     val df = (1L to 50L).map(i => (i, s"u$i")).toDF("id", "name")
     val rep = report(df, Seq(NotNull("id"), Unique(Seq("id", "name")),

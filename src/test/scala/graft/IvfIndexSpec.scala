@@ -81,17 +81,41 @@ class IvfIndexSpec extends SparkSpec {
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
       k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
     assert(rows("graft_ivf_att2") == rows("graft_ivf_att"))
-    // the re-declared bucket spec still prunes the scan
-    val plan = ivf.searchIndexed(spark, "graft_ivf_att2",
+    // the durable alias manifest lists warehouse-backed prefixes (the
+    // fresh-session resolvability invariant); simulate the fresh
+    // session by copying the index dirs to a catalog-unknown prefix
+    // and attaching THAT — the re-declared bucket spec must still
+    // prune the scan
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$wh/graft_ivf_att2_manifest").collect().foreach { r =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$wh/${r.getString(0).toLowerCase}_cells")), r.getString(0))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att_seg_cells"), fs,
+      new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att8_seg_cells"), false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att_centroids"), fs,
+      new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att8_centroids"), false, conf)
+    spark.read.parquet(s"$wh/graft_ivf_att_manifest")
+      .selectExpr("'graft_ivf_att8_seg' AS seg", "gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$wh/graft_ivf_att8_manifest")
+    ivf.attachIndex(spark, "graft_ivf_att8", "graft_ivf_att8", buckets = 4)
+    assert(rows("graft_ivf_att8") == rows("graft_ivf_att"))
+    val plan = ivf.searchIndexed(spark, "graft_ivf_att8",
       corpus.filter($"vec_id" === 0L), k = 3, nprobe = 1)
       .queryExecution.executedPlan.toString
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
     assert(m.nonEmpty && m.get.group(1).toInt < m.get.group(2).toInt)
-    spark.sql("DROP TABLE graft_ivf_att2_seg0_cells")
-    spark.sql("DROP TABLE graft_ivf_att2_centroids")
-    spark.sql("DROP TABLE graft_ivf_att2_manifest")
-    // the attached cells/centroids tables are location-backed: dropping
-    // them must not have deleted the original index's files
+    // attached tables are location-backed: dropping the att8 catalog
+    // entries must not delete the copied files (nor the original's)
+    spark.sql("DROP TABLE graft_ivf_att8_seg_cells")
+    spark.sql("DROP TABLE graft_ivf_att8_centroids")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$wh/graft_ivf_att8_seg_cells")))
     assert(rows("graft_ivf_att").nonEmpty)
   }
 

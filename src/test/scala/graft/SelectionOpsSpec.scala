@@ -20,15 +20,15 @@ class SelectionOpsSpec extends SparkSpec {
     val asc = tokens.sortBy { case (s, n) => (n, s) }
     val k = asc.size
     // longest capped prefix, then one even split of the remainder
-    var rem = budget
+    // (BigInt throughout — the overflow test below feeds ~2^61 caps)
     var m = 0
-    var sPrev = 0L
-    while (m < k && BigInt(asc(m)._2) * epochs * (k - m) <= BigInt(budget - sPrev)) {
-      sPrev += asc(m)._2 * epochs
+    var sPrev = BigInt(0)
+    while (m < k && BigInt(asc(m)._2) * epochs * (k - m) <= BigInt(budget) - sPrev) {
+      sPrev += BigInt(asc(m)._2) * epochs
       m += 1
     }
     val capped = asc.take(m).map { case (s, n) => s -> n * epochs }
-    val left = budget - sPrev
+    val left = (BigInt(budget) - sPrev).toLong
     val unc = asc.drop(m)
     val share = if (unc.isEmpty) 0L else left / unc.size
     val extra = if (unc.isEmpty) 0L else left % unc.size
@@ -57,6 +57,27 @@ class SelectionOpsSpec extends SparkSpec {
       got.foreach { case (s, b) => assert(b <= 2 * caps(s)) }
       assert(got.values.sum == math.min(budget, 2 * total))
     }
+  }
+
+  test("unimax survives Long-overflowing cumulative caps (decimal prefix sums)") {
+    // 4 tiny capped sources + 4 × ~2.9e18-token giants: the CUMULATIVE
+    // cap sum blows past 2^63 ≈ 9.2e18 inside the giant tail — a Long
+    // cumsum wraps (silently, ANSI off) or crashes (ANSI on); the
+    // decimal(38,0) prefix sums must reproduce the BigInt reference
+    // exactly, capped prefix AND waterfilled remainder
+    val big = 2900000000000000000L // 2.9e18
+    val perSource = (0 until 4).map(i => (s"t$i", 1000000L + i)) ++
+      (0 until 4).map(i => (s"g$i", big + i))
+    val docs = perSource.zipWithIndex.map { case ((s, n), i) =>
+      (i.toLong, s, n)
+    }.toDF("doc_id", "source", "toks")
+    val budget = 8000000000000000000L // 8e18 < Σ caps ≈ 1.16e19
+    val got = UniMaxSampler(epochCap = 1)
+      .budgets(docs, col("toks"), budget)
+      .select($"source", $"budget").as[(String, Long)].collect().toMap
+    assert(got == referenceWaterfill(perSource, budget, epochs = 1))
+    assert(got.values.sum == budget) // conserved (budget < Σ caps)
+    (0 until 4).foreach(i => assert(got(s"t$i") == 1000000L + i)) // capped whole
   }
 
   test("unimax sample: capped sources survive whole, uncapped fill to budget (+<=1 doc)") {
