@@ -18,15 +18,30 @@ object Bench {
     }.toOption.flatten
 
   /** Per-key pins from BASELINE_LOCAL.md's first numeric column — the
-    * retry-on-burst threshold inputs. Absent file/rows → no retries. */
-  private def baselinePins: Map[String, Double] =
-    repoRoot.map(_.resolve("BASELINE_LOCAL.md")).filter(java.nio.file.Files.exists(_))
+    * retry-on-burst threshold inputs. Resolution order mirrors
+    * `fullPath` exactly (the r15 lesson: the classpath-derived
+    * repoRoot is None in the driver's JVM/classloader, and the retry
+    * mechanism built to stop driver-run false flags silently no-op'd
+    * exactly there): SPARK_GRAFT_BASELINE env → repo root → CWD. An
+    * empty result logs one line instead of failing silently. */
+  private def baselinePins: Map[String, Double] = {
+    val candidates =
+      sys.env.get("SPARK_GRAFT_BASELINE").map(java.nio.file.Paths.get(_)).toSeq ++
+      repoRoot.map(_.resolve("BASELINE_LOCAL.md")).toSeq :+
+      java.nio.file.Paths.get("BASELINE_LOCAL.md")
+    val pins = candidates.find(java.nio.file.Files.exists(_))
       .map { p =>
         val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|.*""".r
         scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().collect {
           case row(k, v) => k -> v.toDouble
         }.toMap
       }.getOrElse(Map.empty)
+    if (pins.isEmpty) System.err.println(
+      "[graft] WARN: no baseline pins loaded (looked for " +
+        "SPARK_GRAFT_BASELINE, <repo>/BASELINE_LOCAL.md, " +
+        "./BASELINE_LOCAL.md) — burst retry disabled this run")
+    pins
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,24 +109,28 @@ object Bench {
           // the first attempt SUCCEEDED (burst fires only then): a
           // failing retry must not overwrite a valid measurement with
           // the aborted run's wall time and a spurious err marker —
-          // keep the clean slow sample instead
-          if (e2.isDefined) (name, t1, Option.empty[String], Some(t1))
-          else (name, math.min(t1, t2), None, Some(t1))
-        } else (name, t1, e1, Option.empty[Double])
+          // keep the clean slow sample, but record the retry failure
+          // in its own field (a silently-dropped e2 hides flakiness —
+          // r15 ADVICE)
+          if (e2.isDefined) (name, t1, Option.empty[String], Some(t1), e2)
+          else (name, math.min(t1, t2), None, Some(t1), Option.empty[String])
+        } else (name, t1, e1, Option.empty[Double], Option.empty[String])
       }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def jsonStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("\\p{Cntrl}", " ") + "\""
     // Full precision for local tooling (tools/bench_diff.py).
-    val fullQs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errsObj = results.collect { case (k, _, Some(e), _) =>
+    val errsObj = results.collect { case (k, _, Some(e), _, _) =>
       "\"" + k + "\":" + jsonStr(e) }.mkString("{", ",", "}")
-    val retriedObj = results.collect { case (k, v, _, Some(t1)) =>
+    val retriedObj = results.collect { case (k, v, _, Some(t1), _) =>
       "\"" + k + "\":[" + t1 + "," + v + "]" }.mkString("{", ",", "}")
+    val retryErrsObj = results.collect { case (k, _, _, _, Some(e2)) =>
+      "\"" + k + "\":" + jsonStr(e2) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errs":$errsObj,"retried":$retriedObj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errs":$errsObj,"retried":$retriedObj,"retry_errs":$retryErrsObj,"sf":"$sfDir"}"""
     // Anchor bench_full.json to a known root: SPARK_GRAFT_BENCH_FULL
     // wins; otherwise the repo root; CWD only as a last resort.
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
@@ -136,7 +155,7 @@ object Bench {
     // (count in "_fast_n"); sub-cutoff timings are noise-level at this scale
     // and the full detail is in bench_full.json either way.
     def render(p: Int, cut: Double): String = {
-      val timings = results.map { case (k, v, _, _) => k -> v }
+      val timings = results.map { case (k, v, _, _, _) => k -> v }
       val (slow, fast) = timings.partition(_._2 >= cut)
       val folded =
         (if (fast.isEmpty) slow

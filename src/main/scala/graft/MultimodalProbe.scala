@@ -59,7 +59,9 @@ object MultimodalProbe {
 
     // --- fused run first: one lazy DAG, single action (the headline;
     // at 10m the staged run's storage footprint is the risk, so the
-    // fused number lands before it) ---
+    // fused number lands before it). NOTE: the 1m/§5.13 protocol ran
+    // staged-first, so cross-scale fused-vs-staged comparisons mix
+    // cache orderings — recorded in SURVEY §5.13c's protocol note ---
     val t1 = System.nanoTime()
     val fused = MultimodalCapstone.pipeline(input).count()
     println(f"MULTIMODAL_FUSED rows=$fused ${(System.nanoTime() - t1) / 1e9}%.1f s")

@@ -66,7 +66,8 @@ object ScaleProbe {
       "datacard", "hardneg", "sourcegate", "overlap", "polyglot",
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
       "drift", "bm25", "dedupeval", "fertility", "hardneg100k",
-      "overlapsketch", "corpusdiff", "unimax", "ccnet", "protoprune")
+      "overlapsketch", "corpusdiff", "unimax", "ccnet", "ccnet_pruned",
+      "protoprune")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,7 +94,7 @@ object ScaleProbe {
         ops("pagerank") || ops("percentiles") || ops("drift") ||
         ops("bm25") || ops("dedupeval") || ops("fertility") ||
         ops("overlapsketch") || ops("corpusdiff") ||
-        ops("unimax") || ops("ccnet")) {
+        ops("unimax") || ops("ccnet") || ops("ccnet_pruned")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -146,15 +147,25 @@ object ScaleProbe {
             .sample(fine, graft.functions.TextFns.wsTokenCount(col("text")),
               totalBudget = 15000000L).count())
       }
-      if (ops("ccnet")) {
+      if (ops("ccnet") || ops("ccnet_pruned")) {
         // 7 synthetic languages over the suffixed-vocab corpus (vocab
-        // ~10× base — the LM broadcast's real scale test); thresholds
-        // from the bounded HistCdf, so no corpus-wide sort anywhere
+        // ~10× base — the LM join's real scale test); thresholds
+        // from the bounded HistCdf, so no corpus-wide sort anywhere.
+        // Since r16 the full-vocab LM joins UNHINTED (AQE picks the
+        // side — the r15 verdict's broadcast-ceiling fix), so this
+        // probe is the evidence the join SURVIVES with the hint gone;
+        // ccnet_pruned is the production recipe (top-50k/lang + OOV
+        // floor, hint restored on the now-bounded table)
         val withLang = corpus.withColumn("lang",
           concat(lit("lang"), pmod(col("doc_id"), lit(7L))))
-        probe("ccnet_buckets", n)(
-          graft.operators.text.CcnetBucketer()(withLang)
-            .groupBy("bucket").count().agg(sum("count")).head().getLong(0))
+        if (ops("ccnet"))
+          probe("ccnet_buckets", n)(
+            graft.operators.text.CcnetBucketer()(withLang)
+              .groupBy("bucket").count().agg(sum("count")).head().getLong(0))
+        if (ops("ccnet_pruned"))
+          probe("ccnet_buckets_pruned50k", n)(
+            graft.operators.text.CcnetBucketer(maxVocabPerLang = 50000)(withLang)
+              .groupBy("bucket").count().agg(sum("count")).head().getLong(0))
       }
       if (ops("span")) {
         // duplicate-heavy worst case: every replica repeats its group's

@@ -43,6 +43,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Keys registered WITHOUT an oracle are skipped BY DESIGN (sketch
+    // internals are engine-specific; each has an oracle-checked twin,
+    // e.g. events_approx_stats → events_approx_bounds). A sidecar
+    // marker distinguishes "deliberately rows-only" from "missing
+    // oracle" for any harness that reads it (tools/check.py does).
+    val skipped = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    Files.writeString(Paths.get(s"$outDir/skipped.json"),
+      skipped.toSeq.sorted
+        .map(k => s"${q(k)}: ${q("rows_only_by_design")}")
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -97,8 +97,13 @@ object Expectations {
     }
     val aggReport = if (aggd.isEmpty) None else Some {
       val row = df.agg(count(lit(1)).as("__n"), aggCols: _*)
+      // label values are SQL string literals inside the stack() —
+      // escape them (a column name containing a quote would otherwise
+      // break parsing or corrupt the report labels; r15 ADVICE)
+      def sqlLit(s: String) =
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
       val stacked = aggd.zipWithIndex.map { case (e, i) =>
-        s"'${e.name}', '${e.column}', __v$i"
+        s"${sqlLit(e.name)}, ${sqlLit(e.column)}, __v$i"
       }.mkString(", ")
       row.selectExpr("__n",
           s"stack(${aggd.size}, $stacked) AS (expectation, col_name, violations)")

@@ -130,11 +130,17 @@ case class VocabCoverage(vocabSizes: Seq[Long] = Seq(100L, 1000L, 10000L),
     val counts = df.filter(length(trim(col(textCol))) > 0)
       .select(explode(wsTokens(normalizeText(col(textCol)))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("__c"))
+    // materialize the (tiny — one row per distinct frequency) histogram
+    // ONCE: it feeds BOTH HistCdf passes below, and without the pin the
+    // corpus-wide tokenize + groupBy(token) would execute twice per
+    // invocation (the CcnetBucketer/PrototypePruner materialize-once
+    // discipline; r15 ADVICE)
     val hist = counts.groupBy("__c").agg(count(lit(1)).as("__ntoks"))
       .withColumn("__mass", col("__ntoks") * col("__c"))
       // CDF descends by frequency (commonest types first): HistCdf
       // orders ascending, so feed it the negated count
       .withColumn("__v", -col("__c"))
+      .localCheckpoint()
     val cumT = HistCdf.withCdf(hist, Nil, "__v", "__ntoks")
       .withColumnRenamed("__cum", "__cumT").drop("__n")
     val cumM = HistCdf.withCdf(hist.select("__c", "__v", "__mass"),

@@ -116,45 +116,19 @@ case class Bm25(
 
   /** Drop a version of this name — its manifest and the segment this
     * version OWNS (`<name>_seg_*`); segments inherited from older
-    * versions are shared and never touched. Also clears warehouse
-    * directories left by ANOTHER session's build (the catalog entry
-    * dies with its session, the files do not — saveAsTable then
-    * refuses the location). */
+    * versions are shared and never touched. Crash-residue clearing and
+    * all other commit-protocol semantics live in ONE place:
+    * [[graft.sources.SegmentedManifest]]. */
   private def dropIndexTables(spark: org.apache.spark.sql.SparkSession,
-      name: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    for (t <- segTables.map(t => s"${name}_seg_$t") :+ s"${name}_manifest") {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(s"$wh/${t.toLowerCase}")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-  }
+      name: String): Unit =
+    graft.sources.SegmentedManifest.dropTablesAndDirs(spark,
+      segTables.map(t => s"${name}_seg_$t") :+ s"${name}_manifest")
 
-  /** The version's (segment, gen) rows in generation order (bounded
-    * driver read: one row per refresh since the last compaction).
-    * Every writer commits ≥ 1 row, so an empty read-back is a torn or
-    * transiently-invisible manifest, never a legal state — one
-    * refreshTable + re-read heals a stale file listing (seen once on
-    * the burst host: a just-written manifest read back 0 rows and the
-    * bare `.max` crashed with `empty.max`); a persistent empty fails
-    * LOUDLY instead of silently dropping the version's segments from
-    * the next manifest. */
+  /** The version's (segment, gen) rows in generation order (hardened
+    * read — [[graft.sources.SegmentedManifest.read]]). */
   private[graft] def manifestSegs(spark: org.apache.spark.sql.SparkSession,
-      name: String): Seq[(String, Int)] = {
-    def read() = spark.table(s"${name}_manifest").orderBy(col("gen"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-    val first = read()
-    if (first.nonEmpty) first
-    else {
-      spark.catalog.refreshTable(s"${name}_manifest")
-      val second = read()
-      if (second.isEmpty) throw new IllegalStateException(
-        s"${name}_manifest read back EMPTY twice — torn index state " +
-          "(every build/refresh/compact commits at least one segment row)")
-      second
-    }
-  }
+      name: String): Seq[(String, Int)] =
+    graft.sources.SegmentedManifest.read(spark, name)
 
   /** The version's segment prefixes in generation order. */
   private[graft] def segments(spark: org.apache.spark.sql.SparkSession,
@@ -162,24 +136,8 @@ case class Bm25(
 
   /** The manifest IS the commit record — written last, single file. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      name: String, segs: Seq[(String, Int)]): Unit = {
-    import spark.implicits._
-    // CTAS refuses a non-empty managed location even when the catalog
-    // has no entry for it — the residue a KILLED process leaves under
-    // the warehouse. A catalog-unknown location is unreachable garbage
-    // (managed tables are its only pointer): clear it so attach/build
-    // against a reused name is idempotent across crashes.
-    val t = s"${name}_manifest"
-    if (!spark.catalog.tableExists(t)) {
-      val p = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/${t.toLowerCase}")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    segs.toDF("seg", "gen").coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(t)
-  }
+      name: String, segs: Seq[(String, Int)]): Unit =
+    graft.sources.SegmentedManifest.write(spark, name, segs)
 
   /** One immutable segment from `docs` — the only tokenize pass those
     * documents ever pay. */
@@ -224,46 +182,19 @@ case class Bm25(
     * tables never deletes them. */
   def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
       as: String, buckets: Int = 8): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val manLoc = s"$wh/${dirOfName.toLowerCase}_manifest"
-    val man = spark.read.parquet(manLoc).orderBy(col("gen"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-    def attach(table: String, srcPrefix: String, suffix: String,
-        bucketCol: String, sorted: Boolean): Unit =
-      if (!spark.catalog.tableExists(table)) {
-        val loc = s"$wh/${srcPrefix.toLowerCase}_$suffix"
-        val ddl = spark.read.parquet(loc).schema.toDDL
-        val bucketClause =
-          if (bucketCol.isEmpty) ""
-          else s"CLUSTERED BY ($bucketCol) " +
-            (if (sorted) s"SORTED BY ($bucketCol) " else "") +
-            s"INTO $buckets BUCKETS "
-        spark.sql(s"""CREATE TABLE $table ($ddl) USING parquet
-          |${bucketClause}LOCATION '$loc'""".stripMargin)
-      }
-    def attachSeg(src: String, dst: String): Unit = {
-      attach(s"${dst}_postings", src, "postings", "term", sorted = true)
-      attach(s"${dst}_vocab", src, "vocab", "term", sorted = true)
-      attach(s"${dst}_lens", src, "lens", idCol, sorted = false)
-      attach(s"${dst}_stats", src, "stats", "", sorted = false)
+    import graft.sources.SegmentedManifest.{attachTable, attachVersion}
+    // alias-manifest resolvability (original segment prefixes, not
+    // catalog-only alias names) is attachVersion's contract
+    attachVersion(spark, dirOfName, as) { seg =>
+      attachTable(spark, s"${seg}_postings", s"${seg}_postings",
+        Seq("term"), Seq("term"), buckets)
+      attachTable(spark, s"${seg}_vocab", s"${seg}_vocab",
+        Seq("term"), Seq("term"), buckets)
+      attachTable(spark, s"${seg}_lens", s"${seg}_lens",
+        Seq(idCol), Nil, buckets)
+      attachTable(spark, s"${seg}_stats", s"${seg}_stats")
     }
-    if (as == dirOfName) {
-      man.foreach { case (seg, _) => attachSeg(seg, seg) }
-      if (!spark.catalog.tableExists(s"${as}_manifest")) {
-        val ddl = spark.read.parquet(manLoc).schema.toDDL
-        spark.sql(
-          s"CREATE TABLE ${as}_manifest ($ddl) USING parquet LOCATION '$manLoc'")
-      }
-    } else {
-      // the alias manifest lists the ORIGINAL segment prefixes: those
-      // are the names with warehouse-directory backing, so a FRESH
-      // session can resolve the alias (attach `as` → `as` re-attaches
-      // each listed segment from its own location). The earlier design
-      // listed catalog-only `<as>_seg<i>` alias tables in the durable
-      // manifest — unresolvable outside the attaching session.
-      man.foreach { case (seg, _) => attachSeg(seg, seg) }
-      writeManifest(spark, as, man)
-    }
+    ()
   }
 
   def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
@@ -297,7 +228,8 @@ case class Bm25(
     dropIndexTables(spark, newName)
     writeSegment(newDocs, s"${newName}_seg", buckets)
     writeManifest(spark, newName,
-      old :+ ((s"${newName}_seg", old.map(_._2).max + 1)))
+      old :+ ((s"${newName}_seg",
+        graft.sources.SegmentedManifest.nextGen(old))))
   }
 
   /** Fold a version's segments into ONE segment under `newName` — the

@@ -200,12 +200,47 @@ case class DsirSelector(
   * tokens have no perplexity and are excluded, matching the
   * `perplexity` key's convention. */
 case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
-    langCol: String = "lang") {
+    langCol: String = "lang", maxVocabPerLang: Int = 0, oovAlpha: Double = 1.0) {
+  require(maxVocabPerLang >= 0 && oovAlpha > 0.0,
+    "maxVocabPerLang must be >= 0 and oovAlpha positive")
   import graft.functions.TextFns.{normalizeText, wsTokens}
   import graft.operators.events.HistCdf
 
+  /** Top-`maxVocabPerLang` (lang, token, count) rows by
+    * (count DESC, token ASC) within each language — the CCNet
+    * pruned-KenLM move, and the fix for the r15 verdict's one
+    * scale-killer plan (a hinted broadcast of an unbounded
+    * vocabulary). Exact per-group top-k WITHOUT a one-task-per-language
+    * sort (an English web-crawl vocab can be 10⁸⁺ rows): the
+    * [[graft.operators.vector.HardNegativeMiner]] salted two-level
+    * discipline — stage 1 ranks inside 64 hash-salted sub-partitions
+    * per language (any global top-k row is top-k within its own salt
+    * slice), stage 2 re-ranks the ≤ 64·k survivors per language. */
+  private def pruned(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = maxVocabPerLang
+    val w1 = Window.partitionBy(col(langCol), col("__salt"))
+      .orderBy(col("__n").desc, col("t").asc)
+    val w2 = Window.partitionBy(col(langCol))
+      .orderBy(col("__n").desc, col("t").asc)
+    counts
+      .withColumn("__salt", pmod(xxhash64(col("t")), lit(64L)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k).drop("__salt", "__r1")
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= k).drop("__r2")
+  }
+
   /** (idCol, langCol, perplexity): per-doc perplexity under the
-    * document's own language's unigram LM. */
+    * document's own language's unigram LM. With `maxVocabPerLang > 0`
+    * the LM is pruned to the per-language top-k and OOV tokens score
+    * at a per-language floor ln(oovAlpha/total) — total is UNPRUNED,
+    * so kept tokens' probabilities are unchanged by pruning and
+    * capped ≡ uncapped whenever the true vocab fits (gated by
+    * PerplexityPruneSpec). Only the pruned (bounded-by-construction)
+    * LM carries a broadcast hint; the full-vocab LM joins unhinted so
+    * AQE picks the side — a too-big vocabulary degrades to a shuffle
+    * join instead of a broadcast-ceiling crash. */
   def scores(df: DataFrame): DataFrame = {
     // blank docs carry no fluency signal and must not seed the LM with
     // an empty-string token (wsTokens("") is [""], not [])
@@ -214,14 +249,21 @@ case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
         explode(wsTokens(normalizeText(col(textCol)))).as("t"))
     val counts = toks.groupBy(langCol, "t").agg(count(lit(1)).as("__n"))
     val totals = counts.groupBy(langCol).agg(sum("__n").as("__total"))
-    val lm = counts.join(broadcast(totals.withColumnRenamed(langCol, "__lmlang")),
+    val kept = if (maxVocabPerLang > 0) pruned(counts) else counts
+    val lm = kept.join(broadcast(totals.withColumnRenamed(langCol, "__lmlang")),
         col(langCol) <=> col("__lmlang"))
       .select(col(langCol).as("__lang"), col("t").as("__t"),
         log(col("__n").cast("double") / col("__total").cast("double")).as("__logp"))
-    toks.join(broadcast(lm),
-        col(langCol) <=> col("__lang") && col("t") === col("__t"))
+    // one row per language — always broadcastable
+    val floors = totals.select(col(langCol).as("__flang"),
+      log(lit(oovAlpha) / col("__total").cast("double")).as("__floor"))
+    val hinted = if (maxVocabPerLang > 0) broadcast(lm) else lm
+    toks.join(hinted,
+        col(langCol) <=> col("__lang") && col("t") === col("__t"), "left")
+      .join(broadcast(floors), col(langCol) <=> col("__flang"))
       .groupBy(idCol, langCol)
-      .agg(round(exp(-avg(col("__logp"))), 4).as("perplexity"))
+      .agg(round(exp(-avg(coalesce(col("__logp"), col("__floor")))), 4)
+        .as("perplexity"))
   }
 
   /** (idCol, langCol, perplexity, bucket) with bucket ∈

@@ -191,64 +191,24 @@ case class IvfIndex(
 
   /** Drop a version of this name — its manifest, centroids, and the
     * ONE segment the version owns (`<name>_seg_cells`); segments
-    * inherited from older versions are shared and never touched. Also
-    * clears warehouse directories a previous session left behind —
-    * same discipline as Bm25's index tables. */
+    * inherited from older versions are shared and never touched.
+    * Crash-residue clearing and all other commit-protocol semantics
+    * live in ONE place: [[graft.sources.SegmentedManifest]]. */
   private def dropIndexTables(spark: org.apache.spark.sql.SparkSession,
-      name: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    for (t <- Seq(s"${name}_seg_cells", s"${name}_centroids",
-        s"${name}_manifest")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(s"$wh/${t.toLowerCase}")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-  }
+      name: String): Unit =
+    graft.sources.SegmentedManifest.dropTablesAndDirs(spark,
+      Seq(s"${name}_seg_cells", s"${name}_centroids", s"${name}_manifest"))
 
   /** The version's (segment, generation) pairs in generation order —
     * gen 0 is the build-time segment, gen ≥ 1 are refresh batches
-    * (bounded driver read: one row per refresh since compaction). */
-  /** Every writer commits ≥ 1 manifest row, so an empty read-back is a
-    * torn or transiently-invisible manifest, never a legal state — one
-    * refreshTable + re-read heals a stale file listing (the Bm25
-    * manifestSegs discipline); a persistent empty fails loudly instead
-    * of silently dropping the version's segments. */
+    * (hardened read — [[graft.sources.SegmentedManifest.read]]). */
   private[graft] def segments(spark: org.apache.spark.sql.SparkSession,
-      name: String): Seq[(String, Int)] = {
-    def read() = spark.table(s"${name}_manifest").orderBy(col("gen"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-    val first = read()
-    if (first.nonEmpty) first
-    else {
-      spark.catalog.refreshTable(s"${name}_manifest")
-      val second = read()
-      if (second.isEmpty) throw new IllegalStateException(
-        s"${name}_manifest read back EMPTY twice — torn index state " +
-          "(every build/refresh/compact commits at least one segment row)")
-      second
-    }
-  }
+      name: String): Seq[(String, Int)] =
+    graft.sources.SegmentedManifest.read(spark, name)
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      name: String, segs: Seq[(String, Int)]): Unit = {
-    import spark.implicits._
-    // CTAS refuses a non-empty managed location even when the catalog
-    // has no entry for it — the residue a KILLED process leaves under
-    // the warehouse. A catalog-unknown location is unreachable garbage
-    // (managed tables are its only pointer): clear it so attach/build
-    // against a reused name is idempotent across crashes.
-    val t = s"${name}_manifest"
-    if (!spark.catalog.tableExists(t)) {
-      val p = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/${t.toLowerCase}")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    segs.toDF("seg", "gen").coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(t)
-  }
+      name: String, segs: Seq[(String, Int)]): Unit =
+    graft.sources.SegmentedManifest.write(spark, name, segs)
 
   /** One immutable cells segment: `vecs` assigned to the given frozen
     * centroids, bucketed by centroid_id so probed-cell reads
@@ -299,39 +259,17 @@ case class IvfIndex(
     * (manifest-recorded) names if absent. */
   def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
       as: String, buckets: Int = 8): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val manLoc = s"$wh/${dirOfName.toLowerCase}_manifest"
-    val man = spark.read.parquet(manLoc).orderBy(col("gen"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-    def attachCells(src: String, dst: String): Unit =
-      if (!spark.catalog.tableExists(s"${dst}_cells")) {
-        val loc = s"$wh/${src.toLowerCase}_cells"
-        val ddl = spark.read.parquet(loc).schema.toDDL
-        spark.sql(s"""CREATE TABLE ${dst}_cells ($ddl) USING parquet
-          |CLUSTERED BY (centroid_id) SORTED BY (centroid_id)
-          |INTO $buckets BUCKETS LOCATION '$loc'""".stripMargin)
-      }
-    val centLoc = s"$wh/${dirOfName.toLowerCase}_centroids"
-    if (!spark.catalog.tableExists(s"${as}_centroids")) {
-      val centDdl = spark.read.parquet(centLoc).schema.toDDL
-      spark.sql(
-        s"CREATE TABLE ${as}_centroids ($centDdl) USING parquet LOCATION '$centLoc'")
+    import graft.sources.SegmentedManifest.{attachTable, attachVersion}
+    // the centroids table is per-VERSION (not per-segment) — attached
+    // here, outside the shared per-segment loop
+    attachTable(spark, s"${as}_centroids", s"${dirOfName}_centroids")
+    // alias-manifest resolvability (original segment prefixes, not
+    // catalog-only alias names) is attachVersion's contract
+    attachVersion(spark, dirOfName, as) { seg =>
+      attachTable(spark, s"${seg}_cells", s"${seg}_cells",
+        Seq("centroid_id"), Seq("centroid_id"), buckets)
     }
-    if (as == dirOfName) {
-      man.foreach { case (seg, _) => attachCells(seg, seg) }
-      if (!spark.catalog.tableExists(s"${as}_manifest")) {
-        val ddl = spark.read.parquet(manLoc).schema.toDDL
-        spark.sql(
-          s"CREATE TABLE ${as}_manifest ($ddl) USING parquet LOCATION '$manLoc'")
-      }
-    } else {
-      // alias manifest lists ORIGINAL segment prefixes (warehouse-
-      // backed, fresh-session-resolvable) — the Bm25.attachIndex fix;
-      // catalog-only `<as>_seg<i>` names in a durable manifest were
-      // unresolvable outside the attaching session
-      man.foreach { case (seg, _) => attachCells(seg, seg) }
-      writeManifest(spark, as, man)
-    }
+    ()
   }
 
   /** Roll a persisted IVF index forward with a NEW batch of vectors
@@ -361,7 +299,8 @@ case class IvfIndex(
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${newName}_centroids")
     writeManifest(spark, newName,
-      old :+ ((s"${newName}_seg", old.map(_._2).max + 1)))
+      old :+ ((s"${newName}_seg",
+        graft.sources.SegmentedManifest.nextGen(old))))
   }
 
   /** Fold a version's cells segments into ONE segment under `newName`

@@ -283,6 +283,17 @@ object TextQueries {
       CcnetBucketer()(docs)
     }),
 
+    // pruned-KenLM semantics (the 100 TB recipe): LM capped to the
+    // top-10 tokens per language (count desc, token asc), OOV tokens
+    // score at the per-language ln(1/total) floor; only this bounded
+    // LM carries a broadcast hint. The synthetic corpus has a ~31-word
+    // vocabulary, so k=10 prunes HARD at oracle scale and the floor
+    // path is genuinely exercised
+    "ccnet_buckets_pruned" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      CcnetBucketer(maxVocabPerLang = 10)(docs)
+    }),
+
     // packing-efficiency audit over the pack_sequences layout: the
     // boundary-crossing rate and tail fill a context-length choice is
     // judged by
@@ -561,6 +572,14 @@ object TextQueries {
     "perplexity" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val p = PerplexityScorer()
+      p.scores(docs, p.model(docs))
+    }),
+
+    // global-LM twin of ccnet_buckets_pruned: top-12 vocab (of ~31)
+    // via TakeOrdered (never a full vocab sort), OOV floor ln(1/total)
+    "perplexity_pruned" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val p = PerplexityScorer(maxVocab = 12)
       p.scores(docs, p.model(docs))
     }),
 
@@ -1259,6 +1278,47 @@ object TextQueries {
         |       ELSE 'tail' END AS bucket
         |FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
 
+    // pruned-LM replay: single-level per-lang row_number top-k (the
+    // Spark side's salted two-level rank is exact, so the sets agree),
+    // left join + per-language floor coalesce; in-vocab probabilities
+    // keep the UNPRUNED per-language total
+    "ccnet_buckets_pruned" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT lang, t, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS total FROM counts GROUP BY lang),
+        |kept AS (
+        |  SELECT lang, t, n FROM (
+        |    SELECT lang, t, n,
+        |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, t ASC) AS r
+        |    FROM counts) WHERE r <= 10),
+        |lm AS (SELECT kept.lang, t, ln(CAST(n AS DOUBLE) / total) AS logp
+        |       FROM kept JOIN tot ON kept.lang IS NOT DISTINCT FROM tot.lang),
+        |fl AS (SELECT lang, ln(1.0 / total) AS floor FROM tot),
+        |sc AS (
+        |  SELECT toks.doc_id, toks.lang,
+        |    round(exp(-avg(coalesce(lm.logp, fl.floor))), 4) AS pp
+        |  FROM toks
+        |  LEFT JOIN lm ON toks.lang IS NOT DISTINCT FROM lm.lang
+        |               AND toks.t = lm.t
+        |  JOIN fl ON toks.lang IS NOT DISTINCT FROM fl.lang
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT lang, pp, count(*) AS c FROM sc GROUP BY 1, 2),
+        |cdf AS (SELECT lang, pp,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY pp) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |thr AS (SELECT lang,
+        |    min(CASE WHEN cum >= ceil(n / 3.0) THEN pp END) AS t1,
+        |    min(CASE WHEN cum >= ceil(2.0 * n / 3.0) THEN pp END) AS t2
+        |  FROM cdf GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.pp AS perplexity,
+        |  CASE WHEN sc.pp <= thr.t1 THEN 'head'
+        |       WHEN sc.pp <= thr.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang""".stripMargin,
+
     "packing_report" ->
       s"""WITH n AS (
         |  SELECT doc_id,
@@ -1631,6 +1691,22 @@ object TextQueries {
          |lm AS (SELECT t, ln(CAST(n AS DOUBLE) / total) AS logp FROM counts, total)
          |SELECT toks.doc_id, round(exp(-avg(logp)), 4) AS perplexity
          |FROM toks JOIN lm ON toks.t = lm.t
+         |GROUP BY toks.doc_id""".stripMargin,
+
+    "perplexity_pruned" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents),
+         |counts AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+         |total AS (SELECT sum(n) AS total FROM counts),
+         |kept AS (
+         |  SELECT t, n FROM (
+         |    SELECT t, n, row_number() OVER (ORDER BY n DESC, t ASC) AS r
+         |    FROM counts) WHERE r <= 12),
+         |lm AS (SELECT t, ln(CAST(n AS DOUBLE) / total) AS logp FROM kept, total)
+         |SELECT toks.doc_id,
+         |  round(exp(-avg(coalesce(lm.logp,
+         |    (SELECT ln(1.0 / total) FROM total)))), 4) AS perplexity
+         |FROM toks LEFT JOIN lm ON toks.t = lm.t
          |GROUP BY toks.doc_id""".stripMargin,
 
     // Same exact count-join oracle as dedup_ngram_jaccard: the r=2

@@ -89,18 +89,9 @@ case class StreamingCuration(
             (index, state) match {
               case (Some((base, _, refresh)), Some((live, last)))
                   if id > last.get =>
-                val to = s"${base}_v${id + 1}"
-                refresh(b, live.get, to)
-                val committed = compact match {
-                  case Some((every, fold)) if every > 0 && (id + 1) % every == 0 =>
-                    val cz = s"${to}c"
-                    fold(to, cz)
-                    cz
-                  case _ => to
-                }
-                StreamingOps.writeIndexCommit(spark, base, id, committed)
-                live.set(committed)
-                last.set(id)
+                // the shared refresh→fold→commit→flip protocol
+                StreamingOps.rollIndexBatch(spark, base, id, b, refresh,
+                  compact, live, last)
               case _ => ()
             }
           }

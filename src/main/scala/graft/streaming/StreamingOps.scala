@@ -197,22 +197,41 @@ object StreamingOps {
     val lastCommitted = new java.util.concurrent.atomic.AtomicLong(committedId)
     val writer = docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (id > lastCommitted.get && !batch.isEmpty) {
-          val to = s"${base}_v${id + 1}"
-          refresh(batch, live.get, to)
-          val committed = compact match {
-            case Some((every, fold)) if every > 0 && (id + 1) % every == 0 =>
-              val cz = s"${to}c"
-              fold(to, cz)
-              cz
-            case _ => to
-          }
-          writeIndexCommit(spark, base, id, committed)
-          live.set(committed)
-          lastCommitted.set(id)
-        }
+        if (id > lastCommitted.get && !batch.isEmpty)
+          rollIndexBatch(spark, base, id, batch.toDF(), refresh, compact,
+            live, lastCommitted)
     }
     (writer, live)
+  }
+
+  /** ONE micro-batch of the versioned index roll — refresh the live
+    * version into `<base>_v<id+1>`, optionally fold every `every`
+    * committed batches (the folded `…c` name is what commits), write
+    * the commit record, then flip the in-memory pointers. The single
+    * implementation behind both [[indexMaintenance]] and
+    * [[graft.streaming.StreamingCuration.start]] (the r15 verdict's
+    * duplicated-compact-hook finding): the commit record lands AFTER
+    * refresh+fold, so a crash anywhere inside leaves the pointer on
+    * the previous version and the replay rebuilds cleanly (refresh and
+    * fold both drop torn targets first). */
+  private[graft] def rollIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      base: String, id: Long, batch: DataFrame,
+      refresh: (DataFrame, String, String) => Unit,
+      compact: Option[(Int, (String, String) => Unit)],
+      live: java.util.concurrent.atomic.AtomicReference[String],
+      lastCommitted: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val to = s"${base}_v${id + 1}"
+    refresh(batch, live.get, to)
+    val committed = compact match {
+      case Some((every, fold)) if every > 0 && (id + 1) % every == 0 =>
+        val cz = s"${to}c"
+        fold(to, cz)
+        cz
+      case _ => to
+    }
+    writeIndexCommit(spark, base, id, committed)
+    live.set(committed)
+    lastCommitted.set(id)
   }
 
   private def indexLogDir(spark: org.apache.spark.sql.SparkSession,

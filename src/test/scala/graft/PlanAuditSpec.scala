@@ -84,14 +84,22 @@ class PlanAuditSpec extends SparkSpec {
       // semantic_prune_d4: PrototypePruner broadcasts the same k-row
       // centroids table (bounded by k, not SF)
       "semantic_prune_d4",
-      // curriculum_shards: PerplexityScorer's vocabulary-bounded
-      // unigram-LM broadcast again (the perplexity exemption)
+      // curriculum_shards: since r16 the full-vocab LM joins UNHINTED
+      // (AQE picks the side — the r15 verdict's broadcast-ceiling
+      // fix); what stays hinted is the one-row OOV-floor slice of the
+      // LM union, which this audit can't see is a single union-branch
+      // row (the perplexity exemption)
       "curriculum_shards",
-      // ccnet_buckets: broadcasts the per-language unigram LM (the
-      // perplexity argument — vocabulary-bounded, Heaps-sublinear) and
-      // the per-language tercile-threshold table (one row per LANGUAGE
-      // — bounded by the language inventory, not the corpus)
+      // ccnet_buckets: full-vocab LM unhinted since r16; the remaining
+      // hints are the per-language totals/floor/threshold tables (one
+      // row per LANGUAGE — bounded by the language inventory, not the
+      // corpus)
       "ccnet_buckets",
+      // ccnet_buckets_pruned: the hinted LM is ≤ maxVocabPerLang rows
+      // per language BY CONSTRUCTION (two-level row_number ≤ k), which
+      // the static recursion can't prove through a window filter; the
+      // per-language totals/floor hints are language-bounded as above
+      "ccnet_buckets_pruned",
       // search_eval_ndcg: Bm25.search's query-batch broadcast again —
       // the results/qrels legs it adds are eval-set-bounded
       "search_eval_ndcg")

@@ -43,6 +43,13 @@ def compare():
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    try:
+        skipped = json.load(open(f"{OUT}/skipped.json"))
+    except FileNotFoundError:
+        skipped = {}
+    for name, why in sorted(skipped.items()):
+        if not ONLY or name in ONLY:
+            print(f"SKIP {name}: {why}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
