@@ -17,6 +17,7 @@ import graft.pipeline.{MetricsSink, PipelineConfig}
   * graft.Main index-build <docs.parquet> <index-dir>     # build the near-dup index
   * graft.Main ingest <batch.parquet> <index-dir> <out>   # delta dedup + roll index
   * graft.Main compact-index <index-dir>                  # fold committed batch= dirs
+  * graft.Main index-maintain <bm25|ivf> <name>           # one B8/C42 maintenance tick
   * graft.Main recrawl-init <config.yaml>                 # day-1 re-crawl state build
   * graft.Main recrawl-ingest <config.yaml> [--batch-id]  # day-2 delta batch
   * graft.Main load-shards <globs> <state> <out>          # resumable bulk load
@@ -574,7 +575,80 @@ object Main {
       (if (report.budgetExhausted) " (budget exhausted — re-run to continue)" else ""))
   }
 
+  /** `index-maintain <bm25|ivf> <name>` — ONE scheduled tick of the
+    * B8/C42 segmented-index maintenance loop (monitor → compact or
+    * rebuild), runnable from cron against a persisted index: attach
+    * the on-disk version into this session's catalog, then
+    *
+    *  - `ivf`: [[graft.operators.vector.IvfIndex.needsRebuild]] over
+    *    the staleness report (per-cell refresh growth + centroid-drift
+    *    gap) decides REBUILD (re-train, `--to` version) vs the segment
+    *    count deciding COMPACT vs no action;
+    *  - `bm25`: segment count vs `--max-segments` decides COMPACT vs
+    *    no action (a lexical index has no centroid drift to monitor).
+    *
+    * Versioned-artifact discipline throughout: the action writes ONLY
+    * `--to`-prefixed files, readers flip after it returns, and a crash
+    * mid-action leaves the monitored version intact. Returns the
+    * decision string (tested by ConfigSpec). */
+  private[graft] def runIndexMaintain(spark: org.apache.spark.sql.SparkSession,
+      kind: String, name: String, args: Array[String]): String = {
+    def intFlag(flag: String, default: Int): Int = args.indexOf(flag) match {
+      case i if i >= 0 && i + 1 < args.length => args(i + 1).toInt
+      case _ => default
+    }
+    def dblFlag(flag: String, default: Double): Double =
+      args.indexOf(flag) match {
+        case i if i >= 0 && i + 1 < args.length => args(i + 1).toDouble
+        case _ => default
+      }
+    val to = args.indexOf("--to") match {
+      case i if i >= 0 && i + 1 < args.length => args(i + 1)
+      case _ => s"${name}_m"
+    }
+    val buckets = intFlag("--buckets", 8)
+    val maxSegments = intFlag("--max-segments", 4)
+    val decision = kind match {
+      case "ivf" =>
+        val ivf = graft.operators.vector.IvfIndex(
+          idCol = args.indexOf("--id-field") match {
+            case i if i >= 0 && i + 1 < args.length => args(i + 1)
+            case _ => "vec_id"
+          })
+        ivf.attachIndex(spark, name, name, buckets)
+        val nSegs = ivf.segments(spark, name).size
+        if (ivf.needsRebuild(spark, name,
+            maxGrowth = dblFlag("--max-growth", 4.0),
+            maxDriftGap = dblFlag("--max-drift-gap", 0.05))) {
+          ivf.rebuildIndex(spark, name, to, buckets,
+            trainRows = intFlag("--train-rows", 200000).toLong)
+          s"rebuild -> $to (staleness tripped; $nSegs segments folded, centroids re-trained)"
+        } else if (nSegs > maxSegments) {
+          ivf.compactIndex(spark, name, to, buckets)
+          s"compact -> $to ($nSegs segments > $maxSegments)"
+        } else s"healthy ($nSegs segments, staleness clear) — no action"
+      case "bm25" =>
+        val bm = graft.operators.text.Bm25()
+        bm.attachIndex(spark, name, name, buckets)
+        val nSegs = bm.segments(spark, name).size
+        if (nSegs > maxSegments) {
+          bm.compactIndex(spark, name, to, buckets)
+          s"compact -> $to ($nSegs segments > $maxSegments)"
+        } else s"healthy ($nSegs segments) — no action"
+      case other =>
+        throw new IllegalArgumentException(
+          s"index-maintain kind must be bm25 or ivf, got: $other")
+    }
+    println(s"[graft] index-maintain $kind $name: $decision")
+    decision
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "index-maintain") {
+      val spark = GraftSession.local("graft-cli")
+      try runIndexMaintain(spark, args(1), args(2), args) finally spark.stop()
+      return
+    }
     if (args.length >= 3 && args(0) == "index-build") {
       val spark = GraftSession.local("graft-cli")
       try runIndexBuild(spark, args(1), args(2), args) finally spark.stop()
@@ -620,6 +694,7 @@ object Main {
         "       graft.Main index-build <docs.parquet> <index-dir> [lsh opts]\n" +
         "       graft.Main ingest <batch.parquet> <index-dir> <survivors-out> [lsh opts] [--batch-id <id>]\n" +
         "       graft.Main compact-index <index-dir>\n" +
+        "       graft.Main index-maintain <bm25|ivf> <name> [--to <v>] [--max-segments N] [--max-growth X] [--max-drift-gap X]\n" +
         "       graft.Main stream-curate <config.yaml>       # continuous curation (drain mode)\n" +
         "       graft.Main recrawl-init <config.yaml>        # day-1 state build\n" +
         "       graft.Main recrawl-ingest <config.yaml> [--batch-id <id>]  # day-2 batch\n" +
@@ -633,42 +708,56 @@ object Main {
       case i if i >= 0 => System.err.println("--metrics-path needs a value"); sys.exit(2)
       case _ => None
     }
-    val job = PipelineConfig.parseJob(yaml)
     val spark = GraftSession.local("graft-cli")
-    try {
-      val runId = MetricsSink.newRunId()
-      if (args(0) == "profile") {
-        val t0 = System.nanoTime()
-        val (_, metrics) = job.runProfiled(spark)
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(job.pipeline.formatStageReport(metrics))
+    try runJob(spark, yaml, profile = args(0) == "profile", report, metricsPath)
+    finally spark.stop()
+  }
+
+  /** One YAML job end to end (`run`/`profile`), with the optional
+    * metrics persistence — extracted from [[main]] so the
+    * `metrics_sink_funnel` oracle key and specs can drive the exact
+    * CLI path against a shared session. Returns the run id when
+    * metrics were persisted. */
+  private[graft] def runJob(spark: org.apache.spark.sql.SparkSession,
+      yaml: String, profile: Boolean, report: Boolean,
+      metricsPath: Option[String]): Option[String] = {
+    val job = PipelineConfig.parseJob(yaml)
+    val runId = MetricsSink.newRunId()
+    var persisted = Option.empty[String]
+    if (profile) {
+      val t0 = System.nanoTime()
+      val (_, metrics) = job.runProfiled(spark)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(job.pipeline.formatStageReport(metrics))
+      metricsPath.foreach { p =>
+        MetricsSink.persist(spark, p,
+          MetricsSink.fromProfile(runId, metrics), wall, yaml)
+        println(s"[graft] metrics + report written to $p (run $runId)")
+        persisted = Some(runId)
+      }
+    } else {
+      val t0 = System.nanoTime()
+      val in = job.loader.getOrElse(throw new IllegalArgumentException(
+        "config has no data_loader section"))(spark)
+      val (out, handles) =
+        if (report || metricsPath.nonEmpty) job.pipeline.observed(in)
+        else (job.pipeline(in), Seq.empty)
+      job.writer match {
+        case Some(w) => w(out)
+        case None => println(s"[graft] rows out: ${out.count()} (no data_writer configured)")
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (handles.nonEmpty) {
+        val funnel = job.pipeline.funnelReport(handles)
+        if (report) println(job.pipeline.formatReport(funnel, wall))
         metricsPath.foreach { p =>
           MetricsSink.persist(spark, p,
-            MetricsSink.fromProfile(runId, metrics), wall, yaml)
+            MetricsSink.fromFunnel(runId, funnel), wall, yaml)
           println(s"[graft] metrics + report written to $p (run $runId)")
-        }
-      } else {
-        val t0 = System.nanoTime()
-        val in = job.loader.getOrElse(throw new IllegalArgumentException(
-          "config has no data_loader section"))(spark)
-        val (out, handles) =
-          if (report || metricsPath.nonEmpty) job.pipeline.observed(in)
-          else (job.pipeline(in), Seq.empty)
-        job.writer match {
-          case Some(w) => w(out)
-          case None => println(s"[graft] rows out: ${out.count()} (no data_writer configured)")
-        }
-        val wall = (System.nanoTime() - t0) / 1e9
-        if (handles.nonEmpty) {
-          val funnel = job.pipeline.funnelReport(handles)
-          if (report) println(job.pipeline.formatReport(funnel, wall))
-          metricsPath.foreach { p =>
-            MetricsSink.persist(spark, p,
-              MetricsSink.fromFunnel(runId, funnel), wall, yaml)
-            println(s"[graft] metrics + report written to $p (run $runId)")
-          }
+          persisted = Some(runId)
         }
       }
-    } finally spark.stop()
+    }
+    persisted
   }
 }

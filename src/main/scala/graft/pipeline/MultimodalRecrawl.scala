@@ -88,16 +88,26 @@ object MultimodalRecrawlOps {
 
   /** One day-2 batch over the routed delta ([[RecrawlOps.delta]]):
     * survivors plus the signature rows that roll each index forward. */
-  def ingest(state: State, deltaDocs: DataFrame): Batch = {
+  def ingest(state: State, deltaDocs: DataFrame): Batch =
+    ingestIndexed(state.phashIndex, state.audioIndex, state.videoIndex,
+      deltaDocs)
+
+  /** [[ingest]] against bare signature tables — the form the
+    * continuous loop ([[graft.streaming.StreamingMultimodal]]) calls
+    * per micro-batch, where the indexes live as persisted `batch=<id>`
+    * parquet rather than a day-1 [[State]]. Same contract: batch ids
+    * must sort above every indexed id. */
+  def ingestIndexed(phashIndex: DataFrame, audioIndex: DataFrame,
+      videoIndex: DataFrame, deltaDocs: DataFrame): Batch = {
     import graft.operators.Lineage.cut
     val d5 = cut(toPhash(deltaDocs))
     val newPhash = imageDedup.indexRows(d5)
-    val d6 = cut(imageDedup.survivorsIndexed(state.phashIndex, d5))
+    val d6 = cut(imageDedup.survivorsIndexed(phashIndex, d5))
     val d9 = cut(toAudioFp(clipGate(d6)))
     val newAudio = audioDedup.indexRows(d9)
-    val d10 = cut(audioDedup.survivorsIndexed(state.audioIndex, d9))
+    val d10 = cut(audioDedup.survivorsIndexed(audioIndex, d9))
     val newVideo = videoDedup.indexRows(d10)
-    val d11 = videoDedup.survivorsIndexed(state.videoIndex, d10)
+    val d11 = videoDedup.survivorsIndexed(videoIndex, d10)
     Batch(shards(d11), newPhash, newAudio, newVideo)
   }
 }

@@ -65,6 +65,55 @@ object CliQueries {
       }
     }),
 
+    // A20 — the metrics PERSISTENCE surface (the last spec-only
+    // side-effect seam): the exact CLI `run --metrics-path` path runs
+    // a small YAML job inside the key (fresh temp dirs per invocation,
+    // so bench re-runs never double-append), then the key reads the
+    // runs/ + stages/ parquet BACK and returns the dashboard rows —
+    // per-stage funnel plus one __run__ roll-up. The oracle replays
+    // every persisted number (stage in/out counts, pass rates, the
+    // run-level totals) from the stage formulas. The HTML report's
+    // existence is spec-gated (MetricsSpec); its bytes are
+    // presentation, not data.
+    "metrics_sink_funnel" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def empty = s.range(0).select(
+        col("id").cast("int").as("stage_idx"), lit("").as("stage_name"),
+        col("id").as("input_records"), col("id").as("output_records"),
+        lit(0.0).as("pass_rate"))
+      if (docs.isEmpty) empty
+      else {
+        val tmp = tmpDir("graft_metrics_job")
+        docs.coalesce(1).write.mode("overwrite").json(s"$tmp/src")
+        val yaml =
+          s"""data_loader:
+             |  type: JsonlLoader
+             |  params: {path: "$tmp/src"}
+             |stages:
+             |  - name: curate
+             |    operators:
+             |      - name: text_length_filter
+             |        params: {min_length: 100, max_length: 2000}
+             |      - name: text_exact_deduplicator
+             |data_writer:
+             |  type: ParquetDataWriter
+             |  params: {path: "$tmp/out"}
+             |""".stripMargin
+        graft.Main.runJob(s, yaml, profile = false, report = false,
+          metricsPath = Some(s"$tmp/metrics"))
+        val stages = s.read.parquet(s"$tmp/metrics/stages")
+          .select(col("stage_idx"), col("stage_name"),
+            col("input_records"), col("output_records"),
+            round(col("pass_rate"), 6).as("pass_rate"))
+        val run = s.read.parquet(s"$tmp/metrics/runs")
+          .select(lit(-1).as("stage_idx"), lit("__run__").as("stage_name"),
+            col("total_input_records").as("input_records"),
+            col("total_output_records").as("output_records"),
+            round(col("overall_pass_rate"), 6).as("pass_rate"))
+        stages.unionByName(run)
+      }
+    }),
+
     // A18 — sharded checkpoint/resume ingest: 3 id-ranged multi-file
     // parquet shards, a budget-cut first run (simulated mid-job kill
     // after 2 committed chunks), a resuming second run, then `loaded`
@@ -123,6 +172,38 @@ object CliQueries {
     "loader_sharded_resume" ->
       s"""WITH f AS (
          |  SELECT * FROM documents WHERE length(text) BETWEEN 100 AND 2000)
-         |$replay""".stripMargin
+         |$replay""".stripMargin,
+
+    // stage formulas replayed: filter counts, keep-first counts, per-
+    // stage and run-level pass rates (0 when the input side is empty —
+    // the StageRow/runRow convention). Guarded on a non-empty corpus
+    // to mirror the key's isEmpty early-out.
+    "metrics_sink_funnel" ->
+      s"""WITH inp AS (SELECT count(*) AS n FROM documents),
+         |flt AS (
+         |  SELECT count(*) AS n FROM documents
+         |  WHERE length(text) BETWEEN 100 AND 2000),
+         |ded AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT 1 FROM documents
+         |    WHERE length(text) BETWEEN 100 AND 2000
+         |    QUALIFY row_number() OVER (
+         |      PARTITION BY md5(${DedupQueries.normSql})
+         |      ORDER BY doc_id) = 1)),
+         |rows_ AS (
+         |  SELECT 0 AS stage_idx, 'text_length_filter' AS stage_name,
+         |    inp.n AS input_records, flt.n AS output_records
+         |  FROM inp, flt
+         |  UNION ALL
+         |  SELECT 1, 'text_exact_deduplicator', flt.n, ded.n FROM flt, ded
+         |  UNION ALL
+         |  SELECT -1, '__run__', inp.n, ded.n FROM inp, ded)
+         |SELECT stage_idx, stage_name,
+         |  CAST(input_records AS BIGINT) AS input_records,
+         |  CAST(output_records AS BIGINT) AS output_records,
+         |  round(CASE WHEN input_records > 0
+         |    THEN CAST(output_records AS DOUBLE) / input_records
+         |    ELSE 0.0 END, 6) AS pass_rate
+         |FROM rows_ WHERE (SELECT n FROM inp) > 0""".stripMargin
   )
 }

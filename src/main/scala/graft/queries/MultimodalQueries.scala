@@ -109,6 +109,74 @@ object MultimodalQueries {
       val batch = MultimodalRecrawlOps.ingest(state, delta)
       state.curated.select("doc_id")
         .unionByName(batch.survivors.select("doc_id"))
+    }),
+
+    // the CONTINUOUS form of the line above (B64 composed with B59/B63
+    // — r15 verdict #5): a real 4-batch FileStreamSource where each
+    // micro-batch runs the full multimodal chain over the batch alone
+    // and probes the three persisted signature indexes (image phash /
+    // audio contour / video frames) for cross-batch collisions, rolling
+    // each index AND an IVF index of the survivors' embeddings forward
+    // per batch. Batches are the twin families in id order (base, then
+    // +1e6 image twins, +2e6 audio twins, +3e6 video twins), so every
+    // planted collision is CROSS-batch through an index. Converged
+    // survivors are gated against the same from-scratch DuckDB rebuild
+    // of the whole chain as the batch capstone
+    "streaming_multimodal_converged" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      val docs = Tables.load(s, dir, "documents")
+      val inp = preppedInput(docs)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_mm").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      val srcDir = s"$tmp/src"
+      fs.mkdirs(new Path(srcDir))
+      // one file per twin family, ascending mtimes → one micro-batch
+      // each in id order (ids strictly increase across batches — the
+      // survivorsIndexed convergence contract)
+      for (i <- 0 until 4) {
+        val part = inp.filter(
+          col("doc_id") >= i * 1000000L && col("doc_id") < (i + 1) * 1000000L)
+        val stage = s"$tmp/stage$i"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        val f = fs.listStatus(new Path(stage)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new Path(srcDir, f"part$i%04d.parquet")
+        fs.rename(f, dst)
+        fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val in = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      // the ANN leg: fixed axis centroids (recall tuning is B8's job;
+      // this key gates the ROLL mechanics), empty v0, refresh per batch
+      // on the survivors' trained-PCA embeddings. Spec gates rolled ≡
+      // rebuilt; the oracle below gates the survivor set.
+      import s.implicits._
+      val ivf = graft.operators.vector.IvfIndex()
+      val base = "graft_smm_ivf"
+      graft.streaming.StreamingOps.clearIndexLog(s, base)
+      val centroids = (0 until 4).map { a =>
+        (a, Array.tabulate(8)(j => if (j == a) 1.0 else 0.0))
+      }.toDF("centroid_id", "cvec")
+      ivf.buildIndex(s.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("array<float>").as("embedding")),
+        centroids, s"${base}_v0", buckets = 4)
+      val sm = graft.streaming.StreamingMultimodal(s"$tmp/state")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val (q, _) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
+          index = Some((base, s"${base}_v0",
+            (b, from, to) => ivf.refreshIndex(b, from, to, buckets = 4))),
+          project = surv => graft.operators.ml.TrainedEmbedding(surv)
+            .select(col("doc_id").as("vec_id"), col("embedding")))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (fs.exists(new Path(s"$tmp/out")))
+        s.read.parquet(s"$tmp/out").select("doc_id")
+      else inp.select("doc_id").limit(0)
     })
   )
 
@@ -351,6 +419,12 @@ object MultimodalQueries {
            |    FROM documents WHERE doc_id % 4 = 3)""".stripMargin
       chainSqlFrom(mergedInp) + "\nSELECT doc_id FROM s11"
     },
+
+    // streamed ≡ batch: the converged 4-batch survivor union must equal
+    // the from-scratch chain over the WHOLE twin-planted corpus — the
+    // exact oracle the batch capstone uses, final select on stage 11
+    "streaming_multimodal_converged" ->
+      (chainSql + "\nSELECT doc_id FROM s11"),
 
     "multimodal_rejection_audit" -> {
       val stages = Seq(

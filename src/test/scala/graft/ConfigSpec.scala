@@ -637,6 +637,61 @@ class ConfigSpec extends SparkSpec {
     }
   }
 
+  test("index-maintain runs the B8/C42 schedule: healthy / compact / rebuild") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // --- BM25: two segments under max -> healthy; above max -> compact
+    val bm = graft.operators.text.Bm25()
+    val docs0 = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    bm.buildIndex(docs0, "graft_im_bm_a", buckets = 2)
+    bm.refreshIndex(Seq((11L, "theta iota kappa")).toDF("doc_id", "text"),
+      "graft_im_bm_a", "graft_im_bm_b", buckets = 2)
+    assert(Main.runIndexMaintain(spark, "bm25", "graft_im_bm_b",
+      Array("--max-segments", "4", "--buckets", "2")).startsWith("healthy"))
+    assert(Main.runIndexMaintain(spark, "bm25", "graft_im_bm_b",
+      Array("--max-segments", "1", "--to", "graft_im_bm_c", "--buckets", "2"))
+      .startsWith("compact"))
+    // the folded version serves identically
+    val q = Seq((0L, "alpha kappa")).toDF("query_id", "text")
+    assert(bm.searchIndexed(spark, "graft_im_bm_c", q, k = 3)
+      .select("doc_id").as[Long].collect().toSet ==
+      bm.searchIndexed(spark, "graft_im_bm_b", q, k = 3)
+      .select("doc_id").as[Long].collect().toSet)
+
+    // --- IVF: a refresh flood into one cell trips needsRebuild
+    val ivf = graft.operators.vector.IvfIndex()
+    def axis(a: Int, i: Int) = {
+      val v = Array.fill(8)(0.0f); v(a) = 1.0f + 0.001f * i; v
+    }
+    val cents = (0 until 2).map { a =>
+      (a, Array.tabulate(8)(j => if (j == a) 1.0 else 0.0))
+    }.toDF("centroid_id", "cvec")
+    val base = (0 until 4).map(i => (i.toLong, axis(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    ivf.buildIndex(base, cents, "graft_im_ivf_a", buckets = 2)
+    // healthy first: no refreshed rows at all
+    assert(Main.runIndexMaintain(spark, "ivf", "graft_im_ivf_a",
+      Array("--max-segments", "4", "--buckets", "2")).startsWith("healthy"))
+    // flood axis-0: growth 20/2 = 10 > 4 -> rebuild
+    val flood = (100 until 120).map(i => (i.toLong, axis(0, i)))
+      .toDF("vec_id", "embedding")
+    ivf.refreshIndex(flood, "graft_im_ivf_a", "graft_im_ivf_b", buckets = 2)
+    val d = Main.runIndexMaintain(spark, "ivf", "graft_im_ivf_b",
+      Array("--max-segments", "4", "--buckets", "2",
+        "--to", "graft_im_ivf_r", "--train-rows", "1000"))
+    assert(d.startsWith("rebuild"), d)
+    // the rebuilt version indexes the full population, all gen-0
+    val segs = ivf.segments(spark, "graft_im_ivf_r")
+    assert(segs.size == 1)
+    assert(spark.table(s"${segs.head._1}_cells").count() == 24)
+    assert(Main.runIndexMaintain(spark, "ivf", "graft_im_ivf_r",
+      Array("--max-segments", "4", "--buckets", "2")).startsWith("healthy"))
+    // unknown kind fails loudly
+    intercept[IllegalArgumentException] {
+      Main.runIndexMaintain(spark, "hnsw", "whatever", Array.empty)
+    }
+  }
+
   test("unknown operator fails loudly") {
     intercept[IllegalArgumentException] {
       PipelineConfig.parse("operators:\n  - name: nope\n")

@@ -330,7 +330,13 @@ class PlanAuditSpec extends SparkSpec {
       "hits_centrality",
       // curriculum_shards: perplexity's 1-row corpus-token-total
       // attach again (the scorer it composes)
-      "curriculum_shards")
+      "curriculum_shards",
+      // perplexity_pruned: perplexity's 1-row corpus-token-total
+      // attach plus the 1-row OOV-floor attach — every BNLJ side is
+      // literally one row; the LM probe itself is a hash equi-join.
+      // (ccnet_buckets_pruned needs no exemption: its totals/floor
+      // attaches are per-language null-safe EQUI-joins.)
+      "perplexity_pruned")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")

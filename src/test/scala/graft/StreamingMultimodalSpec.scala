@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.{MultimodalCapstone, MultimodalRecrawlOps}
+import graft.queries.MultimodalQueries
+import graft.streaming.{StreamingMultimodal, StreamingOps}
+import org.apache.spark.sql.functions._
+
+/** The continuous multimodal loop (B64 ∘ B59/B63): streamed micro-batch
+  * curation with persisted signature indexes must converge to the batch
+  * capstone, its signature state must equal the batch day-1 build's,
+  * and the per-batch ANN roll must equal a from-scratch index over the
+  * converged survivors. */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed multimodal == batch capstone; indexes and IVF roll converge") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val inp = MultimodalQueries.preppedInput(docs).localCheckpoint()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_smm_spec").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val srcDir = s"$tmp/src"
+    fs.mkdirs(new Path(srcDir))
+    for (i <- 0 until 4) {
+      val part = inp.filter(
+        col("doc_id") >= i * 1000000L && col("doc_id") < (i + 1) * 1000000L)
+      val stage = s"$tmp/stage$i"
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = fs.listStatus(new Path(stage)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new Path(srcDir, f"part$i%04d.parquet")
+      fs.rename(f, dst)
+      fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val ivf = graft.operators.vector.IvfIndex()
+    val base = "graft_smm_spec_ivf"
+    StreamingOps.clearIndexLog(spark, base)
+    val centroids = (0 until 4).map { a =>
+      (a, Array.tabulate(8)(j => if (j == a) 1.0 else 0.0))
+    }.toDF("centroid_id", "cvec")
+    ivf.buildIndex(spark.range(0).select(col("id").as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")),
+      centroids, s"${base}_v0", buckets = 4)
+    def embOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.ml.TrainedEmbedding(df)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+    val sm = StreamingMultimodal(s"$tmp/state")
+    val (q, live) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
+      index = Some((base, s"${base}_v0",
+        (b, from, to) => ivf.refreshIndex(b, from, to, buckets = 4))),
+      project = embOf)
+    try q.processAllAvailable() finally q.stop()
+
+    // 1. converged survivors == the batch capstone over the whole corpus
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = MultimodalCapstone.pipeline(inp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every planted family collides CROSS-batch: each twin range lost
+    // members to an index probe, not only to intra-batch keep-first
+    for (off <- Seq(1000000L, 2000000L, 3000000L)) {
+      val fed = inp.filter(col("doc_id") >= off && col("doc_id") < off + 1000000L).count()
+      val kept = streamed.count(id => id >= off && id < off + 1000000L)
+      assert(kept < fed, s"family at +$off never collided through the index")
+    }
+
+    // 2. signature state == the batch day-1 build's reaching indexes
+    val init = MultimodalRecrawlOps.init(inp)
+    assert(spark.read.parquet(s"$tmp/state/phash").select("phash")
+      .as[Long].collect().toSet ==
+      init.phashIndex.as[Long].collect().toSet)
+    assert(spark.read.parquet(s"$tmp/state/audio").select("audio_fp")
+      .as[Long].collect().toSet ==
+      init.audioIndex.as[Long].collect().toSet)
+    assert(spark.read.parquet(s"$tmp/state/video")
+      .select("doc_id", "frame_idx", "frame_hash")
+      .as[(Long, Int, Long)].collect().toSet ==
+      init.videoIndex.as[(Long, Int, Long)].collect().toSet)
+
+    // 3. the rolled ANN index == a from-scratch build over the
+    // converged survivors (same frozen centroids)
+    assert(live.get.get == s"${base}_v4")
+    val survRows = spark.read.parquet(s"$tmp/out")
+    ivf.buildIndex(embOf(survRows), centroids, s"${base}_full", buckets = 4)
+    def cells(name: String) =
+      ivf.segments(spark, name).map { case (s0, _) =>
+        spark.table(s"${s0}_cells") }.reduce(_ unionByName _)
+        .select("vec_id", "centroid_id").as[(Long, Int)].collect().toSet
+    assert(cells(live.get.get) == cells(s"${base}_full"))
+  }
+}
