@@ -67,6 +67,24 @@ object DedupQueries {
         .select(col("doc_id"), length(col("text")).as("quality"))
     }),
 
+    // SOFT dedup (SoftDedup, ACL 2024): duplication-aware REWEIGHTING
+    // instead of hard drops — commonness = mean trigram df, weight =
+    // commonness^(-1) — over the dedup_jaccard_collapsed twin corpus
+    // (every 3rd doc triplicated, every 6th quadruplicated), so the
+    // weight spectrum is genuinely exercised (1.0 / ~1/3 / ~1/4)
+    "soft_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.dedup.SoftDedup(n = 3).weights(softCorpus(docs))
+    }),
+
+    // the Gumbel-top-k draw over those weights: 200 ids without
+    // replacement with P ∝ weight — deterministic salted-md5 noise,
+    // so the oracle replays the full draw
+    "soft_dedup_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.dedup.SoftDedup(n = 3).sample(softCorpus(docs), k = 200)
+    }),
+
     // delta-ingest dedup: the new 40% of the corpus deduped against the
     // persisted band-bucket index of the first 60% — corpus text is
     // never re-shingled, only its narrow index joins
@@ -143,6 +161,24 @@ object DedupQueries {
 
   private[queries] val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** The twin-planted soft-dedup corpus (the dedup_jaccard_collapsed
+    * shape): base ∪ every-3rd at +1e6 ∪ every-6th at +2e6. */
+  private def softCorpus(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+
+  private val softCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 6 = 0""".stripMargin
+
   private def dedupIncrementalSql: String =
     s"""WITH $mhSigSql,
        |$bandsSql,
@@ -201,7 +237,51 @@ object DedupQueries {
     bandSelects.mkString("buckets AS (\n", "\n  UNION ALL\n", ")")
   }
 
+  /** Per-doc mean trigram df over the soft corpus — the commonness/
+    * weight CTEs shared by both soft-dedup oracles. Trigram
+    * construction matches the dedup_jaccard shingle replay; docs with
+    * < 3 tokens carry no trigrams and floor at commonness 1.0. */
+  private val softWeightsCtes = {
+    val norm = normSql
+    s"""corpus AS ($softCorpusSql),
+       |ssh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(string_split($norm, ' ')) - 1, 1)),
+       |    i -> string_split($norm, ' ')[CAST(i AS INT)] || ' ' ||
+       |         string_split($norm, ' ')[CAST(i AS INT) + 1] || ' ' ||
+       |         string_split($norm, ' ')[CAST(i AS INT) + 2]))) AS g
+       |  FROM corpus WHERE len(string_split($norm, ' ')) >= 3),
+       |dfs AS (SELECT g, count(*) AS df FROM ssh GROUP BY g),
+       |com AS (
+       |  SELECT doc_id, round(avg(df), 6) AS commonness
+       |  FROM ssh JOIN dfs USING (g) GROUP BY doc_id),
+       |wts AS (
+       |  SELECT corpus.doc_id,
+       |    coalesce(com.commonness, 1.0) AS commonness,
+       |    round(pow(coalesce(com.commonness, 1.0), -1.0), 6) AS weight
+       |  FROM corpus LEFT JOIN com ON corpus.doc_id = com.doc_id)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "soft_dedup_weights" ->
+      s"""WITH $softWeightsCtes
+         |SELECT doc_id, commonness, weight FROM wts""".stripMargin,
+
+    "soft_dedup_sample" ->
+      s"""WITH $softWeightsCtes,
+         |adj AS (
+         |  SELECT doc_id, commonness, weight,
+         |    round(ln(weight) +
+         |      round(-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |        || ':graft:soft'), 1, 6)) AS BIGINT) + 0.5) / 16777216.0)), 6),
+         |      6) AS a
+         |  FROM wts),
+         |ranked AS (
+         |  SELECT doc_id, commonness, weight,
+         |    CAST(row_number() OVER (ORDER BY a DESC, doc_id ASC) AS INT) AS rnk
+         |  FROM adj)
+         |SELECT doc_id, commonness, weight, rnk FROM ranked
+         |WHERE rnk <= 200""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $mhSigSql,
          |$bandsSql

@@ -19,6 +19,17 @@ object VectorQueries {
       BruteForceKnn(k = 5).topK(emb.filter(col("vec_id") < 16), emb)
     }),
 
+    // margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    // CCMatrix/NLLB recipe): even-id vectors = side X, odd-id = side Y,
+    // k=4 neighborhoods, mutual-best pairs with ratio-margin ≥ 1.0 —
+    // cosine relative to local density, so hub vectors can't over-mine
+    "bitext_margin_mining" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.vector.MarginBitextMiner(k = 4, threshold = 1.0)
+        .mine(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+    }),
+
     // int8 scalar quantization (FAISS SQ8): per-dim min/max fit, then
     // map-only encode; exploded to scalars for the oracle hash
     "embedding_quantize_int8" -> ((s, dir) => {
@@ -268,6 +279,39 @@ object VectorQueries {
            |SELECT qid, cid, cos, rn FROM r WHERE rn <= 3""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "bitext_margin_mining" ->
+      s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+         |y AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+         |sims AS (
+         |  SELECT q.vec_id AS x_id, c.vec_id AS y_id, $cosSql AS cos
+         |  FROM x q, y c),
+         |fwd AS (SELECT x_id, y_id, cos FROM (
+         |  SELECT x_id, y_id, cos,
+         |    row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id ASC) AS rn
+         |  FROM sims) WHERE rn <= 4),
+         |bwd AS (SELECT x_id, y_id, cos FROM (
+         |  SELECT x_id, y_id, cos,
+         |    row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id ASC) AS rn
+         |  FROM sims) WHERE rn <= 4),
+         |ax AS (SELECT x_id, avg(cos) AS ax FROM fwd GROUP BY x_id),
+         |ay AS (SELECT y_id, avg(cos) AS ay FROM bwd GROUP BY y_id),
+         |cand AS (SELECT DISTINCT x_id, y_id, cos FROM
+         |  (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+         |m AS (
+         |  SELECT cand.x_id, cand.y_id, cand.cos,
+         |    round(cand.cos / ((ax.ax + ay.ay) / 2.0), 6) AS margin
+         |  FROM cand JOIN ax USING (x_id) JOIN ay USING (y_id)),
+         |rx AS (SELECT x_id, y_id, cos, margin,
+         |  row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS r1
+         |  FROM m),
+         |ry AS (SELECT x_id, y_id FROM (
+         |  SELECT x_id, y_id,
+         |    row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id ASC) AS r2
+         |  FROM m) WHERE r2 = 1)
+         |SELECT rx.x_id, rx.y_id, rx.cos, rx.margin
+         |FROM rx JOIN ry ON rx.x_id = ry.x_id AND rx.y_id = ry.y_id
+         |WHERE rx.r1 = 1 AND rx.margin >= 1.0""".stripMargin,
+
     "knn_bruteforce" ->
       s"""WITH sims AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid, $cosSql AS cos

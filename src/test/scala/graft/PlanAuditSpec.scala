@@ -69,6 +69,11 @@ class PlanAuditSpec extends SparkSpec {
     // when |sources| <= threshold — the SemanticDedup plan-shape
     // precedent), which the static plan can't show
     val exempt = Set("knn_bruteforce", "ann_lsh", "ann_ivf",
+      // bitext_margin_mining: the brute-force EXACTNESS BASELINE again
+      // (both kNN directions broadcast their query side; the scale
+      // path swaps in LSH/IVF candidate generation under the same
+      // margin layer)
+      "bitext_margin_mining",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
       "bm25_search", "bm25_search_indexed", "bm25_search_refreshed",
@@ -302,6 +307,9 @@ class PlanAuditSpec extends SparkSpec {
     // - mixture_temperature: the Σ n^(1/T) normalizer attaches as the
     //   same deliberate 1-row broadcast (the Winsorizer bounds shape)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
+      // bitext_margin_mining: knn_bruteforce's all-pairs baseline in
+      // both directions (see the broadcast audit's note)
+      "bitext_margin_mining",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
