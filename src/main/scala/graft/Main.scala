@@ -628,7 +628,11 @@ object Main {
           s"compact -> $to ($nSegs segments > $maxSegments)"
         } else s"healthy ($nSegs segments, staleness clear) — no action"
       case "bm25" =>
-        val bm = graft.operators.text.Bm25()
+        val bm = graft.operators.text.Bm25(
+          idCol = args.indexOf("--id-field") match {
+            case i if i >= 0 && i + 1 < args.length => args(i + 1)
+            case _ => "doc_id"
+          })
         bm.attachIndex(spark, name, name, buckets)
         val nSegs = bm.segments(spark, name).size
         if (nSegs > maxSegments) {

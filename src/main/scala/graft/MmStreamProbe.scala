@@ -51,7 +51,9 @@ object MmStreamProbe {
     docs.withColumn("part", (col("doc_id") / step).cast("int"))
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part").parquet(stage)
-    for (i <- 0 until nb) {
+    // step = n/nb + 1 can leave high-numbered parts empty when n is
+    // small relative to nb — stage only the partitions that exist
+    for (i <- 0 until nb if fs.exists(new Path(s"$stage/part=$i"))) {
       val pdir = new Path(s"$stage/part=$i")
       val f = fs.listStatus(pdir).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).head

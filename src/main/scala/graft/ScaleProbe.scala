@@ -67,7 +67,7 @@ object ScaleProbe {
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
       "drift", "bm25", "dedupeval", "fertility", "hardneg100k",
       "overlapsketch", "corpusdiff", "unimax", "ccnet", "ccnet_pruned",
-      "protoprune")
+      "softdedup", "protoprune")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,7 +94,8 @@ object ScaleProbe {
         ops("pagerank") || ops("percentiles") || ops("drift") ||
         ops("bm25") || ops("dedupeval") || ops("fertility") ||
         ops("overlapsketch") || ops("corpusdiff") ||
-        ops("unimax") || ops("ccnet") || ops("ccnet_pruned")) {
+        ops("unimax") || ops("ccnet") || ops("ccnet_pruned") ||
+        ops("softdedup")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -166,6 +167,18 @@ object ScaleProbe {
           probe("ccnet_buckets_pruned50k", n)(
             graft.operators.text.CcnetBucketer(maxVocabPerLang = 50000)(withLang)
               .groupBy("bucket").count().agg(sum("count")).head().getLong(0))
+      }
+      if (ops("softdedup")) {
+        // the dup-heavy corpus is soft dedup's home turf: 20 replicas
+        // per group text → weight ~1/20 for every replicated doc.
+        // agg over the weights so Catalyst can't prune the df join
+        probe("soft_dedup_weights", n)(
+          graft.operators.dedup.SoftDedup(n = 3).weights(corpus)
+            .agg(count(when(col("weight") < 1.0, 1)))
+            .head().getLong(0))
+        probe("soft_dedup_sample", n)(
+          graft.operators.dedup.SoftDedup(n = 3).sample(corpus, k = 100000)
+            .count())
       }
       if (ops("span")) {
         // duplicate-heavy worst case: every replica repeats its group's

@@ -52,7 +52,16 @@ case class SoftDedup(
 
   import graft.functions.TextFns.wordShingles
 
-  /** (idCol, commonness 6dp, weight 6dp) — one row per input doc. */
+  /** (idCol, commonness 6dp, weight 6dp) — one row per input doc.
+    *
+    * The shingle stream `sh` feeds both the df count and the join-back
+    * and is DELIBERATELY NOT materialized between them — the
+    * [[graft.operators.text.DsirSelector.scored]] finding holds here
+    * too, re-measured on this operator: localCheckpointing the
+    * ~10⁸-row (id, shingle) stream at 1M docs cost 205.4 s vs 62.2 s
+    * for tokenizing twice (SURVEY §5.18 row) — the codegen'd re-shingle
+    * pass is 3× cheaper than writing + re-reading the wide string
+    * intermediate. */
   def weights(df: DataFrame): DataFrame = {
     val sh = df.select(col(idCol),
       explode(array_distinct(wordShingles(col(textCol), n))).as("__g"))
@@ -62,7 +71,12 @@ case class SoftDedup(
       .agg(round(avg(col("__df")), 6).as("commonness"))
     df.select(col(idCol)).join(com, Seq(idCol), "left")
       .withColumn("commonness", coalesce(col("commonness"), lit(1.0)))
-      .withColumn("weight", round(pow(col("commonness"), -alpha), 6))
+      // floored at 1e-6 (one rounding ulp): an extreme duplicate whose
+      // k^(−α) rounds to 0.000000 must stay a POSITIVE weight — log(0)
+      // is null in Spark (breaking the P ∝ weight draw) and an
+      // out-of-range ln() in the SQL oracle
+      .withColumn("weight",
+        greatest(round(pow(col("commonness"), -alpha), 6), lit(1e-6)))
   }
 
   /** Deterministic Gumbel noise (24-bit salted-md5 uniform, never

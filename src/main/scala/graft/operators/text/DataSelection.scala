@@ -216,20 +216,11 @@ case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
     * discipline — stage 1 ranks inside 64 hash-salted sub-partitions
     * per language (any global top-k row is top-k within its own salt
     * slice), stage 2 re-ranks the ≤ 64·k survivors per language. */
-  private def pruned(counts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = maxVocabPerLang
-    val w1 = Window.partitionBy(col(langCol), col("__salt"))
-      .orderBy(col("__n").desc, col("t").asc)
-    val w2 = Window.partitionBy(col(langCol))
-      .orderBy(col("__n").desc, col("t").asc)
-    counts
-      .withColumn("__salt", pmod(xxhash64(col("t")), lit(64L)))
-      .withColumn("__r1", row_number().over(w1))
-      .filter(col("__r1") <= k).drop("__salt", "__r1")
-      .withColumn("__r2", row_number().over(w2))
-      .filter(col("__r2") <= k).drop("__r2")
-  }
+  private def pruned(counts: DataFrame): DataFrame =
+    graft.operators.TopK.perGroup(counts,
+      group = Seq(col(langCol)),
+      order = Seq(col("__n").desc, col("t").asc),
+      saltOn = col("t"), k = maxVocabPerLang, salts = 64)
 
   /** (idCol, langCol, perplexity): per-doc perplexity under the
     * document's own language's unigram LM. With `maxVocabPerLang > 0`

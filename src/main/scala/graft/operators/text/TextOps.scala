@@ -377,19 +377,30 @@ case class PerplexityScorer(textCol: String = "text", idCol: String = "doc_id",
   }
 
   /** Per-doc perplexity exp(−mean log p(w)); OOV tokens (pruned path
-    * only) score at the model's floor row. */
+    * only) score at the model's floor row. The floor attaches as a
+    * 1-row GLOBAL AGGREGATE over the lm's null-token slice — never a
+    * bare crossJoin of a filter result: a legacy/external (t, logp)
+    * model WITHOUT a floor row then yields a null floor (OOV tokens
+    * drop from the mean, exactly the pre-floor inner-join semantics)
+    * instead of a crossJoin-with-empty silently annihilating every
+    * row. */
   def scores(df: DataFrame, lm: DataFrame): DataFrame = {
     val toks = df.select(col(idCol),
       explode(wsTokens(normalizeText(col(textCol)))).as("t"))
     val dict = lm.filter(col("t").isNotNull)
+    // exactly one row always: min over 0 floor rows is null
     val floor = lm.filter(col("t").isNull)
-      .select(col("logp").as("__floor"))
+      .agg(min(col("logp")).as("__floor"))
     val hinted = if (maxVocab > 0) broadcast(dict) else dict
     toks.join(hinted, Seq("t"), "left")
       .crossJoin(broadcast(floor))
       .groupBy(idCol)
       .agg(round(exp(-avg(coalesce(col("logp"), col("__floor")))), 4)
         .as("perplexity"))
+      // null only when EVERY token was OOV under a floor-less legacy
+      // lm — the pre-floor inner join dropped such docs; keep that
+      // convention (no-op whenever the model carries its floor row)
+      .filter(col("perplexity").isNotNull)
   }
 
   def apply(df: DataFrame, maxPerplexity: Double): DataFrame =

@@ -497,22 +497,15 @@ case class HardNegativeMiner(
     * entire membership into one window partition (measured: max task
     * 280.7 s of an 862.8 s job). */
   def mine(df: DataFrame, centroids: DataFrame, nprobe: Int = 2,
-      anchorPred: Column = lit(true)): DataFrame = {
-    val salts = 16
-    val wSalt = Window.partitionBy("anchor_id", "__salt")
-      .orderBy(col("cos").desc, col("negative_id").asc)
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("cos").desc, col("negative_id").asc)
-    IvfIndex(idCol, vecCol).candidateCosines(df, centroids, nprobe, anchorPred)
-      .filter(col("cos") >= lo && col("cos") < hi)
-      .select(col("qid").as("anchor_id"), col("cid").as("negative_id"), col("cos"))
-      .withColumn("__salt", pmod(xxhash64(col("negative_id")), lit(salts)))
-      .withColumn("__r1", row_number().over(wSalt))
-      .filter(col("__r1") <= k)
-      .drop("__salt", "__r1")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-  }
+      anchorPred: Column = lit(true)): DataFrame =
+    graft.operators.TopK.perGroup(
+      IvfIndex(idCol, vecCol).candidateCosines(df, centroids, nprobe, anchorPred)
+        .filter(col("cos") >= lo && col("cos") < hi)
+        .select(col("qid").as("anchor_id"), col("cid").as("negative_id"),
+          col("cos")),
+      group = Seq(col("anchor_id")),
+      order = Seq(col("cos").desc, col("negative_id").asc),
+      saltOn = col("negative_id"), k = k, salts = 16, rankCol = Some("rnk"))
 }
 
 /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

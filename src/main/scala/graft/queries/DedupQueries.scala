@@ -258,7 +258,8 @@ object DedupQueries {
        |wts AS (
        |  SELECT corpus.doc_id,
        |    coalesce(com.commonness, 1.0) AS commonness,
-       |    round(pow(coalesce(com.commonness, 1.0), -1.0), 6) AS weight
+       |    greatest(round(pow(coalesce(com.commonness, 1.0), -1.0), 6),
+       |      0.000001) AS weight
        |  FROM corpus LEFT JOIN com ON corpus.doc_id = com.doc_id)""".stripMargin
   }
 

@@ -49,14 +49,20 @@ case class StreamingMultimodal(stateRoot: String) {
       col("id").cast("int").as("frame_idx"), col("id").as("frame_hash"))
 
   /** Committed signature rows visible to batch `id` (strictly earlier
-    * batches — a replay must not probe its own torn leftovers). */
+    * batches — a replay must not probe its own torn leftovers). A
+    * directory that EXISTS but holds no readable parquet footer is the
+    * residue of a kill during the very first batch's write (the
+    * committer made the dir, committed nothing) — semantically
+    * identical to "nothing committed yet", so it reads as empty
+    * instead of failing schema inference forever on every replay. */
   private def readIndex(spark: SparkSession, dir: String, id: Long,
       empty: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(dir).filter(col("batch") < id).drop("batch")
-    else empty
+    if (!fs.exists(p)) empty
+    else scala.util.Try(
+        spark.read.parquet(dir).filter(col("batch") < id).drop("batch"))
+      .getOrElse(empty)
   }
 
   /** Start the loop: per-batch idempotent survivor partitions under

@@ -44,6 +44,19 @@ class BitextSpec extends SparkSpec {
     assert(m.exists(_._2 == 99L))     // ...and appears as a candidate
   }
 
+  test("sides numbered independently: a pair SHARING an id is still mined") {
+    // the r16 review finding: BruteForceKnn's qid =!= cid self-guard
+    // silently dropped same-id cross-corpus pairs — two monolingual
+    // corpora each numbered from 0 collide on every id
+    val xi = Seq((0L, vec(0 -> 1.0)), (1L, vec(1 -> 1.0)))
+      .toDF("vec_id", "embedding")
+    val yi = Seq((0L, vec(0 -> 0.95, 2 -> 0.05)), (1L, vec(1 -> 0.95, 3 -> 0.05)))
+      .toDF("vec_id", "embedding")
+    val mined = MarginBitextMiner(k = 2, threshold = 1.0)
+      .mine(xi, yi).as[(Long, Long, Double, Double)].collect()
+    assert(mined.map(r => r._1 -> r._2).toMap == Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("forward strategy keeps per-x best even when y prefers another x") {
     // two xs close to the SAME y: mutual keeps only y's best x,
     // forward keeps both x->y rows (above threshold)

@@ -107,6 +107,24 @@ class PerplexityPruneSpec extends SparkSpec {
     assert(prunedScores == ref)
   }
 
+  test("a legacy/external lm WITHOUT a floor row keeps inner-join semantics") {
+    // the r16 review finding: an lm lacking the t-IS-NULL floor row
+    // must not annihilate the output (the floor attaches as a 1-row
+    // aggregate, null when absent); in-vocab tokens score as before,
+    // OOV tokens drop from the mean — the pre-floor convention
+    val p = PerplexityScorer()
+    val full = p.model(docs)
+    val legacy = full.filter(col("t").isNotNull) // strip the floor row
+    val a = p.scores(docs, full).as[(Long, Double)].collect().toMap
+    val b = p.scores(docs, legacy).as[(Long, Double)].collect().toMap
+    assert(a == b && a.nonEmpty) // no OOV here, so identical
+    // and with a PRUNED legacy lm, OOV tokens are simply excluded
+    val prunedLegacy = PerplexityScorer(maxVocab = 3).model(docs)
+      .filter(col("t").isNotNull)
+    val c = p.scores(docs, prunedLegacy).as[(Long, Double)].collect()
+    assert(c.nonEmpty) // rows survive; nothing annihilated
+  }
+
   test("broadcast hint: present iff the LM is pruned (bounded)") {
     def lmJoinHints(df: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
       import org.apache.spark.sql.catalyst.plans.logical.Join
