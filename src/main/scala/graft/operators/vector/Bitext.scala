@@ -39,29 +39,16 @@ case class MarginBitextMiner(
   require(k >= 1, "k must be >= 1")
   require(Set("mutual", "forward")(strategy), "strategy: mutual|forward")
 
-  /** Cross-corpus top-k — [[BruteForceKnn.topK]]'s shape WITHOUT its
-    * `qid =!= cid` self-guard: the two sides are separate corpora
-    * numbered independently, so equal ids are legitimate pairs, not a
-    * vector meeting itself (a true translation pair sharing an id
-    * would otherwise silently vanish from the candidates AND the
-    * neighborhood means). */
-  private def crossTopK(queries: DataFrame, corpus: DataFrame): DataFrame = {
-    import graft.functions.VecFns.cosine
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    c.crossJoin(broadcast(q))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "cid", "cos", "rn")
-  }
-
   /** (x_id, y_id, cos, margin 6dp) for every candidate pair (union of
-    * both directions' top-k). */
+    * both directions' top-k). Uses [[BruteForceKnn.topKCross]] — the
+    * form WITHOUT the self-id guard: the two sides are separate
+    * corpora numbered independently, so equal ids are legitimate pairs
+    * (a true translation pair sharing an id would otherwise silently
+    * vanish from the candidates AND the neighborhood means). */
   def margins(xs: DataFrame, ys: DataFrame): DataFrame = {
-    val fwd = crossTopK(xs, ys) // (qid=x, cid=y, cos, rn)
-    val bwd = crossTopK(ys, xs) // (qid=y, cid=x, cos, rn)
+    val knn = BruteForceKnn(k, idCol, vecCol)
+    val fwd = knn.topKCross(xs, ys) // (qid=x, cid=y, cos, rn)
+    val bwd = knn.topKCross(ys, xs) // (qid=y, cid=x, cos, rn)
     val ax = fwd.groupBy(col("qid").as("x_id"))
       .agg(avg(col("cos")).as("__ax"))
     val ay = bwd.groupBy(col("qid").as("y_id"))

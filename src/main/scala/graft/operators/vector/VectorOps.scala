@@ -41,6 +41,21 @@ case class BruteForceKnn(
       .filter(col("rn") <= k)
       .select("qid", "cid", "cos", "rn")
   }
+
+  /** [[topK]] WITHOUT the `qid =!= cid` self-guard — the CROSS-corpus
+    * form: when queries and corpus are two independently numbered sets
+    * (bitext sides, image vs caption towers), equal ids are legitimate
+    * pairs, not a vector meeting itself. */
+  def topKCross(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
 }
 
 /** Random-hyperplane LSH bucketing (Charikar 2002): sign bits of the

@@ -239,6 +239,23 @@ object ImageQueries {
       CrossModalAlignment(threshold = 0.99).scored(docs)
     }),
 
+    // cross-modal retrieval eval: recall@{1,5} in both directions over
+    // the same dual-tower pairs as clip_score_filter — the benchmark a
+    // CLIP-gate threshold choice answers to. Instructive negative on
+    // the stand-in encoder: pairs score ~0.99 ABSOLUTE cosine yet
+    // recall@1 is only ~4% against 500 distractors (reversed captions
+    // share global byte statistics with every doc) — i.e. the 0.99
+    // gate passes pairs that are not retrievably aligned, which is
+    // exactly what this report exists to expose
+    "crossmodal_recall" -> ((s, dir) => {
+      val docs = withImage(Tables.load(s, dir, "documents"))
+        .withColumn("caption", reverse(col("text")))
+      // query sample = every 17th doc (the eval-set discipline: recall
+      // estimated from a sample of queries against ALL distractors)
+      graft.operators.ml.CrossModalRecall(ks = Seq(1, 5))(
+        docs, col("vec_id") % 17 === 0)
+    }),
+
     "trained_embedding" -> ((s, dir) => {
       // TRAINED encoder (EmbeddingTrainer: MLlib PCA over standardized
       // content features, frozen projection) through the BatchInference
@@ -693,7 +710,34 @@ object ImageQueries {
          |SELECT i.doc_id,
          |  round(list_cosine_similarity(i.arr, c.arr), 6) AS clip_score,
          |  round(list_cosine_similarity(i.arr, c.arr), 6) >= 0.99 AS clip_keep
-         |FROM iarr i JOIN carr c ON i.doc_id = c.doc_id""".stripMargin
+         |FROM iarr i JOIN carr c ON i.doc_id = c.doc_id""".stripMargin,
+
+    // dual towers replayed, full cross cosines, rank per direction
+    // (ties to the smaller candidate id), hit-within-k averaged
+    "crossmodal_recall" -> {
+      val legs = for (d <- Seq("i2t", "t2i"); k <- Seq(1, 5)) yield
+        s"""SELECT '$d' AS direction, $k AS k,
+           |  round(avg(h), 6) AS recall, count(*) AS n_queries FROM (
+           |  SELECT qid, max(CASE WHEN cid = qid AND rn <= $k
+           |    THEN 1 ELSE 0 END) AS h
+           |  FROM $d GROUP BY qid)""".stripMargin
+      s"""WITH caps AS (SELECT doc_id, reverse(text) AS text FROM documents),
+         |${embArrCtes("documents", "i")},
+         |${embArrCtes("caps", "c")},
+         |i2t AS (
+         |  SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM (
+         |    SELECT i.doc_id AS qid, c.doc_id AS cid,
+         |      round(list_cosine_similarity(i.arr, c.arr), 6) AS cos
+         |    FROM iarr i, carr c WHERE i.doc_id % 17 = 0)),
+         |t2i AS (
+         |  SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM (
+         |    SELECT c.doc_id AS qid, i.doc_id AS cid,
+         |      round(list_cosine_similarity(i.arr, c.arr), 6) AS cos
+         |    FROM iarr i, carr c WHERE c.doc_id % 17 = 0))
+         |${legs.mkString("", "\nUNION ALL\n", "")}""".stripMargin
+    }
   )
 
   /** SQL twin of the frozen TrainedEmbedding projection as a chain of

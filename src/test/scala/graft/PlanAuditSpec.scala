@@ -74,6 +74,11 @@ class PlanAuditSpec extends SparkSpec {
       // path swaps in LSH/IVF candidate generation under the same
       // margin layer)
       "bitext_margin_mining",
+      // crossmodal_recall: the EVAL HARNESS shape — the query side is
+      // the eval set (bounded by construction, like ann_eval_recall);
+      // the pinned embedding table reads back as a LogicalRDD the
+      // static rule can't size
+      "crossmodal_recall",
       "mixture_sample", "perplexity", "decontaminate", "dsir_select",
       "hard_negatives", "knn_int8", "contamination_overlap",
       "bm25_search", "bm25_search_indexed", "bm25_search_refreshed",
@@ -310,6 +315,9 @@ class PlanAuditSpec extends SparkSpec {
       // bitext_margin_mining: knn_bruteforce's all-pairs baseline in
       // both directions (see the broadcast audit's note)
       "bitext_margin_mining",
+      // crossmodal_recall: the same all-pairs eval baseline, one per
+      // retrieval direction
+      "crossmodal_recall",
       "perplexity", "q11_important_parts", "dedup_semantic",
       "dedup_semantic_inc", "kmeans_lloyd_assign", "decontaminate_semantic",
       "dsir_select", "hard_negatives", "knn_int8", "events_winsorize",
