@@ -67,7 +67,7 @@ object ScaleProbe {
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
       "drift", "bm25", "dedupeval", "fertility", "hardneg100k",
       "overlapsketch", "corpusdiff", "unimax", "ccnet", "ccnet_pruned",
-      "softdedup", "protoprune")
+      "softdedup", "protoprune", "bitext")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -461,7 +461,7 @@ object ScaleProbe {
       corpus.unpersist()
     }
     if (ops("embedding") || ops("hardneg") || ops("hardneg100k") ||
-        ops("quantize") || ops("protoprune")) {
+        ops("quantize") || ops("protoprune") || ops("bitext")) {
       // same repartition rationale as the docs corpus above: the
       // replicated vectors inherit the single parquet file's input
       // partitioning, starving map-only stages (the broadcast-argmin
@@ -508,6 +508,27 @@ object ScaleProbe {
       // exact-collapse first (10 bit-identical copies per vector here →
       // 100k reps), then LSH with scale banding (12-bit digests, recall
       // at cos 0.95 = 1-(1-0.899^12)^16 ≈ 99.4%) on the reps only
+      if (ops("bitext")) {
+        // B76's 100 TB recipe end to end: candidates from a 16-bit LSH
+        // bucket equi-join (the B7 generator — 65k buckets over 100k
+        // distinct vectors keeps the pair volume ~4M, never 500k²),
+        // margin layer + mutual argmax over them. Sides = even/odd ids
+        // (identical replicas straddle sides, so exact matches exist).
+        val lsh = graft.operators.vector.LshAnn(dim = 64, nbits = 16)
+        val xs = lsh.withBuckets(vecs.filter(col("vec_id") % 2 === 0))
+          .select(col("vec_id").as("x_id"), col("embedding").as("__xv"),
+            col("bucket"))
+        val ys = lsh.withBuckets(vecs.filter(col("vec_id") % 2 === 1))
+          .select(col("vec_id").as("y_id"), col("embedding").as("__yv"),
+            col("bucket"))
+        val cands = xs.join(ys, Seq("bucket"))
+          .select(col("x_id"), col("y_id"),
+            round(graft.functions.VecFns.cosine(col("__xv"), col("__yv")), 6)
+              .as("cos"))
+        probe("bitext_lsh_1m", n)(
+          graft.operators.vector.MarginBitextMiner(k = 4, threshold = 1.0)
+            .mineFromCandidates(cands).count())
+      }
       if (ops("embedding"))
         probe("dedup_embedding_collapsed", n) {
           val (repPairs, members) = EmbeddingNearDup(threshold = 0.95,

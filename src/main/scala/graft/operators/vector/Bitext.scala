@@ -64,16 +64,53 @@ case class MarginBitextMiner(
           .as("margin"))
   }
 
+  /** The margin layer over an ARBITRARY candidate set — the 100 TB
+    * path made executable: `cands` = (x_id, y_id, cos 6dp) pairs from
+    * whatever generator fits the corpus (LSH bucket equi-join, IVF
+    * probed cells, a previous crawl's index), never the cross product.
+    * Each side's neighborhood mean uses its top-k WITHIN the candidate
+    * set (the paper itself scores margins over approximate-kNN
+    * neighborhoods); the per-side top-k runs through the salted
+    * [[graft.operators.TopK]] rank, so a hub landing in millions of
+    * candidate pairs never drags them into one sort partition. When
+    * `cands` is the full cross product this is exactly [[margins]]
+    * (BitextSpec pins the equivalence). */
+  def marginsFromCandidates(cands: DataFrame): DataFrame = {
+    val fwd = graft.operators.TopK.perGroup(cands,
+      group = Seq(col("x_id")),
+      order = Seq(col("cos").desc, col("y_id").asc),
+      saltOn = col("y_id"), k = k)
+    val bwd = graft.operators.TopK.perGroup(cands,
+      group = Seq(col("y_id")),
+      order = Seq(col("cos").desc, col("x_id").asc),
+      saltOn = col("x_id"), k = k)
+    val ax = fwd.groupBy("x_id").agg(avg(col("cos")).as("__ax"))
+    val ay = bwd.groupBy("y_id").agg(avg(col("cos")).as("__ay"))
+    val pairs = fwd.select("x_id", "y_id", "cos")
+      .unionByName(bwd.select("x_id", "y_id", "cos"))
+      .distinct()
+    pairs.join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .select(col("x_id"), col("y_id"), col("cos"),
+        round(col("cos") / ((col("__ax") + col("__ay")) / 2.0), 6)
+          .as("margin"))
+  }
+
+  /** [[mine]]'s argmax/threshold layer over [[marginsFromCandidates]]. */
+  def mineFromCandidates(cands: DataFrame): DataFrame =
+    best(marginsFromCandidates(cands))
+
   /** Mined pairs (x_id, y_id, cos, margin): per-strategy argmax over
     * [[margins]], margin ≥ threshold. Ties break to the smaller
     * partner id (the BruteForceKnn discipline). */
-  def mine(xs: DataFrame, ys: DataFrame): DataFrame = {
-    val m = margins(xs, ys)
+  def mine(xs: DataFrame, ys: DataFrame): DataFrame =
+    best(margins(xs, ys))
+
+  private def best(m: DataFrame): DataFrame = {
     val wx = Window.partitionBy("x_id")
       .orderBy(col("margin").desc, col("y_id").asc)
     val fwdBest = m.withColumn("__rx", row_number().over(wx))
       .filter(col("__rx") === 1).drop("__rx")
-    val best = strategy match {
+    val chosen = strategy match {
       case "forward" => fwdBest
       case _ =>
         val wy = Window.partitionBy("y_id")
@@ -87,7 +124,7 @@ case class MarginBitextMiner(
           col("x_id") === col("__bx") && col("y_id") === col("__by"))
           .drop("__bx", "__by")
     }
-    best.filter(col("margin") >= threshold)
+    chosen.filter(col("margin") >= threshold)
       .select("x_id", "y_id", "cos", "margin")
   }
 }

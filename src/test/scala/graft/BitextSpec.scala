@@ -76,6 +76,25 @@ class BitextSpec extends SparkSpec {
     assert(!mut.map(r => (r._1, r._2)).toSet.contains((2L, 1L)))
   }
 
+  test("marginsFromCandidates over the full cross == margins (and mined sets agree)") {
+    import graft.operators.vector.BruteForceKnn
+    val miner = MarginBitextMiner(k = 3, threshold = 0.0)
+    // full cross as a candidate table (k >= |corpus| makes topKCross
+    // the complete cosine table)
+    val cands = BruteForceKnn(100).topKCross(xs, ys)
+      .select(col("qid").as("x_id"), col("cid").as("y_id"), col("cos"))
+    val a = miner.margins(xs, ys)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val b = miner.marginsFromCandidates(cands)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val ma = miner.mine(xs, ys)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val mb = miner.mineFromCandidates(cands)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(ma == mb)
+  }
+
   test("margin formula matches the paper's ratio on a hand computation") {
     // 2 xs, 2 ys, k=1: margin(x,y) = cos(x,y) / ((bestcos(x)+bestcos(y))/2)
     val xa = Seq((0L, vec(0 -> 1.0)), (2L, vec(1 -> 1.0)))
