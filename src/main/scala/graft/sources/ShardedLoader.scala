@@ -70,7 +70,11 @@ object ShardedLoader {
       // two numeric fields + a boolean — a hand-rolled parse keeps the
       // marker dependency-free (no JSON lib on the unmanaged classpath)
       "\"offset\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map { m =>
-        ShardProgress(shard, m.group(1).toLong, txt.contains("\"done\": true"))
+        // whitespace-tolerant like the offset field: an exact-substring
+        // match was coupled to commit()'s byte spacing, so a marker
+        // written by any other tool read back done=false forever
+        ShardProgress(shard, m.group(1).toLong,
+          "\"done\"\\s*:\\s*true".r.findFirstIn(txt).isDefined)
       }
     }.toOption.flatten
 
@@ -121,7 +125,13 @@ object ShardedLoader {
     var completed = 0
     for (shard <- shards) {
       var pr = progress(spark, stateDir, shard)
-      if (!pr.done) {
+      if (pr.done) completed += 1
+      // the chunks guard here, not just in the inner while: once the
+      // budget is spent, every remaining shard would otherwise still
+      // pay its full per-file footer-count job before discovering it
+      // has no budget to run (r16 review finding). A budget-skipped
+      // shard is NOT completed — it must not inflate the report.
+      else if (chunks < maxChunks) {
         // `_metadata.row_index` restarts at 0 in EVERY part file, so a
         // multi-file shard needs per-file base offsets to make the
         // cursor shard-global. Footer-only work: per-file counts via a
@@ -178,7 +188,7 @@ object ShardedLoader {
           commit(spark, stateDir, pr)
           if (pr.done) completed += 1
         }
-      } else completed += 1
+      }
     }
     IngestReport(chunks, records, completed,
       // exhausted only if the budget stopped REMAINING work — finishing

@@ -131,6 +131,7 @@ object Sinks {
     val spark = updates.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val merged =
       if (!exists) updates
@@ -142,10 +143,50 @@ object Sinks {
     swapIn(fs, path, tmp)
   }
 
-  /** Crash-safe-ish directory swap: live → `__old`, tmp → live, drop
+  /** Recover a swap torn BETWEEN [[swapIn]]'s two renames: live
+    * missing with `__old` present means the crash hit after
+    * live→`__old` and before tmp→live — `__old` is then the SOLE copy
+    * of the table, and without this restore the next upsert/compact
+    * would see "no table", merge updates-only, and its swapIn would
+    * delete `__old`: silent full-table loss (r16 review finding).
+    * Restores `__old` → live; live AND `__old` both present means the
+    * crash hit after the commit rename, so `__old` is garbage. Every
+    * swapIn caller runs this before READING the table. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      livePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(livePath)
+    val old = new Path(livePath.stripSuffix("/") + "__old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"recovering torn swap: rename $old -> $live failed")
+    } else if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** [[recoverSwap]] for every partition-level `__old` left INSIDE a
+    * Hive-layout table root by a torn [[upsertPartitioned]] swap (the
+    * per-partition swaps place `<part>__old` next to `<part>`). Also
+    * keeps partition discovery clean: a lingering `day=X__old` dir
+    * would otherwise parse as partition value "X__old". */
+  private def recoverPartitionSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(p))
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.endsWith("__old"))
+        .foreach { s =>
+          recoverSwap(fs,
+            s"${root.stripSuffix("/")}/${s.getPath.getName.stripSuffix("__old")}")
+        }
+  }
+
+  /** Crash-safe directory swap: live → `__old`, tmp → live, drop
     * `__old`. A crash between the renames leaves either the old table
     * intact or both `__old` and the new live dir — never a window with
-    * no table at all (the delete-then-rename it replaces had one). */
+    * no table at all (the delete-then-rename it replaces had one) —
+    * and [[recoverSwap]] at the head of every caller turns the
+    * live-missing/`__old`-present state back into the old table. */
   private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       livePath: String, tmpPath: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -175,6 +216,7 @@ object Sinks {
     val spark = updates.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(fs, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       parquet(updates, path, Seq(partitionCol)); return
     }
@@ -222,7 +264,9 @@ object Sinks {
     require(cols.nonEmpty && cols.size <= 3 && bitsPerDim * cols.size <= 62)
     val nDims = cols.size
     val quantized = cols.map { case (c, lo, hi) =>
-      val scaled = (c.cast("double") - lo) / (hi - lo) * ((1 << bitsPerDim) - 1)
+      // 1L, not 1: Int << 31+ wraps and would zero the scale factor
+      // for the bitsPerDim the require() admits (r16 review finding)
+      val scaled = (c.cast("double") - lo) / (hi - lo) * ((1L << bitsPerDim) - 1)
       least(greatest(round(scaled, 0).cast("long"), lit(0L)),
         lit((1L << bitsPerDim) - 1))
     }
@@ -253,11 +297,34 @@ object Sinks {
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    // carry the Hive partition layout through the rewrite: a bare
+    // coalesce-write would FLATTEN `day=.../` dirs into data columns,
+    // killing partition pruning and corrupting a later
+    // upsertPartitioned (its per-partition swap would leave the old
+    // flat files in place next to the new dirs — duplicate rows; r16
+    // review finding). Walks one `k=v` dir per level.
+    val partCols = {
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      var cur = new org.apache.hadoop.fs.Path(path)
+      var descend = true
+      while (descend) {
+        val dirs = fs.listStatus(cur).filter(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+        if (dirs.isEmpty) descend = false
+        else {
+          buf += dirs.head.getPath.getName.split("=", 2)(0)
+          cur = dirs.head.getPath
+        }
+      }
+      buf.toList
+    }
+    val w = spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").option("compression", "zstd")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp)
     swapIn(fs, path, tmp)
   }
 
@@ -426,11 +493,20 @@ object Sinks {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** File paths RELATIVE to `dir` (partition subdirs included): a bare
+    * getName lost the `day=.../` prefix, making partitioned snapshots'
+    * file lists ambiguous and unresolvable for any manifest consumer
+    * (pruning, expire/GC verification — r16 review finding). */
   private def listFilesRec(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val base = fs.getFileStatus(dir).getPath.toUri.getPath.stripSuffix("/")
     val it = fs.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) buf += it.next().getPath.getName
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      buf += (if (p.startsWith(base + "/")) p.substring(base.length + 1)
+              else p.split('/').last)
+    }
     buf.toSeq
   }
 }

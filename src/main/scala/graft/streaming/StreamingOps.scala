@@ -51,7 +51,13 @@ object StreamingOps {
                 closed += SessionOut(uid, s.n, s.last - s.start, s.value)
                 cur = Some(SessionState(ts, ts, 1, v))
               case Some(s) =>
-                cur = Some(s.copy(last = ts, n = s.n + 1, value = s.value + v))
+                // max, not ts: a late-but-within-gap CROSS-batch event
+                // (per-batch sortBy only orders within the batch) must
+                // not regress `last` — a regressed cursor would later
+                // fake a gap and split the session (r16 review finding)
+                cur = Some(s.copy(start = math.min(s.start, ts),
+                  last = math.max(s.last, ts),
+                  n = s.n + 1, value = s.value + v))
               case None =>
                 cur = Some(SessionState(ts, ts, 1, v))
             }
@@ -95,7 +101,11 @@ object StreamingOps {
                   closed += SessionOut(uid, s.n, s.last - s.start, s.value)
                   cur = Some(SessionState(ts, ts, 1, v))
                 case Some(s) =>
-                  cur = Some(s.copy(last = ts, n = s.n + 1, value = s.value + v))
+                  // max, not ts — see sessionize() (cross-batch
+                  // within-watermark late events must not regress last)
+                  cur = Some(s.copy(start = math.min(s.start, ts),
+                    last = math.max(s.last, ts),
+                    n = s.n + 1, value = s.value + v))
                 case None =>
                   cur = Some(SessionState(ts, ts, 1, v))
               }
@@ -319,6 +329,31 @@ object StreamingOps {
     * — without it the within-batch survivor is shuffle-order luck, and
     * the converged stream would not replay to the batch operator's
     * keep-first answer. */
+
+  /** Per-partition MIN-id collapse: one surviving row per `keyCol`
+    * value, the row with the smallest `idCol` (ids totally ordered —
+    * shuffle-order-independent). THE implementation behind both
+    * [[dedupStream]]'s per-content-hash collapse and nearDupImpl's
+    * per-band collapse (previously two hand-rolled copies — r16 review
+    * finding, the SegmentedManifest drift argument). Input must be
+    * repartitioned BY `keyCol` first so a key never spans partitions;
+    * memory is O(distinct keys per partition) — streaming can't sort. */
+  private def collapseMinBy(df: DataFrame, keyCol: String,
+      idCol: String): DataFrame = {
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val best = scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.Row]
+      it.foreach { r =>
+        val k = r.getString(keyIdx)
+        val keep = best.get(k).forall(cur =>
+          r.get(idIdx).asInstanceOf[Comparable[Any]].compareTo(cur.get(idIdx)) < 0)
+        if (keep) best(k) = r
+      }
+      best.valuesIterator
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
   def dedupStream(docs: DataFrame, idCol: String = "doc_id",
       tsCol: String = "ts", textCol: String = "text",
       watermark: String = "1 hour"): DataFrame = {
@@ -326,18 +361,7 @@ object StreamingOps {
       .withColumn("content_hash",
         graft.functions.TextFns.contentHashMd5(col(textCol)))
       .repartition(col("content_hash"))
-    val hIdx = clustered.schema.fieldIndex("content_hash")
-    val idIdx = clustered.schema.fieldIndex(idCol)
-    val collapsed = clustered.mapPartitions { it =>
-      val best = scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.Row]
-      it.foreach { r =>
-        val h = r.getString(hIdx)
-        val keep = best.get(h).forall(cur =>
-          r.get(idIdx).asInstanceOf[Comparable[Any]].compareTo(cur.get(idIdx)) < 0)
-        if (keep) best(h) = r
-      }
-      best.valuesIterator
-    }(org.apache.spark.sql.Encoders.row(clustered.schema))
+    val collapsed = collapseMinBy(clustered, "content_hash", idCol)
     collapsed
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
@@ -422,18 +446,7 @@ object StreamingOps {
         (if (carryRows) Seq(col("__row")) else Nil): _*)
       .withColumn("__band", explode(col("__bands")))
       .repartition(col("__band"))
-    val bandIdx = banded.schema.fieldIndex("__band")
-    val idIdx = banded.schema.fieldIndex(idCol)
-    val collapsed = banded.mapPartitions { it =>
-      val best = scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.Row]
-      it.foreach { r =>
-        val b = r.getString(bandIdx)
-        val keep = best.get(b).forall(cur =>
-          r.get(idIdx).asInstanceOf[Comparable[Any]].compareTo(cur.get(idIdx)) < 0)
-        if (keep) best(b) = r
-      }
-      best.valuesIterator
-    }(org.apache.spark.sql.Encoders.row(banded.schema))
+    val collapsed = collapseMinBy(banded, "__band", idCol)
     val aggCols = Seq(first(col("__bands")).as("__bands")) ++
       (if (carryRows) Seq(first(col("__row")).as("__row")) else Nil)
     val survivors = collapsed
@@ -452,9 +465,10 @@ object StreamingOps {
   * rows and rec/s collected from the engine's own progress events (no
   * extra jobs), reference framework/metrics throughput reporting for
   * the continuous path. Attach with `spark.streams.addListener`. */
-class StreamingMetricsListener
+class StreamingMetricsListener(maxBatches: Int = 10000)
     extends org.apache.spark.sql.streaming.StreamingQueryListener {
   import org.apache.spark.sql.streaming.StreamingQueryListener._
+  require(maxBatches >= 1, "maxBatches must be >= 1")
 
   /** `stageRows` carries the per-stage funnel counts of this batch when
     * the query was built with [[graft.pipeline.Pipeline.observedStream]]
@@ -463,9 +477,16 @@ class StreamingMetricsListener
       inputRows: Long, recPerSec: Double, batchMs: Long,
       stageRows: Seq[(String, Long)] = Seq.empty)
 
+  // bounded ring: an always-on 1 s-trigger stream emits ~86k batches a
+  // day, and an unbounded queue is a driver memory leak (r16 review
+  // finding). [[batches]]/[[report]] cover the retained window;
+  // [[stageTotals]] rolls up incrementally and covers EVERY batch.
   private val batchBuf =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
+  private val totals =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
+  /** The retained (last `maxBatches`) batch rows. */
   def batches: Seq[BatchMetrics] = {
     import scala.jdk.CollectionConverters._
     batchBuf.iterator().asScala.toSeq
@@ -480,25 +501,23 @@ class StreamingMetricsListener
       case (name, row) if name.startsWith("graft_stage_") =>
         name.stripPrefix("graft_stage_") -> row.getAs[Long]("n")
     }.sortBy(_._1).map { case (n, v) => n.replaceFirst("^\\d+_", "") -> v }
+    totals.synchronized {
+      stages.foreach { case (n, v) =>
+        totals.update(n, totals.getOrElse(n, 0L) + v)
+      }
+    }
     batchBuf.add(BatchMetrics(
       Option(p.name).getOrElse(p.id.toString), p.batchId,
       p.numInputRows, p.processedRowsPerSecond, p.batchDuration, stages))
+    while (batchBuf.size > maxBatches) batchBuf.poll()
   }
 
-  /** Funnel totals across all recorded batches, in pipeline order —
-    * feed to [[graft.pipeline.Pipeline.formatReport]] or
+  /** Funnel totals across ALL batches ever recorded (not just the
+    * retained window), in pipeline order — feed to
+    * [[graft.pipeline.Pipeline.formatReport]] or
     * [[graft.pipeline.MetricsSink.fromFunnel]] for persistence. */
-  def stageTotals: Seq[(String, Long)] = {
-    val perBatch = batches.map(_.stageRows).filter(_.nonEmpty)
-    if (perBatch.isEmpty) Seq.empty
-    else perBatch.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-      .sortBy { case (name, _) =>
-        perBatch.head.indexWhere(_._1 == name) match {
-          case -1 => Int.MaxValue
-          case i => i
-        }
-      }
-  }
+  def stageTotals: Seq[(String, Long)] =
+    totals.synchronized { totals.toSeq }
 
   /** Reference-style throughput summary over the recorded batches. */
   def report: String = {

@@ -431,6 +431,65 @@ class SourcesSpec extends SparkSpec {
     assert(ShardedLoader.progress(spark, stateDir, shard).offset == 12)
   }
 
+  test("a swap torn between swapIn's renames recovers: no table loss on the next upsert") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_tornswap").toString
+    val path = s"$dir/t"
+    Sinks.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path, Seq("id"))
+    // simulate the crash window: live renamed to __old, tmp never landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // the next upsert must RECOVER the old table, then merge — without
+    // recovery it would write updates-only and delete __old (full loss)
+    Sinks.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), path, Seq("id"))
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+    // compact on a torn table likewise recovers instead of throwing
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    Sinks.compact(spark, path)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSet == got)
+  }
+
+  test("compact preserves a Hive partition layout (and pruning)") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_cpart").toString
+    val path = s"$dir/t"
+    val df = (1L to 40L).map(i => (i, s"d${i % 3}", s"v$i")).toDF("id", "day", "v")
+    Sinks.parquet(df, path, partitionBy = Seq("day"))
+    Sinks.compact(spark, path, targetFileMB = 1)
+    // partition dirs survive the rewrite
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("day=d0", "day=d1", "day=d2"), dirs)
+    assert(spark.read.parquet(path).count() == 40)
+    // and a later upsertPartitioned stays duplicate-free
+    Sinks.upsertPartitioned(
+      Seq((1L, "d1", "V1")).toDF("id", "day", "v"), path, Seq("id"), "day")
+    val rows = spark.read.parquet(path).as[(Long, String, String)].collect()
+    assert(rows.length == 40)
+    assert(rows.count(_._1 == 1L) == 1)
+  }
+
+  test("zvalue stays sane at wide bit widths (no Int shift wrap)") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq((0.0, 0.0), (50.0, 50.0), (100.0, 100.0)).toDF("x", "y")
+    val z = df.select(Sinks.zvalue(
+        Seq((col("x"), 0.0, 100.0), (col("y"), 0.0, 100.0)),
+        bitsPerDim = 31).as("z"))
+      .as[Long].collect()
+    // a wrapped scale factor made every z 0; distinct + monotone now
+    assert(z.distinct.length == 3 && z.sorted.toSeq == z.toSeq, z.toSeq)
+  }
+
   test("orc roundtrip") {
     val sq = spark
     import sq.implicits._

@@ -189,4 +189,38 @@ class StreamingEquivalenceSpec extends SparkSpec {
       assert(kept.forall(_._1 < 100000000L), "a second-batch copy survived")
     } finally q.stop()
   }
+
+  test("C5: a late-but-within-gap cross-batch event never regresses the session cursor") {
+    // r16 review finding: s.copy(last = ts) on an out-of-order
+    // CROSS-batch event pulled the cursor back, faking a gap later.
+    // user 7: 10:00 (batch 1), 9:50 late (batch 2, within the 30-min
+    // gap), 10:25 (batch 3 — 25 min after the TRUE last event, so the
+    // session must stay open), closer at 12:00 (batch 4).
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val base = 1700000000000000L // us
+    def m(min: Long) = base + min * 60000000L
+    spark.catalog.dropTempView("eq_late_sess")
+    val q = StreamingOps.sessionize(
+        mem.toDF().toDF("user_id", "ts_us", "value")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.col("ts_us"))),
+        gapMinutes = 30)
+      .writeStream.format("memory").queryName("eq_late_sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((7L, m(0), 1.0))); q.processAllAvailable()
+      mem.addData(Seq((7L, m(-10), 1.0))); q.processAllAvailable() // late, within gap
+      mem.addData(Seq((7L, m(25), 1.0))); q.processAllAvailable()  // 25 < 30 min after m(0)
+      mem.addData(Seq((7L, m(120), 1.0))); q.processAllAvailable() // closes the session
+      val out = spark.table("eq_late_sess")
+        .select("user_id", "n_events", "duration_us")
+        .as[(Long, Long, Long)].collect()
+      // ONE closed session of all three merged events, spanning
+      // m(-10)..m(25) — a regressed cursor split it at m(25)
+      assert(out.toSeq == Seq((7L, 3L, 35L * 60000000L)), out.toSeq)
+    } finally q.stop()
+  }
 }
