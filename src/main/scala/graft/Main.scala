@@ -454,9 +454,11 @@ object Main {
       if (fs.exists(done))
         println(s"[graft] recrawl-ingest: bm25 $to already committed — skipping")
       else {
+        // bucket count read from the artifact's manifest (recorded at
+        // recrawl-init's buildIndex) — never from config at this point
         if (!spark.catalog.tableExists(s"${from}_manifest"))
-          bm.attachIndex(spark, from, from, buckets)
-        bm.refreshIndex(stable.select(idCol, textCol), from, to, buckets)
+          bm.attachIndex(spark, from, from)
+        bm.refreshIndex(stable.select(idCol, textCol), from, to)
         println(s"[graft] recrawl-ingest: bm25 $from -> $to")
       }
     }
@@ -520,16 +522,15 @@ object Main {
           s"${b}_v0", buckets)
       (b.toString, s"${b}_v0",
         (batch: org.apache.spark.sql.DataFrame, from: String, to: String) =>
-          bm.refreshIndex(batch.select(col(idCol), col(textCol)),
-            from, to, buckets))
+          bm.refreshIndex(batch.select(col(idCol), col(textCol)), from, to))
     }
     // fold the index's per-batch segments every N committed batches
-    // (streaming.bm25_compact_every, default 8; 0 disables)
+    // (streaming.bm25_compact_every, default 8; 0 disables); bucket
+    // count carries forward from the version's recorded layout
     val compact = index.map { _ =>
       val bm = graft.operators.text.Bm25(idCol = idCol, textCol = textCol)
-      val buckets = st.getOrElse("bm25_buckets", 8).toString.toInt
       (st.getOrElse("bm25_compact_every", 8).toString.toInt,
-        (from: String, to: String) => bm.compactIndex(spark, from, to, buckets))
+        (from: String, to: String) => bm.compactIndex(spark, from, to))
     }
     val t0 = System.nanoTime()
     val (q, live) = curation.start(in, outPath, ckpt, index, compact)
@@ -606,7 +607,14 @@ object Main {
       case i if i >= 0 && i + 1 < args.length => args(i + 1)
       case _ => s"${name}_m"
     }
-    val buckets = intFlag("--buckets", 8)
+    // NO default bucket count: the physical layout lives in the index
+    // manifest and the cron tick reads it from there (defaulting to 8
+    // against a 64-bucket build silently mis-pruned — r16 verdict #1);
+    // an explicit --buckets survives only as a fail-loud cross-check.
+    val buckets = args.indexOf("--buckets") match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1).toInt)
+      case _ => None
+    }
     val maxSegments = intFlag("--max-segments", 4)
     val decision = kind match {
       case "ivf" =>

@@ -78,7 +78,7 @@ object MmStreamProbe {
     val (q, live) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
       index = Some(("graft_mmsp_ivf", "graft_mmsp_ivf_v0",
         (b: org.apache.spark.sql.DataFrame, from: String, to: String) =>
-          ivf.refreshIndex(b, from, to, buckets = 8))),
+          ivf.refreshIndex(b, from, to))),
       project = surv => graft.operators.ml.TrainedEmbedding(surv)
         .select(col("doc_id").as("vec_id"), col("embedding")))
     val t1 = System.nanoTime()

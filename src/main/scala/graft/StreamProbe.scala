@@ -106,9 +106,9 @@ object StreamProbe {
     val (q, live) = sc.start(in, s"$tmp/out", s"$tmp/ckpt",
       index = Some(("graft_sp_bm", "graft_sp_bm_v0",
         (b: org.apache.spark.sql.DataFrame, from: String, to: String) =>
-          bm.refreshIndex(b.select("doc_id", "text"), from, to, buckets = 8))),
+          bm.refreshIndex(b.select("doc_id", "text"), from, to))),
       compact = Some((every,
-        (from: String, to: String) => bm.compactIndex(spark, from, to, 8))))
+        (from: String, to: String) => bm.compactIndex(spark, from, to))))
     val t1 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
     println(f"STREAMPROBE stream_total ${(System.nanoTime() - t1) / 1e9}%.1f s (${nb - 1} batches)")

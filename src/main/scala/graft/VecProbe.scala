@@ -187,10 +187,10 @@ object VecProbe {
       val vecs = allVec.limit(n).localCheckpoint(true)
       val docs = allDoc.limit(n).select("doc_id", "text").localCheckpoint(true)
       wall(s"ivf_build_n$n")(
-        ivf.buildIndex(vecs, cents, s"graft_rfp_ivf_${n}_v0", buckets = 64))
+        ivf.buildIndex(vecs, cents, s"graft_rfp_ivf_${n}_v0"))
       wall(s"ivf_refresh_n${n}_b$batchN")(
         ivf.refreshIndex(vecBatch, s"graft_rfp_ivf_${n}_v0",
-          s"graft_rfp_ivf_${n}_v1", buckets = 64))
+          s"graft_rfp_ivf_${n}_v1"))
       val q = vecs.limit(100)
       wall(s"ivf_serve_n$n")(
         ivf.searchIndexed(spark, s"graft_rfp_ivf_${n}_v1", q,
@@ -199,7 +199,7 @@ object VecProbe {
         bm.buildIndex(docs, s"graft_rfp_bm_${n}_v0", buckets = 32))
       wall(s"bm25_refresh_n${n}_b$batchN")(
         bm.refreshIndex(docBatch, s"graft_rfp_bm_${n}_v0",
-          s"graft_rfp_bm_${n}_v1", buckets = 32))
+          s"graft_rfp_bm_${n}_v1"))
       val queries = docs.limit(50)
         .select(col("doc_id").as("query_id"),
           substring(col("text"), 1, 40).as("text"))
@@ -210,10 +210,10 @@ object VecProbe {
     val top = sizes.max
     wall(s"ivf_compact_n$top")(
       ivf.compactIndex(spark, s"graft_rfp_ivf_${top}_v1",
-        s"graft_rfp_ivf_${top}_vz", buckets = 64))
+        s"graft_rfp_ivf_${top}_vz"))
     wall(s"bm25_compact_n$top")(
       bm.compactIndex(spark, s"graft_rfp_bm_${top}_v1",
-        s"graft_rfp_bm_${top}_vz", buckets = 32))
+        s"graft_rfp_bm_${top}_vz"))
     spark.stop()
   }
 
@@ -258,14 +258,14 @@ object VecProbe {
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
       .localCheckpoint(true)
     wall(s"build_half_n$n")(
-      ivf.buildIndex(half, cents, s"graft_rbp_v0", buckets = 64))
+      ivf.buildIndex(half, cents, s"graft_rbp_v0"))
     wall(s"refresh_drifted_n$n")(
-      ivf.refreshIndex(drifted, "graft_rbp_v0", "graft_rbp_v1", buckets = 64))
+      ivf.refreshIndex(drifted, "graft_rbp_v0", "graft_rbp_v1"))
     val trips = wall("needs_rebuild_monitor")(
       ivf.needsRebuild(spark, "graft_rbp_v1"))
     println(s"REBUILD trigger_fires $trips")
     wall(s"rebuild_retrain_n$n")(
-      ivf.rebuildIndex(spark, "graft_rbp_v1", "graft_rbp_v2", buckets = 64,
+      ivf.rebuildIndex(spark, "graft_rbp_v1", "graft_rbp_v2", buckets = Some(64),
         // bounded Lloyd budget: 2 iterations move the centroids into
         // the merged distribution; more buys quality, not plan shape
         train = Some((pop, k) => KMeansOps.fit(pop, k, maxIter = 2))))

@@ -114,6 +114,18 @@ case class Bm25(
     * so serving computes exact global BM25 from segment tables. */
   private def segTables = Seq("postings", "vocab", "lens", "stats")
 
+  /** The index's physical layout at `buckets` — recorded in every
+    * manifest this index writes, so attach/refresh/compact read the
+    * bucket count (and each table kind's cluster/sort cols) from the
+    * ARTIFACT instead of trusting a flag (the r16 silent-mis-pruning
+    * trap: attaching a 64-bucket build as `INTO 8 BUCKETS`). */
+  private def indexLayout(buckets: Int): graft.sources.IndexLayout =
+    graft.sources.IndexLayout(buckets, Seq(
+      ("postings", Seq("term"), Seq("term")),
+      ("vocab", Seq("term"), Seq("term")),
+      ("lens", Seq(idCol), Nil),
+      ("stats", Nil, Nil)))
+
   /** Drop a version of this name — its manifest and the segment this
     * version OWNS (`<name>_seg_*`); segments inherited from older
     * versions are shared and never touched. Crash-residue clearing and
@@ -134,10 +146,12 @@ case class Bm25(
   private[graft] def segments(spark: org.apache.spark.sql.SparkSession,
       name: String): Seq[String] = manifestSegs(spark, name).map(_._1)
 
-  /** The manifest IS the commit record — written last, single file. */
+  /** The manifest IS the commit record — written last, single file,
+    * carrying the version's physical layout. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      name: String, segs: Seq[(String, Int)]): Unit =
-    graft.sources.SegmentedManifest.write(spark, name, segs)
+      name: String, segs: Seq[(String, Int)], buckets: Int): Unit =
+    graft.sources.SegmentedManifest.write(spark, name, segs,
+      Some(indexLayout(buckets)))
 
   /** One immutable segment from `docs` — the only tokenize pass those
     * documents ever pay. */
@@ -181,18 +195,22 @@ case class Bm25(
     * original index's files are never rewritten and dropping attached
     * tables never deletes them. */
   def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
-      as: String, buckets: Int = 8): Unit = {
-    import graft.sources.SegmentedManifest.{attachTable, attachVersion}
+      as: String, buckets: Option[Int] = None): Unit = {
+    import graft.sources.SegmentedManifest.{attachTable, attachVersion, readFilesLayout, resolveBuckets}
+    // the physical layout travels WITH the artifact: bucket count and
+    // per-table cluster/sort cols come from the manifest the files were
+    // committed with; an explicit `buckets` only cross-checks
+    val layout = readFilesLayout(spark, dirOfName)
+    val b = resolveBuckets(layout, buckets, s"bm25 attach $dirOfName")
+    def cols(suffix: String, cc: Seq[String], sc: Seq[String]) =
+      layout.map(_.colsFor(suffix, cc, sc)).getOrElse((cc, sc))
     // alias-manifest resolvability (original segment prefixes, not
     // catalog-only alias names) is attachVersion's contract
     attachVersion(spark, dirOfName, as) { seg =>
-      attachTable(spark, s"${seg}_postings", s"${seg}_postings",
-        Seq("term"), Seq("term"), buckets)
-      attachTable(spark, s"${seg}_vocab", s"${seg}_vocab",
-        Seq("term"), Seq("term"), buckets)
-      attachTable(spark, s"${seg}_lens", s"${seg}_lens",
-        Seq(idCol), Nil, buckets)
-      attachTable(spark, s"${seg}_stats", s"${seg}_stats")
+      for (t <- segTables; (cc, sc) = cols(t,
+          if (t == "lens") Seq(idCol) else if (t == "stats") Nil else Seq("term"),
+          if (t == "postings" || t == "vocab") Seq("term") else Nil))
+        attachTable(spark, s"${seg}_$t", s"${seg}_$t", cc, sc, b)
     }
     ()
   }
@@ -201,7 +219,7 @@ case class Bm25(
     val spark = docs.sparkSession
     dropIndexTables(spark, name)
     writeSegment(docs, s"${name}_seg", buckets)
-    writeManifest(spark, name, Seq((s"${name}_seg", 0)))
+    writeManifest(spark, name, Seq((s"${name}_seg", 0)), buckets)
   }
 
   /** Roll a persisted index forward with a NEW batch of documents (ids
@@ -220,16 +238,22 @@ case class Bm25(
     * one per refresh; fold with [[compactIndex]] on the same schedule
     * as B26's `compact-index`. */
   def refreshIndex(newDocs: DataFrame, name: String, newName: String,
-      buckets: Int = 8): Unit = {
+      buckets: Option[Int] = None): Unit = {
     require(newName != name,
       "refresh writes a new index version; flip readers after the write")
     val spark = newDocs.sparkSession
+    // the new segment MUST be written at the old segments' bucket
+    // count (mixed counts would break every merged bucketed read) —
+    // read it from the artifact, cross-check any explicit flag
+    val b = graft.sources.SegmentedManifest.resolveBuckets(
+      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+      s"bm25 refresh $name")
     val old = manifestSegs(spark, name)
     dropIndexTables(spark, newName)
-    writeSegment(newDocs, s"${newName}_seg", buckets)
+    writeSegment(newDocs, s"${newName}_seg", b)
     writeManifest(spark, newName,
       old :+ ((s"${newName}_seg",
-        graft.sources.SegmentedManifest.nextGen(old))))
+        graft.sources.SegmentedManifest.nextGen(old))), b)
   }
 
   /** Fold a version's segments into ONE segment under `newName` — the
@@ -240,31 +264,34 @@ case class Bm25(
     * doc sets ⇒ Σ df is exact, but the groupBy form needs no driver
     * arithmetic), lens union, stats add. Old versions stay intact. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
-      newName: String, buckets: Int = 8): Unit = {
+      newName: String, buckets: Option[Int] = None): Unit = {
     require(newName != name,
       "compaction writes a new index version; flip readers after the write")
     import graft.sources.Sinks.bucketedTable
+    val b = graft.sources.SegmentedManifest.resolveBuckets(
+      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+      s"bm25 compact $name")
     val segs = segments(spark, name)
     dropIndexTables(spark, newName)
     val seg = s"${newName}_seg"
     bucketedTable(
       segs.map(s => spark.table(s"${s}_postings")).reduce(_ unionByName _)
-        .repartition(buckets, col("term")),
-      s"${seg}_postings", Seq("term"), buckets, Seq("term"))
+        .repartition(b, col("term")),
+      s"${seg}_postings", Seq("term"), b, Seq("term"))
     bucketedTable(
       spark.table(s"${seg}_postings").groupBy("term")
-        .agg(count(lit(1)).as("df")).repartition(buckets, col("term")),
-      s"${seg}_vocab", Seq("term"), buckets, Seq("term"))
+        .agg(count(lit(1)).as("df")).repartition(b, col("term")),
+      s"${seg}_vocab", Seq("term"), b, Seq("term"))
     bucketedTable(
       segs.map(s => spark.table(s"${s}_lens")).reduce(_ unionByName _)
-        .repartition(buckets, col(idCol)),
-      s"${seg}_lens", Seq(idCol), buckets)
+        .repartition(b, col(idCol)),
+      s"${seg}_lens", Seq(idCol), b)
     segs.map(s => spark.table(s"${s}_stats")).reduce(_ unionByName _)
       .agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${seg}_stats")
-    writeManifest(spark, newName, Seq((seg, 0)))
+    writeManifest(spark, newName, Seq((seg, 0)), b)
   }
 
   /** [[search]] against a [[buildIndex]]-persisted index — identical

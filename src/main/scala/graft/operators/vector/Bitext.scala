@@ -75,7 +75,13 @@ case class MarginBitextMiner(
     * candidate pairs never drags them into one sort partition. When
     * `cands` is the full cross product this is exactly [[margins]]
     * (BitextSpec pins the equivalence). */
-  def marginsFromCandidates(cands: DataFrame): DataFrame = {
+  def marginsFromCandidates(candsRaw: DataFrame): DataFrame = {
+    // multi-band LSH and IVF multi-probe (the generators named above)
+    // emit the same (x_id, y_id) pair once per colliding band/cell; a
+    // repeated pair would double-count in the neighborhood means and
+    // occupy two top-k slots, skewing margins vs [[margins]] (r16
+    // advice). cos is a pure function of the pair, so keep-any is safe.
+    val cands = candsRaw.dropDuplicates("x_id", "y_id")
     val fwd = graft.operators.TopK.perGroup(cands,
       group = Seq(col("x_id")),
       order = Seq(col("cos").desc, col("y_id").asc),

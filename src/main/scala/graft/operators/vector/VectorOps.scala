@@ -221,9 +221,17 @@ case class IvfIndex(
       name: String): Seq[(String, Int)] =
     graft.sources.SegmentedManifest.read(spark, name)
 
+  /** The index's physical layout at `buckets` — recorded in every
+    * manifest (attach/refresh/compact read the bucket count from the
+    * ARTIFACT, not a flag; see [[graft.sources.IndexLayout]]). */
+  private def indexLayout(buckets: Int): graft.sources.IndexLayout =
+    graft.sources.IndexLayout(buckets,
+      Seq(("cells", Seq("centroid_id"), Seq("centroid_id"))))
+
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      name: String, segs: Seq[(String, Int)]): Unit =
-    graft.sources.SegmentedManifest.write(spark, name, segs)
+      name: String, segs: Seq[(String, Int)], buckets: Int): Unit =
+    graft.sources.SegmentedManifest.write(spark, name, segs,
+      Some(indexLayout(buckets)))
 
   /** One immutable cells segment: `vecs` assigned to the given frozen
     * centroids, bucketed by centroid_id so probed-cell reads
@@ -262,7 +270,7 @@ case class IvfIndex(
         col("cvec"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_centroids")
-    writeManifest(spark, name, Seq((s"${name}_seg", 0)))
+    writeManifest(spark, name, Seq((s"${name}_seg", 0)), buckets)
   }
 
   /** Re-register a [[buildIndex]]-written IVF index in a FRESH
@@ -273,16 +281,22 @@ case class IvfIndex(
     * catalog declaration. Segments re-attach under their own
     * (manifest-recorded) names if absent. */
   def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
-      as: String, buckets: Int = 8): Unit = {
-    import graft.sources.SegmentedManifest.{attachTable, attachVersion}
+      as: String, buckets: Option[Int] = None): Unit = {
+    import graft.sources.SegmentedManifest.{attachTable, attachVersion, readFilesLayout, resolveBuckets}
+    // physical layout from the artifact's own manifest; an explicit
+    // `buckets` only cross-checks (contradiction fails loudly)
+    val layout = readFilesLayout(spark, dirOfName)
+    val b = resolveBuckets(layout, buckets, s"ivf attach $dirOfName")
+    val (cc, sc) = layout.map(_.colsFor("cells",
+        Seq("centroid_id"), Seq("centroid_id")))
+      .getOrElse((Seq("centroid_id"), Seq("centroid_id")))
     // the centroids table is per-VERSION (not per-segment) — attached
     // here, outside the shared per-segment loop
     attachTable(spark, s"${as}_centroids", s"${dirOfName}_centroids")
     // alias-manifest resolvability (original segment prefixes, not
     // catalog-only alias names) is attachVersion's contract
     attachVersion(spark, dirOfName, as) { seg =>
-      attachTable(spark, s"${seg}_cells", s"${seg}_cells",
-        Seq("centroid_id"), Seq("centroid_id"), buckets)
+      attachTable(spark, s"${seg}_cells", s"${seg}_cells", cc, sc, b)
     }
     ()
   }
@@ -303,19 +317,24 @@ case class IvfIndex(
     * version byte-for-byte intact. Fold segments with
     * [[compactIndex]]. */
   def refreshIndex(newVecs: DataFrame, name: String, newName: String,
-      buckets: Int = 8): Unit = {
+      buckets: Option[Int] = None): Unit = {
     require(newName != name,
       "refresh writes a new index version; flip readers after the write")
     val spark = newVecs.sparkSession
+    // new segment at the OLD segments' recorded bucket count (mixed
+    // counts would break merged bucketed reads); flag cross-checks only
+    val b = graft.sources.SegmentedManifest.resolveBuckets(
+      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+      s"ivf refresh $name")
     val old = segments(spark, name)
     val centroids = spark.table(s"${name}_centroids")
     dropIndexTables(spark, newName)
-    writeCellsSegment(newVecs, centroids, s"${newName}_seg", buckets)
+    writeCellsSegment(newVecs, centroids, s"${newName}_seg", b)
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${newName}_centroids")
     writeManifest(spark, newName,
       old :+ ((s"${newName}_seg",
-        graft.sources.SegmentedManifest.nextGen(old))))
+        graft.sources.SegmentedManifest.nextGen(old))), b)
   }
 
   /** Fold a version's cells segments into ONE segment under `newName`
@@ -324,22 +343,25 @@ case class IvfIndex(
     * re-assignment: the persisted (id, centroid_id, vector) rows union
     * and re-bucket. Old versions stay intact. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, name: String,
-      newName: String, buckets: Int = 8): Unit = {
+      newName: String, buckets: Option[Int] = None): Unit = {
     require(newName != name,
       "compaction writes a new index version; flip readers after the write")
     import graft.sources.Sinks.bucketedTable
+    val b = graft.sources.SegmentedManifest.resolveBuckets(
+      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+      s"ivf compact $name")
     val segs = segments(spark, name)
     val centroids = spark.table(s"${name}_centroids")
     dropIndexTables(spark, newName)
     bucketedTable(
       segs.map { case (s, _) => spark.table(s"${s}_cells") }
         .reduce(_ unionByName _)
-        .repartition(buckets, col("centroid_id")),
-      s"${newName}_seg_cells", Seq("centroid_id"), buckets,
+        .repartition(b, col("centroid_id")),
+      s"${newName}_seg_cells", Seq("centroid_id"), b,
       Seq("centroid_id"))
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${newName}_centroids")
-    writeManifest(spark, newName, Seq((s"${newName}_seg", 0)))
+    writeManifest(spark, newName, Seq((s"${newName}_seg", 0)), b)
   }
 
   /** Staleness of a rolled-forward index (round-14 verdict #4):
@@ -416,12 +438,17 @@ case class IvfIndex(
     * [[needsRebuild]] at compaction boundaries → [[compactIndex]] when
     * healthy, rebuildIndex when drifted. */
   def rebuildIndex(spark: org.apache.spark.sql.SparkSession, name: String,
-      newName: String, buckets: Int = 8,
+      newName: String, buckets: Option[Int] = None,
       train: Option[(DataFrame, Int) => DataFrame] = None,
       trainRows: Long = 200000L): Unit = {
     require(newName != name,
       "rebuild writes a new index version; flip readers after the write")
     require(trainRows >= 1, "trainRows must be positive")
+    // a rebuild is a full rewrite, so an explicit count is a legitimate
+    // NEW layout choice (no contradiction check); absent a flag the old
+    // version's recorded layout carries forward
+    val b = buckets.getOrElse(graft.sources.SegmentedManifest
+      .readLayout(spark, name).map(_.buckets).getOrElse(8))
     val pop = segments(spark, name)
       .map { case (s, _) => spark.table(s"${s}_cells") }
       .reduce(_ unionByName _)
@@ -438,7 +465,7 @@ case class IvfIndex(
       }
     val cents = train.getOrElse((df: DataFrame, kk: Int) =>
       KMeansOps.fit(df, kk, idCol = idCol, vecCol = vecCol))(trainSet, k)
-    buildIndex(pop, cents, newName, buckets)
+    buildIndex(pop, cents, newName, b)
   }
 
   /** [[topK]] against a [[buildIndex]]-persisted index — identical

@@ -162,14 +162,14 @@ object MultimodalQueries {
       }.toDF("centroid_id", "cvec")
       ivf.buildIndex(s.range(0).select(col("id").as("vec_id"),
           lit(null).cast("array<float>").as("embedding")),
-        centroids, s"${base}_v0", buckets = 4)
+        centroids, s"${base}_v0")
       val sm = graft.streaming.StreamingMultimodal(s"$tmp/state")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val (q, _) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
           index = Some((base, s"${base}_v0",
-            (b, from, to) => ivf.refreshIndex(b, from, to, buckets = 4))),
+            (b, from, to) => ivf.refreshIndex(b, from, to))),
           project = surv => graft.operators.ml.TrainedEmbedding(surv)
             .select(col("doc_id").as("vec_id"), col("embedding")))
         try q.processAllAvailable() finally q.stop()

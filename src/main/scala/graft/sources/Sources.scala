@@ -298,6 +298,12 @@ object Sinks {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, path)
+    // a torn upsertPartitioned leaves `<part>__old` dirs INSIDE the
+    // root; reading without healing them first would bake the garbage
+    // copy into the compacted table as a bogus "X__old" partition
+    // value (r16 advice). Safe on non-partitioned roots — it only
+    // matches `__old`-suffixed dirs.
+    recoverPartitionSwaps(fs, path)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     val tmp = path.stripSuffix("/") + "__compact_tmp"

@@ -59,11 +59,30 @@ case class StreamingMultimodal(stateRoot: String) {
       empty: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) empty
-    else scala.util.Try(
-        spark.read.parquet(dir).filter(col("batch") < id).drop("batch"))
-      .getOrElse(empty)
+    // ONLY the nothing-committed states read as empty. A blanket
+    // Try(...).getOrElse(empty) here would also swallow a corrupt
+    // footer or transient FS error at batch N>1, silently probing an
+    // "empty" index and admitting every cross-batch duplicate (r16
+    // verdict "what's wrong" #2) — so a dir that HAS data files reads
+    // un-caught and a real IO error fails the micro-batch (the stream's
+    // retry machinery handles failed batches; silent wrong answers
+    // don't).
+    if (!fs.exists(p) || !hasDataFiles(fs, p)) empty
+    else spark.read.parquet(dir).filter(col("batch") < id).drop("batch")
   }
+
+  /** True iff `p` holds at least one non-hidden, non-empty file at any
+    * depth — the committer-residue discriminator: a kill during the
+    * very first batch leaves the dir (and maybe `_temporary`/markers)
+    * with no data file, which is semantically "nothing committed". */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) false
+      else if (st.isDirectory) hasDataFiles(fs, st.getPath)
+      else st.getLen > 0
+    }
 
   /** Start the loop: per-batch idempotent survivor partitions under
     * `outPath`, the three signature indexes rolled forward under

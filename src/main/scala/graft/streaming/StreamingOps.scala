@@ -483,6 +483,10 @@ class StreamingMetricsListener(maxBatches: Int = 10000)
   // [[stageTotals]] rolls up incrementally and covers EVERY batch.
   private val batchBuf =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
+  // ConcurrentLinkedQueue.size is O(n); tracking the length here keeps
+  // the per-event trim O(1) instead of a 10k-node walk per progress
+  // event on an always-on 1 s trigger (r16 advice).
+  private val batchCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val totals =
     scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
@@ -509,7 +513,9 @@ class StreamingMetricsListener(maxBatches: Int = 10000)
     batchBuf.add(BatchMetrics(
       Option(p.name).getOrElse(p.id.toString), p.batchId,
       p.numInputRows, p.processedRowsPerSecond, p.batchDuration, stages))
-    while (batchBuf.size > maxBatches) batchBuf.poll()
+    batchCount.incrementAndGet()
+    while (batchCount.get > maxBatches && batchBuf.poll() != null)
+      batchCount.decrementAndGet()
   }
 
   /** Funnel totals across ALL batches ever recorded (not just the

@@ -23,7 +23,7 @@ class BucketedSearchSpec extends SparkSpec {
 
   test("searchIndexed reproduces search exactly from the persisted tables") {
     val bm = Bm25()
-    bm.buildIndex(docs, "graft_bm25_spec", buckets = 4)
+    bm.buildIndex(docs, "graft_bm25_spec")
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "doc_id", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet
@@ -33,15 +33,15 @@ class BucketedSearchSpec extends SparkSpec {
 
   test("refreshIndex: rolled-forward index ≡ full rebuild; old version intact") {
     val bm = Bm25()
-    bm.buildIndex(docs.filter($"doc_id" <= 3), "graft_bm25_r0", buckets = 4)
+    bm.buildIndex(docs.filter($"doc_id" <= 3), "graft_bm25_r0")
     val oldRows = bm.searchIndexed(spark, "graft_bm25_r0", q, k = 5)
       .collect().toSet
     bm.refreshIndex(docs.filter($"doc_id" > 3), "graft_bm25_r0",
-      "graft_bm25_r1", buckets = 4)
+      "graft_bm25_r1")
     def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
       .select("query_id", "doc_id", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet
-    bm.buildIndex(docs, "graft_bm25_full", buckets = 4)
+    bm.buildIndex(docs, "graft_bm25_full")
     assert(rows("graft_bm25_r1") == rows("graft_bm25_full"))
     // a crashed refresh can never corrupt the live index: v0 unchanged
     assert(bm.searchIndexed(spark, "graft_bm25_r0", q, k = 5)
@@ -57,13 +57,13 @@ class BucketedSearchSpec extends SparkSpec {
 
   test("compactIndex folds segments into one; results unchanged") {
     val bm = Bm25()
-    bm.buildIndex(docs.filter($"doc_id" <= 2), "graft_bm25_c0", buckets = 4)
+    bm.buildIndex(docs.filter($"doc_id" <= 2), "graft_bm25_c0")
     bm.refreshIndex(docs.filter($"doc_id" === 3), "graft_bm25_c0",
-      "graft_bm25_c1", buckets = 4)
+      "graft_bm25_c1")
     bm.refreshIndex(docs.filter($"doc_id" > 3), "graft_bm25_c1",
-      "graft_bm25_c2", buckets = 4)
+      "graft_bm25_c2")
     assert(bm.segments(spark, "graft_bm25_c2").size == 3)
-    bm.compactIndex(spark, "graft_bm25_c2", "graft_bm25_cz", buckets = 4)
+    bm.compactIndex(spark, "graft_bm25_c2", "graft_bm25_cz")
     assert(bm.segments(spark, "graft_bm25_cz").size == 1)
     def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
       .select("query_id", "doc_id", "score", "rnk")
@@ -75,7 +75,7 @@ class BucketedSearchSpec extends SparkSpec {
 
   test("postings ⋈ vocab on the persisted index is Exchange- and Sort-free") {
     val bm = Bm25()
-    bm.buildIndex(docs, "graft_bm25_plan", buckets = 4)
+    bm.buildIndex(docs, "graft_bm25_plan")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // sorted-bucket scans only expose their ordering behind this flag
@@ -99,8 +99,8 @@ class BucketedSearchSpec extends SparkSpec {
 
   test("attachIndex re-registers the on-disk index, merge join stays Exchange-free") {
     val bm = Bm25()
-    bm.buildIndex(docs, "graft_bm25_att", buckets = 4)
-    bm.attachIndex(spark, "graft_bm25_att", "graft_bm25_att2", buckets = 4)
+    bm.buildIndex(docs, "graft_bm25_att")
+    bm.attachIndex(spark, "graft_bm25_att", "graft_bm25_att2")
     def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
       .select("query_id", "doc_id", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet
@@ -122,15 +122,21 @@ class BucketedSearchSpec extends SparkSpec {
     // entries — what a new session faces), attach, and serve; the
     // attached external tables carry the re-declared bucketing
     val conf = spark.sparkContext.hadoopConfiguration
-    for (t <- Seq("postings", "vocab", "lens", "stats"))
+    // clear leftover destinations first: the warehouse persists across
+    // sbt runs and FileUtil.copy into an existing dir nests under the
+    // previous run's stale files
+    for (t <- Seq("postings", "vocab", "lens", "stats")) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$wh/graft_bm25_att7_seg_$t"), true)
       org.apache.hadoop.fs.FileUtil.copy(fs,
         new org.apache.hadoop.fs.Path(s"$wh/graft_bm25_att_seg_$t"), fs,
         new org.apache.hadoop.fs.Path(s"$wh/graft_bm25_att7_seg_$t"),
         false, conf)
+    }
     spark.read.parquet(s"$wh/graft_bm25_att_manifest")
-      .selectExpr("'graft_bm25_att7_seg' AS seg", "gen").coalesce(1)
+      .selectExpr("'graft_bm25_att7_seg' AS seg", "gen", "layout").coalesce(1)
       .write.mode("overwrite").parquet(s"$wh/graft_bm25_att7_manifest")
-    bm.attachIndex(spark, "graft_bm25_att7", "graft_bm25_att7", buckets = 4)
+    bm.attachIndex(spark, "graft_bm25_att7", "graft_bm25_att7")
     assert(rows("graft_bm25_att7") == rows("graft_bm25_att"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -160,8 +166,8 @@ class BucketedSearchSpec extends SparkSpec {
     val junk = fs.create(new org.apache.hadoop.fs.Path(p, "part-junk.parquet"), true)
     junk.write("residue".getBytes("UTF-8")); junk.close()
     val bm = Bm25()
-    bm.buildIndex(docs, "graft_bm25_att3", buckets = 4)
-    bm.attachIndex(spark, "graft_bm25_att3", "graft_bm25_att4", buckets = 4)
+    bm.buildIndex(docs, "graft_bm25_att3")
+    bm.attachIndex(spark, "graft_bm25_att3", "graft_bm25_att4")
     def rows(name: String) = bm.searchIndexed(spark, name, q, k = 5)
       .select("query_id", "doc_id", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet

@@ -645,11 +645,13 @@ class ConfigSpec extends SparkSpec {
       .toDF("doc_id", "text")
     bm.buildIndex(docs0, "graft_im_bm_a", buckets = 2)
     bm.refreshIndex(Seq((11L, "theta iota kappa")).toDF("doc_id", "text"),
-      "graft_im_bm_a", "graft_im_bm_b", buckets = 2)
+      "graft_im_bm_a", "graft_im_bm_b")
+    // NO --buckets flag: the cron tick reads the physical layout from
+    // the index's own manifest (recorded at buildIndex)
     assert(Main.runIndexMaintain(spark, "bm25", "graft_im_bm_b",
-      Array("--max-segments", "4", "--buckets", "2")).startsWith("healthy"))
+      Array("--max-segments", "4")).startsWith("healthy"))
     assert(Main.runIndexMaintain(spark, "bm25", "graft_im_bm_b",
-      Array("--max-segments", "1", "--to", "graft_im_bm_c", "--buckets", "2"))
+      Array("--max-segments", "1", "--to", "graft_im_bm_c"))
       .startsWith("compact"))
     // the folded version serves identically
     val q = Seq((0L, "alpha kappa")).toDF("query_id", "text")
@@ -670,14 +672,20 @@ class ConfigSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     ivf.buildIndex(base, cents, "graft_im_ivf_a", buckets = 2)
     // healthy first: no refreshed rows at all
+    // an explicit flag MATCHING the recorded layout passes the
+    // cross-check; a contradicting one must fail loudly
     assert(Main.runIndexMaintain(spark, "ivf", "graft_im_ivf_a",
       Array("--max-segments", "4", "--buckets", "2")).startsWith("healthy"))
+    assertThrows[IllegalArgumentException] {
+      Main.runIndexMaintain(spark, "ivf", "graft_im_ivf_a",
+        Array("--max-segments", "4", "--buckets", "8"))
+    }
     // flood axis-0: growth 20/2 = 10 > 4 -> rebuild
     val flood = (100 until 120).map(i => (i.toLong, axis(0, i)))
       .toDF("vec_id", "embedding")
-    ivf.refreshIndex(flood, "graft_im_ivf_a", "graft_im_ivf_b", buckets = 2)
+    ivf.refreshIndex(flood, "graft_im_ivf_a", "graft_im_ivf_b")
     val d = Main.runIndexMaintain(spark, "ivf", "graft_im_ivf_b",
-      Array("--max-segments", "4", "--buckets", "2",
+      Array("--max-segments", "4",
         "--to", "graft_im_ivf_r", "--train-rows", "1000"))
     assert(d.startsWith("rebuild"), d)
     // the rebuilt version indexes the full population, all gen-0

@@ -18,11 +18,11 @@ class IndexStreamSpec extends SparkSpec {
     val bm = Bm25()
     val d0 = Seq((1L, "apple banana plum"), (2L, "cherry apple words here"))
       .toDF("doc_id", "text")
-    bm.buildIndex(d0, "graft_bm25s_v0", buckets = 4)
+    bm.buildIndex(d0, "graft_bm25s_v0")
     val mem = MemoryStream[(Long, String)]
     val (writer, live) = StreamingOps.indexMaintenance(
       mem.toDF().toDF("doc_id", "text"), "graft_bm25s", "graft_bm25s_v0",
-      (batch, from, to) => bm.refreshIndex(batch, from, to, buckets = 4))
+      (batch, from, to) => bm.refreshIndex(batch, from, to))
     val ckpt = java.nio.file.Files.createTempDirectory("bm25s_ckpt").toString
     val q = writer.option("checkpointLocation", ckpt).start()
     try {
@@ -35,7 +35,7 @@ class IndexStreamSpec extends SparkSpec {
       (3L, "durian and a tail of words"),
       (4L, "apple apple banana"),
       (5L, "cherry banana durian")).toDF("doc_id", "text"))
-    bm.buildIndex(all, "graft_bm25s_full", buckets = 4)
+    bm.buildIndex(all, "graft_bm25s_full")
     val queries = Seq((10L, "apple cherry"), (11L, "durian banana"))
       .toDF("query_id", "text")
     def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
@@ -53,12 +53,12 @@ class IndexStreamSpec extends SparkSpec {
     StreamingOps.clearIndexLog(spark, "graft_bm25sc")
     val bm = Bm25()
     val d0 = Seq((1L, "apple banana plum")).toDF("doc_id", "text")
-    bm.buildIndex(d0, "graft_bm25sc_v0", buckets = 4)
+    bm.buildIndex(d0, "graft_bm25sc_v0")
     val mem = MemoryStream[(Long, String)]
     val (writer, live) = StreamingOps.indexMaintenance(
       mem.toDF().toDF("doc_id", "text"), "graft_bm25sc", "graft_bm25sc_v0",
-      (batch, from, to) => bm.refreshIndex(batch, from, to, buckets = 4),
-      compact = Some((2, (from, to) => bm.compactIndex(spark, from, to, 4))))
+      (batch, from, to) => bm.refreshIndex(batch, from, to),
+      compact = Some((2, (from, to) => bm.compactIndex(spark, from, to))))
     val ckpt = java.nio.file.Files.createTempDirectory("bm25sc_ckpt").toString
     val q = writer.option("checkpointLocation", ckpt).start()
     try {
@@ -76,7 +76,7 @@ class IndexStreamSpec extends SparkSpec {
       (2L, "cherry apple words here"),
       (3L, "durian and a tail of words"),
       (4L, "apple apple banana")).toDF("doc_id", "text"))
-    bm.buildIndex(all, "graft_bm25sc_full", buckets = 4)
+    bm.buildIndex(all, "graft_bm25sc_full")
     val queries = Seq((10L, "apple cherry"), (11L, "durian banana"))
       .toDF("query_id", "text")
     def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
@@ -96,14 +96,14 @@ class IndexStreamSpec extends SparkSpec {
     val bm = Bm25()
     val d0 = Seq((1L, "apple banana plum"), (2L, "cherry apple words here"))
       .toDF("doc_id", "text")
-    bm.buildIndex(d0, "graft_bm25rc_v0", buckets = 4)
+    bm.buildIndex(d0, "graft_bm25rc_v0")
     val b0 = Seq((3L, "durian and a tail of words"))
     val b1 = Seq((4L, "apple apple banana"), (5L, "cherry banana durian"))
     def run(batches: Seq[Seq[(Long, String)]]): String = {
       val mem = MemoryStream[(Long, String)]
       val (writer, live) = StreamingOps.indexMaintenance(
         mem.toDF().toDF("doc_id", "text"), "graft_bm25rc", "graft_bm25rc_v0",
-        (batch, from, to) => bm.refreshIndex(batch, from, to, buckets = 4))
+        (batch, from, to) => bm.refreshIndex(batch, from, to))
       val ckpt = java.nio.file.Files.createTempDirectory("bm25rc_ckpt").toString
       val q = writer.option("checkpointLocation", ckpt).start()
       try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
@@ -120,7 +120,7 @@ class IndexStreamSpec extends SparkSpec {
     val b2 = Seq((6L, "plum words and a new tail"))
     assert(run(Seq(b0, b1, b2)) == "graft_bm25rc_v3")
     val all = d0.unionByName((b0 ++ b1 ++ b2).toDF("doc_id", "text"))
-    bm.buildIndex(all, "graft_bm25rc_full", buckets = 4)
+    bm.buildIndex(all, "graft_bm25rc_full")
     val queries = Seq((10L, "apple cherry"), (11L, "durian plum"))
       .toDF("query_id", "text")
     def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
@@ -141,11 +141,11 @@ class IndexStreamSpec extends SparkSpec {
     }.toDF("centroid_id", "cvec")
     val base = (0 until 12).map(i => (i.toLong, vec(i % 4, i / 4)))
       .toDF("vec_id", "embedding")
-    ivf.buildIndex(base, centroids, "graft_ivfs_v0", buckets = 4)
+    ivf.buildIndex(base, centroids, "graft_ivfs_v0")
     val mem = MemoryStream[(Long, Array[Float])]
     val (writer, live) = StreamingOps.indexMaintenance(
       mem.toDF().toDF("vec_id", "embedding"), "graft_ivfs", "graft_ivfs_v0",
-      (batch, from, to) => ivf.refreshIndex(batch, from, to, buckets = 4))
+      (batch, from, to) => ivf.refreshIndex(batch, from, to))
     val ckpt = java.nio.file.Files.createTempDirectory("ivfs_ckpt").toString
     val q = writer.option("checkpointLocation", ckpt).start()
     val extra = (12 until 24).map(i => (i.toLong, vec(i % 4, i / 4)))
@@ -156,7 +156,7 @@ class IndexStreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val all = base.unionByName(extra.toDF("vec_id", "embedding"))
-    ivf.buildIndex(all, centroids, "graft_ivfs_full", buckets = 4)
+    ivf.buildIndex(all, centroids, "graft_ivfs_full")
     val queries = all.filter($"vec_id" < 4)
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
       k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
@@ -180,14 +180,14 @@ class IndexStreamSpec extends SparkSpec {
     }.toDF("centroid_id", "cvec")
     val base = (0 until 8).map(i => (i.toLong, vec(i % 2, i / 2)))
       .toDF("vec_id", "embedding")
-    ivf.buildIndex(base, centroids, "graft_ivfr_v0", buckets = 4)
+    ivf.buildIndex(base, centroids, "graft_ivfr_v0")
     val mem = MemoryStream[(Long, Array[Float])]
     val escalate = (from: String, to: String) =>
-      if (ivf.needsRebuild(spark, from)) ivf.rebuildIndex(spark, from, to, buckets = 4)
-      else ivf.compactIndex(spark, from, to, buckets = 4)
+      if (ivf.needsRebuild(spark, from)) ivf.rebuildIndex(spark, from, to)
+      else ivf.compactIndex(spark, from, to)
     val (writer, live) = StreamingOps.indexMaintenance(
       mem.toDF().toDF("vec_id", "embedding"), "graft_ivfr", "graft_ivfr_v0",
-      (batch, from, to) => ivf.refreshIndex(batch, from, to, buckets = 4),
+      (batch, from, to) => ivf.refreshIndex(batch, from, to),
       compact = Some((2, escalate)))
     val ckpt = java.nio.file.Files.createTempDirectory("ivfr_ckpt").toString
     val q = writer.option("checkpointLocation", ckpt).start()

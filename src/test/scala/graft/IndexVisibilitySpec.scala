@@ -60,7 +60,7 @@ class IndexVisibilitySpec extends SparkSpec {
     val bm = Bm25()
     val d0 = Seq((1L, "apple banana plum"), (2L, "cherry apple words here"),
       (3L, "plum cherry banana apple")).toDF("doc_id", "text")
-    bm.buildIndex(d0, "graft_vis_v1", buckets = 4)
+    bm.buildIndex(d0, "graft_vis_v1")
     val queries = Seq((10L, "apple cherry"), (11L, "plum banana"))
       .toDF("query_id", "text")
     def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
@@ -71,13 +71,13 @@ class IndexVisibilitySpec extends SparkSpec {
     assert(snap.nonEmpty)
     val batch = Seq((4L, "apple apple banana"), (5L, "cherry plum durian"))
       .toDF("doc_id", "text")
-    bm.refreshIndex(batch, "graft_vis_v1", "graft_vis_v2", buckets = 4)
+    bm.refreshIndex(batch, "graft_vis_v1", "graft_vis_v2")
     // old version: same files (path+len+mtime), same results
     assert(fileSnapshot(bm25Dirs("graft_vis_v1")) == snap,
       "refresh touched the old version's data files")
     assert(rows("graft_vis_v1") == before)
     // new version: indistinguishable from a from-scratch build
-    bm.buildIndex(d0.unionByName(batch), "graft_vis_full", buckets = 4)
+    bm.buildIndex(d0.unionByName(batch), "graft_vis_full")
     assert(rows("graft_vis_v2") == rows("graft_vis_full"))
   }
 
@@ -85,7 +85,7 @@ class IndexVisibilitySpec extends SparkSpec {
     val bm = Bm25()
     val d0 = Seq((1L, "apple banana plum"), (2L, "cherry apple words"))
       .toDF("doc_id", "text")
-    bm.buildIndex(d0, "graft_torn_v1", buckets = 4)
+    bm.buildIndex(d0, "graft_torn_v1")
     StreamingOps.clearIndexLog(spark, "graft_torn")
     StreamingOps.writeIndexCommit(spark, "graft_torn", 0L, "graft_torn_v1")
     // simulate a crash MID-refresh into v2: the new segment's postings
@@ -111,12 +111,12 @@ class IndexVisibilitySpec extends SparkSpec {
     // the retry rebuilds v2 under the SAME name: refresh drops the torn
     // target first, then the commit record flips the pointer
     val batch = Seq((3L, "durian words apple")).toDF("doc_id", "text")
-    bm.refreshIndex(batch, "graft_torn_v1", "graft_torn_v2", buckets = 4)
+    bm.refreshIndex(batch, "graft_torn_v1", "graft_torn_v2")
     StreamingOps.writeIndexCommit(spark, "graft_torn", 1L, "graft_torn_v2")
     val (live2, _) =
       StreamingOps.recoverIndexState(spark, "graft_torn", "unused_fallback")
     assert(live2 == "graft_torn_v2")
-    bm.buildIndex(d0.unionByName(batch), "graft_torn_full", buckets = 4)
+    bm.buildIndex(d0.unionByName(batch), "graft_torn_full")
     def rows(name: String) = bm.searchIndexed(spark, name, queries, k = 5)
       .select("query_id", "doc_id", "score", "rnk")
       .as[(Long, Long, Double, Int)].collect().toSet
@@ -136,7 +136,7 @@ class IndexVisibilitySpec extends SparkSpec {
       (a, Array.tabulate(8)(j => if (j == a) 1.0 else 0.0)))
       .toDF("centroid_id", "cvec")
     ivf.buildIndex(corpus.filter($"vec_id" < 20), centroids,
-      "graft_vis_ivf_v1", buckets = 4)
+      "graft_vis_ivf_v1")
     val queries = corpus.filter($"vec_id" < 4)
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
         k = 3, nprobe = 2)
@@ -145,11 +145,11 @@ class IndexVisibilitySpec extends SparkSpec {
     val snap = fileSnapshot(ivfDirs("graft_vis_ivf_v1"))
     assert(snap.nonEmpty)
     ivf.refreshIndex(corpus.filter($"vec_id" >= 20),
-      "graft_vis_ivf_v1", "graft_vis_ivf_v2", buckets = 4)
+      "graft_vis_ivf_v1", "graft_vis_ivf_v2")
     assert(fileSnapshot(ivfDirs("graft_vis_ivf_v1")) == snap,
       "refresh touched the old IVF version's data files")
     assert(rows("graft_vis_ivf_v1") == before)
-    ivf.buildIndex(corpus, centroids, "graft_vis_ivf_full", buckets = 4)
+    ivf.buildIndex(corpus, centroids, "graft_vis_ivf_full")
     assert(rows("graft_vis_ivf_v2") == rows("graft_vis_ivf_full"))
   }
 }

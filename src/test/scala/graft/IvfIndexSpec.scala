@@ -26,7 +26,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("searchIndexed reproduces topK exactly from the persisted tables") {
     val ivf = IvfIndex()
-    ivf.buildIndex(corpus, centroids, "graft_ivf_spec", buckets = 4)
+    ivf.buildIndex(corpus, centroids, "graft_ivf_spec")
     val queries = corpus.filter($"vec_id" < 6)
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .as[(Long, Long, Double, Int)].collect().toSet
@@ -37,7 +37,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("query batch bucket-prunes the cells scan to its probed cells") {
     val ivf = IvfIndex()
-    ivf.buildIndex(corpus, centroids, "graft_ivf_prune", buckets = 4)
+    ivf.buildIndex(corpus, centroids, "graft_ivf_prune")
     // a single query vector probing 1 cell: only that cell's bucket
     // should be selected by the scan
     val one = corpus.filter($"vec_id" === 0L)
@@ -53,13 +53,13 @@ class IvfIndexSpec extends SparkSpec {
   test("refreshIndex: rolled-forward index ≡ full rebuild; old version intact") {
     val ivf = IvfIndex()
     ivf.buildIndex(corpus.filter($"vec_id" < 20), centroids,
-      "graft_ivf_v0", buckets = 4)
+      "graft_ivf_v0")
     val queries = corpus.filter($"vec_id" < 4)
     val oldRows = ivf.searchIndexed(spark, "graft_ivf_v0", queries,
       k = 3, nprobe = 2).collect().toSet
     ivf.refreshIndex(corpus.filter($"vec_id" >= 20),
-      "graft_ivf_v0", "graft_ivf_v1", buckets = 4)
-    ivf.buildIndex(corpus, centroids, "graft_ivf_full", buckets = 4)
+      "graft_ivf_v0", "graft_ivf_v1")
+    ivf.buildIndex(corpus, centroids, "graft_ivf_full")
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
       k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
     assert(rows("graft_ivf_v1") == rows("graft_ivf_full"))
@@ -73,10 +73,10 @@ class IvfIndexSpec extends SparkSpec {
 
   test("attachIndex re-registers the on-disk index with bucket pruning intact") {
     val ivf = IvfIndex()
-    ivf.buildIndex(corpus, centroids, "graft_ivf_att", buckets = 4)
+    ivf.buildIndex(corpus, centroids, "graft_ivf_att")
     // a fresh session would have no catalog entry for the files on
     // disk; attaching under a NEW name exercises exactly that path
-    ivf.attachIndex(spark, "graft_ivf_att", "graft_ivf_att2", buckets = 4)
+    ivf.attachIndex(spark, "graft_ivf_att", "graft_ivf_att2")
     val queries = corpus.filter($"vec_id" < 4)
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
       k = 3, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
@@ -94,6 +94,11 @@ class IvfIndexSpec extends SparkSpec {
         s"$wh/${r.getString(0).toLowerCase}_cells")), r.getString(0))
     }
     val conf = spark.sparkContext.hadoopConfiguration
+    // the warehouse dir persists across sbt runs: FileUtil.copy into a
+    // leftover destination NESTS the copy under stale files written by
+    // a previous run's layout — clear destinations first
+    for (d <- Seq("graft_ivf_att8_seg_cells", "graft_ivf_att8_centroids"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$d"), true)
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att_seg_cells"), fs,
       new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att8_seg_cells"), false, conf)
@@ -101,9 +106,9 @@ class IvfIndexSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att_centroids"), fs,
       new org.apache.hadoop.fs.Path(s"$wh/graft_ivf_att8_centroids"), false, conf)
     spark.read.parquet(s"$wh/graft_ivf_att_manifest")
-      .selectExpr("'graft_ivf_att8_seg' AS seg", "gen").coalesce(1)
+      .selectExpr("'graft_ivf_att8_seg' AS seg", "gen", "layout").coalesce(1)
       .write.mode("overwrite").parquet(s"$wh/graft_ivf_att8_manifest")
-    ivf.attachIndex(spark, "graft_ivf_att8", "graft_ivf_att8", buckets = 4)
+    ivf.attachIndex(spark, "graft_ivf_att8", "graft_ivf_att8")
     assert(rows("graft_ivf_att8") == rows("graft_ivf_att"))
     val plan = ivf.searchIndexed(spark, "graft_ivf_att8",
       corpus.filter($"vec_id" === 0L), k = 3, nprobe = 1)
@@ -122,14 +127,14 @@ class IvfIndexSpec extends SparkSpec {
   test("compactIndex folds cells segments into one; results unchanged") {
     val ivf = IvfIndex()
     ivf.buildIndex(corpus.filter($"vec_id" < 15), centroids,
-      "graft_ivf_cp0", buckets = 4)
+      "graft_ivf_cp0")
     ivf.refreshIndex(corpus.filter($"vec_id" >= 15 && $"vec_id" < 30),
-      "graft_ivf_cp0", "graft_ivf_cp1", buckets = 4)
+      "graft_ivf_cp0", "graft_ivf_cp1")
     ivf.refreshIndex(corpus.filter($"vec_id" >= 30),
-      "graft_ivf_cp1", "graft_ivf_cp2", buckets = 4)
+      "graft_ivf_cp1", "graft_ivf_cp2")
     assert(ivf.segments(spark, "graft_ivf_cp2").map(_._1) ==
       Seq("graft_ivf_cp0_seg", "graft_ivf_cp1_seg", "graft_ivf_cp2_seg"))
-    ivf.compactIndex(spark, "graft_ivf_cp2", "graft_ivf_cpz", buckets = 4)
+    ivf.compactIndex(spark, "graft_ivf_cp2", "graft_ivf_cpz")
     assert(ivf.segments(spark, "graft_ivf_cpz").size == 1)
     val queries = corpus.filter($"vec_id" < 4)
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
@@ -143,9 +148,9 @@ class IvfIndexSpec extends SparkSpec {
     // build on axes 0-1 only, then refresh with a DRIFTED batch: axis-2
     // and axis-3 vectors that land in cells the build never populated
     ivf.buildIndex(corpus.filter($"vec_id" % 4 < 2), centroids,
-      "graft_ivf_st0", buckets = 4)
+      "graft_ivf_st0")
     ivf.refreshIndex(corpus.filter($"vec_id" % 4 >= 2),
-      "graft_ivf_st0", "graft_ivf_st1", buckets = 4)
+      "graft_ivf_st0", "graft_ivf_st1")
     val rep = ivf.stalenessReport(spark, "graft_ivf_st1")
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
@@ -157,9 +162,9 @@ class IvfIndexSpec extends SparkSpec {
     // re-roll of build-distribution data would not
     assert(ivf.needsRebuild(spark, "graft_ivf_st1"))
     ivf.buildIndex(corpus.filter($"vec_id" % 4 < 2), centroids,
-      "graft_ivf_st2", buckets = 4)
+      "graft_ivf_st2")
     ivf.refreshIndex(corpus.filter($"vec_id" % 4 === 0), // same cells, same shape
-      "graft_ivf_st2", "graft_ivf_st3", buckets = 4)
+      "graft_ivf_st2", "graft_ivf_st3")
     assert(!ivf.needsRebuild(spark, "graft_ivf_st3"))
   }
 
@@ -168,11 +173,11 @@ class IvfIndexSpec extends SparkSpec {
     // the staleness fixture: build on axes 0-1, drifted roll-forward
     // with axes 2-3 → the trigger fires
     ivf.buildIndex(corpus.filter($"vec_id" % 4 < 2), centroids,
-      "graft_ivf_rb0", buckets = 4)
+      "graft_ivf_rb0")
     ivf.refreshIndex(corpus.filter($"vec_id" % 4 >= 2),
-      "graft_ivf_rb0", "graft_ivf_rb1", buckets = 4)
+      "graft_ivf_rb0", "graft_ivf_rb1")
     assert(ivf.needsRebuild(spark, "graft_ivf_rb1"))
-    ivf.rebuildIndex(spark, "graft_ivf_rb1", "graft_ivf_rb2", buckets = 4)
+    ivf.rebuildIndex(spark, "graft_ivf_rb1", "graft_ivf_rb2")
     // re-trained version: every row is gen-0 again, trigger clear
     assert(!ivf.needsRebuild(spark, "graft_ivf_rb2"))
     assert(ivf.segments(spark, "graft_ivf_rb2").map(_._2) == Seq(0))
@@ -197,7 +202,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("index serves queries that are not corpus rows") {
     val ivf = IvfIndex()
-    ivf.buildIndex(corpus, centroids, "graft_ivf_ext", buckets = 4)
+    ivf.buildIndex(corpus, centroids, "graft_ivf_ext")
     val external = Seq((1000L, vec(2, 3))).toDF("vec_id", "embedding")
     val got = ivf.searchIndexed(spark, "graft_ivf_ext", external,
       k = 3, nprobe = 1).as[(Long, Long, Double, Int)].collect()

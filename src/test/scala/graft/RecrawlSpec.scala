@@ -135,10 +135,10 @@ class RecrawlSpec extends SparkSpec {
     assert(surv.select("vec_id").as[Long].collect().toSet == Set(11L))
     // IVF index rolls forward with the surviving delta only
     val ivf = IvfIndex()
-    ivf.buildIndex(oldV, centroids, "graft_rc_ivf_v0", buckets = 4)
-    ivf.refreshIndex(surv, "graft_rc_ivf_v0", "graft_rc_ivf_v1", buckets = 4)
+    ivf.buildIndex(oldV, centroids, "graft_rc_ivf_v0")
+    ivf.refreshIndex(surv, "graft_rc_ivf_v0", "graft_rc_ivf_v1")
     val day2Corpus = oldV.unionByName(surv)
-    ivf.buildIndex(day2Corpus, centroids, "graft_rc_ivf_full", buckets = 4)
+    ivf.buildIndex(day2Corpus, centroids, "graft_rc_ivf_full")
     val queries = day2Corpus
     def rows(name: String) = ivf.searchIndexed(spark, name, queries,
       k = 2, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet

@@ -41,7 +41,7 @@ class StreamingCurationSpec extends SparkSpec {
     val (q, live) = sc.start(docs, s"$tmp/out", s"$tmp/ckpt",
       index = Some(("graft_sc_bm25", "graft_sc_bm25_v0",
         (b: DataFrame, from: String, to: String) =>
-          bm.refreshIndex(b.select("doc_id", "text"), from, to, buckets = 4))))
+          bm.refreshIndex(b.select("doc_id", "text"), from, to))))
     val batch1 = Seq(
       (1L, t(0), "alpha beta gamma delta epsilon words flow here"),
       (2L, t(1), "alpha beta gamma delta epsilon words flow here"), // exact dup

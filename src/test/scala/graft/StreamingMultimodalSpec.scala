@@ -52,7 +52,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     val sm = StreamingMultimodal(s"$tmp/state")
     val (q, live) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
       index = Some((base, s"${base}_v0",
-        (b, from, to) => ivf.refreshIndex(b, from, to, buckets = 4))),
+        (b, from, to) => ivf.refreshIndex(b, from, to))),
       project = embOf)
     try q.processAllAvailable() finally q.stop()
 
@@ -94,5 +94,67 @@ class StreamingMultimodalSpec extends SparkSpec {
         spark.table(s"${s0}_cells") }.reduce(_ unionByName _)
         .select("vec_id", "centroid_id").as[(Long, Int)].collect().toSet
     assert(cells(live.get.get) == cells(s"${base}_full"))
+  }
+
+  private def smallInput() = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    MultimodalQueries.preppedInput(docs).limit(60).localCheckpoint()
+  }
+
+  private def stageSource(tmp: String,
+      inp: org.apache.spark.sql.DataFrame): String = {
+    val srcDir = s"$tmp/src"
+    inp.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    srcDir
+  }
+
+  test("a corrupt signature-index file FAILS the micro-batch — " +
+      "never a silent empty-index probe that admits duplicates") {
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_smm_corrupt").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val srcDir = stageSource(tmp, smallInput())
+    // a READABLE dir holding a garbage parquet footer where the phash
+    // index lives — a corruption/transient-IO scenario, NOT the
+    // committer residue (the dir HAS a non-empty data file). Pre-r17
+    // the blanket Try(...).getOrElse(empty) read this as "no index",
+    // silently admitting every cross-batch duplicate.
+    fs.mkdirs(new Path(s"$tmp/state/phash/batch=0"))
+    val bad = fs.create(new Path(s"$tmp/state/phash/batch=0/part-00000.parquet"), true)
+    bad.write("definitely not a parquet footer".getBytes("UTF-8"))
+    bad.close()
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    val sm = StreamingMultimodal(s"$tmp/state")
+    val (q, _) = sm.start(in, s"$tmp/out", s"$tmp/ckpt")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the failed batch committed NOTHING (a retry will re-run it)
+    assert(!fs.exists(new Path(s"$tmp/out/batch=0")))
+  }
+
+  test("first-batch committer residue (dir, no data files) still reads as empty") {
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_smm_residue").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val srcDir = stageSource(tmp, smallInput())
+    // what a kill during the very first batch's index write leaves:
+    // the dir exists, a _temporary committer dir and a zero-length
+    // part file exist, but nothing was committed
+    fs.mkdirs(new Path(s"$tmp/state/phash/_temporary/0"))
+    fs.create(new Path(s"$tmp/state/phash/part-empty.parquet"), true).close()
+    fs.mkdirs(new Path(s"$tmp/state/audio"))
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    val sm = StreamingMultimodal(s"$tmp/state")
+    val (q, _) = sm.start(in, s"$tmp/out", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() > 0)
   }
 }
