@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * r15 segmented-index O(batch) contract). Nothing re-decodes old
   * media; the only corpus-proportional term is the narrow hash scan.
   *
-  * {{{ graft.MmStreamProbe <sfDir> <n> <batches> }}}
+  * {{{ graft.MmStreamProbe <sfDir> <n> <batches> [width] [compactEvery] [skew] }}}
+  *
+  * `compactEvery` folds the signature state's `batch=` partitions on
+  * that schedule (default 4, 0 disables); `skew` floods that fraction
+  * of every batch with one byte-identical payload (the adversarial
+  * ubiquitous-frame case — per-batch walls must stay in the flat band).
   */
 object MmStreamProbe {
   def main(args: Array[String]): Unit = {
@@ -36,11 +41,22 @@ object MmStreamProbe {
     // dense re-key (the StreamProbe staging discipline) + the
     // multimodal input shape; duplicate-heavy by construction (docs1m
     // replicates 20× per group), so the signature indexes absorb ~95%
+    // adversarial skew (arg 6, fraction in [0,1)): that share of EVERY
+    // batch collides into one byte-identical media payload — the
+    // ubiquitous-frame / identical-hash flood. The claim under test:
+    // the per-batch exact-collapse-first discipline caps the skew key
+    // before any banded join, so the flooded batch stays in the flat
+    // wall band instead of dragging one hash family into one task.
+    val skewPct = (if (args.length > 5) args(5).toDouble else 0.0) * 100.0
     val docs = ScaleProbe.docs1m(spark, dir).limit(n)
       .select(col("doc_id").as("src_id"), col("source"), col("text"))
       .withColumn("doc_id", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("src_id"))
         .cast("long") - 1L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(100)) < lit(skewPct),
+          lit("UBIQUITOUS FRAME the one payload every crawler sees " * 4))
+          .otherwise(col("text")))
       .select(col("doc_id"), col("source"), col("text"),
         col("text").as("video_src"))
       .repartition(cpus).localCheckpoint(true)
@@ -74,21 +90,31 @@ object MmStreamProbe {
     val schema = spark.read.parquet(srcDir).schema
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // signature-state fold every 4 batches (arg 5; 0 disables): the
+    // always-on loop must BOUND its per-index partition count, not
+    // grow one tiny dir per micro-batch forever
+    val compactEvery = if (args.length > 4) args(4).toInt else 4
     val sm = StreamingMultimodal(s"$tmp/state")
     val (q, live) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
       index = Some(("graft_mmsp_ivf", "graft_mmsp_ivf_v0",
         (b: org.apache.spark.sql.DataFrame, from: String, to: String) =>
           ivf.refreshIndex(b, from, to))),
       project = surv => graft.operators.ml.TrainedEmbedding(surv)
-        .select(col("doc_id").as("vec_id"), col("embedding")))
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      compactEvery = compactEvery)
     val t1 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
-    println(f"MMSTREAMPROBE stream_total ${(System.nanoTime() - t1) / 1e9}%.1f s ($nb batches)")
+    println(f"MMSTREAMPROBE stream_total ${(System.nanoTime() - t1) / 1e9}%.1f s ($nb batches, skew ${skewPct / 100.0}%.2f)")
     listener.batches.sortBy(_.batchId).foreach { b =>
       println(f"MMSTREAMPROBE batch ${b.batchId}%3d ${b.inputRows}%8d rows ${b.batchMs / 1000.0}%7.1f s")
     }
     val out = spark.read.parquet(s"$tmp/out")
     println(s"MMSTREAMPROBE survivors ${out.count()} of $n  final_index ${live.map(_.get)}")
+    for (d <- Seq("phash", "audio", "video")) {
+      val parts = fs.listStatus(new Path(s"$tmp/state/$d"))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      println(s"MMSTREAMPROBE state_partitions $d $parts (of $nb batches, compact_every=$compactEvery)")
+    }
     spark.stop()
   }
 }

@@ -496,6 +496,46 @@ object OperatorRegistry {
         scoreCol = str(p, "score_field", "score"),
         idCol = str(p, "id_field", "doc_id"))(df))),
 
+    // CCNet perplexity bucketing as a selection stage (B67): bucket
+    // every doc into per-language head/middle/tail terciles under the
+    // corpus's own (pruned, max_vocab_per_lang) per-language LM and
+    // keep only `keep_buckets` (CCNet ships head[+middle]). The wide
+    // payload never shuffles: the bucketer emits a narrow (id, bucket)
+    // table that semi-joins back
+    "ccnet_bucket_filter" -> (p => RefineOp("ccnet_bucket_filter", { df =>
+      val idc = str(p, "id_field", "doc_id")
+      val keep = {
+        val k = strs(p, "keep_buckets")
+        if (k.nonEmpty) k else Seq("head", "middle")
+      }
+      val bk = graft.operators.text.CcnetBucketer(
+        idCol = idc,
+        textCol = str(p, "text_field", "text"),
+        langCol = str(p, "lang_field", "lang"),
+        maxVocabPerLang = int(p, "max_vocab_per_lang", 0),
+        oovAlpha = dbl(p, "oov_alpha", 1.0))
+      df.join(bk(df).filter(col("bucket").isin(keep: _*)).select(idc),
+        Seq(idc), "left_semi")
+    })),
+
+    // soft (reweighting) dedup as a refine stage (B75): keeps every
+    // row and attaches (sd_commonness, sd_weight) — duplicated content
+    // down-weighted by mean n-gram df^(-alpha) for the training
+    // sampler, instead of hard-dropped. Narrow (id, weight) join-back;
+    // the shingle stream is bounded by distinct n-grams, never pairwise
+    "soft_dedup_reweighter" -> (p => RefineOp("soft_dedup_reweighter", { df =>
+      val idc = str(p, "id_field", "doc_id")
+      val sd = graft.operators.dedup.SoftDedup(
+        n = int(p, "ngram", 3),
+        alpha = dbl(p, "alpha", 1.0),
+        idCol = idc,
+        textCol = str(p, "text_field", "text"))
+      df.join(sd.weights(df)
+          .withColumnRenamed("commonness", "sd_commonness")
+          .withColumnRenamed("weight", "sd_weight"),
+        Seq(idc))
+    })),
+
     // per-group FIXED quota (anti-spam domain cap): at most n rows per
     // group by a score column — the fixed-count sibling of
     // top_fraction_by_group

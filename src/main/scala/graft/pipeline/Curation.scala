@@ -31,16 +31,23 @@ package graft.pipeline
   *                                 the best-quality member per cluster
   *   9. decontaminator           — benchmark n-gram overlap drop
   *  10. top_fraction_by_group    — per-source top-fraction quality gate
-  *  11. training_shard_assigner  — deterministic (shard, pos) layout
+  *  11. ccnet_bucket_filter      — CCNet per-language perplexity
+  *                                 terciles under the pruned corpus LM
+  *                                 (B67); tail dropped
+  *  12. soft_dedup_reweighter    — SoftDedup (B75) sd_weight column for
+  *                                 the training sampler; drops nothing
+  *  13. training_shard_assigner  — deterministic (shard, pos) layout
   *
   * Scale shape: stages 1–6 are map-only (filters fuse into the scan
   * under whole-stage codegen); 7 is one narrow (hash, id) shuffle; 8 is
   * the banded LSH equi-join family (no all-pairs anywhere); 9 is a
   * broadcast semi-join (bench suites are small); 10 is the histogram
-  * percentile gate; 11 one narrow re-sort. Catalyst fuses the map-only
-  * prefix into a single pass — stage boundaries cost nothing until the
-  * first dedup shuffle, the opposite of the reference's per-stage actor
-  * batches.
+  * percentile gate; 11 one bounded pruned-LM join + histogram-CDF
+  * terciles (the payload semi-joins a narrow id set); 12 one
+  * distinct-n-gram df join-back; 13 one narrow re-sort. Catalyst fuses
+  * the map-only prefix into a single pass — stage boundaries cost
+  * nothing until the first dedup shuffle, the opposite of the
+  * reference's per-stage actor batches.
   */
 object CurationCapstone {
 
@@ -64,6 +71,10 @@ object CurationCapstone {
     "decontaminator" -> Map[String, Any]("benchmark_path" -> benchmarkPath),
     "top_fraction_by_group" -> Map[String, Any](
       "frac" -> 0.5, "score_field" -> "g_word_count"),
+    "ccnet_bucket_filter" -> Map[String, Any](
+      "keep_buckets" -> Seq("head", "middle"), "max_vocab_per_lang" -> 64),
+    "soft_dedup_reweighter" -> Map[String, Any](
+      "ngram" -> 3, "alpha" -> 1.0),
     "training_shard_assigner" -> Map[String, Any]("n_shards" -> 8))
 
   /** The capstone chain as a lazy [[Pipeline]]. */

@@ -88,6 +88,19 @@ object CurationQueries {
       CurationCapstone.pipeline(benchDir).funnelStaged(preppedInput(docs))
     }),
 
+    // the COMPOSED soft-dedup proof: stage 12's per-survivor
+    // (sd_commonness, sd_weight) — not just the funnel's flat count —
+    // gated against the same chain replay plus the B75 weight CTEs
+    // over the stage-11 survivors
+    "curation_softdedup_weights" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val benchDir = java.nio.file.Files
+        .createTempDirectory("graft_capstone_bench").toString
+      benchmarkFrame(docs).write.mode("overwrite").parquet(benchDir)
+      CurationCapstone.pipeline(benchDir)(preppedInput(docs))
+        .select(col("doc_id"), col("sd_commonness"), col("sd_weight"))
+    }),
+
     // the provenance twin: for EVERY input document, which stage of the
     // capstone dropped it (or 'kept') — the per-doc "why is my document
     // gone" audit next to the funnel's per-stage counts, gated against
@@ -268,7 +281,40 @@ object CurationQueries {
          |      count(*) OVER (PARTITION BY source) AS ng
          |    FROM s9) t
          |  WHERE rn <= CAST(ceil(ng * 0.5) AS BIGINT)),
-         |s10 AS MATERIALIZED (SELECT * FROM s10_)""".stripMargin
+         |s10 AS MATERIALIZED (SELECT * FROM s10_),
+         |ktoks AS MATERIALIZED (
+         |  SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS t
+         |  FROM s10 WHERE length(trim(text)) > 0),
+         |kcnt AS (SELECT lang, t, count(*) AS n FROM ktoks GROUP BY 1, 2),
+         |ktot AS (SELECT lang, sum(n) AS total FROM kcnt GROUP BY lang),
+         |kkept AS (
+         |  SELECT lang, t, n FROM (
+         |    SELECT lang, t, n,
+         |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, t ASC) AS r
+         |    FROM kcnt) WHERE r <= 64),
+         |klm AS (SELECT kkept.lang, t, ln(CAST(n AS DOUBLE) / total) AS logp
+         |        FROM kkept JOIN ktot ON kkept.lang IS NOT DISTINCT FROM ktot.lang),
+         |kfl AS (SELECT lang, ln(1.0 / total) AS fl FROM ktot),
+         |ksc AS MATERIALIZED (
+         |  SELECT ktoks.doc_id, ktoks.lang,
+         |    round(exp(-avg(coalesce(klm.logp, kfl.fl))), 4) AS pp
+         |  FROM ktoks
+         |  LEFT JOIN klm ON ktoks.lang IS NOT DISTINCT FROM klm.lang
+         |               AND ktoks.t = klm.t
+         |  JOIN kfl ON ktoks.lang IS NOT DISTINCT FROM kfl.lang
+         |  GROUP BY 1, 2),
+         |kcdf AS (SELECT lang, pp,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY pp) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS nl
+         |  FROM (SELECT lang, pp, count(*) AS c FROM ksc GROUP BY 1, 2)),
+         |kthr AS (SELECT lang,
+         |    min(CASE WHEN cum >= ceil(2.0 * nl / 3.0) THEN pp END) AS t2
+         |  FROM kcdf GROUP BY lang),
+         |s11 AS MATERIALIZED (
+         |  SELECT s10.* FROM s10 JOIN (
+         |    SELECT ksc.doc_id FROM ksc
+         |    JOIN kthr ON ksc.lang IS NOT DISTINCT FROM kthr.lang
+         |    WHERE ksc.pp <= kthr.t2) kk USING (doc_id))""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -285,17 +331,42 @@ object CurationQueries {
          |UNION ALL SELECT 8, 'quality_survivor_deduplicator', count(*) FROM s8
          |UNION ALL SELECT 9, 'decontaminator', count(*) FROM s9
          |UNION ALL SELECT 10, 'top_fraction_by_group', count(*) FROM s10
-         |UNION ALL SELECT 11, 'training_shard_assigner', count(*) FROM s10""".stripMargin),
+         |UNION ALL SELECT 11, 'ccnet_bucket_filter', count(*) FROM s11
+         |UNION ALL SELECT 12, 'soft_dedup_reweighter', count(*) FROM s11
+         |UNION ALL SELECT 13, 'training_shard_assigner', count(*) FROM s11""".stripMargin),
+
+    // stage 12's weights over the stage-11 survivors — the B75
+    // trigram-df formulas (DedupQueries soft_dedup_weights) replayed on
+    // the composed chain's corpus
+    "curation_softdedup_weights" ->
+      (chainSql + ",\n" +
+      s"""sg AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($normSql, ' ')) - 1, 1)),
+         |    i -> string_split($normSql, ' ')[CAST(i AS INT)] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 1] || ' ' ||
+         |         string_split($normSql, ' ')[CAST(i AS INT) + 2]))) AS g
+         |  FROM s11 WHERE len(string_split($normSql, ' ')) >= 3),
+         |sdfs AS (SELECT g, count(*) AS df FROM sg GROUP BY g),
+         |scom AS (
+         |  SELECT doc_id, round(avg(df), 6) AS c
+         |  FROM sg JOIN sdfs USING (g) GROUP BY doc_id)
+         |SELECT s11.doc_id,
+         |  coalesce(scom.c, 1.0) AS sd_commonness,
+         |  greatest(round(pow(coalesce(scom.c, 1.0), -1.0), 6),
+         |    0.000001) AS sd_weight
+         |FROM s11 LEFT JOIN scom ON s11.doc_id = scom.doc_id""".stripMargin),
 
     "curation_rejection_audit" -> {
-      // first-missing stage per input id; refine stages (1, 11) drop
-      // nothing by construction
+      // first-missing stage per input id; refine stages (1, 12, 13)
+      // drop nothing by construction
       val stages = Seq(
         (2, "s2", "url_deduplicator"), (3, "s3", "url_filter"),
         (4, "s4", "text_length_filter"), (5, "s5", "gopher_quality_filter"),
         (6, "s6", "c4_cleaner"), (7, "s7", "text_exact_deduplicator"),
         (8, "s8", "quality_survivor_deduplicator"), (9, "s9", "decontaminator"),
-        (10, "s10", "top_fraction_by_group"))
+        (10, "s10", "top_fraction_by_group"),
+        (11, "s11", "ccnet_bucket_filter"))
       val joins = stages.map { case (_, t, _) =>
         s"LEFT JOIN (SELECT doc_id FROM $t) $t ON i.doc_id = $t.doc_id"
       }.mkString("\n|")

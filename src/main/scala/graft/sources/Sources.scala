@@ -152,7 +152,7 @@ object Sinks {
     * Restores `__old` → live; live AND `__old` both present means the
     * crash hit after the commit rename, so `__old` is garbage. Every
     * swapIn caller runs this before READING the table. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
       livePath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(livePath)
@@ -169,7 +169,7 @@ object Sinks {
     * per-partition swaps place `<part>__old` next to `<part>`). Also
     * keeps partition discovery clean: a lingering `day=X__old` dir
     * would otherwise parse as partition value "X__old". */
-  private def recoverPartitionSwaps(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverPartitionSwaps(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(p))
@@ -187,7 +187,7 @@ object Sinks {
     * no table at all (the delete-then-rename it replaces had one) —
     * and [[recoverSwap]] at the head of every caller turns the
     * live-missing/`__old`-present state back into the old table. */
-  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       livePath: String, tmpPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(livePath)

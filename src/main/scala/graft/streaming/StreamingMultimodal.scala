@@ -67,8 +67,15 @@ case class StreamingMultimodal(stateRoot: String) {
     // un-caught and a real IO error fails the micro-batch (the stream's
     // retry machinery handles failed batches; silent wrong answers
     // don't).
-    if (!fs.exists(p) || !hasDataFiles(fs, p)) empty
-    else spark.read.parquet(dir).filter(col("batch") < id).drop("batch")
+    if (!fs.exists(p)) empty
+    else {
+      // heal a fold torn by a crash (StreamingOps.foldBatchPartitions'
+      // swap protocol leaves a `batch=N__old` dir in exactly one
+      // window) BEFORE listing data files — one listStatus, cheap
+      graft.sources.Sinks.recoverPartitionSwaps(fs, dir)
+      if (!hasDataFiles(fs, p)) empty
+      else spark.read.parquet(dir).filter(col("batch") < id).drop("batch")
+    }
   }
 
   /** True iff `p` holds at least one non-hidden, non-empty file at any
@@ -86,10 +93,20 @@ case class StreamingMultimodal(stateRoot: String) {
 
   /** Start the loop: per-batch idempotent survivor partitions under
     * `outPath`, the three signature indexes rolled forward under
-    * `stateRoot`, and (optionally) an ANN index version per batch. */
+    * `stateRoot`, and (optionally) an ANN index version per batch.
+    *
+    * `compactEvery` (0 disables) folds each signature index's
+    * `batch=<id>` partitions every N batches through
+    * [[StreamingOps.foldBatchPartitions]] — without it an always-on
+    * trigger grows one tiny partition per micro-batch forever, and the
+    * per-probe partition listing becomes the dominant index cost (the
+    * same disease B26's `compact-index` cures for the dedup catalog).
+    * The running batch's own partition is never folded, so crash-replay
+    * idempotence is untouched; probes see an identical row set. */
   def start(docs: DataFrame, outPath: String, checkpoint: String,
       index: Option[(String, String, (DataFrame, String, String) => Unit)] = None,
-      project: DataFrame => DataFrame = identity)
+      project: DataFrame => DataFrame = identity,
+      compactEvery: Int = 0)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          Option[java.util.concurrent.atomic.AtomicReference[String]]) = {
     val spark = docs.sparkSession
@@ -133,6 +150,11 @@ case class StreamingMultimodal(stateRoot: String) {
                   refresh, None, live, last)
               case _ => ()
             }
+            // fold committed (id < current) signature partitions on the
+            // schedule — id's own partition stays, replay-safe
+            if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+              for (d <- Seq("phash", "audio", "video"))
+                StreamingOps.foldBatchPartitions(spark, s"$stateRoot/$d", id)
           }
       }
       .start()

@@ -283,6 +283,65 @@ object StreamingOps {
     if (fs.exists(dir)) fs.delete(dir, true)
   }
 
+  /** Fold a `batch=<id>`-partitioned signature/state dir's partitions
+    * with id < `below` into ONE consolidated partition — the B26
+    * compact-index discipline applied to the streaming loops' per-
+    * micro-batch state (an always-on 1 s trigger writes ~86k tiny
+    * partitions a day; past a few hundred the partition LISTING is the
+    * probe cost). Probe-equality is by construction:
+    *
+    *  - the consolidated partition keeps the NUMERIC id of the largest
+    *    folded batch, so every future probe's `batch < id` filter sees
+    *    exactly the same row set (a string digest id would break the
+    *    comparison and the column's inferred type);
+    *  - only ids < `below` fold. Passing the CURRENT batch id as
+    *    `below` from inside `foreachBatch` is replay-safe: ids below
+    *    the running batch are checkpoint-committed and can never be
+    *    replayed, while the running batch's own partition (which a
+    *    crash before the checkpoint commit WOULD replay) is never
+    *    folded — a replay still overwrites only its own partition and
+    *    still probes `batch < id` without seeing its own rows.
+    *
+    * Crash-safety (the [[graft.sources.Sinks.swapIn]] protocol): merge
+    * stages under an underscore dir (parquet-invisible), swaps into the
+    * target partition with `__old` recovery, and deletes the other
+    * source partitions LAST — every torn window leaves either the
+    * originals or a temporarily-doubled row set, and doubled rows are
+    * benign for existence probes (`distinct()` collapses them on the
+    * next fold). Callers run [[graft.sources.Sinks.recoverPartitionSwaps]]
+    * before reading (readIndex does). Returns the number of partitions
+    * folded away (0 = nothing to do). */
+  def foldBatchPartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, below: Long): Int = {
+    import graft.sources.Sinks
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    Sinks.recoverPartitionSwaps(fs, dir)
+    val ids = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption)
+      .filter(_ < below).sorted.toSeq
+    if (ids.size < 2) return 0
+    val tgt = ids.max
+    val merged = spark.read
+      .option("basePath", dir)
+      .parquet(ids.map(i => s"$dir/batch=$i"): _*)
+      .drop("batch")
+      .distinct() // doubled rows from a torn prior fold collapse here
+    val staging = s"$dir/_staging_fold_$tgt"
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
+    Sinks.swapIn(fs, s"$dir/batch=$tgt", staging)
+    // sources go LAST: a crash before this line leaves a readable,
+    // correct (if temporarily doubled) state
+    ids.filterNot(_ == tgt).foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$i"), true)
+    }
+    ids.size - 1
+  }
+
   private[graft] def writeIndexCommit(spark: org.apache.spark.sql.SparkSession,
       base: String, id: Long, version: String): Unit = {
     val dir = indexLogDir(spark, base)

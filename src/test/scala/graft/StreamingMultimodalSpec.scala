@@ -50,11 +50,21 @@ class StreamingMultimodalSpec extends SparkSpec {
       graft.operators.ml.TrainedEmbedding(df)
         .select(col("doc_id").as("vec_id"), col("embedding"))
     val sm = StreamingMultimodal(s"$tmp/state")
+    // compactEvery = 2: every probe-equality assertion below runs
+    // ACROSS signature folds, not just across plain batch partitions
     val (q, live) = sm.start(in, s"$tmp/out", s"$tmp/ckpt",
       index = Some((base, s"${base}_v0",
         (b, from, to) => ivf.refreshIndex(b, from, to))),
-      project = embOf)
+      project = embOf, compactEvery = 2)
     try q.processAllAvailable() finally q.stop()
+
+    // the fold bounded the state partition count: 4 batches wrote 4
+    // partitions per index; the id=2 fold collapsed {0,1}
+    for (d <- Seq("phash", "audio", "video")) {
+      val parts = fs.listStatus(new Path(s"$tmp/state/$d"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      assert(parts.length <= 3, s"$d: ${parts.map(_.getPath.getName).toSeq}")
+    }
 
     // 1. converged survivors == the batch capstone over the whole corpus
     val streamed = spark.read.parquet(s"$tmp/out")
@@ -135,6 +145,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
     // the failed batch committed NOTHING (a retry will re-run it)
     assert(!fs.exists(new Path(s"$tmp/out/batch=0")))
+  }
+
+  test("foldBatchPartitions: identical row set, fewer partitions, torn fold heals") {
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_smm_fold").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dir = s"$tmp/phash"
+    for (i <- 0 until 3)
+      spark.range(i * 10, i * 10 + 10).select(col("id").as("phash"))
+        .coalesce(1).write.parquet(s"$dir/batch=$i")
+    def rowSet = spark.read.parquet(dir).select("phash")
+      .as[Long].collect().toSet
+    val before = rowSet
+    // fold below the "running" batch id 2: {0,1} -> batch=1; batch=2 stays
+    assert(StreamingOps.foldBatchPartitions(spark, dir, 2L) == 1)
+    def parts = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).toSet
+    assert(parts == Set("batch=1", "batch=2"))
+    assert(rowSet == before) // probe-equality across the fold
+    // and the consolidated value stays NUMERIC and below future ids:
+    // a probe at id=2 sees exactly batches {0,1}
+    assert(spark.read.parquet(dir).filter(col("batch") < 2)
+      .select("phash").as[Long].collect().toSet == (0L until 20L).toSet)
+    // torn fold: a crash between swapIn's renames leaves batch=N__old
+    // as the sole copy; the next fold (and readIndex) heals it
+    fs.rename(new Path(s"$dir/batch=1"), new Path(s"$dir/batch=1__old"))
+    assert(StreamingOps.foldBatchPartitions(spark, dir, 3L) == 1)
+    assert(parts == Set("batch=2"))
+    assert(rowSet == before)
   }
 
   test("first-batch committer residue (dir, no data files) still reads as empty") {
