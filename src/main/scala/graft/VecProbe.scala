@@ -217,6 +217,57 @@ object VecProbe {
     spark.stop()
   }
 
+  /** `int8` mode: the B50×B8 quantized-segment claim measured — build
+    * the float IVF index and the int8 one over the same n vectors,
+    * report each cells table's ON-DISK bytes (the executor-memory/IO
+    * story: codes ≈ 4× smaller than floats pre-compression) and the
+    * serve walls of float-scan vs quantized-scan+exact-rerank on a
+    * 100-query batch, asserting result parity in-probe.
+    *
+    * {{{ graft.VecProbe int8 <sfDir> <n> }}}
+    */
+  def int8Main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: VecProbe int8 <sfDir> <n>")
+    val dir = args(0)
+    val n = args(1).toInt
+    val spark = GraftSession.local("graft-vecprobe-int8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def wall[A](label: String)(f: => A): A = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"INT8 $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val vecs = ScaleProbe.vectors1m(spark, dir).limit(n)
+      .repartition(cpus).localCheckpoint(true)
+    val cents = vecs.orderBy("vec_id").limit(1024)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    val ivf = IvfIndex()
+    wall(s"build_f32_n$n")(ivf.buildIndex(vecs, cents, "graft_q8p_f32", 32))
+    wall(s"build_int8_n$n")(ivf.buildIndexInt8(vecs, cents, "graft_q8p_i8", 32))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mb(t: String) = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$wh/$t")).getLength / 1048576.0
+    println(f"INT8 cells_f32 ${mb("graft_q8p_f32_seg_cells")}%.1f MB  " +
+      f"cells_int8 ${mb("graft_q8p_i8_seg_cells")}%.1f MB  " +
+      f"vecs_cold ${mb("graft_q8p_i8_vecs")}%.1f MB  " +
+      f"hot_ratio ${mb("graft_q8p_f32_seg_cells") / mb("graft_q8p_i8_seg_cells")}%.2f x")
+    val q = vecs.limit(100).localCheckpoint(true)
+    val a = wall(s"serve_f32_n$n")(
+      ivf.searchIndexed(spark, "graft_q8p_f32", q, k = 5, nprobe = 2)
+        .collect().toSet)
+    val b = wall(s"serve_int8_n$n")(
+      ivf.searchIndexedInt8(spark, "graft_q8p_i8", q, k = 5, nprobe = 2)
+        .collect().toSet)
+    println(s"INT8 parity ${a == b} (${a.size} rows)")
+    spark.stop()
+  }
+
   /** `rebuild` mode: price the SCHEDULED re-train the staleness trigger
     * gates (the other half of the refresh-is-O(batch) story: refreshes
     * stay cheap BECAUSE the occasional rebuild pays the corpus cost) —
@@ -281,6 +332,7 @@ object VecProbe {
     if (args.headOption.contains("ivfserve")) return ivfServeMain(args.drop(1))
     if (args.headOption.contains("refresh")) return refreshMain(args.drop(1))
     if (args.headOption.contains("rebuild")) return rebuildMain(args.drop(1))
+    if (args.headOption.contains("int8")) return int8Main(args.drop(1))
     require(args.length >= 3, "usage: VecProbe <dir> <threshold> <k[:cap]>...")
     val dir = args(0)
     val threshold = args(1).toDouble

@@ -408,6 +408,133 @@ case class PerplexityScorer(textCol: String = "text", idCol: String = "doc_id",
       .select(idCol), Seq(idCol), "left_semi")
 }
 
+/** Bigram LM with interpolated ABSOLUTE-DISCOUNT backoff (Ney, Essen &
+  * Kneser 1994, "On structuring probabilistic dependences in stochastic
+  * language modelling") — the next rung above [[PerplexityScorer]]'s
+  * unigram stand-in toward CCNet's 5-gram KenLM, in the same
+  * bounded-model join shape:
+  *
+  *   P(w | h) = max(c(h,w) − D, 0)/c(h) + λ(h)·P_uni(w)
+  *   λ(h)     = D · N1+(h·) / c(h)
+  *
+  * with P_uni the corpus MLE unigram (OOV at the ln(oovAlpha/total)
+  * floor, unpruned total — the [[PerplexityScorer]] discipline), c(h)
+  * the sum of h's bigram counts and N1+(h·) its distinct-continuation
+  * count. A document's first token scores P_uni; an UNSEEN (or
+  * pruned-away) history backs all the way off to P_uni. Per-doc
+  * perplexity = exp(−mean ln P) over all n positions, rounded 4 dp.
+  *
+  * The model is THREE tables, every one bounded and prunable per the
+  * r16 pruned-LM discipline (top-k by count with deterministic
+  * tiebreak, totals and history stats UNPRUNED so kept entries'
+  * probabilities never inflate): `maxVocab` prunes the unigram table
+  * AND the history table (histories are vocab-sized); `maxBigrams`
+  * prunes the bigram table — a pruned bigram under a kept history
+  * degrades to the λ(h)·P_uni(w) backoff term, exactly what backoff is
+  * for. Pruned tables are ≤ k rows by construction and carry the
+  * broadcast hint; unpruned tables join UNHINTED (AQE picks the side),
+  * the r15 LM-broadcast lesson.
+  *
+  * Scale shape: (h, w) pairs build from each doc's token array in ONE
+  * map pass (a transform over the array — no self-join, no window over
+  * the corpus); counts are map-side-combined groupBys bounded by the
+  * bigram vocabulary; scoring is three narrow left joins on the token
+  * stream and one per-doc avg. The corpus payload never shuffles. */
+case class BigramPerplexityScorer(textCol: String = "text",
+    idCol: String = "doc_id", discount: Double = 0.75,
+    maxVocab: Int = 0, maxBigrams: Int = 0, oovAlpha: Double = 1.0) {
+  require(discount > 0.0 && discount < 1.0,
+    "discount must be in (0, 1) — 0 kills the backoff mass, 1 the bigram mass")
+  require(maxVocab >= 0 && maxBigrams >= 0 && oovAlpha > 0.0,
+    "maxVocab/maxBigrams must be >= 0 and oovAlpha positive")
+
+  /** One row per token position: (idCol, h, w) with h null at
+    * position 1 — built from the token array in one pass. */
+  private def hwRows(df: DataFrame): DataFrame = {
+    val ts = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), wsTokens(normalizeText(col(textCol))).as("__ts"))
+    ts.select(col(idCol), explode(transform(col("__ts"), (t, i) =>
+        struct(when(i === 0, lit(null).cast("string"))
+          .otherwise(element_at(col("__ts"), i)).as("h"), t.as("w"))))
+        .as("__hw"))
+      .select(col(idCol), col("__hw.h").as("h"), col("__hw.w").as("w"))
+  }
+
+  /** The three model tables from the corpus:
+    *  - uni  (t, p): MLE unigram + one `t IS NULL` floor row
+    *    (oovAlpha/total, unpruned total);
+    *  - hist (h, ch, lam): per-history bigram mass + backoff weight
+    *    λ(h) = D·N1+(h·)/c(h), stats from the UNPRUNED bigram counts;
+    *  - big  (h, w, c): bigram counts. */
+  def models(df: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val rows = hwRows(df)
+    val uc = rows.groupBy(col("w").as("t")).agg(count(lit(1)).as("n"))
+    val total = uc.agg(sum("n").as("total"))
+    val ukept =
+      if (maxVocab > 0) uc.orderBy(col("n").desc, col("t").asc).limit(maxVocab)
+      else uc
+    val uni = ukept.crossJoin(broadcast(total))
+      .select(col("t"),
+        (col("n").cast("double") / col("total").cast("double")).as("p"))
+      .unionByName(total.select(lit(null).cast("string").as("t"),
+        (lit(oovAlpha) / col("total").cast("double")).as("p")))
+    val bc = rows.filter(col("h").isNotNull)
+      .groupBy("h", "w").agg(count(lit(1)).as("c"))
+    val hist0 = bc.groupBy("h")
+      .agg(sum("c").as("ch"), count(lit(1)).as("n1p"))
+      .select(col("h"), col("ch"),
+        (lit(discount) * col("n1p").cast("double") / col("ch").cast("double"))
+          .as("lam"))
+    val hist =
+      if (maxVocab > 0) hist0.orderBy(col("ch").desc, col("h").asc).limit(maxVocab)
+      else hist0
+    val big =
+      if (maxBigrams > 0)
+        bc.orderBy(col("c").desc, col("h").asc, col("w").asc).limit(maxBigrams)
+      else bc
+    (uni, hist, big)
+  }
+
+  /** (idCol, perplexity 4dp) under the given model tables. */
+  def scores(df: DataFrame, uni: DataFrame, hist: DataFrame,
+      big: DataFrame): DataFrame = {
+    val rows = hwRows(df)
+    val dict = uni.filter(col("t").isNotNull)
+      .select(col("t").as("w"), col("p").as("__pu"))
+    val floor = uni.filter(col("t").isNull)
+      .agg(min(col("p")).as("__pfloor"))
+    val h = hist.select(col("h"), col("ch").as("__ch"), col("lam").as("__lam"))
+    val b = big.select(col("h"), col("w"), col("c").as("__c"))
+    def hinted(t: DataFrame, isPruned: Boolean) =
+      if (isPruned) broadcast(t) else t
+    val pu = coalesce(col("__pu"), col("__pfloor"))
+    val p = when(col("h").isNull || col("__ch").isNull, pu)
+      .otherwise(
+        greatest(coalesce(col("__c"), lit(0L)).cast("double") - discount,
+          lit(0.0)) / col("__ch").cast("double") + col("__lam") * pu)
+    rows
+      .join(hinted(dict, maxVocab > 0), Seq("w"), "left")
+      .join(hinted(h, maxVocab > 0), Seq("h"), "left")
+      .join(hinted(b, maxBigrams > 0), Seq("h", "w"), "left")
+      .crossJoin(broadcast(floor))
+      .select(col(idCol), log(p).as("__lp"))
+      .groupBy(idCol)
+      .agg(round(exp(-avg(col("__lp"))), 4).as("perplexity"))
+    // pruned tag only for the hint decision above; rows with every
+    // term OOV still score (the floor row always exists)
+  }
+
+  /** Self-trained scores: models from `df`, scores over `df`. */
+  def scores(df: DataFrame): DataFrame = {
+    val (uni, hist, big) = models(df)
+    scores(df, uni, hist, big)
+  }
+
+  def apply(df: DataFrame, maxPerplexity: Double): DataFrame =
+    df.join(scores(df).filter(col("perplexity") <= maxPerplexity)
+      .select(idCol), Seq(idCol), "left_semi")
+}
+
 /** Document fingerprinting: minimum md5 over all sliding char k-grams of
   * the normalized text (winnowing with a whole-document window — a
   * content-defined fingerprint robust to local edits), plus the exact

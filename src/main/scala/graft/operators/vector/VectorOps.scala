@@ -505,6 +505,113 @@ case class IvfIndex(
       .filter(col("rn") <= k)
       .select("qid", "cid", "cos", "rn")
   }
+
+  /** [[buildIndex]] with the cells table stored int8-QUANTIZED (FAISS
+    * SQ8 — the 100 TB memory story: the per-query scanned table is 4×
+    * smaller, so a corpus that no longer fits in executor memory as
+    * floats still does as codes). Layout:
+    *
+    *  - `<name>_seg_cells` (idCol, centroid_id, qvec array<int> in
+    *    int8 range) — the HOT scan table, bucketed by centroid_id;
+    *    cell ASSIGNMENT stays full-float-precision (build-time argmin
+    *    over the real vectors), only STORAGE is quantized;
+    *  - `<name>_vecs` (idCol, vecCol) — the COLD exact store, bucketed
+    *    AND sorted by id: the rerank fetches survivors by an IN list,
+    *    so the scan bucket-prunes to |survivors| point lookups;
+    *  - `<name>_qstats` (dim, mn, mx) — the [[VectorQuantizer]]
+    *    per-dimension stats, `dim` rows, re-entering every search plan
+    *    as literals (no stats join).
+    *
+    * Same manifest/commit discipline as [[buildIndex]]. */
+  def buildIndexInt8(df: DataFrame, centroids: DataFrame, name: String,
+      buckets: Int = 8): Unit = {
+    import graft.sources.Sinks.bucketedTable
+    val spark = df.sparkSession
+    graft.sources.SegmentedManifest.dropTablesAndDirs(spark,
+      Seq(s"${name}_seg_cells", s"${name}_centroids", s"${name}_manifest",
+        s"${name}_vecs", s"${name}_qstats"))
+    val quant = VectorQuantizer(idCol, vecCol)
+    val (mins, maxes) = quant.collectStats(df)
+    val cents = centroids.agg(array_sort(collect_list(
+      struct(col("centroid_id").cast("int").as("cid"),
+        col("cvec").as("cvec")))).as("__cents"))
+    val best = element_at(graft.plans.VectorExpressions
+      .nearestCentroidsNative(col(vecCol), col("__cents"), 1), 1)
+    val cells = quant.quantize(df.select(col(idCol), col(vecCol)), mins, maxes)
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), best.getField("cid").as("centroid_id"), col("qvec"))
+    bucketedTable(cells.repartition(buckets, col("centroid_id")),
+      s"${name}_seg_cells", Seq("centroid_id"), buckets, Seq("centroid_id"))
+    bucketedTable(df.select(col(idCol), col(vecCol))
+        .repartition(buckets, col(idCol)),
+      s"${name}_vecs", Seq(idCol), buckets, Seq(idCol))
+    spark.createDataFrame(mins.zip(maxes).zipWithIndex.map {
+        case ((mn, mx), d) => (d, mn, mx) }.toIndexedSeq)
+      .toDF("dim", "mn", "mx").coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_qstats")
+    centroids.select(col("centroid_id").cast("int").as("centroid_id"),
+        col("cvec"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_centroids")
+    writeManifest(spark, name, Seq((s"${name}_seg", 0)), buckets)
+  }
+
+  /** [[searchIndexed]] against a [[buildIndexInt8]] index — the
+    * quantized-scan + EXACT-RERANK recipe: probed cells scan the int8
+    * codes (dequantized in-expression from literal stats), each query
+    * keeps its top `k·refine` candidates by approximate cosine, and
+    * only those survivors fetch their float vectors from the cold
+    * `<name>_vecs` store (a bounded driver IN list — |queries|·k·refine
+    * ids — so the bucketed-by-id scan prunes to point lookups) for the
+    * exact ranking. Same rounding/tiebreaks as every other strategy;
+    * with `refine` covering the quantization error the result is the
+    * exact top-k (gated by the shared `ann_ivf` oracle — one oracle,
+    * fifth execution strategy — and IvfIndexSpec's parity test). */
+  def searchIndexedInt8(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, k: Int, nprobe: Int,
+      refine: Int = 8): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val st = spark.table(s"${name}_qstats").orderBy("dim").collect()
+    val mins = st.map(_.getDouble(1))
+    val maxes = st.map(_.getDouble(2))
+    val quant = VectorQuantizer(idCol, vecCol)
+    val centroids = spark.table(s"${name}_centroids")
+    val cents = centroids.agg(array_sort(collect_list(
+      struct(col("centroid_id").as("cid"), col("cvec")))).as("__cents"))
+    val queryCells = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("__id"), explode(graft.plans.VectorExpressions
+        .nearestCentroidsNative(col("__v"), col("__cents"), nprobe)).as("__cell"))
+      .select(col("__id").as("qid"), col("__cell").getField("cid").as("centroid_id"))
+    val probed = queryCells.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.table(s"${name}_seg_cells")
+      .filter(col("centroid_id").isin(probed: _*))
+      .select(col(idCol).as("cid"), col("centroid_id"),
+        quant.dequantize(col("qvec"), mins, maxes).as("cva"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("cid").asc)
+    val surv = broadcast(queryCells).join(cells, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("qcos", cosine(col("qv"), col("cva")))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= k * refine)
+      .select("qid", "cid")
+      .localCheckpoint() // feeds the IN-list collect AND the rerank join
+    val survIds = surv.select("cid").distinct().collect().map(_.get(0)).toSeq
+    val vecs = spark.table(s"${name}_vecs")
+      .filter(col(idCol).isin(survIds: _*))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    surv.join(vecs, Seq("cid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos", "rn")
+  }
 }
 
 /** Hard-negative mining for contrastive training (the selection step

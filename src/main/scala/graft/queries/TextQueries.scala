@@ -40,6 +40,67 @@ object TextQueries {
   private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val wsToksSql = "string_split_regex(trim(text), '\\s+')"
 
+  /** Bigram absolute-discount backoff replay (B-family r17,
+    * [[graft.operators.text.BigramPerplexityScorer]] with D = 0.75,
+    * oovAlpha = 1): P(w|h) = max(c(h,w)−D,0)/c(h) + λ(h)·P_uni(w),
+    * λ(h) = (D·N1+(h·))/c(h); doc-initial and pruned-history positions
+    * back off to P_uni; pruning = top-k with the same deterministic
+    * tiebreaks as the Spark TakeOrdered. */
+  private def bigramPerplexitySql(maxVocab: Int, maxBigrams: Int): String = {
+    val ukept = if (maxVocab > 0)
+      s"""(SELECT t, n FROM (
+         |    SELECT t, n, row_number() OVER (ORDER BY n DESC, t ASC) AS r
+         |    FROM uc) WHERE r <= $maxVocab)""".stripMargin
+    else "uc"
+    val hkept = if (maxVocab > 0)
+      s"""(SELECT h, ch, lam FROM (
+         |    SELECT h, ch, lam, row_number() OVER (ORDER BY ch DESC, h ASC) AS r
+         |    FROM hist) WHERE r <= $maxVocab)""".stripMargin
+    else "hist"
+    val bkept = if (maxBigrams > 0)
+      s"""(SELECT h, w, c FROM (
+         |    SELECT h, w, c,
+         |      row_number() OVER (ORDER BY c DESC, h ASC, w ASC) AS r
+         |    FROM bc) WHERE r <= $maxBigrams)""".stripMargin
+    else "bc"
+    s"""WITH tt AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |rows_ AS (
+       |  SELECT doc_id, struct_extract(hw, 'h') AS h,
+       |    struct_extract(hw, 'w') AS w
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> struct_pack(h := CASE WHEN i = 1 THEN NULL
+       |                         ELSE ws[CAST(i AS INT) - 1] END,
+       |                       w := ws[CAST(i AS INT)]))) AS hw
+       |    FROM tt)),
+       |uc AS (SELECT w AS t, count(*) AS n FROM rows_ GROUP BY w),
+       |tot AS (SELECT sum(n) AS total FROM uc),
+       |pu AS (SELECT t, CAST(n AS DOUBLE) / total AS p FROM $ukept u, tot),
+       |bc AS (SELECT h, w, count(*) AS c FROM rows_
+       |       WHERE h IS NOT NULL GROUP BY h, w),
+       |hist AS (
+       |  SELECT h, ch, (0.75 * n1p) / ch AS lam FROM (
+       |    SELECT h, CAST(sum(c) AS DOUBLE) AS ch,
+       |      CAST(count(*) AS DOUBLE) AS n1p
+       |    FROM bc GROUP BY h)),
+       |scored AS (
+       |  SELECT r.doc_id,
+       |    ln(CASE WHEN r.h IS NULL OR hk.ch IS NULL
+       |         THEN coalesce(pu.p, (SELECT 1.0 / total FROM tot))
+       |         ELSE greatest(CAST(coalesce(bk.c, 0) AS DOUBLE) - 0.75, 0.0)
+       |                / hk.ch
+       |              + hk.lam * coalesce(pu.p, (SELECT 1.0 / total FROM tot))
+       |         END) AS lp
+       |  FROM rows_ r
+       |  LEFT JOIN pu ON r.w = pu.t
+       |  LEFT JOIN $hkept hk ON r.h = hk.h
+       |  LEFT JOIN $bkept bk ON r.h = bk.h AND r.w = bk.w)
+       |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   /** UniMax key constants (shared by the Spark side and the oracle so
     * the two can't drift): epoch cap 1, budget 25k over the ~27k-token
     * sf0.01 corpus — the two smallest sources cap, the rest waterfill. */
@@ -581,6 +642,23 @@ object TextQueries {
       val docs = Tables.load(s, dir, "documents")
       val p = PerplexityScorer(maxVocab = 12)
       p.scores(docs, p.model(docs))
+    }),
+
+    // bigram LM with interpolated absolute-discount backoff (Ney 1994,
+    // B-family r17): P(w|h) = max(c(h,w)−D,0)/c(h) + λ(h)·P_uni(w) —
+    // the rung above the unigram stand-in toward CCNet's KenLM, same
+    // bounded-model join shape (three tables, corpus never shuffles)
+    "perplexity_bigram" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      BigramPerplexityScorer().scores(docs)
+    }),
+
+    // the pruned path: top-12 unigrams/histories + top-40 bigrams, all
+    // tables ≤ k rows (broadcast-hinted); a pruned bigram degrades to
+    // the λ(h)·P_uni backoff term, a pruned history to pure unigram
+    "perplexity_bigram_pruned" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      BigramPerplexityScorer(maxVocab = 12, maxBigrams = 40).scores(docs)
     }),
 
     // domain-level gate: a synthetic content farm (125 docs, 3
@@ -1708,6 +1786,9 @@ object TextQueries {
          |    (SELECT ln(1.0 / total) FROM total)))), 4) AS perplexity
          |FROM toks LEFT JOIN lm ON toks.t = lm.t
          |GROUP BY toks.doc_id""".stripMargin,
+
+    "perplexity_bigram" -> bigramPerplexitySql(0, 0),
+    "perplexity_bigram_pruned" -> bigramPerplexitySql(12, 40),
 
     // Same exact count-join oracle as dedup_ngram_jaccard: the r=2
     // banding must reproduce the full ≥ τ pair set to pass, so the

@@ -122,6 +122,23 @@ object VectorQueries {
         emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
     }),
 
+    "ann_ivf_int8" -> ((s, dir) => {
+      // the QUANTIZED-segment strategy (B50 × B8): cells stored as int8
+      // codes, probed-cell scan on dequantized codes cuts each query to
+      // k·refine survivors, exact float rerank off the cold bucketed
+      // vecs store — same oracle as ann_ivf (one oracle, FIVE execution
+      // strategies), so the refine window provably covers the
+      // quantization error on this corpus
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val ivf = IvfIndex()
+      ivf.buildIndexInt8(emb, centroids, "graft_ivf_q8")
+      ivf.searchIndexedInt8(s, "graft_ivf_q8",
+        emb.filter(col("vec_id") < 8), k = 3, nprobe = 2)
+    }),
+
     "ann_ivf_staleness" -> ((s, dir) => {
       // the roll-forward drift monitor: per cell, build-time vs
       // refreshed row counts, growth, and each group's mean cosine to
@@ -447,6 +464,7 @@ object VectorQueries {
     "ann_ivf_indexed" -> annIvfSql,
     "ann_ivf_refreshed" -> annIvfSql,
     "ann_ivf_compacted" -> annIvfSql,
+    "ann_ivf_int8" -> annIvfSql,
 
     // the staleness report replays exactly: assignment is the same
     // rounded-distance argmin, build = even ids, refreshed = odd

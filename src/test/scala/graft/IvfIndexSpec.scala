@@ -124,6 +124,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows("graft_ivf_att").nonEmpty)
   }
 
+  test("int8 index: quantized scan + exact rerank equals the float strategies") {
+    val ivf = IvfIndex()
+    ivf.buildIndex(corpus, centroids, "graft_ivf_f32")
+    ivf.buildIndexInt8(corpus, centroids, "graft_ivf_i8")
+    val queries = corpus.filter($"vec_id" < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // exact parity: same ids, same 6dp cosines (rerank runs on the
+    // cold float store, not the dequantized codes), same ranks
+    assert(rows(ivf.searchIndexedInt8(spark, "graft_ivf_i8", queries,
+        k = 3, nprobe = 2)) ==
+      rows(ivf.searchIndexed(spark, "graft_ivf_f32", queries,
+        k = 3, nprobe = 2)))
+    // the hot table really stores int8 codes, not floats
+    val sch = spark.table("graft_ivf_i8_seg_cells").schema
+    assert(sch.fieldNames.toSet == Set("vec_id", "centroid_id", "qvec"))
+    val qs = spark.table("graft_ivf_i8_seg_cells")
+      .selectExpr("max(array_max(qvec))", "min(array_min(qvec))").head()
+    assert(qs.getInt(0) <= 127 && qs.getInt(1) >= -128)
+    // refine=1 degrades gracefully (still k valid rows per query, by
+    // approximate order) — the knob trades rerank fetches for recall
+    assert(ivf.searchIndexedInt8(spark, "graft_ivf_i8", queries,
+      k = 3, nprobe = 2, refine = 1).count() == 18)
+  }
+
   test("compactIndex folds cells segments into one; results unchanged") {
     val ivf = IvfIndex()
     ivf.buildIndex(corpus.filter($"vec_id" < 15), centroids,
