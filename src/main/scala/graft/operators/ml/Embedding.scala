@@ -186,6 +186,20 @@ object TrainedEmbedding {
   def apply(df: DataFrame, idCol: String = "doc_id",
       imageCol: String = "image", batchSize: Int = 64): DataFrame =
     BatchInference.embed(df, kernel, batchSize, idCol, imageCol)
+
+  /** The same batched pass served from a USER-SUPPLIED weights file
+    * ([[LocalWeights]] format) — the real-CLIP drop-in seam: swap the
+    * file, not the jar (reference image_clip_embedding.py:12-25 loads
+    * pretrained weights at init). The in-repo [[projection]] stays the
+    * default; it round-trips through the same format
+    * (EmbeddingModelSpec gates file-served ≡ in-repo, bit-for-bit). */
+  def fromWeightsFile(df: DataFrame, weightsPath: String,
+      idCol: String = "doc_id", imageCol: String = "image",
+      batchSize: Int = 64): DataFrame = {
+    val mlp = LocalWeights.load(df.sparkSession, weightsPath)
+    BatchInference.embed(df, LocalWeights.kernel(mlp), batchSize,
+      idCol, imageCol)
+  }
 }
 
 /** In-repo PCA training over a deterministic mixed corpus: the rendered

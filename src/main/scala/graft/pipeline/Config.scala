@@ -346,13 +346,23 @@ object OperatorRegistry {
     // the TRAINED embedding encoder (EmbeddingTrainer PCA, frozen
     // projection) through the BatchInference slot — the non-stub
     // sibling of image_clip_embedding_refiner, emitting array<float>
+    // optional weights_path serves a user-supplied LocalWeights file
+    // through the same batched slot (the real-CLIP drop-in seam — swap
+    // the file, not the jar); default = the in-repo trained PCA
     "image_trained_embedding_refiner" -> (p => RefineOp(
       "image_trained_embedding_refiner",
       df => df.join(
-        graft.operators.ml.TrainedEmbedding(df,
-          idCol = str(p, "id_field", "doc_id"),
-          imageCol = str(p, "image_field", "image"),
-          batchSize = int(p, "batch_size", 64)),
+        p.get("weights_path").map(_.toString) match {
+          case Some(wp) => graft.operators.ml.TrainedEmbedding
+            .fromWeightsFile(df, wp,
+              idCol = str(p, "id_field", "doc_id"),
+              imageCol = str(p, "image_field", "image"),
+              batchSize = int(p, "batch_size", 64))
+          case None => graft.operators.ml.TrainedEmbedding(df,
+            idCol = str(p, "id_field", "doc_id"),
+            imageCol = str(p, "image_field", "image"),
+            batchSize = int(p, "batch_size", 64))
+        },
         Seq(str(p, "id_field", "doc_id"))))),
 
     // embedding-cosine near-dup suppression over any array<float>

@@ -102,6 +102,74 @@ class EmbeddingModelSpec extends SparkSpec {
     assert(out.columns.contains("text")) // survivors keep all columns
   }
 
+  test("weights-file seam: the exported default head serves BIT-IDENTICAL " +
+      "embeddings through the batched pass, file-driven via YAML too") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_weights").toString
+    val wp = s"$tmp/clip_head.weights"
+    // export the in-repo PCA to the LocalWeights format -- the format
+    // provably covers the default model...
+    LocalWeights.write(spark, wp,
+      LocalWeights.fromProjection(TrainedEmbedding.projection))
+    // ...and round-trips losslessly (Double.toString; render = the
+    // canonical structural form, the case classes hold Arrays)
+    assert(LocalWeights.render(LocalWeights.load(spark, wp)) ==
+      LocalWeights.render(
+        LocalWeights.fromProjection(TrainedEmbedding.projection)))
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("image", col("text").cast("binary")).limit(40)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.toSeq) }.toMap
+    // Standardize is a distinct layer kind, so the file-served forward
+    // repeats the in-repo arithmetic exactly -- bit-for-bit equality
+    assert(rows(TrainedEmbedding.fromWeightsFile(docs, wp)) ==
+      rows(TrainedEmbedding(docs)))
+    // the registry op serves the file when weights_path is set
+    val viaRegistry = graft.pipeline.OperatorRegistry.build(
+      "image_trained_embedding_refiner",
+      Map[String, Any]("weights_path" -> wp)) match {
+      case graft.pipeline.RefineOp(_, f) => f(docs)
+      case other => fail(s"unexpected op $other")
+    }
+    assert(rows(viaRegistry.select("doc_id", "embedding")) ==
+      rows(TrainedEmbedding(docs)))
+  }
+
+  test("weights-file seam: a NON-default generated head (relu hidden layer) " +
+      "loads and serves; malformed files fail loudly") {
+    import LocalWeights._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_weights2").toString
+    // a hand-generated 12 -> 4(relu) -> 3 head with l2norm -- what a
+    // user-trained replacement looks like
+    val gen = Mlp(12, Seq(
+      Dense(Array.tabulate(4, 12)((i, j) => ((i * 12 + j) % 7 - 3) * 0.25),
+        Array(0.1, -0.2, 0.3, 0.0), "relu"),
+      Dense(Array.tabulate(3, 4)((i, j) => (i - j) * 0.5),
+        Array(0.0, 0.0, 0.0), "linear")), l2 = true)
+    val wp = s"$tmp/gen.weights"
+    write(spark, wp, gen)
+    assert(render(load(spark, wp)) == render(gen))
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("image", col("text").cast("binary")).limit(10)
+    val out = TrainedEmbedding.fromWeightsFile(docs, wp)
+      .as[(Long, Array[Float])].collect()
+    assert(out.length == 10)
+    assert(out.forall(_._2.length == 3))
+    // served vectors are l2-normalized
+    assert(out.forall { case (_, e) =>
+      math.abs(e.map(x => x.toDouble * x).sum - 1.0) < 1e-5 ||
+        e.forall(_ == 0.0f)
+    })
+    // loud failures: bad header, width mismatch, unknown directive
+    assertThrows[IllegalArgumentException](parse("not-a-header", "t"))
+    assertThrows[IllegalArgumentException](parse(
+      "graft-weights 1\ninput 2\ndense 1 linear\nw 1.0 2.0 3.0\nb 0.0", "t"))
+    assertThrows[IllegalArgumentException](parse(
+      "graft-weights 1\ninput 2\nconv 3", "t"))
+  }
+
   test("trained embedding feeds LSH ANN on model output") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("image", col("text").cast("binary"))
