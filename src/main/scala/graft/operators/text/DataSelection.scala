@@ -281,3 +281,98 @@ case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
           .otherwise(lit("tail")).as("bucket"))
   }
 }
+
+/** DoReMi domain reweighting (Xie et al. 2023, NeurIPS,
+  * arXiv:2305.10429 "DoReMi: Optimizing Data Mixtures Speeds Up
+  * Language Model Pretraining") — learn DOMAIN WEIGHTS for the
+  * training mixture by Group-DRO multiplicative-weights updates over
+  * per-domain EXCESS LOSS (proxy-model loss minus reference-model
+  * loss, clipped at 0): domains where the proxy lags the reference
+  * most are the ones more data helps, so their weight grows. This
+  * completes the mixing family: UniMax (B66) caps epochs, temperature
+  * mixing (B17) smooths counts, DSIR (B34) scores documents against a
+  * target — DoReMi learns the mixture from LOSS SIGNAL.
+  *
+  * Offline replay of the paper's Algorithm 1 over a FIXED per-example
+  * excess-loss table (the proxy/reference losses arrive as a column —
+  * in production from two model passes through the BatchInference
+  * slot; the oracle key derives them from the two in-repo LMs, unigram
+  * proxy vs bigram reference):
+  *
+  *   per round t = 1..T:
+  *     minibatch  = deterministic hash-sample, P(doc in domain k) =
+  *                  min(1, α_k·B/n_k)   (sampling ∝ current weights)
+  *     λ_k        = mean clipped excess loss of domain k's sampled
+  *                  rows (0 if none sampled)
+  *     α          ← normalize(α_k · exp(η·λ_k)), then mix with
+  *                  uniform: (1−c)·α + c/K
+  *   output ᾱ    = per-domain mean of the T post-update weights (the
+  *                  paper's averaged trajectory)
+  *
+  * Every update rounds to 6 dp so a SQL oracle replays the trajectory
+  * bit-for-bit (the DSIR/SoftDedup determinism discipline; uniforms
+  * are the salted-md5 24-bit draw, exact in both engines).
+  *
+  * Scale shape: the loss table never shuffles — each round is ONE
+  * map-side-combined groupBy(domain) over the hash-filtered stream
+  * (the filter joins a broadcast K-row weight table), and the weight
+  * state is K doubles on the driver. T·K stays tiny (domains are
+  * sources/languages, not documents). */
+case class DoremiMixer(
+    rounds: Int = 4,
+    batchPerRound: Long = 200L,
+    eta: Double = 1.0,
+    smoothing: Double = 0.01,
+    seed: String = "graft",
+    idCol: String = "doc_id",
+    domainCol: String = "source",
+    lossCol: String = "excess_loss") {
+  require(rounds >= 1 && batchPerRound >= 1, "rounds/batch must be positive")
+  require(eta > 0.0 && smoothing >= 0.0 && smoothing < 1.0,
+    "eta > 0 and smoothing in [0, 1) required")
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** 24-bit salted-md5 uniform in (0,1), exact in any engine. */
+  private def u(round: Int): Column =
+    (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s":$seed:doremi:$round"))), 1, 6), 16, 10).cast("double") + 0.5) /
+      16777216.0
+
+  /** (domain, weight 6dp, n_docs) — the learned mixture over the
+    * excess-loss table `ex` (idCol, domainCol, lossCol). */
+  def weights(ex: DataFrame): DataFrame = {
+    val spark = ex.sparkSession
+    // one narrow pass pins the loss stream for the T round scans
+    val t = ex.select(col(idCol), col(domainCol),
+      greatest(col(lossCol).cast("double"), lit(0.0)).as("__ex"))
+      .localCheckpoint()
+    val nk = t.groupBy(domainCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val domains = nk.keys.toSeq.sorted
+    val k = domains.size
+    require(k >= 1, "no domains in the loss table")
+    var alpha = domains.map(d => d -> r6(1.0 / k)).toMap
+    val trajectory = (1 to rounds).map { t0 =>
+      val p = domains.map(d =>
+        d -> r6(math.min(1.0, alpha(d) * batchPerRound.toDouble / nk(d))))
+      val pDf = spark.createDataFrame(p.map { case (d, pp) => (d, pp) })
+        .toDF(domainCol, "__p")
+      val sampled = t.join(broadcast(pDf), Seq(domainCol))
+        .filter(u(t0) < col("__p"))
+        .groupBy(domainCol).agg(round(avg(col("__ex")), 6).as("__lam"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val lam = domains.map(d => d -> sampled.getOrElse(d, 0.0)).toMap
+      val ap = domains.map(d => d -> alpha(d) * math.exp(eta * lam(d))).toMap
+      val z = domains.map(ap).sum
+      alpha = domains.map(d =>
+        d -> r6((1.0 - smoothing) * (ap(d) / z) + smoothing / k)).toMap
+      alpha
+    }
+    val avg6 = domains.map { d =>
+      (d, r6(trajectory.map(_(d)).sum / rounds), nk(d))
+    }
+    spark.createDataFrame(avg6).toDF("domain", "weight", "n_docs")
+  }
+}

@@ -97,7 +97,12 @@ object CurationQueries {
       val benchDir = java.nio.file.Files
         .createTempDirectory("graft_capstone_bench").toString
       benchmarkFrame(docs).write.mode("overwrite").parquet(benchDir)
-      CurationCapstone.pipeline(benchDir)(preppedInput(docs))
+      // the STAGED run (per-stage localCheckpoint), not the raw folded
+      // plan: the dedup stages reference their input twice, and the
+      // unstaged composition re-derives the whole upstream chain per
+      // reference (the §16 exponential-plan hazard the funnel key
+      // already avoids the same way)
+      CurationCapstone.pipeline(benchDir).profile(preppedInput(docs))._1
         .select(col("doc_id"), col("sd_commonness"), col("sd_weight"))
     }),
 

@@ -46,7 +46,14 @@ object TextQueries {
     * λ(h) = (D·N1+(h·))/c(h); doc-initial and pruned-history positions
     * back off to P_uni; pruning = top-k with the same deterministic
     * tiebreaks as the Spark TakeOrdered. */
-  private def bigramPerplexitySql(maxVocab: Int, maxBigrams: Int): String = {
+  private def bigramPerplexitySql(maxVocab: Int, maxBigrams: Int): String =
+    s"""WITH ${bigramPerplexityCtes(maxVocab, maxBigrams)}
+       |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
+       |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** The CTE body (ending in `scored(doc_id, lp)`) — shared by the
+    * perplexity_bigram keys and the DoReMi excess-loss derivation. */
+  private def bigramPerplexityCtes(maxVocab: Int, maxBigrams: Int): String = {
     val ukept = if (maxVocab > 0)
       s"""(SELECT t, n FROM (
          |    SELECT t, n, row_number() OVER (ORDER BY n DESC, t ASC) AS r
@@ -63,7 +70,7 @@ object TextQueries {
          |      row_number() OVER (ORDER BY c DESC, h ASC, w ASC) AS r
          |    FROM bc) WHERE r <= $maxBigrams)""".stripMargin
     else "bc"
-    s"""WITH tt AS (
+    s"""tt AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS ws
        |  FROM documents WHERE length(trim(text)) > 0),
        |rows_ AS (
@@ -96,9 +103,70 @@ object TextQueries {
        |  FROM rows_ r
        |  LEFT JOIN pu ON r.w = pu.t
        |  LEFT JOIN $hkept hk ON r.h = hk.h
-       |  LEFT JOIN $bkept bk ON r.h = bk.h AND r.w = bk.w)
-       |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
-       |FROM scored GROUP BY doc_id""".stripMargin
+       |  LEFT JOIN $bkept bk ON r.h = bk.h AND r.w = bk.w)""".stripMargin
+  }
+
+  /** DoReMi Algorithm-1 replay (arXiv:2305.10429), T rounds unrolled:
+    * excess loss = clipped ln(unigram pp) − ln(bigram pp) from the two
+    * in-repo LMs, per-round md5-uniform minibatch at P = min(1, α·B/n),
+    * multiplicative-weights update with uniform smoothing, 6 dp at
+    * every state write (the [[graft.operators.text.DoremiMixer]]
+    * trajectory bit-for-bit). */
+  private def doremiSql(rounds: Int, batch: Long, eta: Double,
+      smoothing: Double): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      val prev = if (t == 1) "a0" else s"a${t - 1}"
+      s"""p$t AS MATERIALIZED (SELECT nk.source, round(least(1.0, a * $batch.0 / n), 6) AS p
+         |  FROM $prev JOIN nk USING (source)),
+         |mb$t AS MATERIALIZED (
+         |  SELECT ex.source, ex.ex FROM ex JOIN p$t USING (source)
+         |  WHERE (CAST(('0x' || substr(md5(CAST(ex.doc_id AS VARCHAR)
+         |    || ':graft:doremi:$t'), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 < p),
+         |l$t AS MATERIALIZED (
+         |  SELECT nk.source, round(coalesce(m.m, 0.0), 6) AS lam
+         |  FROM nk LEFT JOIN (
+         |    SELECT source, avg(ex) AS m FROM mb$t GROUP BY source) m
+         |  USING (source)),
+         |au$t AS MATERIALIZED (SELECT source, a * exp($eta * lam) AS au
+         |  FROM $prev JOIN l$t USING (source)),
+         |a$t AS MATERIALIZED (SELECT source,
+         |  round((1.0 - $smoothing) * (au / (SELECT sum(au) FROM au$t))
+         |    + $smoothing / k, 6) AS a
+         |  FROM au$t, kk)""".stripMargin
+    }.mkString(",\n")
+    val trajSum = (1 to rounds).map(t => s"a$t.a").mkString(" + ")
+    val trajJoin = (2 to rounds).map(t => s"JOIN a$t USING (source)")
+      .mkString(" ")
+    // head/tail stripMargin'd SEPARATELY from the already-stripped
+    // round CTEs: re-stripping interpolated content would eat one pipe
+    // of every line-leading `||` concat
+    val head = s"""WITH ${bigramPerplexityCtes(0, 0)},
+       |bpp AS MATERIALIZED (SELECT doc_id, round(exp(-avg(lp)), 4) AS pp
+       |        FROM scored GROUP BY doc_id),
+       |utoks AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS t2
+       |  FROM documents),
+       |ucounts AS (SELECT t2, count(*) AS n FROM utoks GROUP BY t2),
+       |utotal AS (SELECT sum(n) AS total FROM ucounts),
+       |ulm AS (SELECT t2, ln(CAST(n AS DOUBLE) / total) AS logp
+       |        FROM ucounts, utotal),
+       |upp AS MATERIALIZED (SELECT utoks.doc_id, round(exp(-avg(logp)), 4) AS pp
+       |        FROM utoks JOIN ulm ON utoks.t2 = ulm.t2
+       |        GROUP BY utoks.doc_id),
+       |ex AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source,
+       |    greatest(round(ln(upp.pp) - ln(bpp.pp), 6), 0.0) AS ex
+       |  FROM documents d
+       |  JOIN upp ON d.doc_id = upp.doc_id
+       |  JOIN bpp ON d.doc_id = bpp.doc_id),
+       |nk AS MATERIALIZED (SELECT source, count(*) AS n FROM ex GROUP BY source),
+       |kk AS MATERIALIZED (SELECT count(*) AS k FROM nk),
+       |a0 AS MATERIALIZED (SELECT source, round(1.0 / k, 6) AS a FROM nk, kk)""".stripMargin
+    val tail = s"""SELECT source AS domain,
+       |  round(($trajSum) / $rounds.0, 6) AS weight,
+       |  CAST(nk.n AS BIGINT) AS n_docs
+       |FROM a1 $trajJoin JOIN nk USING (source)""".stripMargin
+    head + ",\n" + roundCtes + "\n" + tail
   }
 
   /** UniMax key constants (shared by the Spark side and the oracle so
@@ -659,6 +727,27 @@ object TextQueries {
     "perplexity_bigram_pruned" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       BigramPerplexityScorer(maxVocab = 12, maxBigrams = 40).scores(docs)
+    }),
+
+    // DoReMi domain reweighting (B-family r17): Group-DRO
+    // multiplicative-weights over per-domain excess loss — here the
+    // unigram LM as the (weaker) proxy vs the bigram LM as the
+    // reference, ln(pp_uni) − ln(pp_bigram) clipped at 0, so the whole
+    // loss derivation is in-repo and oracle-replayable; 4 rounds of
+    // weight-proportional hash-sampled minibatches
+    "doremi_weights" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val uni = PerplexityScorer()
+      val upp = uni.scores(docs, uni.model(docs))
+        .withColumnRenamed("perplexity", "__upp")
+      val bpp = BigramPerplexityScorer().scores(docs)
+        .withColumnRenamed("perplexity", "__bpp")
+      val ex = docs.select(col("doc_id"), col("source"))
+        .join(upp, Seq("doc_id")).join(bpp, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          greatest(round(log(col("__upp")) - log(col("__bpp")), 6),
+            lit(0.0)).as("excess_loss"))
+      DoremiMixer().weights(ex)
     }),
 
     // domain-level gate: a synthetic content farm (125 docs, 3
@@ -1789,6 +1878,8 @@ object TextQueries {
 
     "perplexity_bigram" -> bigramPerplexitySql(0, 0),
     "perplexity_bigram_pruned" -> bigramPerplexitySql(12, 40),
+    "doremi_weights" -> doremiSql(rounds = 4, batch = 200L,
+      eta = 1.0, smoothing = 0.01),
 
     // Same exact count-join oracle as dedup_ngram_jaccard: the r=2
     // banding must reproduce the full ≥ τ pair set to pass, so the

@@ -88,6 +88,11 @@ class PlanAuditSpec extends SparkSpec {
       // query batch (a request, bounded by construction) and its
       // probed-cell list
       "ann_ivf_indexed", "ann_ivf_refreshed", "ann_ivf_compacted",
+      // ann_ivf_int8: the same query-batch/probed-cell hints, plus the
+      // k·refine-survivor table — bounded by |queries|·k·refine (a
+      // request-sized cut), which the static rule can't see through
+      // the window filter
+      "ann_ivf_int8",
       // ann_ivf_staleness: the broadcast side is the k-row centroids
       // table — bounded by k (a build-time constant), not by SF
       "ann_ivf_staleness",
@@ -312,6 +317,15 @@ class PlanAuditSpec extends SparkSpec {
     // - mixture_temperature: the Σ n^(1/T) normalizer attaches as the
     //   same deliberate 1-row broadcast (the Winsorizer bounds shape)
     val exempt = Set("kmeans_assign", "ann_ivf", "knn_bruteforce",
+      // perplexity_bigram(_pruned): the perplexity shape twice over —
+      // 1-row broadcast attaches of the corpus token total (model
+      // build) and of the OOV-floor aggregate (scoring); every
+      // model-table join is a hash equi-join on (h[, w])
+      "perplexity_bigram", "perplexity_bigram_pruned",
+      // doremi_weights: embeds both LM scorers, so it inherits their
+      // 1-row total/floor attaches; the per-round sampling join is a
+      // broadcast hash equi-join on the K-row weight table
+      "doremi_weights",
       // bitext_margin_mining: knn_bruteforce's all-pairs baseline in
       // both directions (see the broadcast audit's note)
       "bitext_margin_mining",
