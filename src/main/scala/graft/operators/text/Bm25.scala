@@ -196,23 +196,23 @@ case class Bm25(
     * tables never deletes them. */
   def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
       as: String, buckets: Option[Int] = None): Unit = {
-    import graft.sources.SegmentedManifest.{attachTable, attachVersion, readFilesLayout, resolveBuckets}
+    import graft.sources.SegmentedManifest.{attachTable, attachVersionPre, readFilesAll, resolveBuckets}
     // the physical layout travels WITH the artifact: bucket count and
     // per-table cluster/sort cols come from the manifest the files were
-    // committed with; an explicit `buckets` only cross-checks
-    val layout = readFilesLayout(spark, dirOfName)
+    // committed with (ONE parquet read serves both the layout and the
+    // segment list); an explicit `buckets` only cross-checks
+    val (man, layout) = readFilesAll(spark, dirOfName)
     val b = resolveBuckets(layout, buckets, s"bm25 attach $dirOfName")
     def cols(suffix: String, cc: Seq[String], sc: Seq[String]) =
       layout.map(_.colsFor(suffix, cc, sc)).getOrElse((cc, sc))
     // alias-manifest resolvability (original segment prefixes, not
-    // catalog-only alias names) is attachVersion's contract
-    attachVersion(spark, dirOfName, as) { seg =>
+    // catalog-only alias names) is attachVersionPre's contract
+    attachVersionPre(spark, dirOfName, as, man, layout) { seg =>
       for (t <- segTables; (cc, sc) = cols(t,
           if (t == "lens") Seq(idCol) else if (t == "stats") Nil else Seq("term"),
           if (t == "postings" || t == "vocab") Seq("term") else Nil))
         attachTable(spark, s"${seg}_$t", s"${seg}_$t", cc, sc, b)
     }
-    ()
   }
 
   def buildIndex(docs: DataFrame, name: String, buckets: Int = 8): Unit = {
@@ -244,11 +244,11 @@ case class Bm25(
     val spark = newDocs.sparkSession
     // the new segment MUST be written at the old segments' bucket
     // count (mixed counts would break every merged bucketed read) —
-    // read it from the artifact, cross-check any explicit flag
-    val b = graft.sources.SegmentedManifest.resolveBuckets(
-      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+    // read it from the artifact in the SAME driver read as the segment
+    // list, cross-check any explicit flag
+    val (old, layout) = graft.sources.SegmentedManifest.readAll(spark, name)
+    val b = graft.sources.SegmentedManifest.resolveBuckets(layout, buckets,
       s"bm25 refresh $name")
-    val old = manifestSegs(spark, name)
     dropIndexTables(spark, newName)
     writeSegment(newDocs, s"${newName}_seg", b)
     writeManifest(spark, newName,
@@ -268,10 +268,10 @@ case class Bm25(
     require(newName != name,
       "compaction writes a new index version; flip readers after the write")
     import graft.sources.Sinks.bucketedTable
-    val b = graft.sources.SegmentedManifest.resolveBuckets(
-      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+    val (segPairs, layout) = graft.sources.SegmentedManifest.readAll(spark, name)
+    val b = graft.sources.SegmentedManifest.resolveBuckets(layout, buckets,
       s"bm25 compact $name")
-    val segs = segments(spark, name)
+    val segs = segPairs.map(_._1)
     dropIndexTables(spark, newName)
     val seg = s"${newName}_seg"
     bucketedTable(

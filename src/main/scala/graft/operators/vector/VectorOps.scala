@@ -282,10 +282,11 @@ case class IvfIndex(
     * (manifest-recorded) names if absent. */
   def attachIndex(spark: org.apache.spark.sql.SparkSession, dirOfName: String,
       as: String, buckets: Option[Int] = None): Unit = {
-    import graft.sources.SegmentedManifest.{attachTable, attachVersion, readFilesLayout, resolveBuckets}
-    // physical layout from the artifact's own manifest; an explicit
-    // `buckets` only cross-checks (contradiction fails loudly)
-    val layout = readFilesLayout(spark, dirOfName)
+    import graft.sources.SegmentedManifest.{attachTable, attachVersionPre, readFilesAll, resolveBuckets}
+    // physical layout from the artifact's own manifest (ONE parquet
+    // read serves layout + segment list); an explicit `buckets` only
+    // cross-checks (contradiction fails loudly)
+    val (man, layout) = readFilesAll(spark, dirOfName)
     val b = resolveBuckets(layout, buckets, s"ivf attach $dirOfName")
     val (cc, sc) = layout.map(_.colsFor("cells",
         Seq("centroid_id"), Seq("centroid_id")))
@@ -294,11 +295,10 @@ case class IvfIndex(
     // here, outside the shared per-segment loop
     attachTable(spark, s"${as}_centroids", s"${dirOfName}_centroids")
     // alias-manifest resolvability (original segment prefixes, not
-    // catalog-only alias names) is attachVersion's contract
-    attachVersion(spark, dirOfName, as) { seg =>
+    // catalog-only alias names) is attachVersionPre's contract
+    attachVersionPre(spark, dirOfName, as, man, layout) { seg =>
       attachTable(spark, s"${seg}_cells", s"${seg}_cells", cc, sc, b)
     }
-    ()
   }
 
   /** Roll a persisted IVF index forward with a NEW batch of vectors
@@ -322,11 +322,11 @@ case class IvfIndex(
       "refresh writes a new index version; flip readers after the write")
     val spark = newVecs.sparkSession
     // new segment at the OLD segments' recorded bucket count (mixed
-    // counts would break merged bucketed reads); flag cross-checks only
-    val b = graft.sources.SegmentedManifest.resolveBuckets(
-      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+    // counts would break merged bucketed reads), read in the SAME
+    // driver read as the segment list; flag cross-checks only
+    val (old, layout) = graft.sources.SegmentedManifest.readAll(spark, name)
+    val b = graft.sources.SegmentedManifest.resolveBuckets(layout, buckets,
       s"ivf refresh $name")
-    val old = segments(spark, name)
     val centroids = spark.table(s"${name}_centroids")
     dropIndexTables(spark, newName)
     writeCellsSegment(newVecs, centroids, s"${newName}_seg", b)
@@ -347,10 +347,9 @@ case class IvfIndex(
     require(newName != name,
       "compaction writes a new index version; flip readers after the write")
     import graft.sources.Sinks.bucketedTable
-    val b = graft.sources.SegmentedManifest.resolveBuckets(
-      graft.sources.SegmentedManifest.readLayout(spark, name), buckets,
+    val (segs, layout) = graft.sources.SegmentedManifest.readAll(spark, name)
+    val b = graft.sources.SegmentedManifest.resolveBuckets(layout, buckets,
       s"ivf compact $name")
-    val segs = segments(spark, name)
     val centroids = spark.table(s"${name}_centroids")
     dropIndexTables(spark, newName)
     bucketedTable(

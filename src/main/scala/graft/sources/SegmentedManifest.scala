@@ -125,21 +125,15 @@ object SegmentedManifest {
       .saveAsTable(t)
   }
 
-  private def layoutOf(df: org.apache.spark.sql.DataFrame): Option[IndexLayout] =
-    if (!df.schema.fieldNames.contains("layout")) None
-    else df.select(col("layout")).limit(1).collect().headOption
-      .flatMap(r => Option(r.getString(0)))
-      .filter(_.nonEmpty).map(IndexLayout.decode)
-
   /** The version's recorded physical layout via the session catalog
     * (None for a pre-layout manifest). */
   def readLayout(spark: SparkSession, name: String): Option[IndexLayout] =
-    layoutOf(spark.table(s"${name}_manifest"))
+    readAll(spark, name)._2
 
   /** [[readLayout]] straight from the warehouse parquet — the
     * attach-time path. */
   def readFilesLayout(spark: SparkSession, dirOfName: String): Option[IndexLayout] =
-    layoutOf(spark.read.parquet(manifestLocation(spark, dirOfName)))
+    readFilesAll(spark, dirOfName)._2
 
   /** THE bucket-count resolution rule for attach/refresh/compact: the
     * artifact's recorded layout wins; an explicit flag is only a
@@ -164,16 +158,33 @@ object SegmentedManifest {
   /** The version's (segment, gen) rows in generation order (bounded
     * driver read: one row per refresh since the last compaction), with
     * the empty-read-back hardening described above. */
-  def read(spark: SparkSession, name: String): Seq[(String, Int)] = {
-    def once() = spark.table(s"${name}_manifest")
-      .select(col("seg"), col("gen")).orderBy(col("gen"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+  def read(spark: SparkSession, name: String): Seq[(String, Int)] =
+    readAll(spark, name)._1
+
+  /** [[read]] + the recorded layout in ONE driver read — the
+    * refresh/compact path reads the manifest exactly once (segments
+    * and layout travel in the same rows). */
+  def readAll(spark: SparkSession,
+      name: String): (Seq[(String, Int)], Option[IndexLayout]) = {
+    def once() = {
+      val df = spark.table(s"${name}_manifest")
+      val hasLayout = df.schema.fieldNames.contains("layout")
+      val rows = (if (hasLayout) df.select(col("seg"), col("gen"), col("layout"))
+                  else df.select(col("seg"), col("gen")))
+        .orderBy(col("gen")).collect()
+      val segs = rows.map(r => (r.getString(0), r.getInt(1))).toSeq
+      val layout =
+        if (!hasLayout) None
+        else rows.headOption.flatMap(r => Option(r.getString(2)))
+          .filter(_.nonEmpty).map(IndexLayout.decode)
+      (segs, layout)
+    }
     val first = once()
-    if (first.nonEmpty) first
+    if (first._1.nonEmpty) first
     else {
       spark.catalog.refreshTable(s"${name}_manifest")
       val second = once()
-      if (second.isEmpty) throw new IllegalStateException(
+      if (second._1.isEmpty) throw new IllegalStateException(
         s"${name}_manifest read back EMPTY twice — torn index state " +
           "(every build/refresh/compact commits at least one segment row)")
       second
@@ -187,9 +198,23 @@ object SegmentedManifest {
     * attach-time path, where the source session's catalog entry is
     * gone but its files are not. */
   def readFiles(spark: SparkSession, dirOfName: String): Seq[(String, Int)] =
-    spark.read.parquet(manifestLocation(spark, dirOfName))
-      .select(col("seg"), col("gen")).orderBy(col("gen"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    readFilesAll(spark, dirOfName)._1
+
+  /** [[readFiles]] + the recorded layout in ONE parquet read — the
+    * attach path's single manifest scan. */
+  def readFilesAll(spark: SparkSession,
+      dirOfName: String): (Seq[(String, Int)], Option[IndexLayout]) = {
+    val df = spark.read.parquet(manifestLocation(spark, dirOfName))
+    val hasLayout = df.schema.fieldNames.contains("layout")
+    val rows = (if (hasLayout) df.select(col("seg"), col("gen"), col("layout"))
+                else df.select(col("seg"), col("gen")))
+      .orderBy(col("gen")).collect()
+    val layout =
+      if (!hasLayout) None
+      else rows.headOption.flatMap(r => Option(r.getString(2)))
+        .filter(_.nonEmpty).map(IndexLayout.decode)
+    (rows.map(r => (r.getString(0), r.getInt(1))).toSeq, layout)
+  }
 
   private def manifestLocation(spark: SparkSession, name: String): String =
     s"${warehouse(spark)}/${name.toLowerCase(java.util.Locale.ROOT)}_manifest"
@@ -228,7 +253,18 @@ object SegmentedManifest {
     * Returns the segment list for any caller-side extras. */
   def attachVersion(spark: SparkSession, dirOfName: String, as: String)(
       attachSeg: String => Unit): Seq[(String, Int)] = {
-    val man = readFiles(spark, dirOfName)
+    val (man, layout) = readFilesAll(spark, dirOfName)
+    attachVersionPre(spark, dirOfName, as, man, layout)(attachSeg)
+    man
+  }
+
+  /** [[attachVersion]] over an ALREADY-READ (manifest, layout) — the
+    * callers that read the manifest first (to resolve the layout their
+    * attachSeg callback declares) pass it through instead of paying a
+    * second parquet scan. */
+  def attachVersionPre(spark: SparkSession, dirOfName: String, as: String,
+      man: Seq[(String, Int)], layout: Option[IndexLayout])(
+      attachSeg: String => Unit): Unit = {
     man.foreach { case (seg, _) => attachSeg(seg) }
     if (as == dirOfName) {
       if (!spark.catalog.tableExists(s"${as}_manifest")) {
@@ -237,7 +273,6 @@ object SegmentedManifest {
         spark.sql(
           s"CREATE TABLE ${as}_manifest ($ddl) USING parquet LOCATION '$manLoc'")
       }
-    } else write(spark, as, man, readFilesLayout(spark, dirOfName))
-    man
+    } else write(spark, as, man, layout)
   }
 }
