@@ -67,7 +67,7 @@ object ScaleProbe {
       "compact", "winsorize", "quantize", "pagerank", "percentiles",
       "drift", "bm25", "dedupeval", "fertility", "hardneg100k",
       "overlapsketch", "corpusdiff", "unimax", "ccnet", "ccnet_pruned",
-      "softdedup", "protoprune", "bitext")
+      "softdedup", "protoprune", "bitext", "bigram", "doremi")
       else args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,7 +95,7 @@ object ScaleProbe {
         ops("bm25") || ops("dedupeval") || ops("fertility") ||
         ops("overlapsketch") || ops("corpusdiff") ||
         ops("unimax") || ops("ccnet") || ops("ccnet_pruned") ||
-        ops("softdedup")) {
+        ops("softdedup") || ops("bigram") || ops("doremi")) {
       // materialize once so each probe times its operator, not the
       // corpus replication. REPARTITIONED to the core count: the
       // replicated corpus inherits the single sf-parquet file's 1-2
@@ -167,6 +167,32 @@ object ScaleProbe {
           probe("ccnet_buckets_pruned50k", n)(
             graft.operators.text.CcnetBucketer(maxVocabPerLang = 50000)(withLang)
               .groupBy("bucket").count().agg(sum("count")).head().getLong(0))
+      }
+      if (ops("bigram")) {
+        // the three-table backoff LM at 1M docs: counts bounded by the
+        // (bi)gram vocabulary, joins unhinted (AQE), corpus payload
+        // never shuffles. agg over scores so nothing prunes away
+        val sc = graft.operators.text.BigramPerplexityScorer()
+        probe("perplexity_bigram", n) {
+          sc.scores(corpus).agg(sum("perplexity")).head(); n
+        }
+        probe("perplexity_bigram_pruned50k", n) {
+          graft.operators.text.BigramPerplexityScorer(
+            maxVocab = 50000, maxBigrams = 200000).scores(corpus)
+            .agg(sum("perplexity")).head(); n
+        }
+      }
+      if (ops("doremi")) {
+        // per-round cost = one groupBy(domain) over a hash-filtered
+        // stream; the loss column here is a cheap deterministic
+        // stand-in (the probe prices the LOOP, not the LM scorers —
+        // those are priced by the bigram probe above)
+        val ex = corpus.select(col("doc_id"), col("source"),
+          (pmod(xxhash64(col("doc_id")), lit(1000)) / 1000.0)
+            .as("excess_loss"))
+        probe("doremi_weights_4r", n)(
+          graft.operators.text.DoremiMixer(rounds = 4,
+            batchPerRound = 100000L).weights(ex).count())
       }
       if (ops("softdedup")) {
         // the dup-heavy corpus is soft dedup's home turf: 20 replicas

@@ -352,7 +352,12 @@ case class DoremiMixer(
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val domains = nk.keys.toSeq.sorted
     val k = domains.size
-    require(k >= 1, "no domains in the loss table")
+    // an empty loss table (a 100 TB job's first shard can be empty)
+    // yields an empty weight table, never a throw (the registry-wide
+    // degenerate-corpus contract)
+    if (k == 0)
+      return spark.createDataFrame(Seq.empty[(String, Double, Long)])
+        .toDF("domain", "weight", "n_docs")
     var alpha = domains.map(d => d -> r6(1.0 / k)).toMap
     val trajectory = (1 to rounds).map { t0 =>
       val p = domains.map(d =>
