@@ -520,8 +520,11 @@ case class BigramPerplexityScorer(textCol: String = "text",
       .select(col(idCol), log(p).as("__lp"))
       .groupBy(idCol)
       .agg(round(exp(-avg(col("__lp"))), 4).as("perplexity"))
-    // pruned tag only for the hint decision above; rows with every
-    // term OOV still score (the floor row always exists)
+      // self-trained models always carry the floor row, so this is a
+      // no-op there; under a floor-less EXTERNAL model an all-OOV doc
+      // has no defined perplexity — drop it, the PerplexityScorer
+      // convention
+      .filter(col("perplexity").isNotNull)
   }
 
   /** Self-trained scores: models from `df`, scores over `df`. */

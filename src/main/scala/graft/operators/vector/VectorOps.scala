@@ -521,7 +521,13 @@ case class IvfIndex(
     *    per-dimension stats, `dim` rows, re-entering every search plan
     *    as literals (no stats join).
     *
-    * Same manifest/commit discipline as [[buildIndex]]. */
+    * Same manifest/commit discipline as [[buildIndex]]. Deliberately a
+    * SINGLE-SEGMENT artifact: the quantizer's per-dimension stats are
+    * fit on the indexed population, so a quantized index REBUILDS on
+    * the staleness schedule rather than refreshing (appending batches
+    * under stale stats degrades code precision silently — refit and
+    * rebuild is the FAISS retrain discipline); [[searchIndexedInt8]]
+    * reads the version's one segment. */
   def buildIndexInt8(df: DataFrame, centroids: DataFrame, name: String,
       buckets: Int = 8): Unit = {
     import graft.sources.Sinks.bucketedTable
