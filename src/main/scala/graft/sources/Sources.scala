@@ -220,6 +220,18 @@ object Sinks {
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       parquet(updates, path, Seq(partitionCol)); return
     }
+    // the partition column is NOT a trusted caller parameter: the
+    // on-disk Hive layout is the truth, and an upsert keyed on a
+    // different column would write `newcol=...` dirs NEXT to the
+    // existing `day=...` dirs — a silently corrupt mixed layout (the
+    // same trap class as the r17 index-layout fix). Fail loudly on
+    // contradiction instead.
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .find(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.split("=", 2)(0))
+      .foreach(k => require(k == partitionCol,
+        s"table at $path is partitioned by '$k' on disk, not " +
+          s"'$partitionCol' — the layout travels with the table"))
     // typed partition values (no string cast) so the read below prunes
     // partitions; a null value maps to Hive's default-partition dir
     val touchedVals = updates.select(col(partitionCol))

@@ -189,6 +189,26 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/day=p1__old").exists())
   }
 
+  test("upsertPartitioned refuses a partition column contradicting the on-disk layout") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("graft_upsertpc").toString + "/t"
+    Sinks.upsertPartitioned(
+      Seq((1L, "p1", "a")).toDF("id", "day", "v"), dir, Seq("id"), "day")
+    // keying a later upsert on a different column would write
+    // `v=...` dirs NEXT to the `day=...` dirs — silently corrupt mixed
+    // layout; the on-disk layout is the truth and wins loudly
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(
+        Seq((2L, "p1", "b")).toDF("id", "day", "v"), dir, Seq("id"), "v")
+    }
+    assert(e.getMessage.contains("'day'"), e.getMessage)
+    // the matching column still works
+    Sinks.upsertPartitioned(
+      Seq((2L, "p1", "b")).toDF("id", "day", "v"), dir, Seq("id"), "day")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("upsertPartitioned handles Hive-escaped partition values") {
     val sq = spark
     import sq.implicits._
