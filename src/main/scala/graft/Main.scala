@@ -30,8 +30,10 @@ import graft.pipeline.{MetricsSink, PipelineConfig}
   * and commits their bucket rows as an atomic `batch=<id>` partition so
   * the next ingest sees them (crash → just re-run; see [[runIngest]]).
   * Both accept `--num-hashes --bands --shingle-size --text-field
-  * --id-field` (must match between the index build and every subsequent
-  * ingest); `ingest` also accepts `--batch-id`.
+  * --id-field`; the banding spec is RECORDED with the index at build
+  * time (`_lsh_spec`) and every subsequent ingest cross-checks it —
+  * a contradicting flag fails loudly instead of silently probing
+  * incompatible band digests. `ingest` also accepts `--batch-id`.
   */
 object Main {
 
@@ -49,6 +51,40 @@ object Main {
       idCol = opt("--id-field", "doc_id"))
   }
 
+  /** The LSH banding spec travels WITH the band index — a `_lsh_spec`
+    * marker written at build time. Probing a persisted index with a
+    * DIFFERENT (numHashes, bands, shingleSize) than it was built with
+    * makes every band digest incompatible: the semi-join finds
+    * nothing and every cross-batch duplicate is admitted SILENTLY —
+    * the same trusted-caller-parameter trap class as the r17 bucket
+    * fix, previously "documented" as "must match". */
+  private def lshSpecOf(lsh: graft.operators.dedup.MinHashLSH): String =
+    s"numHashes=${lsh.numHashes} bands=${lsh.bands} shingleSize=${lsh.shingleSize}"
+
+  private[graft] def writeLshSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, lsh: graft.operators.dedup.MinHashLSH): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_lsh_spec"), true)
+    try out.write(lshSpecOf(lsh).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Check the configured banding against the index's recorded spec:
+    * contradiction fails LOUDLY; a legacy index without the marker
+    * records the current spec (self-healing migration — from then on
+    * drift is caught). */
+  private[graft] def checkLshSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, lsh: graft.operators.dedup.MinHashLSH): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_lsh_spec")
+    if (!fs.exists(p)) { writeLshSpec(fs, dir, lsh); return }
+    val in = fs.open(p)
+    val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    require(recorded == lshSpecOf(lsh),
+      s"band index at $dir was built with [$recorded] but this run is " +
+        s"configured [${lshSpecOf(lsh)}] — incompatible band digests " +
+        "would silently admit every duplicate; use the recorded " +
+        "parameters or rebuild the index")
+  }
+
   /** Build the persisted band-bucket index for a curated corpus. The
     * index is laid out as `batch=<id>/band=<b>/` partitions so every
     * later [[runIngest]] commits its rows as ONE directory rename. */
@@ -58,6 +94,9 @@ object Main {
     lsh.buckets(spark.read.parquet(docsPath))
       .withColumn("batch", org.apache.spark.sql.functions.lit("base"))
       .write.mode("overwrite").partitionBy("batch", "band").parquet(indexPath)
+    writeLshSpec(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      indexPath, lsh)
     println(s"[graft] index written to $indexPath (batch=base)")
   }
 
@@ -153,6 +192,10 @@ object Main {
     // a pre-batch flat layout must move under batch=base/ BEFORE this
     // batch commits, or partition discovery breaks on the next read
     migrateFlatIndex(fs, indexP)
+    // the banding spec is the INDEX's, not this invocation's — a
+    // contradicting flag fails loudly instead of silently probing
+    // incompatible digests
+    checkLshSpec(fs, indexPath, lsh)
     val batch = spark.read.parquet(batchPath)
     val raw = spark.read.parquet(indexPath)
     val index = // ignore rows a previous half-finished run of THIS batch committed
@@ -348,6 +391,10 @@ object Main {
       "curated", Nil)
     writeBase(state.exactIndex, "exact_hashes", Nil)
     writeBase(state.bandIndex, "minhash_index", Seq("band"))
+    // the banding spec travels with the state (see checkLshSpec)
+    writeLshSpec(new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      s"$stateDir/minhash_index", lshFromSection(rc, idCol, textCol))
     val nCur = spark.read.parquet(s"$stateDir/curated").count()
     rc.get("bm25_base").foreach { b =>
       graft.operators.text.Bm25(idCol = idCol, textCol = textCol).buildIndex(
@@ -396,6 +443,11 @@ object Main {
       exactIndex = exclude(spark.read.parquet(s"$stateDir/exact_hashes")),
       bandIndex = exclude(spark.read.parquet(s"$stateDir/minhash_index")))
     val lsh = lshFromSection(rc, idCol, textCol)
+    // config banding must match the persisted state's recorded spec
+    // (legacy state records the current config on first contact)
+    checkLshSpec(new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      s"$stateDir/minhash_index", lsh)
     val batch = graft.pipeline.RecrawlOps.ingest(state, deltaDocs,
       job.pipeline, lsh, idCol, textCol)
     // materialize everything BEFORE committing into the dirs we read

@@ -451,6 +451,26 @@ class ConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/day1_out").select("doc_id")
       .as[Long].collect().toSet == Set(12L))
     assert(spark.read.parquet(s"$dir/index").count() == indexBefore)
+    // the banding spec travels WITH the index: an ingest configured
+    // with different banding fails LOUDLY (incompatible digests would
+    // otherwise probe nothing and admit every duplicate silently)
+    val e = intercept[IllegalArgumentException] {
+      Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+        Array("--bands", "4", "--num-hashes", "24"))
+    }
+    assert(e.getMessage.contains("numHashes=12"), e.getMessage)
+    // a legacy index without the marker records the current spec on
+    // first contact, and catches drift from then on
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index/_lsh_spec"), false)
+    Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+      Array("--bands", "6", "--num-hashes", "12"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/index/_lsh_spec")))
+    intercept[IllegalArgumentException] {
+      Main.runIngest(spark, s"$dir/day1", s"$dir/index", s"$dir/day1_out",
+        Array("--bands", "4", "--num-hashes", "24"))
+    }
   }
 
   test("ingest migrates a legacy flat index layout instead of poisoning it") {
