@@ -311,7 +311,13 @@ case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
   *
   * Every update rounds to 6 dp so a SQL oracle replays the trajectory
   * bit-for-bit (the DSIR/SoftDedup determinism discipline; uniforms
-  * are the salted-md5 24-bit draw, exact in both engines).
+  * are the salted-md5 24-bit draw, exact in both engines). The
+  * minibatch mean λ_k is computed in EXACT integer micro-units (the
+  * 6-dp losses summed as longs, HALF-UP division) — a float avg() is
+  * summation-order-dependent and its rational mean can sit exactly on
+  * a 6-dp rounding boundary, so engines (or two runs of one engine)
+  * disagreed on the 6th decimal; DoremiSpec pins the trajectory
+  * invariant under 1/8/64-way repartitioning of the loss table.
   *
   * Scale shape: the loss table never shuffles — each round is ONE
   * map-side-combined groupBy(domain) over the hash-filtered stream
@@ -364,10 +370,24 @@ case class DoremiMixer(
         d -> r6(math.min(1.0, alpha(d) * batchPerRound.toDouble / nk(d))))
       val pDf = spark.createDataFrame(p.map { case (d, pp) => (d, pp) })
         .toDF(domainCol, "__p")
+      // engine-exact minibatch mean (the UniMax decimal discipline):
+      // the __ex inputs are already 6-dp, so sum them as EXACT integer
+      // micro-units and round the mean HALF_UP with integer arithmetic
+      // — floor(S/c + 1/2) = (2S + c) div 2c for S, c ≥ 0. A float
+      // avg()'s summation order differs between engines (and across
+      // DuckDB thread schedules), and a mean of 6-dp values is a
+      // small-denominator rational that can land EXACTLY on a 0.5e-6
+      // rounding boundary, where float noise decided the 6th decimal
+      // (the r17 driver-vs-judge doremi_weights hash flip).
       val sampled = t.join(broadcast(pDf), Seq(domainCol))
         .filter(u(t0) < col("__p"))
-        .groupBy(domainCol).agg(round(avg(col("__ex")), 6).as("__lam"))
-        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        .groupBy(domainCol).agg(
+          sum(round(col("__ex") * 1e6).cast("long")).as("__s6"),
+          count(lit(1)).as("__c"))
+        .collect().map { r =>
+          val s6 = r.getLong(1); val c = r.getLong(2)
+          (r.getString(0), ((2L * s6 + c) / (2L * c)).toDouble / 1e6)
+        }.toMap
       val lam = domains.map(d => d -> sampled.getOrElse(d, 0.0)).toMap
       val ap = domains.map(d => d -> alpha(d) * math.exp(eta * lam(d))).toMap
       val z = domains.map(ap).sum

@@ -123,9 +123,12 @@ object TextQueries {
          |  WHERE (CAST(('0x' || substr(md5(CAST(ex.doc_id AS VARCHAR)
          |    || ':graft:doremi:$t'), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 < p),
          |l$t AS MATERIALIZED (
-         |  SELECT nk.source, round(coalesce(m.m, 0.0), 6) AS lam
+         |  SELECT nk.source,
+         |    coalesce(CAST((2 * m.s6 + m.c) // (2 * m.c) AS DOUBLE)
+         |      / 1000000.0, 0.0) AS lam
          |  FROM nk LEFT JOIN (
-         |    SELECT source, avg(ex) AS m FROM mb$t GROUP BY source) m
+         |    SELECT source, sum(CAST(round(ex * 1000000.0) AS BIGINT)) AS s6,
+         |      count(*) AS c FROM mb$t GROUP BY source) m
          |  USING (source)),
          |au$t AS MATERIALIZED (SELECT source, a * exp($eta * lam) AS au
          |  FROM $prev JOIN l$t USING (source)),

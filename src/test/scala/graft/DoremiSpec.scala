@@ -37,6 +37,22 @@ class DoremiSpec extends SparkSpec {
     assert(wmap(m.weights(ex)) == w)
   }
 
+  test("trajectory is invariant to loss-table partitioning, including " +
+      "a minibatch mean that sits exactly on the 6-dp rounding boundary") {
+    // domain a's mean is EXACTLY 0.0000015 (ties at the 6th decimal):
+    // a float avg() resolves the tie by summation order; the exact
+    // integer-micro-unit mean must round HALF_UP to 0.000002 in every
+    // partitioning of the input
+    val tied = (
+      Seq((1L, "a", 0.000001), (2L, "a", 0.000002)) ++
+      (3 to 66).map(i => (i.toLong, "b", 0.1 + (i % 7) * 0.000001)))
+      .toDF("doc_id", "source", "excess_loss")
+    val m = DoremiMixer(rounds = 4, batchPerRound = 100L)
+    val ref = wmap(m.weights(tied))
+    for (n <- Seq(1, 8, 64))
+      assert(wmap(m.weights(tied.repartition(n))) == ref, s"parts=$n")
+  }
+
   test("weight-proportional sampling (p < 1) gates on the md5 uniform " +
       "and still learns the mixture") {
     val big = (
