@@ -327,7 +327,65 @@ object VecProbe {
     spark.stop()
   }
 
+  /** `hotcell` mode: the straggler case the two-level serve ranking
+    * exists for — HALF the corpus is planted in ONE IVF cell (a dense
+    * boilerplate-embedding cluster), and every query probes it. With a
+    * single-level per-query `row_number` window, each query's window
+    * partition holds the full hot-cell membership (n/2 rows) and the
+    * serve stage tails on those sorts; the salted two-level
+    * [[graft.operators.TopK.perGroup]] bounds every sort partition at
+    * ~1/salts of that with byte-identical results. The probe builds the
+    * index over the planted corpus, serves a query batch drawn from the
+    * hot cell, and reports the serve wall + result checksum.
+    *
+    * {{{ graft.VecProbe hotcell <sfDir> <n> <batchN> }}}
+    */
+  def hotCellMain(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: VecProbe hotcell <sfDir> <n> <batchN>")
+    val dir = args(0)
+    val n = args(1).toInt
+    val batchN = args(2).toInt
+    val spark = GraftSession.local("graft-vecprobe-hotcell")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def wall[A](label: String)(f: => A): A = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"HOTCELL $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val base = ScaleProbe.vectors1m(spark, dir).limit(n)
+    // even ids: the hot cluster — one shared direction plus a tiny
+    // deterministic per-id wiggle (distinct vectors, same nearest
+    // centroid); odd ids keep their natural spread
+    val planted = base.select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(100.0f) +
+              (pmod(col("vec_id"), lit(997L)).cast("float") / lit(1000.0f)))
+              .otherwise(x * lit(0.001f))))
+          .otherwise(col("embedding")).as("embedding"))
+      .repartition(cpus).localCheckpoint(true)
+    val cents = planted.orderBy("vec_id").limit(256)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    val ivf = IvfIndex()
+    wall(s"build_n$n")(ivf.buildIndex(planted, cents, "graft_hcp", 32))
+    val hotCount = spark.table("graft_hcp_seg_cells")
+      .groupBy("centroid_id").count().orderBy(col("count").desc).head()
+    println(s"HOTCELL hottest_cell=${hotCount.get(0)} rows=${hotCount.get(1)} of $n")
+    val q = planted.filter(col("vec_id") % 2 === 0).limit(batchN)
+      .localCheckpoint(true)
+    val res = wall(s"serve_hot_n${n}_b$batchN")(
+      ivf.searchIndexed(spark, "graft_hcp", q, k = 5, nprobe = 2)
+        .selectExpr("count(*)", "sum(cid)", "round(sum(cos),4)").head())
+    println(s"HOTCELL result rows=${res.get(0)} sum_cid=${res.get(1)} sum_cos=${res.get(2)}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("hotcell")) return hotCellMain(args.drop(1))
     if (args.headOption.contains("inc")) return incMain(args.drop(1))
     if (args.headOption.contains("ivfserve")) return ivfServeMain(args.drop(1))
     if (args.headOption.contains("refresh")) return refreshMain(args.drop(1))

@@ -30,6 +30,14 @@ object Lineage {
     val observed = df.queryExecution.analyzed.collectFirst {
       case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
     }.nonEmpty
-    if (df.isStreaming || observed) df else df.localCheckpoint(false)
+    // already a bare checkpointed-RDD scan (e.g. a staged pipeline's
+    // per-stage localCheckpoint, or a caller that cut already): there
+    // is no lineage to cut and no multi-reference hazard — wrapping it
+    // again would STORE THE SAME ROWS A SECOND TIME (one more full
+    // buffer of the input per operator) for zero plan compaction.
+    val alreadyCut = df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    if (df.isStreaming || observed || alreadyCut) df
+    else df.localCheckpoint(false)
   }
 }

@@ -41,8 +41,14 @@ object ConnectedComponents {
     // (MinHash signatures etc.) must not recompute on every iteration.
     // localCheckpoint stores on executor disks; swap for a reliable
     // checkpoint dir if executor loss matters mid-job.
+    // HASH-PARTITIONED BY `v` before the checkpoint: the neighbor-min
+    // join below keys on v every iteration and the checkpointed RDD
+    // keeps its partitioning, so the (largest) edge table is shuffled
+    // ONCE here instead of once per iteration — only the narrow labels
+    // side moves after that.
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .repartition(col("v"))
       .localCheckpoint(eager = true)
     var labels = nodes.select(col(idCol).as("u"), col(idCol).as("lbl"))
     var iter = 0

@@ -154,7 +154,16 @@ case class Bm25(
       Some(indexLayout(buckets)))
 
   /** One immutable segment from `docs` — the only tokenize pass those
-    * documents ever pay. */
+    * documents ever pay: postings tokenize once, and vocab, lens AND
+    * stats all re-derive from the PERSISTED postings (the previous form
+    * re-tokenized the corpus for lens and a third time for stats —
+    * guide §1.2 "don't compute things you throw away": dl ≡ Σ tf over
+    * the doc's postings, because `wsTokens` never returns an empty
+    * array for non-null text, so every tokenizable doc has ≥1 posting
+    * row). Docs absent from postings (null text → null token array →
+    * explode drops them) re-enter via the left join with dl = null —
+    * exactly the dl `size(terms)` gave them — so stats' count(*) still
+    * counts them and sum(dl) still skips them. */
   private def writeSegment(docs: DataFrame, seg: String, buckets: Int): Unit = {
     import graft.sources.Sinks.bucketedTable
     val spark = docs.sparkSession
@@ -171,11 +180,15 @@ case class Bm25(
       spark.table(s"${seg}_postings").groupBy("term")
         .agg(count(lit(1)).as("df")).repartition(buckets, col("term")),
       s"${seg}_vocab", Seq("term"), buckets, Seq("term"))
-    val dls = docs.select(col(idCol), size(terms(col(textCol))).as("dl"))
+    val dls = docs.select(col(idCol))
+      .join(docLens(spark.table(s"${seg}_postings")), Seq(idCol), "left")
+      .select(col(idCol), col("dl").cast("int").as("dl"))
     bucketedTable(dls.repartition(buckets, col(idCol)),
       s"${seg}_lens", Seq(idCol), buckets)
-    // coalesce: an empty batch's sum is null; serving reads a long
-    dls.agg(count(lit(1)).as("n"),
+    // stats from the persisted lens (narrow, one scan — never a third
+    // corpus pass); coalesce: an empty batch's sum is null
+    spark.table(s"${seg}_lens")
+      .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${seg}_stats")

@@ -238,7 +238,13 @@ case class CcnetBucketer(idCol: String = "doc_id", textCol: String = "text",
     val toks = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), col(langCol),
         explode(wsTokens(normalizeText(col(textCol)))).as("t"))
+    // counts feeds THREE consumers (totals, the pruned top-k, the LM
+    // join) — materialize it once or each re-runs the corpus
+    // tokenize+explode+groupBy subtree. Narrow and bounded by Σ
+    // per-language vocab (never the token stream), so the checkpoint
+    // is scale-safe where checkpointing `toks` would not be.
     val counts = toks.groupBy(langCol, "t").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val totals = counts.groupBy(langCol).agg(sum("__n").as("__total"))
     val kept = if (maxVocabPerLang > 0) pruned(counts) else counts
     val lm = kept.join(broadcast(totals.withColumnRenamed(langCol, "__lmlang")),
