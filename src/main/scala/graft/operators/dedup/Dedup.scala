@@ -87,12 +87,17 @@ case class MinHashLSH(
     conv(substring(md5(s), 1, 7), 16, 10).cast("long")
 
   /** MinHash signature (array<long>) from a materialized shingle-array
-    * column; null entries iff the array is empty. */
-  def signatureFromShingles(sh: Column): Column = {
-    val base = transform(sh, s => baseHash(s))
-    array((0 until numHashes).map(i =>
-      array_min(transform(base, x => (x * coefA(i) + coefB(i)) % prime))): _*)
-  }
+    * column; null entries iff the array is empty. The per-shingle base
+    * md5 array is LET-BOUND ([[graft.functions.Cols.bind]]) so it
+    * evaluates once per row: higher-order-function lambdas have no
+    * common-subexpression reuse, so inlining `base` into each of the
+    * `numHashes` array_min branches re-ran the md5-per-shingle pass
+    * once per hash lane. */
+  def signatureFromShingles(sh: Column): Column =
+    graft.functions.Cols.bind(transform(sh, s => baseHash(s))) { base =>
+      array((0 until numHashes).map(i =>
+        array_min(transform(base, x => (x * coefA(i) + coefB(i)) % prime))): _*)
+    }
 
   def signature(text: Column): Column =
     signatureFromShingles(wordShingles(text, shingleSize))

@@ -80,9 +80,18 @@ object RecrawlOps {
     * ids above the old snapshot's — the crawl-date keying contract).
     * Carries `crawl_status` for the funnel. */
   def delta(old: DataFrame, neu: DataFrame, changedOffset: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val d = CorpusDiff(idCol, textCol).diff(old, neu)
-      .filter(col("status").isin("added", "changed"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    deltaFromDiff(neu, CorpusDiff(idCol, textCol).diff(old, neu),
+      changedOffset, idCol)
+
+  /** [[delta]] from a PRE-COMPUTED (id, status) diff table — the shape
+    * a job that also reports diff statuses should use: the full-outer
+    * md5 merge is the expensive leg, and computing it once (cut, then
+    * shared by the summary rollup and the delta routing) halves the
+    * snapshot passes a day-2 run pays. */
+  def deltaFromDiff(neu: DataFrame, diff: DataFrame, changedOffset: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val d = diff.filter(col("status").isin("added", "changed"))
     neu.join(d, Seq(idCol))
       .withColumn(idCol, when(col("status") === "changed",
         col(idCol) + changedOffset).otherwise(col(idCol)))

@@ -103,7 +103,10 @@ object MultimodalQueries {
         .select(col("doc_id"), col("source"), col("text"),
           col("text").as("video_src"))
       val state = MultimodalRecrawlOps.init(old)
-      val delta = RecrawlOps.delta(old, deriveNewSnapshot(old), 4000000L)
+      // cut the regex-derived snapshot once — delta references it twice
+      // (the diff's md5 projection and the payload join)
+      val delta = RecrawlOps.delta(old,
+          graft.operators.Lineage.cut(deriveNewSnapshot(old)), 4000000L)
         .drop("crawl_status")
         .select("doc_id", "source", "text", "video_src")
       val batch = MultimodalRecrawlOps.ingest(state, delta)

@@ -28,13 +28,24 @@ object RecrawlQueries {
   private def corpusFrames(s: SparkSession, dir: String) = {
     val old = Tables.load(s, dir, "documents")
       .select("doc_id", "source", "lang", "text")
-    val neu = RecrawlCapstone.deriveNewSnapshot(old)
+    // the derived snapshot is regex-heavy test-corpus SYNTHESIS (a real
+    // day-2 crawl arrives as stored pages); cut it once so the diff,
+    // the delta join and every downstream consumer share one
+    // materialization instead of re-deriving per reference
+    val neu = graft.operators.Lineage.cut(
+      RecrawlCapstone.deriveNewSnapshot(old))
+    // ONE narrow (id, status) diff shared by the funnel's status rollup
+    // and the delta routing — the full-outer md5 merge is the day-2
+    // job's per-snapshot pass; it must not run twice
+    val diffT = graft.operators.Lineage.cut(
+      graft.operators.CorpusDiff().diff(old, neu))
     val state = RecrawlOps.init(old, RecrawlCapstone.perDoc,
       RecrawlCapstone.lsh)
-    val deltaDocs = RecrawlOps.delta(old, neu, RecrawlCapstone.changedOffset)
+    val deltaDocs = RecrawlOps.deltaFromDiff(neu, diffT,
+      RecrawlCapstone.changedOffset)
     val batch = RecrawlOps.ingest(state, deltaDocs,
       RecrawlCapstone.perDoc, RecrawlCapstone.lsh)
-    (old, neu, state, deltaDocs, batch)
+    (old, diffT, state, deltaDocs, batch)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,8 +57,8 @@ object RecrawlQueries {
     }),
 
     "recrawl_day2_funnel" -> ((s, dir) => {
-      val (old, neu, state, deltaDocs, _) = corpusFrames(s, dir)
-      val statuses = graft.operators.CorpusDiff().summary(old, neu)
+      val (old, diffT, state, deltaDocs, _) = corpusFrames(s, dir)
+      val statuses = diffT.groupBy("status").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // staged per-op counts over the delta (the profile() discipline:
       // checkpoint each stage once, count, move on)

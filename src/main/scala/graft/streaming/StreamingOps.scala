@@ -499,8 +499,14 @@ object StreamingOps {
     // duplicate set arriving in one batch (which would drop every copy):
     // the min-id doc of each colliding cluster wins all its bands and
     // survives, independent of shuffle row order.
+    // let-bind the signature (Cols.bind): bandDigests slices it once
+    // per band, and an INLINED signature tree would re-compute the
+    // whole per-shingle hash pass per band digest (no CSE inside
+    // higher-order lambdas — the same trap signatureFromShingles
+    // avoids internally for its base-hash array)
     val banded = base.filter(size(col("__sh")) > 0)
-      .withColumn("__bands", lsh.bandDigests(lsh.signatureFromShingles(col("__sh"))))
+      .withColumn("__bands", graft.functions.Cols.bind(
+        lsh.signatureFromShingles(col("__sh")))(sig => lsh.bandDigests(sig)))
       .select(Seq(col(idCol), col(tsCol), col("__bands")) ++
         (if (carryRows) Seq(col("__row")) else Nil): _*)
       .withColumn("__band", explode(col("__bands")))
