@@ -532,15 +532,17 @@ private[graft] object GroupQuota {
       .filter(col("__take") > 0)
       .select(col(groupCol), col(scoreCol),
         (col("__cum") <= col("__k")).as("__full"), col("__take"))
-    val joined = narrow.join(marks, Seq(groupCol, scoreCol))
-    val kept = joined.filter(col("__full"))
-    val boundary = joined.filter(!col("__full"))
+    // ONE pass over the joined rows: the old kept/boundary split
+    // referenced `joined` twice and the union re-evaluated the whole
+    // hist-window + join subtree per branch. Full tie blocks keep every
+    // row regardless of rank, boundary blocks keep the first __take by
+    // id — the per-(group, score) window is bounded by the largest tie
+    // block, never the group.
+    val picked = narrow.join(marks, Seq(groupCol, scoreCol))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(groupCol, scoreCol).orderBy(col(idCol))))
-      .filter(col("__rn") <= col("__take"))
-      .drop("__rn")
-    df.join(kept.unionByName(boundary).select(col(idCol)),
-      Seq(idCol), "left_semi")
+      .filter(col("__full") || col("__rn") <= col("__take"))
+    df.join(picked.select(col(idCol)), Seq(idCol), "left_semi")
   }
 }
 

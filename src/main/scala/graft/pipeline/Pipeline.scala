@@ -158,6 +158,27 @@ case class Pipeline(ops: Seq[PipelineOp]) {
     (cur, metrics)
   }
 
+  /** [[profile]]'s staged execution (each stage localCheckpointed once,
+    * so self-referencing stages never re-derive their upstream and the
+    * plan stays bounded by one stage's ops) WITHOUT the per-stage
+    * count actions — for consumers that need only the FINAL frame, the
+    * 2·|stages| jobs profile() pays for its metrics are pure overhead.
+    * The last stage skips its checkpoint too: its output flows straight
+    * into whatever action the caller runs. */
+  def stagedApply(df: DataFrame): DataFrame = {
+    if (ops.isEmpty) return df
+    var cur = df.localCheckpoint(true)
+    ops.zipWithIndex.foreach { case (op, i) =>
+      val next = op match {
+        case FilterOp(_, p) => cur.filter(p(cur))
+        case RefineOp(_, f) => f(cur)
+        case DedupOp(_, k, id) => graft.operators.dedup.KeepFirst(cur, k(cur), id)
+      }
+      cur = if (i == ops.length - 1) next else next.localCheckpoint(true)
+    }
+    cur
+  }
+
   /** Per-document rejection audit — the provenance twin of the funnel:
     * for every INPUT row, which stage dropped it (`rejected_by`, with
     * its 1-based `stage_idx`) or `kept` (idx 0) — the "why is my

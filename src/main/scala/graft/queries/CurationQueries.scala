@@ -101,8 +101,10 @@ object CurationQueries {
       // plan: the dedup stages reference their input twice, and the
       // unstaged composition re-derives the whole upstream chain per
       // reference (the §16 exponential-plan hazard the funnel key
-      // already avoids the same way)
-      CurationCapstone.pipeline(benchDir).profile(preppedInput(docs))._1
+      // already avoids the same way). stagedApply, not profile(): this
+      // key consumes only the final frame, so profile()'s 2·|stages|
+      // per-stage count actions were pure overhead here.
+      CurationCapstone.pipeline(benchDir).stagedApply(preppedInput(docs))
         .select(col("doc_id"), col("sd_commonness"), col("sd_weight"))
     }),
 
