@@ -31,6 +31,32 @@ class BucketedSearchSpec extends SparkSpec {
       rows(bm.search(docs, q, k = 5)))
   }
 
+  test("segment lens/stats derived from postings keep token-less docs") {
+    // writeSegment no longer re-tokenizes for lens/stats: dl = Σ tf from
+    // the persisted postings, re-joined to the doc ids. Empty text still
+    // tokenizes to [""] (one posting, dl = 1 — size(terms) parity) and a
+    // NULL text yields no postings and a null dl, while stats' count(*)
+    // counts BOTH docs. Search parity over such a corpus is the gate.
+    val weird = docs.unionByName(Seq(
+        (6L, ""), (7L, "   ")).toDF("doc_id", "text"))
+      .unionByName(Seq(Tuple1(8L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    val bm = Bm25()
+    bm.buildIndex(weird, "graft_bm25_weird")
+    val lens = spark.table("graft_bm25_weird_seg_lens")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(lens(6L).contains(1), "empty text tokenizes to one empty token")
+    assert(lens(8L).isEmpty, "null text carries a null dl")
+    val st = spark.table("graft_bm25_weird_seg_stats")
+      .as[(Long, Long)].collect().head
+    assert(st._1 == 8L, "stats n counts every doc incl. token-less")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(bm.searchIndexed(spark, "graft_bm25_weird", q, k = 5)) ==
+      rows(bm.search(weird, q, k = 5)))
+  }
+
   test("refreshIndex: rolled-forward index ≡ full rebuild; old version intact") {
     val bm = Bm25()
     bm.buildIndex(docs.filter($"doc_id" <= 3), "graft_bm25_r0")
